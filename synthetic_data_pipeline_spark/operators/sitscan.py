@@ -1,0 +1,102 @@
+"""Flagship query: SIT validation scan over the documents corpus.
+
+Re-expresses the reference's validator (modules/validator.py:235-360,
+SURVEY.md §3.3) Spark-first: instead of a per-row Python loop with
+per-(doc,sit) ``re.finditer``, the scan is a union of codegen'd
+``regexp_extract_all`` branches (one per catalog pattern — literal
+patterns keep the regex compiled once inside whole-stage codegen),
+followed by a higher-order ``filter`` dropping placeholder matches
+(modules/validator.py:147-194) and ONE hash aggregation by sit_id.
+
+Scale shape: narrow scan → map-side regex → partial agg → 12-group
+final agg. No join, no skew; the only shuffle carries ≤ |catalog| rows
+per upstream partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import (
+    RE2_SAFE_IDS,
+    SIT_CATALOG,
+    is_placeholder,
+    is_placeholder_duckdb,
+)
+from ..sources.tables import load_table
+
+
+def sit_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SIT match statistics over ``documents`` (the flagship)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    branches = []
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        branches.append(
+            docs.select(
+                F.lit(sit_id).alias("sit_id"),
+                "doc_id",
+                F.regexp_extract_all("text", F.lit(regex), 0).alias("matches"),
+            )
+        )
+    scanned = branches[0]
+    for b in branches[1:]:
+        scanned = scanned.unionByName(b)
+    real = F.filter("matches", lambda m: ~is_placeholder(m))
+    return (
+        scanned.select(
+            "sit_id",
+            "doc_id",
+            F.size("matches").alias("n_all"),
+            F.size(real).alias("n_real"),
+        )
+        .groupBy("sit_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_all") > 0, 1).otherwise(0)).alias("docs_with_match"),
+            F.sum("n_all").alias("total_matches"),
+            F.sum("n_real").alias("real_matches"),
+        )
+        .orderBy("sit_id")
+    )
+
+
+def _sit_scan_oracle() -> str:
+    """DuckDB oracle generated from the same catalog constant."""
+    unions = []
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        pat = regex.replace("'", "''")
+        unions.append(
+            f"SELECT '{sit_id}' AS sit_id, doc_id, "
+            f"regexp_extract_all(text, '{pat}') AS matches FROM documents"
+        )
+    union_sql = " UNION ALL ".join(unions)
+    ph = is_placeholder_duckdb("x")
+    return f"""
+        WITH m AS ({union_sql}),
+        f AS (
+          SELECT sit_id, doc_id,
+                 len(matches) AS n_all,
+                 len(list_filter(matches, x -> NOT {ph})) AS n_real
+          FROM m
+        )
+        SELECT sit_id,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_all > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_match,
+               CAST(sum(n_all) AS BIGINT) AS total_matches,
+               CAST(sum(n_real) AS BIGINT) AS real_matches
+        FROM f GROUP BY sit_id ORDER BY sit_id
+    """
+
+
+QUERIES = {
+    "q90_flagship_sit_scan": sit_match_counts,
+}
+
+ORACLES = {
+    "q90_flagship_sit_scan": _sit_scan_oracle(),
+}

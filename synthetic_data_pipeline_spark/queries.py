@@ -1,0 +1,36 @@
+"""Central query registry: name → (spark builder, duckdb oracle SQL).
+
+``__spark_entry__.py`` re-exports this. Every operator claimed done in
+SURVEY.md §2 lands here with BOTH a builder and (when SQL-expressible)
+an oracle — the driver's correctness gate runs the pair at sf0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational, sitscan
+
+_MODULES = [relational, sitscan]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        dup = set(out) & set(m.QUERIES)
+        if dup:
+            raise ValueError(f"duplicate query names: {dup}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    unknown = set(out) - set(all_queries())
+    if unknown:
+        raise ValueError(f"oracles without queries: {unknown}")
+    return out
