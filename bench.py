@@ -24,6 +24,13 @@ HEADLINE = [
     "q13_running_total",
     "q22_monthly_sales",
     "q27_price_bucket_range_join",
+    "q30_tumbling_hourly",
+    "q32_user_sessions",
+    "q34_asof_click_error",
+    "q42_quality_by_source",
+    "q44_trigram_stats",
+    "q46_minhash_near_dups",
+    "q50_knn_bruteforce",
     "q90_flagship_sit_scan",
 ]
 

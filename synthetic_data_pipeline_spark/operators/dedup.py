@@ -1,0 +1,348 @@
+"""Deduplication operators (north star, SURVEY.md §2.3 J9).
+
+Three tiers, cheapest first — the standard 100TB dedup funnel:
+1. exact:   md5(normalized text) group — map-side hash, one shuffle on
+            a uniform 128-bit key, zero skew.
+2. jaccard: exact n-gram/token-set similarity on CANDIDATE pairs only.
+3. minhash: MinHash-LSH banding generates the candidates — per doc ×
+            band, the min of md5(shingle:band) over its 3-word shingles;
+            docs sharing any (band, minhash) bucket are candidates. With
+            r=1 rows/band and b bands, P[candidate] = 1-(1-s)^b — b=8
+            keeps recall high above s≈0.5 while the bucket join touches
+            only collisions, never the full n² cross join.
+
+Shingling matters: single-token sets degenerate when the vocabulary is
+small (every doc shares most tokens with every other → candidate set
+goes quadratic — measured 117s at sf0.1 before the switch). 3-word
+shingles cube the space, which is also why real MinHash pipelines
+shingle first.
+
+md5 is the hash everywhere (not Spark's xxhash64/murmur3) so the DuckDB
+oracle computes bit-identical signatures — minhash comparison works on
+the hex strings' lexicographic order, no int conversion needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_BANDS = 8
+JACCARD_THRESHOLD = 0.5
+
+
+def distinct_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) — distinct whitespace tokens per document."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    )
+
+
+def distinct_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, token) — distinct n-word shingles per document, built
+    NARROWLY: transform over an index sequence on the token array (no
+    explode+window shuffle; 1-based element_at mirrors DuckDB's list
+    indexing so the oracle is expression-for-expression identical).
+    """
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = docs.select("doc_id", arr.alias("arr"))
+    shingles = F.when(
+        F.size("arr") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("arr"), (i + j).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("token")
+    )
+
+
+# --- q45: exact duplicate groups over normalized text.
+def q45_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), F.lit(r"\s+"), F.lit(" "))
+    groups = (
+        docs.select("doc_id", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+    return groups.agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("n_docs") - 1).alias("n_removed"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, minhash): per band, min md5('shingle:band') over
+    the doc's distinct 3-word shingles. One narrow fan-out (×bands) then
+    a partial-agg min — no shuffle until the groupBy, which carries
+    bands·docs rows.
+    """
+    toks = distinct_shingles(docs)
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    return (
+        toks.select("doc_id", "token", bands)
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(":", "token", "band")).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any (band, minhash) bucket."""
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def token_jaccard(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for the given candidate pairs."""
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = tokens.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tokens.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- q46: MinHash-LSH near-duplicate pairs, verified by exact
+# shingle-set Jaccard on the candidates only.
+def q46_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = distinct_shingles(docs)
+    sig = minhash_signatures(docs)
+    cands = lsh_candidates(sig)
+    return (
+        token_jaccard(tokens, cands)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- q47: brute-force pairwise Jaccard on a bounded slice (the exact
+# baseline the LSH variant approximates; bounded so the n² stays sane).
+def q47_pairwise_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    tokens = distinct_tokens(docs)
+    pairs = (
+        tokens.select(F.col("doc_id").alias("doc_a"))
+        .distinct()
+        .join(tokens.select(F.col("doc_id").alias("doc_b")).distinct())
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    jac = token_jaccard(tokens, pairs)
+    return (
+        jac.agg(
+            F.count("*").alias("n_pairs"),
+            F.round(1e-9 + F.avg("jaccard"), 4).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+            F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).alias(
+                "n_near_dups"
+            ),
+        )
+    )
+
+
+# --- q48: SimHash-style signature (16-bit, md5-derived) — docs bucketed
+# by signature; identical signatures ⇒ near-dup candidates. Bit i of the
+# signature is the majority vote of bit i over the doc's token hashes.
+def q48_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = distinct_tokens(docs)
+    # token's 16-bit hash = first 4 hex chars of md5; bit j extracted
+    # arithmetically (hex char → value via CASE, identical in DuckDB).
+    h = F.md5("token")
+    val = F.lit(0)
+    for i in range(4):
+        ch = F.substring(h, i + 1, 1)
+        hexv = F.when(F.ascii(ch) >= 97, F.ascii(ch) - 87).otherwise(
+            F.ascii(ch) - 48
+        )
+        val = val * 16 + hexv
+    with_bits = toks.withColumn("h16", val).select(
+        "doc_id",
+        *[
+            (F.floor(F.col("h16") / (2 ** j)).cast("int") % 2).alias(f"b{j}")
+            for j in range(16)
+        ],
+    )
+    votes = with_bits.groupBy("doc_id").agg(
+        *[F.avg(f"b{j}").alias(f"v{j}") for j in range(16)]
+    )
+    sig = F.lit(0)
+    for j in range(16):
+        sig = sig + F.when(F.col(f"v{j}") > 0.5, F.lit(2 ** j)).otherwise(0)
+    return (
+        votes.select("doc_id", sig.cast("long").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n_docs").alias("largest_bucket"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_collision_buckets"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "q45_exact_dedup": q45_exact_dedup,
+    "q46_minhash_near_dups": q46_minhash_near_dups,
+    "q47_pairwise_jaccard_sample": q47_pairwise_jaccard_sample,
+    "q48_simhash_buckets": q48_simhash_buckets,
+}
+
+_TOKENS_SQL = """
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS token
+  FROM {src}
+"""
+
+# 3-word shingles, 1-based list indexing — mirrors distinct_shingles().
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(arr) - 1),
+                          i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))
+         )) AS token
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr FROM {src})
+"""
+
+_JACCARD_SQL = """
+  sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN tokens ta ON ta.doc_id = p.doc_a
+    JOIN tokens tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+    GROUP BY p.doc_a, p.doc_b
+  ),
+  jac AS (
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+  )
+"""
+
+ORACLES = {
+    "q45_exact_dedup": """
+        WITH grp AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                 count(*) AS n_docs
+          FROM documents GROUP BY h
+        )
+        SELECT count(*) AS n_unique,
+               CAST(sum(n_docs - 1) AS BIGINT) AS n_removed
+        FROM grp
+    """,
+    "q46_minhash_near_dups": f"""
+        WITH tokens AS ({_SHINGLES_SQL.format(src="documents")}),
+        banded AS (
+          SELECT doc_id, band, min(md5(concat(token, ':', band))) AS minhash
+          FROM tokens, (SELECT unnest(range(0, {N_BANDS})) AS band)
+          GROUP BY doc_id, band
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_SQL}
+        SELECT doc_a, doc_b, jaccard FROM jac
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "q47_pairwise_jaccard_sample": f"""
+        WITH tokens AS ({_TOKENS_SQL.format(src="documents WHERE doc_id < 40")}),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM (SELECT DISTINCT doc_id FROM tokens) a,
+               (SELECT DISTINCT doc_id FROM tokens) b
+          WHERE a.doc_id < b.doc_id
+        ),
+        {_JACCARD_SQL}
+        SELECT count(*) AS n_pairs,
+               round(1e-9 + avg(jaccard), 4) AS avg_jaccard,
+               round(max(jaccard), 4) AS max_jaccard,
+               CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+        FROM jac
+    """,
+    "q48_simhash_buckets": """
+        WITH tokens AS (
+          SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS token
+          FROM documents
+        ),
+        h16 AS (
+          SELECT doc_id,
+                 ((CASE WHEN ascii(substr(md5(token),1,1)) >= 97 THEN ascii(substr(md5(token),1,1))-87 ELSE ascii(substr(md5(token),1,1))-48 END) * 4096
+                + (CASE WHEN ascii(substr(md5(token),2,1)) >= 97 THEN ascii(substr(md5(token),2,1))-87 ELSE ascii(substr(md5(token),2,1))-48 END) * 256
+                + (CASE WHEN ascii(substr(md5(token),3,1)) >= 97 THEN ascii(substr(md5(token),3,1))-87 ELSE ascii(substr(md5(token),3,1))-48 END) * 16
+                + (CASE WHEN ascii(substr(md5(token),4,1)) >= 97 THEN ascii(substr(md5(token),4,1))-87 ELSE ascii(substr(md5(token),4,1))-48 END)) AS h16
+          FROM tokens
+        ),
+        votes AS (
+          SELECT doc_id,
+                 {vote_cols}
+          FROM h16 GROUP BY doc_id
+        ),
+        sigs AS (
+          SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM votes
+        ),
+        buckets AS (
+          SELECT simhash, count(*) AS n_docs FROM sigs GROUP BY simhash
+        )
+        SELECT count(*) AS n_buckets,
+               max(n_docs) AS largest_bucket,
+               CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets
+        FROM buckets
+    """.format(
+        vote_cols=",\n                 ".join(
+            f"avg(CAST(floor(h16 / {2 ** j}) AS INTEGER) % 2) AS v{j}"
+            for j in range(16)
+        ),
+        sig_expr=" + ".join(
+            f"(CASE WHEN v{j} > 0.5 THEN {2 ** j} ELSE 0 END)" for j in range(16)
+        ),
+    ),
+}

@@ -1,0 +1,265 @@
+"""Time-series / event-stream operators, batch-first (SURVEY.md §2.10).
+
+The reference is batch-only; the driver ships an ``events`` table
+(event_id, ts, user_id, event_type, value, props JSON) shaped like a
+stream. Each operator here is the BATCH form — deterministic and
+oracle-checkable — and ``streaming/jobs.py`` lifts the same logic onto
+Structured Streaming (same groupBy(window) expressions, plus
+watermarks), so batch results double as golden outputs for the
+streaming smoke tests.
+
+Scale notes: window aggs shuffle once on (window, key); the as-of join
+avoids a per-row subquery by sort-merging a union of both streams and
+carrying state with ``last(..., ignorenulls=True)`` — the classic
+distributed as-of pattern (one shuffle on user_id, no skew beyond the
+hottest user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+# --- q30: tumbling window aggregation (F.window ≡ Structured
+# Streaming's windowed agg; oracle uses date_trunc because 1h windows
+# align to the hour).
+def q30_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- q31: sliding window (1h, slide 30m) — each event lands in 2
+# windows; the oracle reproduces that with an explicit 2-element unnest.
+def q31_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(1e-9 + F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# --- q32: sessionization with a 30-minute inactivity gap — the batch
+# twin of F.session_window. Classic two-window formulation: flag
+# gap>30min starts, running-sum the flags into session ids. One shuffle
+# on user_id.
+def q32_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.col("ts").cast("long") - F.lag("ts").over(w_ord).cast("long")
+    ) / 60.0
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(1e-9 + F.avg("duration_sec"), 4).alias("avg_session_sec"),
+            F.max("duration_sec").alias("max_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- q33: JSON prop extraction (SURVEY F25). Spark: get_json_object;
+# oracle uses a regex so it can't depend on DuckDB's JSON extension.
+def q33_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+            F.round(1e-9 + F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q34: as-of join — for each 'click', the most recent 'error' at or
+# before it for the same user (SURVEY J8). Distributed pattern: union
+# both sides, one sort within user partitions, carry the last error ts
+# forward with last(ignorenulls). DuckDB oracle uses its native ASOF
+# JOIN — two very different physical strategies, same relation.
+def q34_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("click_id"),
+        F.lit(1).alias("is_click"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.lit(0).alias("is_click"),
+    )
+    # Errors sort before clicks at identical ts (is_click ascending) so
+    # an error at the same instant counts as "at or before" — matching
+    # ASOF JOIN's >= semantics.
+    merged = clicks.unionByName(errors).withColumn(
+        "err_ts",
+        F.last(F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "is_click")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        merged.filter(F.col("is_click") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss").alias("last_error_ts"),
+        )
+        .orderBy("user_id", "click_id")
+    )
+
+
+# --- q35: keyed dedup keeping the earliest event (SURVEY U1 first-wins
+# semantics, and the batch twin of dropDuplicatesWithinWatermark).
+def q35_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+QUERIES = {
+    "q30_tumbling_hourly": q30_tumbling_hourly,
+    "q31_sliding_hourly": q31_sliding_hourly,
+    "q32_user_sessions": q32_user_sessions,
+    "q33_json_prop_stats": q33_json_prop_stats,
+    "q34_asof_click_error": q34_asof_click_error,
+    "q35_first_event_per_user_type": q35_first_event_per_user_type,
+}
+
+ORACLES = {
+    "q30_tumbling_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    "q31_sliding_hourly": """
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n_events,
+               round(1e-9 + avg(value), 4) AS avg_value
+        FROM (
+          SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+                 value
+          FROM events
+        ) GROUP BY ws ORDER BY window_start
+    """,
+    "q32_user_sessions": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR (floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))) / 60.0 > 30
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flagged
+        ), per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_sec
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(1e-9 + avg(duration_sec), 4) AS avg_session_sec,
+               max(duration_sec) AS max_session_sec
+        FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    "q33_json_prop_stats": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS INTEGER) AS k
+          FROM events
+        )
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+               round(1e-9 + avg(k), 4) AS avg_k,
+               max(k) AS max_k
+        FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    "q34_asof_click_error": """
+        SELECT c.user_id, c.event_id AS click_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS last_error_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.user_id, click_id
+    """,
+    "q35_first_event_per_user_type": """
+        SELECT user_id, event_type, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM (
+          SELECT user_id, event_type, event_id, ts,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        ) WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+}

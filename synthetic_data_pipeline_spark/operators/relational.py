@@ -55,9 +55,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(1e-9 + F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(1e-9 + F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(1e-9 + F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -139,7 +139,7 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(1e-9 + F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -174,7 +174,7 @@ def q07_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(1e-9 + F.avg("c_acctbal"), 4).alias("avg_acctbal"),
             F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
             F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
         )
@@ -189,7 +189,7 @@ def q08_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.groupBy("p_type")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(1e-9 + F.avg("p_retailprice"), 4).alias("avg_price"),
             F.max("p_size").alias("max_size"),
         )
         .orderBy("p_type")
@@ -376,7 +376,7 @@ def q21_brand_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+            F.round(1e-9 + F.avg(F.length("p_name")), 4).alias("avg_name_len"),
         )
         .orderBy("brand_prefix")
     )
@@ -424,8 +424,8 @@ def q24_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(1e-9 + F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(1e-9 + F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -516,9 +516,9 @@ ORACLES = {
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+               round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+               round(1e-9 + avg(l_discount), 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -562,7 +562,7 @@ ORACLES = {
     """,
     "q05_customers_without_orders": """
         SELECT c_mktsegment, count(*) AS n_customers,
-               round(avg(c_acctbal), 4) AS avg_acctbal
+               round(1e-9 + avg(c_acctbal), 4) AS avg_acctbal
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -578,7 +578,7 @@ ORACLES = {
     """,
     "q07_acctbal_by_nation": """
         SELECT r_name, n_name, count(*) AS n_customers,
-               round(avg(c_acctbal), 4) AS avg_acctbal,
+               round(1e-9 + avg(c_acctbal), 4) AS avg_acctbal,
                round(min(c_acctbal), 2) AS min_acctbal,
                round(max(c_acctbal), 2) AS max_acctbal
         FROM customer
@@ -588,7 +588,7 @@ ORACLES = {
     """,
     "q08_parts_by_type": """
         SELECT p_type, count(*) AS n_parts,
-               round(avg(p_retailprice), 4) AS avg_price,
+               round(1e-9 + avg(p_retailprice), 4) AS avg_price,
                max(p_size) AS max_size
         FROM part GROUP BY p_type ORDER BY p_type
     """,
@@ -691,7 +691,7 @@ ORACLES = {
     """,
     "q21_brand_prefix_stats": """
         SELECT upper(substr(p_brand, 1, 5)) AS brand_prefix, count(*) AS n,
-               round(avg(length(p_name)), 4) AS avg_name_len
+               round(1e-9 + avg(length(p_name)), 4) AS avg_name_len
         FROM part GROUP BY 1 ORDER BY brand_prefix
     """,
     "q22_monthly_sales": """
@@ -704,13 +704,13 @@ ORACLES = {
     "q23_conditional_agg": """
         SELECT o_orderpriority, count(*) AS n_orders,
                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-               round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_open_price
+               round(1e-9 + avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_open_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "q24_price_percentiles": """
         SELECT o_orderpriority,
-               round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS median_price,
-               round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90_price
+               round(1e-9 + CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS median_price,
+               round(1e-9 + CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # q25 intentionally absent: approximate sketches (HLL) are

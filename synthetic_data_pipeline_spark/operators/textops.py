@@ -1,0 +1,273 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extensions: BASELINE.json's LLM-data-pipeline requirements).
+
+All operators are pure column expressions (no Python UDFs — SURVEY.md
+§2.9 policy): tokenization via regexp split, counts via higher-order
+array functions, n-grams via window ``lead`` over exploded tokens.
+Everything stays inside whole-stage codegen; the only shuffles are the
+final small-key aggregations (and posexplode fan-out for n-grams, which
+is a narrow op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Marker stopwords per language for the heuristic language-ID operator.
+# Deterministic n-gram/stopword heuristic (north star "language-ID");
+# ties broken by fixed language order.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "los"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "les"],
+    "zh": ["的", "了", "是"],
+}
+
+
+def _tokens(col):
+    """Whitespace tokens of a trimmed, lowercased text column."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+# --- q40: token counting (north star "token counting").
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return (
+        docs.select("lang", F.size(toks).alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(1e-9 + F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(1e-9 + F.avg(F.col("n_chars") / F.col("n_tokens")), 4).alias(
+                "avg_chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q41: heuristic language ID via marker-word occurrence counts.
+# Occurrences counted with the replace-length trick — identical
+# semantics in Spark and DuckDB (both replace all occurrences).
+def _marker_hits(lang: str):
+    s = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    total = F.lit(0)
+    for m in _LANG_MARKERS[lang]:
+        needle = f" {m} "
+        cnt = (F.length(s) - F.length(F.replace(s, F.lit(needle), F.lit("")))) / len(
+            needle
+        )
+        total = total + cnt
+    return total.cast("long")
+
+
+def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_hits(lg).alias(f"hits_{lg}") for lg in _LANG_MARKERS],
+    )
+    # argmax with deterministic tie-break = fixed language order
+    pred = F.lit("unknown")
+    best = F.lit(-1).cast("long")
+    for lg in _LANG_MARKERS:  # first language wins ties (strict >)
+        hits = F.col(f"hits_{lg}")
+        pred = F.when(hits > best, F.lit(lg)).otherwise(pred)
+        best = F.when(hits > best, hits).otherwise(best)
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --- q42: quality scoring (north star "quality scoring"): token count,
+# distinct-token ratio, mean token length — aggregated per source.
+def q42_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    nospace_len = F.length(F.replace(F.lower(F.trim(F.col("text"))), F.lit(" "), F.lit("")))
+    per_doc = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        (nospace_len.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(1e-9 + F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(1e-9 + F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+            F.round(1e-9 + F.avg("avg_token_len"), 4).alias("avg_token_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q43: document fingerprinting (north star): md5 over normalized
+# text; dup-group stats. At 100TB this is the cheap first dedup pass —
+# hash on the map side, one shuffle on the 128-bit key.
+def q43_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), F.lit(r"\s+"), F.lit(" "))
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"))
+        .agg(
+            F.count("*").alias("n_distinct_fingerprints"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0)).alias(
+                "n_docs_in_dup_groups"
+            ),
+            F.max("n_docs").alias("largest_group"),
+        )
+    )
+
+
+# --- q44: word-trigram extraction via lead() over exploded tokens —
+# the UDTF-shaped "one row → many" mapping done with posexplode + window
+# (SURVEY §2.9). Returns per-language distinct-trigram stats.
+def q44_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(
+            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("trigram"),
+        F.lead("token", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        tri.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.countDistinct("trigram").alias("n_distinct_trigrams"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "q40_token_stats": q40_token_stats,
+    "q41_lang_id": q41_lang_id,
+    "q42_quality_by_source": q42_quality_by_source,
+    "q43_fingerprints": q43_fingerprints,
+    "q44_trigram_stats": q44_trigram_stats,
+}
+
+
+def _marker_hits_sql(lang: str) -> str:
+    s = "concat(' ', lower(trim(text)), ' ')"
+    terms = []
+    for m in _LANG_MARKERS[lang]:
+        needle = f" {m} "
+        terms.append(
+            f"(length({s}) - length(replace({s}, '{needle}', ''))) / {len(needle)}"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _lang_id_oracle() -> str:
+    langs = list(_LANG_MARKERS)
+    hits_cols = ",\n".join(
+        f"{_marker_hits_sql(lg)} AS hits_{lg}" for lg in langs
+    )
+    # same strict-> argmax with fixed order as the Spark builder
+    pred = "'unknown'"
+    best = "CAST(-1 AS BIGINT)"
+    for lg in langs:
+        pred = f"(CASE WHEN hits_{lg} > {best} THEN '{lg}' ELSE {pred} END)"
+        best = f"(CASE WHEN hits_{lg} > {best} THEN hits_{lg} ELSE {best} END)"
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {hits_cols} FROM documents
+        ), labeled AS (
+          SELECT lang, {pred} AS predicted FROM scored
+        )
+        SELECT lang, predicted, count(*) AS n_docs
+        FROM labeled GROUP BY lang, predicted ORDER BY lang, predicted
+    """
+
+
+ORACLES = {
+    "q40_token_stats": """
+        WITH t AS (
+          SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+                 n_chars
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(1e-9 + avg(n_tokens), 4) AS avg_tokens,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens,
+               round(1e-9 + avg(CAST(n_chars AS DOUBLE) / n_tokens), 4) AS avg_chars_per_token
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "q41_lang_id": _lang_id_oracle(),
+    "q42_quality_by_source": """
+        WITH t AS (
+          SELECT source,
+                 len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+                 len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_distinct,
+                 length(replace(lower(trim(text)), ' ', '')) AS nospace_len
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               round(1e-9 + avg(n_tokens), 4) AS avg_tokens,
+               round(1e-9 + avg(CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS avg_distinct_ratio,
+               round(1e-9 + avg(CAST(nospace_len AS DOUBLE) / n_tokens), 4) AS avg_token_len
+        FROM t GROUP BY source ORDER BY source
+    """,
+    "q43_fingerprints": """
+        WITH fp AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+          FROM documents
+        ), grp AS (
+          SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY fingerprint
+        )
+        SELECT count(*) AS n_distinct_fingerprints,
+               CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_docs_in_dup_groups,
+               max(n_docs) AS largest_group
+        FROM grp
+    """,
+    "q44_trigram_stats": """
+        WITH toks AS (
+          SELECT doc_id, lang, u.token, u.pos
+          FROM documents,
+               LATERAL (
+                 SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token,
+                        generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+               ) u
+        ), tri AS (
+          SELECT doc_id, lang,
+                 concat_ws(' ', token,
+                           lead(token, 1) OVER w,
+                           lead(token, 2) OVER w) AS trigram,
+                 lead(token, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        SELECT lang, count(*) AS n_trigrams,
+               count(DISTINCT trigram) AS n_distinct_trigrams
+        FROM tri WHERE t2 IS NOT NULL
+        GROUP BY lang ORDER BY lang
+    """,
+}

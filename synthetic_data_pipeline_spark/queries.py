@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import relational, sitscan
+from .operators import dedup, events, relational, similarity, sitscan, textops
 
-_MODULES = [relational, sitscan]
+_MODULES = [dedup, events, relational, similarity, sitscan, textops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

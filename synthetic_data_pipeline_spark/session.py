@@ -48,6 +48,10 @@ def get_spark(
     master = master or f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
+    # local[N] runs executors inside the driver JVM — size its heap for
+    # N concurrent tasks (default 1g dies at sf0.1). Ignored if a JVM is
+    # already up (e.g. the driver's own session), which has its own heap.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     if extra_conf:
         conf.update(extra_conf)

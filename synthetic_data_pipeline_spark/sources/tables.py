@@ -28,6 +28,21 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the nanos as
+        # INT64 via the legacy conf and truncate to micros — exactly
+        # what DuckDB/pandas do implicitly, so oracles agree.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
