@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 # (sit_id, name, regex, tcs). Regexes are engine-portable: no lookaround,
 # no mid-pattern flags, no backreferences (RE2 has none of these).
 SIT_CATALOG: list[tuple[str, str, str, list[str]]] = [
-    ("SIT_CCN", "Credit Card Number", r"\b(?:4\d{3}|5[1-5]\d{2})([ -]?)\d{4}\1\d{4}\1\d{4}\b", ["Finance"]),
+    ("SIT_CCN", "Credit Card Number", r"\b(?:4\d{3}|5[1-5]\d{2})[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", ["Finance"]),
     ("SIT_SSN", "US Social Security Number", r"\b[0-8]\d{2}-\d{2}-\d{4}\b", ["HR", "Tax"]),
     ("SIT_IBAN", "IBAN", r"\b[A-Z]{2}\d{2}[A-Z0-9]{12,30}\b", ["Finance"]),
     ("SIT_IPV4", "IPv4 Address", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", ["Network"]),
@@ -72,6 +72,29 @@ def is_placeholder(col: F.Column) -> F.Column:
         | ((F.length(digits) > 0) & digits.rlike(r"^0+$"))
         # >60% of characters non-alphanumeric
         | (F.length(alnum).cast("double") < F.length(s) * 0.4)
+    )
+
+
+# Spark-SQL-dialect twin of ``is_placeholder`` (for queries built as
+# SQL text; Spark string literals process backslash escapes, DuckDB's
+# don't — regexes here are escape-free on purpose).
+def is_placeholder_spark_sql(var: str) -> str:
+    s = f"lower(trim({var}))"
+    alnum = f"regexp_replace({s}, '[^a-z0-9]', '')"
+    digits = f"regexp_replace({s}, '[^0-9]', '')"
+    return (
+        "("
+        f"position('xxx' IN {s}) > 0 OR "
+        f"position('redacted' IN {s}) > 0 OR "
+        f"position('placeholder' IN {s}) > 0 OR "
+        f"position('example' IN {s}) > 0 OR "
+        f"position('sample' IN {s}) > 0 OR "
+        f"{s} RLIKE '^[x*\\\\-_]{{3,}}$' OR "
+        f"length({s}) <= 2 OR "
+        f"(length({alnum}) > 0 AND length(replace({alnum}, substr({alnum}, 1, 1), '')) = 0) OR "
+        f"(length({digits}) > 0 AND {digits} RLIKE '^0+$') OR "
+        f"CAST(length({alnum}) AS DOUBLE) < length({s}) * 0.4"
+        ")"
     )
 
 

@@ -1,0 +1,292 @@
+"""Synthetic-document generation — the reference's stage 1+2
+(modules/meta_generator.py, modules/content_generator.py) re-designed
+for distributed execution.
+
+Two semantic redesigns vs the reference (SURVEY.md §4.3.1-2):
+
+1. **Counter-mode randomness.** The reference threads one sequential
+   PRNG (``random.seed(42)`` at meta_generator.py:64) through every
+   draw; a cluster cannot reproduce a sequential stream. Every draw
+   here is ``md5(key:tag)`` arithmetic — a pure per-row function,
+   identical under any partitioning AND in DuckDB, so generation itself
+   is oracle-checked. Outputs are distributionally (not byte-)
+   identical to the reference.
+
+2. **Closed-form quota planning.** The reference's greedy
+   least-covered-first loop (meta_generator.py:87-112) is inherently
+   sequential. Here the *slot* calendar is closed-form: a fixed
+   20-document cycle of SIT-counts realizes the configured bucket
+   distribution exactly (6×"1", 6×"2-3", 6×"4-6", 2×">6" per cycle —
+   config.json:13-18), so a document's first slot index is pure
+   arithmetic on doc_id — no prefix-sum shuffle, no driver loop — and
+   slot→SIT round-robin (slot % n_sits) makes per-SIT coverage exact by
+   construction: floor(total_slots / n_sits) ≥ per_sit_count.
+
+The generation SQL is written once in the shared Spark/DuckDB dialect
+(md5, substr, ascii, CASE, repeat, lpad, chr — identical semantics);
+only the numbers source and the per-row explode differ per engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.xsql import hash_int_range, hash_u16, hash_unit
+from ..plans.catalog import SIT_CATALOG
+
+# 20-doc cycle of SIT counts: realizes 30% singles, 30% two-to-three,
+# 30% four-to-six, 10% seven-plus (config.json:13-18) exactly per cycle.
+CYCLE = [1, 2, 4, 1, 3, 5, 7, 1, 2, 6, 1, 3, 4, 1, 2, 5, 10, 1, 3, 6]
+CYCLE_PREFIX = [sum(CYCLE[:i]) for i in range(len(CYCLE))]
+CYCLE_SUM = sum(CYCLE)  # 68 slots per 20 docs
+
+FORMATS = ["email", "chat", "document", "pdf", "email_with_attachment"]
+
+
+@dataclass(frozen=True)
+class GenConfig:
+    per_sit_count: int = 40
+    tp_ratio: float = 0.5
+    n_sits: int = len(SIT_CATALOG)
+    formats: tuple = tuple(FORMATS)
+
+    @property
+    def n_docs(self) -> int:
+        """Smallest multiple of the cycle length whose slot total gives
+        every SIT ≥ per_sit_count docs under round-robin assignment."""
+        need = self.n_sits * self.per_sit_count
+        cycles = -(-need // CYCLE_SUM)  # ceil
+        return cycles * len(CYCLE)
+
+
+DEFAULT_CONFIG = GenConfig()
+
+
+def _case_mod20(expr: str, values: list[int]) -> str:
+    whens = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(values[:-1]))
+    return f"(CASE ({expr}) % 20 {whens} ELSE {values[-1]} END)"
+
+
+def docs_sql(cfg: GenConfig, numbers_src: str) -> str:
+    """Document metadata: format, word target, sit_count, slot_base.
+    ``numbers_src`` must yield a ``doc_id`` column (dialect-specific).
+    """
+    fmt_idx = f"({hash_u16('doc_id', 'fmt')} % {len(cfg.formats)})"
+    fmt_whens = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(cfg.formats[:-1])
+    )
+    fmt = f"(CASE {fmt_idx} {fmt_whens} ELSE '{cfg.formats[-1]}' END)"
+    # word target: 65% in 500-1500, else 300-4000 (config.json:6-12)
+    wct = (
+        f"(CASE WHEN {hash_unit('doc_id', 'wsel')} < 0.65 "
+        f"THEN {hash_int_range('doc_id', 'wct1', 500, 1500)} "
+        f"ELSE {hash_int_range('doc_id', 'wct2', 300, 4000)} END)"
+    )
+    cnt = _case_mod20("doc_id", CYCLE)
+    # floor(x/20.0) instead of integer '/' — Spark and DuckDB both
+    # return DOUBLE for int division, exact for doc_id < 2^52.
+    base = (
+        f"(CAST(floor(doc_id / 20.0) AS BIGINT) * {CYCLE_SUM} "
+        f"+ {_case_mod20('doc_id', CYCLE_PREFIX)})"
+    )
+    return f"""
+      SELECT doc_id,
+             {fmt} AS format,
+             {wct} AS word_count_target,
+             {cnt} AS sit_count,
+             CAST({base} AS BIGINT) AS slot_base
+      FROM {numbers_src}
+    """
+
+
+def doc_sits_sql(cfg: GenConfig, docs_cte: str, explode_j: str) -> str:
+    """One row per (doc, sit-slot). ``explode_j`` is the dialect's
+    per-row 0..sit_count-1 generator expression aliased ``j``."""
+    sit_whens = " ".join(
+        f"WHEN {i} THEN '{sid}'" for i, (sid, *_rest) in enumerate(SIT_CATALOG[:-1])
+    )
+    sit_id = f"(CASE (slot % {cfg.n_sits}) {sit_whens} ELSE '{SIT_CATALOG[-1][0]}' END)"
+    name_whens = " ".join(
+        f"WHEN '{sid}' THEN '{name}'" for sid, name, *_r in SIT_CATALOG[:-1]
+    )
+    sit_name = (
+        f"(CASE sit_id {name_whens} ELSE '{SIT_CATALOG[-1][1]}' END)"
+    )
+    label = (
+        f"(CASE WHEN {hash_unit('slot', 'label')} < {cfg.tp_ratio} "
+        f"THEN 'TP' ELSE 'FP' END)"
+    )
+    # instance buckets: 1-2 @60%, 3-5 @30%, 6-10 @10% (shape of
+    # config.json:19-24, bounded to keep rendered docs small)
+    u = hash_unit("slot", "instsel")
+    inst = (
+        f"(CASE WHEN {u} < 0.6 THEN {hash_int_range('slot', 'inst1', 1, 2)} "
+        f"WHEN {u} < 0.9 THEN {hash_int_range('slot', 'inst2', 3, 5)} "
+        f"ELSE {hash_int_range('slot', 'inst3', 6, 10)} END)"
+    )
+    # confidence rules (meta_generator.py:42-53, config.json:25-29)
+    conf = (
+        "(CASE WHEN label = 'TP' AND instances >= 6 THEN 'High' "
+        "WHEN label = 'TP' AND instances >= 3 THEN 'Medium' "
+        "WHEN label = 'FP' AND instances >= 3 THEN 'Medium' "
+        "ELSE 'Low' END)"
+    )
+    return f"""
+      slots AS (
+        SELECT doc_id, format, word_count_target,
+               CAST(slot_base + j AS BIGINT) AS slot
+        FROM (SELECT doc_id, format, word_count_target, slot_base,
+                     {explode_j} AS j
+              FROM {docs_cte})
+      ),
+      doc_sits0 AS (
+        SELECT doc_id, format, word_count_target, slot,
+               {sit_id} AS sit_id
+        FROM slots
+      ),
+      doc_sits1 AS (
+        SELECT *, {label} AS label, {inst} AS instances FROM doc_sits0
+      ),
+      doc_sits AS (
+        SELECT *, {sit_name} AS sit_name, {conf} AS confidence
+        FROM doc_sits1
+      )
+    """
+
+
+# ---------------------------------------------------------------------------
+# SIT value generators (reference content_generator.py:38-175, F7-F16).
+# Each returns shared-dialect SQL over the per-slot md5 draws; TP values
+# match the catalog regex, FP values are placeholders rejected by
+# is_placeholder.
+
+
+def _digits(key: str, tag: str, n: int) -> str:
+    """SQL: exactly-n-digit string (leading zeros allowed) from md5 draws."""
+    parts = []
+    for c in range(0, n, 4):
+        k = min(4, n - c)
+        parts.append(
+            f"lpad(CAST({hash_u16(key, f'{tag}{c}')} % {10 ** k} AS STRING), {k}, '0')"
+        )
+    return "concat(" + ", ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def _letter(key: str, tag: str) -> str:
+    return f"chr(65 + ({hash_u16(key, tag)} % 26))"
+
+
+def ccn_body_sql(key: str = "slot") -> str:
+    """15-digit card body '4' + 14 md5 digits; materialized as a column
+    so the Luhn expression can reference it by name (a correlated scalar
+    subquery would not survive both planners)."""
+    return f"concat('4', {_digits(key, 'ccn', 14)})"
+
+
+def luhn_formatted_sql(body_col: str = "ccn_body") -> str:
+    """'#### #### #### ####' grouping with a real Luhn check digit —
+    re-derivation of content_generator.py:27-47 as pure SQL arithmetic.
+    From the check digit, odd-distance payload digits are doubled.
+    """
+    terms = []
+    for i in range(1, 16):  # 1-based position in the 15-char body
+        d = f"CAST(substr({body_col}, {i}, 1) AS INT)"
+        if (16 - i) % 2 == 1:
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    s = " + ".join(terms)
+    return (
+        f"concat(substr({body_col}, 1, 4), ' ', substr({body_col}, 5, 4), ' ', "
+        f"substr({body_col}, 9, 4), ' ', substr({body_col}, 13, 3), "
+        f"CAST((10 - ({s}) % 10) % 10 AS STRING))"
+    )
+
+
+def sit_value_sql(key: str = "slot") -> str:
+    """Dispatch CASE: per-sit TP value (regex-conformant) or FP
+    placeholder (content_generator.py:197-206 dispatch, F15/F16)."""
+    k = key
+    tp = {
+        "SIT_CCN": luhn_formatted_sql("ccn_body"),
+        "SIT_SSN": (
+            f"concat(lpad(CAST(100 + {hash_u16(k, 'ssn1')} % 700 AS STRING), 3, '0'), '-', "
+            f"lpad(CAST(10 + {hash_u16(k, 'ssn2')} % 90 AS STRING), 2, '0'), '-', "
+            f"{_digits(k, 'ssn3', 4)})"
+        ),
+        "SIT_IBAN": f"concat('GB', lpad(CAST(10 + {hash_u16(k, 'ibc')} % 88 AS STRING), 2, '0'), {_digits(k, 'iban', 16)})",
+        "SIT_IPV4": (
+            f"concat(CAST(1 + {hash_u16(k, 'ip1')} % 223 AS STRING), '.', "
+            f"CAST({hash_u16(k, 'ip2')} % 256 AS STRING), '.', "
+            f"CAST({hash_u16(k, 'ip3')} % 256 AS STRING), '.', "
+            f"CAST(1 + {hash_u16(k, 'ip4')} % 254 AS STRING))"
+        ),
+        "SIT_EMAIL": f"concat('user', CAST({hash_u16(k, 'em')} AS STRING), '@corp-mail.com')",
+        "SIT_PHONE": (
+            f"concat(CAST(200 + {hash_u16(k, 'ph1')} % 800 AS STRING), '-', "
+            f"lpad(CAST({hash_u16(k, 'ph2')} % 1000 AS STRING), 3, '0'), '-', "
+            f"{_digits(k, 'ph3', 4)})"
+        ),
+        "SIT_ABA": f"concat(CAST({hash_u16(k, 'aba0')} % 4 AS STRING), {_digits(k, 'aba', 8)})",
+        "SIT_PASSPORT": f"concat({_letter(k, 'pp')}, {_digits(k, 'ppd', 8)})",
+        "SIT_DEA": f"concat({_letter(k, 'dea1')}, {_letter(k, 'dea2')}, {_digits(k, 'dead', 7)})",
+        "SIT_SWIFT": "concat("
+        + ", ".join(_letter(k, f"sw{i}") for i in range(8))
+        + ")",
+        "SIT_ITIN": (
+            f"concat('9', {_digits(k, 'it1', 2)}, '-7', "
+            f"CAST({hash_u16(k, 'it2')} % 10 AS STRING), '-', {_digits(k, 'it3', 4)})"
+        ),
+        "SIT_DATE": (
+            f"concat('20', lpad(CAST({hash_u16(k, 'dy')} % 25 AS STRING), 2, '0'), '-', "
+            f"lpad(CAST(1 + {hash_u16(k, 'dm')} % 12 AS STRING), 2, '0'), '-', "
+            f"lpad(CAST(1 + {hash_u16(k, 'dd')} % 28 AS STRING), 2, '0'))"
+        ),
+    }
+    fp = {
+        "SIT_CCN": "'0000 0000 0000 0000'",
+        "SIT_SSN": "'XXX-XX-XXXX'",
+        "SIT_IBAN": "'XX00XXXXXXXXXXXXXXXX'",
+        "SIT_IPV4": "'999.999.999.999'",
+        "SIT_EMAIL": "'xxx@xxx.com'",
+        "SIT_PHONE": "'000-000-0000'",
+        "SIT_ABA": "'000000000'",
+        "SIT_PASSPORT": "'X00000000'",
+        "SIT_DEA": "'XX0000000'",
+        "SIT_SWIFT": "'XXXXXXXX'",
+        "SIT_ITIN": "'9XX-7X-XXXX'",
+        "SIT_DATE": "'0000-00-00'",
+    }
+    tp_whens = " ".join(f"WHEN '{sid}' THEN {tp[sid]}" for sid, *_ in SIT_CATALOG)
+    fp_whens = " ".join(f"WHEN '{sid}' THEN {fp[sid]}" for sid, *_ in SIT_CATALOG)
+    return (
+        f"(CASE WHEN label = 'TP' THEN (CASE sit_id {tp_whens} ELSE '?' END) "
+        f"ELSE (CASE sit_id {fp_whens} ELSE 'REDACTED' END) END)"
+    )
+
+
+def sit_block_sql() -> str:
+    """Per-(doc,sit) text block: 'name: value | value | ...' — the
+    template fill of content_generator.py:208-234, instances copies."""
+    return "concat(sit_name, ': ', repeat(concat(value, ' | '), instances))"
+
+
+HEADERS = {
+    "email": "subject: quarterly update from the records team",
+    "chat": "chat transcript follows",
+    "document": "internal memorandum, handle with care",
+    "pdf": "internal memorandum, handle with care",
+    "email_with_attachment": "subject: see attached files",
+}
+# Headers/filler are all-lowercase on purpose: uppercase words ≥8 chars
+# would false-positive the SWIFT/PASSPORT patterns — the reference's own
+# committed run suffers exactly that (validation_report.txt:52).
+FILLER_WORD = "lorem "
+
+
+def header_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{f}' THEN '{h}'" for f, h in list(HEADERS.items())[:-1]
+    )
+    last = list(HEADERS.values())[-1]
+    return f"(CASE format {whens} ELSE '{last}' END)"

@@ -1,0 +1,70 @@
+"""Generation-pipeline invariants (SURVEY.md §5 test plan): exact quota
+coverage, the golden validation aggregate (stronger than the reference,
+whose committed run fails its own validator), Python-re pattern
+compatibility (SURVEY §4.3.3), and partition-count determinism.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from synthetic_data_pipeline_spark.operators.generation import (
+    _DIALECTS,
+    _gen_ctes,
+    q60_gen_meta_summary,
+    q62_gen_validation_report,
+)
+from synthetic_data_pipeline_spark.plans.catalog import SIT_CATALOG
+from synthetic_data_pipeline_spark.plans.generate import DEFAULT_CONFIG
+
+
+def test_quota_coverage(spark, sf_dir):
+    rows = q60_gen_meta_summary(spark, sf_dir).collect()
+    assert len(rows) == DEFAULT_CONFIG.n_sits
+    for r in rows:
+        assert r.n_docs >= DEFAULT_CONFIG.per_sit_count, (
+            f"{r.sit_id}: {r.n_docs} < target {DEFAULT_CONFIG.per_sit_count}"
+        )
+        assert r.n_tp + r.n_fp == r.n_docs
+
+
+def test_validation_golden(spark, sf_dir):
+    """Every TP doc satisfies its instance count; no FP doc is flagged.
+    The reference's own run violates both (validation_report.txt:51-52).
+    """
+    for r in q62_gen_validation_report(spark, sf_dir).collect():
+        assert r.tp_satisfied == r.tp_total, f"{r.sit_id}: unsatisfied TPs"
+        assert r.fp_flagged == 0, f"{r.sit_id}: flagged FPs"
+
+
+def test_tp_values_match_python_re(spark, sf_dir):
+    """Pattern-compat across regex engines: every generated TP value
+    must match its catalog pattern under Python ``re`` as well (the
+    JVM and RE2 sides are covered by the q62 oracle parity)."""
+    d = _DIALECTS["spark"]
+    vals = spark.sql(
+        f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
+        "SELECT sit_id, label, value FROM vals"
+    ).collect()
+    patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG}
+    n_tp = 0
+    for r in vals:
+        if r.label == "TP":
+            n_tp += 1
+            assert patterns[r.sit_id].search(r.value), (
+                f"{r.sit_id} TP value {r.value!r} fails python re"
+            )
+    assert n_tp > 100
+
+
+def test_generation_deterministic_across_parallelism(spark, sf_dir):
+    a = q60_gen_meta_summary(spark, sf_dir).collect()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = q60_gen_meta_summary(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
