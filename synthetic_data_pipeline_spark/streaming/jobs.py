@@ -1,0 +1,104 @@
+"""Structured Streaming lifts of the batch event operators (SURVEY.md
+§2.10). The reference is batch-only; these take the SAME aggregation
+expressions used by operators/events.py and run them incrementally with
+watermarks — the batch results double as golden outputs for the
+streaming tests (run with availableNow, which drains the source then
+stops, so streaming output must equal the batch answer on a static
+table; windowed aggs are compared in complete mode because append only
+emits windows the watermark has passed).
+
+Late-data semantics: a 1-hour watermark bounds state; in append mode a
+window only emits once the watermark passes its end — correct for files
+replayed in order, and exactly what a 1000-executor continuous job needs
+to keep per-key state finite.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos → micros, as in
+    sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q30_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (F.session_window) — the streaming
+    counterpart of the batch gap-and-cumsum sessionization (q32)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def dedup_first_events(events: DataFrame) -> DataFrame:
+    """Streaming keyed dedup with bounded state — twin of q35."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_available_now(df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drain the stream with the availableNow trigger into a memory
+    sink; returns the sink table. For batch-equivalence tests."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
