@@ -31,6 +31,7 @@ from ..plans.generate import (
     doc_sits_sql,
     docs_sql,
     header_sql,
+    iban_bban_sql,
     sit_block_sql,
     sit_value_sql,
 )
@@ -67,7 +68,9 @@ def _gen_ctes(cfg: GenConfig, d: dict) -> str:
       docs AS ({docs_sql(cfg, numbers)}),
       {doc_sits_sql(cfg, "docs", d["explode_j"])},
       vals0 AS (
-        SELECT *, {ccn_body_sql("slot")} AS ccn_body FROM doc_sits
+        SELECT *, {ccn_body_sql("slot")} AS ccn_body,
+               {iban_bban_sql("slot")} AS iban_bban
+        FROM doc_sits
       ),
       vals1 AS (
         SELECT *, {sit_value_sql("slot")} AS value FROM vals0

@@ -145,8 +145,34 @@ def q53_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q54: embedding-cosine near-duplicate pairs (north star dedup
+# tier for embedded corpora). Brute force here (exact); q53's buckets
+# are the 100TB candidate-generation path — at scale: join on bucket,
+# THEN verify cosine, same funnel as MinHash→Jaccard.
+COSINE_DUP_THRESHOLD = 0.5
+
+
+def q54_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
+    "q54_cosine_near_dups": q54_cosine_near_dups,
     "q51_label_centroids": q51_label_centroids,
     "q52_norm_stats": q52_norm_stats,
     "q53_ann_bucket_stats": q53_ann_bucket_stats,
@@ -176,6 +202,21 @@ ORACLES = {
         SELECT query_id, neighbor_id, cosine, rk
         FROM ranked WHERE rk <= {TOP_K}
         ORDER BY query_id, rk
+    """,
+    "q54_cosine_near_dups": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(
+                 list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                 list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 4) >= {COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
     """,
     "q51_label_centroids": """
         WITH x AS (

@@ -164,8 +164,79 @@ def q44_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish tokenizer pattern (GPT-2 shape, engine-portable: no
+# lookaround): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs. Token COUNTING only — no merges table (north star
+# "token counting (whitespace + a BPE-ish regex)").
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+# --- q49: BPE-ish token counts vs whitespace counts.
+def q49_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    )
+    ws = F.size(_tokens(F.col("text")))
+    return (
+        docs.select("lang", bpe.alias("bpe_tokens"), ws.alias("ws_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(1e-9 + F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+            F.round(
+                1e-9 + F.avg(F.col("bpe_tokens") / F.col("ws_tokens")), 4
+            ).alias("avg_bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q66: winnowing document fingerprints (rolling-hash selection —
+# the standard local-fingerprint scheme): hash every positional 3-gram,
+# take the min hash of each sliding window of 4 consecutive positions,
+# count the distinct selected fingerprints per doc. Window frame =
+# ROWS BETWEEN CURRENT AND 3 FOLLOWING, partitioned per doc.
+def q66_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+            )
+        ).alias("h"),
+        F.lead("token", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    selected = tri.select(
+        "doc_id", "lang", F.min("h").over(wf).alias("fp")
+    )
+    per_doc = selected.groupBy("doc_id", "lang").agg(
+        F.countDistinct("fp").alias("n_fps")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_fps").alias("total_fps"),
+            F.round(1e-9 + F.avg("n_fps"), 4).alias("avg_fps"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
+    "q49_bpe_token_stats": q49_bpe_token_stats,
+    "q66_winnowing_fingerprints": q66_winnowing_fingerprints,
     "q41_lang_id": q41_lang_id,
     "q42_quality_by_source": q42_quality_by_source,
     "q43_fingerprints": q43_fingerprints,
@@ -207,6 +278,49 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "q49_bpe_token_stats": f"""
+        WITH t AS (
+          SELECT lang,
+                 len(regexp_extract_all(lower(text), '{BPE_PATTERN.replace("'", "''")}')) AS bpe_tokens,
+                 len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws_tokens
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               round(1e-9 + avg(bpe_tokens), 4) AS avg_bpe_tokens,
+               round(1e-9 + avg(CAST(bpe_tokens AS DOUBLE) / ws_tokens), 4) AS avg_bpe_per_word
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "q66_winnowing_fingerprints": """
+        WITH toks AS (
+          SELECT doc_id, lang, u.token, u.pos
+          FROM documents,
+               LATERAL (
+                 SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token,
+                        generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+               ) u
+        ), tri AS (
+          SELECT doc_id, lang, pos,
+                 md5(concat_ws(' ', token,
+                               lead(token, 1) OVER w,
+                               lead(token, 2) OVER w)) AS h,
+                 lead(token, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), selected AS (
+          SELECT doc_id, lang,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM tri WHERE t2 IS NOT NULL
+        ), per_doc AS (
+          SELECT doc_id, lang, count(DISTINCT fp) AS n_fps
+          FROM selected GROUP BY doc_id, lang
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_fps) AS BIGINT) AS total_fps,
+               round(1e-9 + avg(n_fps), 4) AS avg_fps
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
     "q40_token_stats": """
         WITH t AS (
           SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,

@@ -176,6 +176,11 @@ def _letter(key: str, tag: str) -> str:
     return f"chr(65 + ({hash_u16(key, tag)} % 26))"
 
 
+def iban_bban_sql(key: str = "slot") -> str:
+    """16-digit BBAN body, materialized as a column like ccn_body."""
+    return _digits(key, "iban", 16)
+
+
 def ccn_body_sql(key: str = "slot") -> str:
     """15-digit card body '4' + 14 md5 digits; materialized as a column
     so the Luhn expression can reference it by name (a correlated scalar
@@ -203,6 +208,21 @@ def luhn_formatted_sql(body_col: str = "ccn_body") -> str:
     )
 
 
+def iban_gb_sql(bban_col: str) -> str:
+    """'GB' + real mod-97 check digits + the 16-digit BBAN
+    (content_generator.py:50-74 re-derived). The rearranged check string
+    is bban + 'GB'→'1611' + '00' = 22 digits; mod 97 computed in two
+    11-digit bigint chunks — pure shared-dialect arithmetic, no fold
+    needed (DuckDB's list_reduce and Spark's aggregate disagree on the
+    init element, so chunking beats a lambda here).
+    """
+    pre = f"concat({bban_col}, '161100')"  # 16 + 6 = 22 digits
+    hi = f"(CAST(substr({pre}, 1, 11) AS BIGINT) % 97)"
+    rem = f"((({hi}) * 100000000000 + CAST(substr({pre}, 12, 11) AS BIGINT)) % 97)"
+    check = f"lpad(CAST(98 - {rem} AS STRING), 2, '0')"
+    return f"concat('GB', {check}, {bban_col})"
+
+
 def sit_value_sql(key: str = "slot") -> str:
     """Dispatch CASE: per-sit TP value (regex-conformant) or FP
     placeholder (content_generator.py:197-206 dispatch, F15/F16)."""
@@ -214,7 +234,7 @@ def sit_value_sql(key: str = "slot") -> str:
             f"lpad(CAST(10 + {hash_u16(k, 'ssn2')} % 90 AS STRING), 2, '0'), '-', "
             f"{_digits(k, 'ssn3', 4)})"
         ),
-        "SIT_IBAN": f"concat('GB', lpad(CAST(10 + {hash_u16(k, 'ibc')} % 88 AS STRING), 2, '0'), {_digits(k, 'iban', 16)})",
+        "SIT_IBAN": iban_gb_sql("iban_bban"),
         "SIT_IPV4": (
             f"concat(CAST(1 + {hash_u16(k, 'ip1')} % 223 AS STRING), '.', "
             f"CAST({hash_u16(k, 'ip2')} % 256 AS STRING), '.', "

@@ -59,6 +59,24 @@ def test_tp_values_match_python_re(spark, sf_dir):
     assert n_tp > 100
 
 
+def test_iban_check_digits_valid(spark, sf_dir):
+    """Generated IBANs must pass the real ISO 7064 mod-97 test (the
+    reference's checksum at content_generator.py:50-74)."""
+    d = _DIALECTS["spark"]
+    vals = spark.sql(
+        f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
+        "SELECT value FROM vals WHERE sit_id = 'SIT_IBAN' AND label = 'TP'"
+    ).collect()
+    assert len(vals) > 10
+    for r in vals:
+        iban = r.value
+        rearranged = iban[4:] + iban[:4]
+        num = "".join(
+            str(ord(c) - 55) if c.isalpha() else c for c in rearranged
+        )
+        assert int(num) % 97 == 1, f"invalid IBAN {iban}"
+
+
 def test_generation_deterministic_across_parallelism(spark, sf_dir):
     a = q60_gen_meta_summary(spark, sf_dir).collect()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
