@@ -31,8 +31,52 @@ HEADLINE = [
     "q44_trigram_stats",
     "q46_minhash_near_dups",
     "q50_knn_bruteforce",
+    "q62_gen_validation_report",
+    "q66_winnowing_fingerprints",
     "q90_flagship_sit_scan",
 ]
+
+
+def _render_throughput(spark) -> dict:
+    """Generate + render + binary-rendition a corpus and report docs/s —
+    comparable to BASELINE.md's postprocess throughput (≈16.1 docs/s,
+    single-threaded reference)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.generation import (
+        _DIALECTS,
+        _gen_ctes,
+        _rendered_cte,
+    )
+    from synthetic_data_pipeline_spark.functions.xsql import expand_u16
+    from synthetic_data_pipeline_spark.plans.generate import GenConfig
+    from synthetic_data_pipeline_spark.sources.renditions import add_renditions
+
+    cfg = GenConfig(per_sit_count=400)  # ≈1,600 docs — the baseline ran 1,472
+    d = _DIALECTS["spark"]
+    sql = expand_u16(
+        f"WITH {_gen_ctes(cfg, d)}, {_rendered_cte(d)} "
+        "SELECT doc_id, format, text FROM rendered",
+        "spark",
+    )
+    t0 = time.perf_counter()
+    rendered = spark.sql(sql)
+    out = add_renditions(rendered).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.when(F.col("docx").isNotNull(), F.length("docx")).alias("docx_bytes"),
+        F.when(F.col("pdf").isNotNull(), F.length("pdf")).alias("pdf_bytes"),
+        F.when(F.col("eml").isNotNull(), F.length("eml")).alias("eml_bytes"),
+    )
+    n_docs = out.count()
+    dt = time.perf_counter() - t0
+    return {
+        "gen_render_docs": n_docs,
+        "gen_render_sec": round(dt, 3),
+        "gen_render_docs_per_sec": round(n_docs / dt, 1),
+    }
 
 
 def main() -> None:
@@ -57,6 +101,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    extras = _render_throughput(spark)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -66,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "extras": extras,
             }
         )
     )

@@ -24,6 +24,7 @@ from ..plans.catalog import (
     is_placeholder_duckdb,
     is_placeholder_spark_sql,
 )
+from ..functions.xsql import expand_u16
 from ..plans.generate import (
     DEFAULT_CONFIG,
     GenConfig,
@@ -59,6 +60,10 @@ _DIALECTS = {
         "esc": lambda pat: pat,
     },
 }
+
+
+def _docs_only_sql(cfg: GenConfig) -> str:
+    return docs_sql(cfg, _DIALECTS["spark"]["numbers"].format(n=cfg.n_docs))
 
 
 def _gen_ctes(cfg: GenConfig, d: dict) -> str:
@@ -106,7 +111,7 @@ def _rendered_cte(d: dict) -> str:
 
 def _meta_summary_sql(cfg: GenConfig, dialect: str) -> str:
     d = _DIALECTS[dialect]
-    return f"""
+    return expand_u16(f"""
       WITH {_gen_ctes(cfg, d)}
       SELECT sit_id,
              count(*) AS n_docs,
@@ -116,12 +121,12 @@ def _meta_summary_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(sum(CASE WHEN confidence = 'High' THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM doc_sits
       GROUP BY sit_id ORDER BY sit_id
-    """
+    """, dialect)
 
 
 def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
     d = _DIALECTS[dialect]
-    return f"""
+    return expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       {_rendered_cte(d)}
       SELECT format,
@@ -132,7 +137,7 @@ def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(max(length(text)) AS BIGINT) AS max_chars
       FROM rendered
       GROUP BY format ORDER BY format
-    """
+    """, dialect)
 
 
 def _validation_sql(cfg: GenConfig, dialect: str) -> str:
@@ -149,7 +154,7 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
         if sid in RE2_SAFE_IDS
     )
     real = f"(CASE sit_id {whens} ELSE 0 END)"
-    return f"""
+    return expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       {_rendered_cte(d)},
       scanned AS (
@@ -167,7 +172,7 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(sum(instances) AS BIGINT) AS total_instances
       FROM scanned
       GROUP BY sit_id ORDER BY sit_id
-    """
+    """, dialect)
 
 
 def q60_gen_meta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +184,88 @@ def q61_gen_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_validation_sql(DEFAULT_CONFIG, "spark"))
+    """Spark side is staged, not one SQL: the fully-inlined generation +
+    12-regex scan expression tree exceeds the JVM's 64KB codegen method
+    limit, silently dropping the whole stage to interpreted mode
+    (measured 21.5s → ~2s). The tiny generated corpus is materialized
+    once with localCheckpoint, then scanned with one literal-pattern
+    branch per SIT (small codegen units), then aggregated — same
+    relation as the single-SQL DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.catalog import is_placeholder
+
+    d = _DIALECTS["spark"]
+    vals = spark.sql(
+        expand_u16(
+            f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
+            "SELECT doc_id, slot, sit_id, label, instances, block FROM vals",
+            "spark",
+        )
+    ).localCheckpoint()
+    vals.createOrReplaceTempView("gen_vals_ckpt")
+    # rendered text from the checkpointed vals + doc attrs re-derived
+    docs_meta = spark.sql(
+        expand_u16(
+            f"WITH docs AS ({_docs_only_sql(DEFAULT_CONFIG)}) "
+            "SELECT doc_id, format, word_count_target FROM docs",
+            "spark",
+        )
+    ).localCheckpoint()
+    docs_meta.createOrReplaceTempView("gen_docs_ckpt")
+    rendered = spark.sql(
+        f"""
+        WITH vals AS (
+          SELECT v.doc_id, v.slot, v.block, d.format, d.word_count_target
+          FROM gen_vals_ckpt v JOIN gen_docs_ckpt d ON v.doc_id = d.doc_id
+        ),
+        {_rendered_cte(d)}
+        SELECT doc_id, text FROM rendered
+        """
+    ).localCheckpoint()
+
+    branches = []
+    for sid, _n, regex, _t in SIT_CATALOG:
+        if sid not in RE2_SAFE_IDS:
+            continue
+        real = F.size(
+            F.filter(
+                F.regexp_extract_all("text", F.lit(regex), 0),
+                lambda m: ~is_placeholder(m),
+            )
+        )
+        branches.append(
+            rendered.select(
+                F.lit(sid).alias("sit_id"), "doc_id", real.alias("real_matches")
+            )
+        )
+    scanned = branches[0]
+    for b in branches[1:]:
+        scanned = scanned.unionByName(b)
+    return (
+        vals.select("doc_id", "sit_id", "label", "instances")
+        .join(scanned, ["doc_id", "sit_id"])
+        .groupBy("sit_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("label") == "TP", 1).otherwise(0)).alias("tp_total"),
+            F.sum(
+                F.when(
+                    (F.col("label") == "TP")
+                    & (F.col("real_matches") >= F.col("instances")),
+                    1,
+                ).otherwise(0)
+            ).alias("tp_satisfied"),
+            F.sum(
+                F.when(
+                    (F.col("label") == "FP") & (F.col("real_matches") > 0), 1
+                ).otherwise(0)
+            ).alias("fp_flagged"),
+            F.sum("instances").alias("total_instances"),
+        )
+        .orderBy("sit_id")
+    )
 
 
 QUERIES = {

@@ -16,6 +16,7 @@ from synthetic_data_pipeline_spark.operators.generation import (
     q60_gen_meta_summary,
     q62_gen_validation_report,
 )
+from synthetic_data_pipeline_spark.functions.xsql import expand_u16
 from synthetic_data_pipeline_spark.plans.catalog import SIT_CATALOG
 from synthetic_data_pipeline_spark.plans.generate import DEFAULT_CONFIG
 
@@ -45,8 +46,11 @@ def test_tp_values_match_python_re(spark, sf_dir):
     JVM and RE2 sides are covered by the q62 oracle parity)."""
     d = _DIALECTS["spark"]
     vals = spark.sql(
-        f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
-        "SELECT sit_id, label, value FROM vals"
+        expand_u16(
+            f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
+            "SELECT sit_id, label, value FROM vals",
+            "spark",
+        )
     ).collect()
     patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG}
     n_tp = 0
@@ -64,8 +68,11 @@ def test_iban_check_digits_valid(spark, sf_dir):
     reference's checksum at content_generator.py:50-74)."""
     d = _DIALECTS["spark"]
     vals = spark.sql(
-        f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
-        "SELECT value FROM vals WHERE sit_id = 'SIT_IBAN' AND label = 'TP'"
+        expand_u16(
+            f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
+            "SELECT value FROM vals WHERE sit_id = 'SIT_IBAN' AND label = 'TP'",
+            "spark",
+        )
     ).collect()
     assert len(vals) > 10
     for r in vals:
