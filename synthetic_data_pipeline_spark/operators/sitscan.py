@@ -28,30 +28,30 @@ from ..sources.tables import load_table
 
 
 def sit_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-SIT match statistics over ``documents`` (the flagship)."""
+    """Per-SIT match statistics over ``documents`` (the flagship).
+
+    ONE scan: all catalog patterns evaluate in a single projection as an
+    array of (sit_id, n_all, n_real) structs, then explode. The earlier
+    union-of-branches formulation re-read the parquet once per pattern —
+    12x the scan bytes, which is exactly what kills a 100TB corpus pass.
+    """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    branches = []
+    entries = []
     for sit_id, _name, regex, _tcs in SIT_CATALOG:
         if sit_id not in RE2_SAFE_IDS:
             continue
-        branches.append(
-            docs.select(
+        matches = F.regexp_extract_all("text", F.lit(regex), 0)
+        real = F.filter(matches, lambda m: ~is_placeholder(m))
+        entries.append(
+            F.struct(
                 F.lit(sit_id).alias("sit_id"),
-                "doc_id",
-                F.regexp_extract_all("text", F.lit(regex), 0).alias("matches"),
+                F.size(matches).alias("n_all"),
+                F.size(real).alias("n_real"),
             )
         )
-    scanned = branches[0]
-    for b in branches[1:]:
-        scanned = scanned.unionByName(b)
-    real = F.filter("matches", lambda m: ~is_placeholder(m))
     return (
-        scanned.select(
-            "sit_id",
-            "doc_id",
-            F.size("matches").alias("n_all"),
-            F.size(real).alias("n_real"),
-        )
+        docs.select("doc_id", F.explode(F.array(*entries)).alias("m"))
+        .select("doc_id", "m.sit_id", "m.n_all", "m.n_real")
         .groupBy("sit_id")
         .agg(
             F.count("*").alias("n_docs"),

@@ -1,0 +1,114 @@
+"""Subquery-shaped relational queries (TPC-H Q2/Q11/Q15/Q18/Q19/Q22
+patterns): scalar subqueries, IN-subqueries, HAVING over grouped
+aggregates, OR-of-ANDs predicate pushdown, correlated NOT EXISTS.
+
+These are written ONCE in engine-neutral ANSI SQL: the Spark builder
+registers the parquet tables as temp views and runs the exact same text
+the DuckDB oracle runs — a direct proof of the SQL front-end's
+compatibility surface (and Catalyst's subquery decorrelation: scalar
+subqueries become broadcast joins, IN becomes a left-semi join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+
+_SQL = {
+    # Q2 shape: row(s) holding the per-group minimum, joined back.
+    "q70_cheapest_supplier_per_nation": """
+        SELECT n_name, s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN (
+          SELECT s_nationkey AS nk, min(s_acctbal) AS min_bal
+          FROM supplier GROUP BY s_nationkey
+        ) m ON s_nationkey = m.nk AND s_acctbal = m.min_bal
+        ORDER BY n_name, s_name
+    """,
+    # Q11 shape: HAVING against a scalar subquery over the whole table.
+    "q71_important_parts": """
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * (1 - l_discount)) > (
+          SELECT 0.0015 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem
+        )
+        ORDER BY l_partkey
+    """,
+    # Q15 shape: the group(s) achieving the global maximum.
+    "q72_top_revenue_nation": """
+        WITH nation_rev AS (
+          SELECT n_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, revenue FROM nation_rev
+        WHERE revenue = (SELECT max(revenue) FROM nation_rev)
+        ORDER BY n_name
+    """,
+    # Q18 shape: IN over an aggregated-HAVING subquery.
+    "q73_large_quantity_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # Q19 shape: disjunction of conjunctive range predicates — Catalyst
+    # must still push the common join key and fold the OR branches.
+    "q74_disjunctive_revenue": """
+        SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_size > 40 AND l_quantity >= 30)
+           OR (p_retailprice > 1800.0 AND l_discount < 0.02)
+    """,
+    # Q22 shape: filter against a scalar average + anti-join.
+    "q75_wealthy_inactive_customers": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+        )
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    # GROUPING SETS (A9 beyond rollup/cube).
+    "q76_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY returnflag, linestatus
+    """,
+}
+
+_NEEDED = ["supplier", "nation", "customer", "orders", "lineitem", "part"]
+
+
+def _builder(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, _NEEDED)
+        return spark.sql(sql)
+
+    return run
+
+
+QUERIES = {name: _builder(sql) for name, sql in _SQL.items()}
+ORACLES = dict(_SQL)

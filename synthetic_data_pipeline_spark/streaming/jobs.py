@@ -88,6 +88,41 @@ def dedup_first_events(events: DataFrame) -> DataFrame:
     )
 
 
+def user_value_state(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per user,
+    maintain (count, total value, max single value) across micro-batches
+    — arbitrary state Spark's built-in aggs can't express incrementally
+    (e.g. this could hold a sketch or a model). State lives per group in
+    the state store; a processing-time timeout would expire idle users
+    on a real continuous stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, max_value double"
+    state_schema = "n long, total double, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = (state.get if state.exists else (0, 0.0, float("-inf")))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            [[key[0], n, round(total, 4), mx]],
+            columns=["user_id", "n_events", "total_value", "max_value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain the stream with the availableNow trigger into a memory
     sink; returns the sink table. For batch-equivalence tests."""

@@ -32,6 +32,38 @@ def test_session_stream_runs(spark, sf_dir):
     assert got.filter("n_events < 1").count() == 0
 
 
+def test_stateful_operator_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    from synthetic_data_pipeline_spark.streaming.jobs import user_value_state
+
+    got = run_available_now(
+        user_value_state(stream_events(spark, sf_dir)), mode="update"
+    )
+    # update mode may emit one row per micro-batch per user; the LAST
+    # emission carries the final state — with availableNow over one file
+    # there is a single batch, so rows are final.
+    final = {r.user_id: r for r in got.collect()}
+    want = {
+        r.user_id: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        g = final[uid]
+        assert g.n_events == w.n_events
+        assert abs(g.total_value - w.total_value) < 1e-6
+        assert g.max_value == w.max_value
+
+
 def test_dedup_stream_matches_batch_count(spark, sf_dir):
     stream = dedup_first_events(stream_events(spark, sf_dir))
     got = run_available_now(stream, mode="append")
