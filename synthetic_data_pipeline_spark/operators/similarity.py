@@ -170,9 +170,136 @@ def q54_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q55: IVF-style ANN — the scale path. Coarse quantizer = per-label
+# centroids; each query probes only the N_PROBE nearest centroid lists,
+# then ranks exact cosine within those lists. At 100TB the corpus is
+# partitioned by list id, so a query touches n_probe/n_lists of the
+# data. Centroid distances are computed via a dim-exploded join (ONE
+# formulation both engines share — no array rebuild, no rounding drift
+# beyond the final round).
+N_PROBE = 3
+
+
+def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("dim", "x")
+    )
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent_norm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    qdims = dims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("x").alias("qx")
+    )
+    qnorm = qdims.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qnorm")
+    )
+    qc = (
+        qdims.join(cent, "dim")
+        .groupBy("query_id", "label")
+        .agg(F.sum(F.col("qx") * F.col("c")).alias("dot"))
+        .join(F.broadcast(cent_norm), "label")
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            "label",
+            F.round(F.col("dot") / (F.col("cnorm") * F.col("qnorm")), 6).alias(
+                "ccos"
+            ),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
+    probes = qc.withColumn("pr", F.row_number().over(wp)).filter(
+        F.col("pr") <= N_PROBE
+    ).select("query_id", "label")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(emb, "label")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+# --- q56: iterative k-means (3 fixed iterations, deterministic init) —
+# a genuinely non-SQL-expressible iterative algorithm (driver records
+# the weaker rows-only check). Each iteration: broadcast k centroids,
+# assign by min squared distance, recompute means via dim-exploded agg.
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def q56_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim", "x")).cache()
+    # deterministic init: centroids = vectors 0..k-1
+    cent = dims.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cid"), "dim", F.col("x").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        d2 = (
+            dims.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+        )
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.round("d2", 6).asc(), F.asc("cid")
+        )
+        assign = (
+            d2.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            dims.join(assign, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("c"))
+        )
+    final = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.round("d2", 6).asc(), F.asc("cid"))
+    assign = (
+        final.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q54_cosine_near_dups": q54_cosine_near_dups,
+    "q55_ivf_ann": q55_ivf_ann,
+    "q56_kmeans": q56_kmeans,
     "q51_label_centroids": q51_label_centroids,
     "q52_norm_stats": q52_norm_stats,
     "q53_ann_bucket_stats": q53_ann_bucket_stats,
@@ -201,6 +328,56 @@ ORACLES = {
         )
         SELECT query_id, neighbor_id, cosine, rk
         FROM ranked WHERE rk <= {TOP_K}
+        ORDER BY query_id, rk
+    """,
+    "q55_ivf_ann": f"""
+        WITH dims AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+        cent_norm AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label),
+        qdims AS (SELECT vec_id AS query_id, dim, x AS qx FROM dims WHERE vec_id < {N_QUERIES}),
+        qnorm AS (SELECT query_id, sqrt(sum(qx * qx)) AS qnorm FROM qdims GROUP BY query_id),
+        dotqc AS (
+          SELECT q.query_id, c.label, sum(q.qx * c.c) AS dot
+          FROM qdims q JOIN cent c ON q.dim = c.dim
+          GROUP BY q.query_id, c.label
+        ),
+        qc AS (
+          SELECT d.query_id, d.label,
+                 round(d.dot / (cn.cnorm * qn.qnorm), 6) AS ccos
+          FROM dotqc d
+          JOIN cent_norm cn ON cn.label = d.label
+          JOIN qnorm qn ON qn.query_id = d.query_id
+        ),
+        probes AS (
+          SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label ASC) AS pr
+            FROM qc
+          ) WHERE pr <= {N_PROBE}
+        ),
+        cands AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+                 round(
+                   list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cosine
+          FROM probes p
+          JOIN embeddings e ON e.label = p.label AND e.vec_id != p.query_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                 ) AS INTEGER) AS rk
+          FROM cands
+        ) WHERE rk <= {TOP_K}
         ORDER BY query_id, rk
     """,
     "q54_cosine_near_dups": f"""
