@@ -479,8 +479,41 @@ def q27_price_bucket_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q28: RANGE frame — trailing-30-day spend per order, per customer
+# (value-based frame, not row-based; SURVEY W4 frame specs).
+def q28_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+# --- q29: analytic function battery — ntile / percent_rank / cume_dist
+# over a deterministic total order.
+def q29_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    return part.select(
+        "p_partkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).filter(F.col("p_partkey") % 20 == 0)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q28_trailing_30d_spend": q28_trailing_30d_spend,
+    "q29_price_analytics": q29_price_analytics,
     "q02_top_revenue_orders": q02_top_revenue_orders,
     "q03_regional_revenue": q03_regional_revenue,
     "q04_priority_with_returns": q04_priority_with_returns,
@@ -510,6 +543,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q28_trailing_30d_spend": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+               count(*) OVER w AS n_orders_30d
+        FROM (SELECT *, CAST(date_diff('day', TIMESTAMP '1990-01-01 00:00:00', o_orderdate) AS INTEGER) AS day
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    "q29_price_analytics": """
+        SELECT p_partkey,
+               CAST(ntile(10) OVER w AS INTEGER) AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM part
+        WINDOW w AS (ORDER BY p_retailprice ASC, p_partkey ASC)
+        QUALIFY p_partkey % 20 = 0
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

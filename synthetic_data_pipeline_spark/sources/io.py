@@ -92,6 +92,39 @@ def read_meta_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(META_SCHEMA).json(path)
 
 
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    range_cols: list[str] | None = None,
+    max_records_per_file: int = 500_000,
+    n_files: int | None = None,
+) -> None:
+    """Scale-hygiene writer (SURVEY.md §4.4): zstd parquet with bounded
+    file sizes (maxRecordsPerFile), optional hive partitioning, and
+    optional range-clustering (repartitionByRange + local sort) so
+    downstream range predicates prune files via min/max stats. The
+    small-files failure mode of one-file-per-row sinks is the first
+    thing that kills a 100TB documents table.
+    """
+    out = df
+    if range_cols:
+        cols = [out[c] for c in range_cols]
+        out = (
+            out.repartitionByRange(n_files, *cols)
+            if n_files
+            else out.repartitionByRange(*cols)
+        ).sortWithinPartitions(*range_cols)
+    writer = (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", "zstd")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
 def explode_meta_sits(meta: DataFrame) -> DataFrame:
     """Nested meta → flat (doc, sit) rows: the explode() that replaces
     the reference's per-doc dict loops (SURVEY.md §1.1)."""

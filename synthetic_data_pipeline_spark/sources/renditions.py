@@ -194,6 +194,19 @@ def eml_udf(text: pd.Series, subject: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(BinaryType())
+def eml_with_attachment_udf(text: pd.Series, subject: pd.Series) -> pd.Series:
+    """email_with_attachment format: the mapping xlsx rendition rides
+    along as a real MIME attachment (postprocessor.py:158-189)."""
+    out = []
+    for t, s in zip(text, subject):
+        xlsx = render_xlsx_bytes([("field", "value"), ("subject", s)])
+        out.append(
+            render_eml_bytes(t, s, attachments=[("mapping.xlsx", xlsx)])
+        )
+    return pd.Series(out)
+
+
 @pandas_udf(StringType())
 def extract_docx_udf(data: pd.Series) -> pd.Series:
     return data.map(extract_docx_text)
@@ -224,9 +237,9 @@ def add_renditions(docs: DataFrame) -> DataFrame:
         )
         .withColumn(
             "eml",
-            F.when(
-                F.col("format").isin("email", "email_with_attachment"),
-                eml_udf("text", subject),
+            F.when(F.col("format") == "email", eml_udf("text", subject)).when(
+                F.col("format") == "email_with_attachment",
+                eml_with_attachment_udf("text", subject),
             ),
         )
     )

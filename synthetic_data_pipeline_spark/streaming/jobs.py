@@ -123,6 +123,29 @@ def user_value_state(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, mode: str = "append"
+) -> int:
+    """foreachBatch sink: each micro-batch lands as parquet under its
+    batch id — the pattern for sinks Spark lacks natively (upserts into
+    table formats, JDBC merges...). Returns the number of batches."""
+    n_batches = {"n": 0}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        n_batches["n"] += 1
+
+    q = (
+        df.writeStream.foreachBatch(_write)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdps_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def run_available_now(df: DataFrame, mode: str = "append") -> DataFrame:
     """Drain the stream with the availableNow trigger into a memory
     sink; returns the sink table. For batch-equivalence tests."""

@@ -127,3 +127,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_partitioned_parquet_layout(spark, tmp_path):
+    import glob
+
+    from synthetic_data_pipeline_spark.sources.io import write_partitioned_parquet
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_part")
+    write_partitioned_parquet(
+        li,
+        out,
+        partition_cols=["l_returnflag"],
+        range_cols=["l_shipdate"],
+        max_records_per_file=1000,
+        n_files=4,
+    )
+    # hive layout by returnflag, several bounded files per partition
+    parts = glob.glob(f"{out}/l_returnflag=*")
+    assert len(parts) >= 2, parts
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    files = glob.glob(f"{out}/l_returnflag=*/*.parquet")
+    assert len(files) >= 4

@@ -73,3 +73,16 @@ def test_dedup_stream_matches_batch_count(spark, sf_dir):
     g = {(r.user_id, r.event_type) for r in got.collect()}
     w = {(r.user_id, r.event_type) for r in want.collect()}
     assert g == w
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        run_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "sink")
+    n = run_foreach_batch_parquet(stream_events(spark, sf_dir), out)
+    assert n >= 1
+    back = spark.read.option("basePath", out).parquet(out)
+    want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == want
