@@ -96,10 +96,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: exclude JIT/codegen warmup noise
+            t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     extras = _render_throughput(spark)
 
