@@ -97,7 +97,12 @@ def minhash_signatures(
     mins (map-side combined); the per-band rows are a narrow 4-row
     explode of the aggregated row. No (doc × band × shingle) fan-out.
     """
-    toks = distinct_shingles(docs)
+    return minhash_signatures_from_tokens(distinct_shingles(docs), n_hashes, r)
+
+
+def minhash_signatures_from_tokens(
+    toks: DataFrame, n_hashes: int = N_HASHES, r: int = BAND_ROWS
+) -> DataFrame:
     mins = toks.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws(":", "token", F.lit(str(h))))).alias(f"m{h}")
@@ -161,11 +166,14 @@ def token_jaccard(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 # --- q46: MinHash-LSH near-duplicate pairs, verified by exact
-# shingle-set Jaccard on the candidates only.
+# shingle-set Jaccard on the candidates only. The shingle table feeds
+# four consumers (signatures, sizes, both sides of the intersection
+# join) — materialize it once instead of re-scanning the corpus and
+# re-shingling per consumer (at 100TB you'd persist it as a table).
 def q46_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = distinct_shingles(docs)
-    sig = minhash_signatures(docs)
+    tokens = distinct_shingles(docs).localCheckpoint(eager=False)
+    sig = minhash_signatures_from_tokens(tokens)
     cands = lsh_candidates(sig)
     return (
         token_jaccard(tokens, cands)
@@ -178,7 +186,7 @@ def q46_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline the LSH variant approximates; bounded so the n² stays sane).
 def q47_pairwise_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    tokens = distinct_tokens(docs)
+    tokens = distinct_tokens(docs).localCheckpoint(eager=False)
     pairs = (
         tokens.select(F.col("doc_id").alias("doc_a"))
         .distinct()

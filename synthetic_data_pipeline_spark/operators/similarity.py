@@ -184,9 +184,10 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
+    # dims feeds centroids, query dims, and norms — materialize once
     dims = emb.select(
         "vec_id", "label", F.posexplode("v").alias("dim", "x")
-    )
+    ).localCheckpoint(eager=False)
     cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
     cent_norm = cent.groupBy("label").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
