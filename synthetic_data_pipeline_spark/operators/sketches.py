@@ -1,0 +1,245 @@
+"""Sketch-style operators, deterministic and oracle-checked.
+
+Real deployments would use Spark's built-in sketches (HLL, Bloom via
+DataFrameStatFunctions) whose binary states are engine-specific; these
+md5-based twins have exactly reproducible state, so the DuckDB oracle
+verifies the *algorithm*, not just row counts:
+
+- q57: Bloom-filter membership — build m-bit filter over customer keys
+  with k=3 md5 hash functions, probe supplier keys; reports true
+  members vs Bloom positives (the false-positive count is a property
+  of the data + hash family, identical across engines).
+- q58: duplicate-cluster formation over the MinHash candidate pairs —
+  min-label propagation UNROLLED exactly 5 iterations on both engines
+  (unrolled ≡ same computation, so the oracle matches whether or not
+  the labels have converged; 5 hops cover any realistic dup-cluster
+  diameter).
+- q59: token-entropy quality signal per document (Shannon entropy of
+  the token frequency distribution) — the "compression-ratio-ish"
+  quality score of LLM data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.xsql import hash_u16
+from ..sources.tables import load_table
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+LP_ITERS = 5
+
+
+def _bit(col_sql: str, i: int) -> str:
+    return f"({hash_u16(col_sql, f'bloom{i}')} % {BLOOM_BITS})"
+
+
+def q57_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.xsql import expand_u16
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(expand_u16(_BLOOM_SQL, "spark"))
+
+
+_BLOOM_SQL = f"""
+  WITH bits AS (
+    {" UNION ".join(f"SELECT DISTINCT {_bit('c_custkey', i)} AS bit FROM customer" for i in range(BLOOM_K))}
+  ),
+  probes AS (
+    SELECT s_suppkey,
+           {", ".join(f"{_bit('s_suppkey', i)} AS b{i}" for i in range(BLOOM_K))}
+    FROM supplier
+  ),
+  hits AS (
+    SELECT p.s_suppkey,
+           {" AND ".join(f"(b{i} IN (SELECT bit FROM bits))" for i in range(BLOOM_K))} AS bloom_member,
+           EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = p.s_suppkey) AS true_member
+    FROM probes p
+  )
+  SELECT count(*) AS n_probes,
+         CAST(sum(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS bloom_positives,
+         CAST(sum(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT) AS true_members,
+         CAST(sum(CASE WHEN bloom_member AND NOT true_member THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+         CAST(sum(CASE WHEN true_member AND NOT bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+  FROM hits
+"""
+
+
+def q58_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH near-dup pairs: each doc's
+    cluster label starts as itself and takes the min over neighbors for
+    exactly LP_ITERS unrolled rounds; report cluster-size histogram.
+    DataFrame-API loop on Spark, unrolled CTE chain in the oracle —
+    identical computation.
+    """
+    from .dedup import lsh_candidates, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidates(minhash_signatures(docs)).localCheckpoint(eager=False)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LP_ITERS):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == neigh.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _dup_clusters_oracle() -> str:
+    from .dedup import _SHINGLES_SQL, BAND_ROWS, N_HASHES
+
+    steps = []
+    prev = "l0"
+    for it in range(1, LP_ITERS + 1):
+        steps.append(
+            f"""l{it} AS (
+              SELECT l.node,
+                     least(l.label, coalesce(n.nlabel, l.label)) AS label
+              FROM {prev} l
+              LEFT JOIN (
+                SELECT e.doc_a, min(x.label) AS nlabel
+                FROM edges e JOIN {prev} x ON e.doc_b = x.node
+                GROUP BY e.doc_a
+              ) n ON l.node = n.doc_a
+            )"""
+        )
+        prev = f"l{it}"
+    return f"""
+      WITH tokens AS ({_SHINGLES_SQL.format(src="documents")}),
+      mins AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
+        FROM tokens GROUP BY doc_id
+      ),
+      banded AS (
+        {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+          for b in range(N_HASHES // BAND_ROWS)
+        )}
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+      ),
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+      ),
+      l0 AS (
+        SELECT DISTINCT doc_a AS node, doc_a AS label FROM edges
+      ),
+      {", ".join(steps)},
+      sizes AS (
+        SELECT label, count(*) AS cluster_size FROM {prev} GROUP BY label
+      )
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+def q59_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's token distribution, aggregated per
+    language — low-entropy documents are the repetitive/low-quality
+    tail a training-data filter drops."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    freqs = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = (
+        freqs.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))).alias(
+                "sum_clogc"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.log(F.col("n").cast("double")) - F.col("sum_clogc") / F.col("n")).alias(
+                "entropy"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(1e-9 + F.avg("entropy"), 4).alias("avg_entropy"),
+            F.round(1e-9 + F.min("entropy"), 4).alias("min_entropy"),
+            F.round(1e-9 + F.max("entropy"), 4).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "q57_bloom_membership": q57_bloom_membership,
+    "q58_dup_clusters": q58_dup_clusters,
+    "q59_token_entropy": q59_token_entropy,
+}
+
+
+def _oracles() -> dict[str, str]:
+    from ..functions.xsql import expand_u16
+
+    return {
+        "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
+        "q58_dup_clusters": _dup_clusters_oracle(),
+        "q59_token_entropy": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+              FROM documents
+            ),
+            freqs AS (
+              SELECT doc_id, lang, token, count(*) AS cnt
+              FROM toks GROUP BY doc_id, lang, token
+            ),
+            per_doc AS (
+              SELECT doc_id, lang,
+                     ln(CAST(sum(cnt) AS DOUBLE))
+                       - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt) AS entropy
+              FROM freqs GROUP BY doc_id, lang
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(1e-9 + avg(entropy), 4) AS avg_entropy,
+                   round(1e-9 + min(entropy), 4) AS min_entropy,
+                   round(1e-9 + max(entropy), 4) AS max_entropy
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+    }
+
+
+ORACLES = _oracles()

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, generation, mapping, relational, similarity, sitscan, subqueries, textops
+from .operators import dedup, events, generation, mapping, relational, similarity, sitscan, sketches, subqueries, textops
 
-_MODULES = [dedup, events, generation, mapping, relational, similarity, sitscan, subqueries, textops]
+_MODULES = [dedup, events, generation, mapping, relational, similarity, sitscan, sketches, subqueries, textops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
