@@ -498,7 +498,11 @@ def q28_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q29: analytic function battery — ntile / percent_rank / cume_dist
-# over a deterministic total order.
+# over a deterministic total order. NOTE: these functions are global by
+# definition (one ordered pass); at 100TB you'd compute them two-phase
+# over range buckets (repartitionByRange + per-bucket rank + offset by
+# bucket counts) — the single-partition window here is the semantic
+# reference, sized for dimension tables.
 def q29_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     w = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
