@@ -87,6 +87,33 @@ _SQL = {
         )
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
+    # Q7 shape: nation-pair trade volume (customer nation × supplier
+    # nation), both dims broadcast twice under different aliases.
+    "q77_nation_pair_volume": """
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               count(*) AS n_lineitems,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name < sn.n_name
+        GROUP BY cn.n_name, sn.n_name
+        HAVING count(*) >= 5
+        ORDER BY cust_nation, supp_nation
+    """,
+    # Q14 shape: conditional share of revenue (promo percentage).
+    "q78_brand_revenue_share": """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_brand = 'Brand#1'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS brand1_share_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
     # GROUPING SETS (A9 beyond rollup/cube).
     "q76_grouping_sets": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
