@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import eround
 from ..sources.tables import load_table
 
 N_HASHES = 8
@@ -156,7 +157,7 @@ def token_jaccard(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            eround(
                 F.col("n_inter")
                 / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 4,
@@ -197,8 +198,8 @@ def q47_pairwise_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         jac.agg(
             F.count("*").alias("n_pairs"),
-            F.round(1e-9 + F.avg("jaccard"), 4).alias("avg_jaccard"),
-            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+            eround(1e-9 + F.avg("jaccard"), 4).alias("avg_jaccard"),
+            eround(F.max("jaccard"), 4).alias("max_jaccard"),
             F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).alias(
                 "n_near_dups"
             ),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import eround
 from ..sources.tables import load_table
 
 
@@ -34,7 +35,7 @@ def q30_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            eround(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -54,7 +55,7 @@ def q31_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(1e-9 + F.avg("value"), 4).alias("avg_value"),
+            eround(1e-9 + F.avg("value"), 4).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -96,7 +97,7 @@ def q32_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(1e-9 + F.avg("duration_sec"), 4).alias("avg_session_sec"),
+            eround(1e-9 + F.avg("duration_sec"), 4).alias("avg_session_sec"),
             F.max("duration_sec").alias("max_session_sec"),
         )
         .orderBy("user_id")
@@ -114,7 +115,7 @@ def q33_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
-            F.round(1e-9 + F.avg("k"), 4).alias("avg_k"),
+            eround(1e-9 + F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")

@@ -24,6 +24,7 @@ from ..plans.catalog import (
     is_placeholder_duckdb,
     is_placeholder_spark_sql,
 )
+from ..functions.rounding import apply_sql_eround
 from ..functions.xsql import expand_u16
 from ..plans.generate import (
     DEFAULT_CONFIG,
@@ -111,7 +112,7 @@ def _rendered_cte(d: dict) -> str:
 
 def _meta_summary_sql(cfg: GenConfig, dialect: str) -> str:
     d = _DIALECTS[dialect]
-    return expand_u16(f"""
+    return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)}
       SELECT sit_id,
              count(*) AS n_docs,
@@ -121,12 +122,12 @@ def _meta_summary_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(sum(CASE WHEN confidence = 'High' THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM doc_sits
       GROUP BY sit_id ORDER BY sit_id
-    """, dialect)
+    """, dialect))
 
 
 def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
     d = _DIALECTS[dialect]
-    return expand_u16(f"""
+    return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       {_rendered_cte(d)}
       SELECT format,
@@ -137,7 +138,7 @@ def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(max(length(text)) AS BIGINT) AS max_chars
       FROM rendered
       GROUP BY format ORDER BY format
-    """, dialect)
+    """, dialect))
 
 
 def _validation_sql(cfg: GenConfig, dialect: str) -> str:
@@ -154,7 +155,7 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
         if sid in RE2_SAFE_IDS
     )
     real = f"(CASE sit_id {whens} ELSE 0 END)"
-    return expand_u16(f"""
+    return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       {_rendered_cte(d)},
       scanned AS (
@@ -172,7 +173,7 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(sum(instances) AS BIGINT) AS total_instances
       FROM scanned
       GROUP BY sit_id ORDER BY sit_id
-    """, dialect)
+    """, dialect))
 
 
 def q60_gen_meta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.rounding import apply_sql_eround
 from ..functions.xsql import expand_u16
 from ..plans.catalog import SIT_CATALOG
 from ..plans.generate import DEFAULT_CONFIG, GenConfig
@@ -81,7 +82,7 @@ def _unpack_sql(cfg: GenConfig, dialect: str) -> str:
             )
           )
         """
-    return expand_u16(f"""
+    return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       {_packed_cte(d)},
       {unpacked}
@@ -91,14 +92,14 @@ def _unpack_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(sum(instances) AS BIGINT) AS total_instances
       FROM unpacked
       GROUP BY sit_id ORDER BY sit_id
-    """, dialect)
+    """, dialect))
 
 
 def _upsert_sql(cfg: GenConfig, dialect: str) -> str:
     """J3 upsert: updates (docs with even id get word target +1000) merged
     over the base by full-outer join + coalesce; aggregate checksum."""
     d = _DIALECTS[dialect]
-    return expand_u16(f"""
+    return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       base AS (
         SELECT doc_id, format, word_count_target FROM docs
@@ -118,7 +119,7 @@ def _upsert_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(sum(word_count_target) AS BIGINT) AS sum_target,
              CAST(sum(doc_id) AS BIGINT) AS sum_ids
       FROM merged GROUP BY format ORDER BY format
-    """, dialect)
+    """, dialect))
 
 
 def _tcs_sql(cfg: GenConfig, dialect: str) -> str:
@@ -131,7 +132,7 @@ def _tcs_sql(cfg: GenConfig, dialect: str) -> str:
         agg = "size(array_distinct(flatten(collect_list(split(tc_str, '[|]')))))"
     else:
         agg = "len(list_distinct(flatten(list(string_split(tc_str, '|')))))"
-    return expand_u16(f"""
+    return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       with_tcs AS (
         SELECT doc_id, (CASE sit_id {tc_whens} ELSE 'General' END) AS tc_str
@@ -142,7 +143,7 @@ def _tcs_sql(cfg: GenConfig, dialect: str) -> str:
       )
       SELECT n_tcs, count(*) AS n_docs
       FROM per_doc GROUP BY n_tcs ORDER BY n_tcs
-    """, dialect)
+    """, dialect))
 
 
 def q63_mapping_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

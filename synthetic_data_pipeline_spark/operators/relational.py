@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import eround
 from ..sources.tables import load_table
 
 
@@ -51,13 +52,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(1e-9 + F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(1e-9 + F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(1e-9 + F.avg("l_discount"), 4).alias("avg_disc"),
+            eround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            eround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            eround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            eround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            eround(1e-9 + F.avg("l_quantity"), 4).alias("avg_qty"),
+            eround(1e-9 + F.avg("l_extendedprice"), 4).alias("avg_price"),
+            eround(1e-9 + F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -75,7 +76,7 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
+            eround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -109,7 +110,7 @@ def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
+            eround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
@@ -139,7 +140,7 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(1e-9 + F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            eround(1e-9 + F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -156,7 +157,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)), 2).alias(
+        eround(F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)), 2).alias(
             "revenue"
         ),
         F.count("*").alias("n_rows"),
@@ -174,9 +175,9 @@ def q07_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(1e-9 + F.avg("c_acctbal"), 4).alias("avg_acctbal"),
-            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            eround(1e-9 + F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            eround(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            eround(F.max("c_acctbal"), 2).alias("max_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -189,7 +190,7 @@ def q08_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.groupBy("p_type")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(1e-9 + F.avg("p_retailprice"), 4).alias("avg_price"),
+            eround(1e-9 + F.avg("p_retailprice"), 4).alias("avg_price"),
             F.max("p_size").alias("max_size"),
         )
         .orderBy("p_type")
@@ -209,7 +210,7 @@ def q09_returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> Data
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
+            eround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -226,7 +227,7 @@ def q10_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            eround(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -245,7 +246,7 @@ def q11_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            eround(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -282,7 +283,7 @@ def q13_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        eround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
 
 
@@ -376,7 +377,7 @@ def q21_brand_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(1e-9 + F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+            eround(1e-9 + F.avg(F.length("p_name")), 4).alias("avg_name_len"),
         )
         .orderBy("brand_prefix")
     )
@@ -392,7 +393,7 @@ def q22_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            eround(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy("order_year", "order_month")
     )
@@ -408,7 +409,7 @@ def q23_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
                 "n_finished"
             ),
-            F.round(
+            eround(
                 F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
                 4,
             ).alias("avg_open_price"),
@@ -424,8 +425,8 @@ def q24_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.round(1e-9 + F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(1e-9 + F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            eround(1e-9 + F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            eround(1e-9 + F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -473,7 +474,7 @@ def q27_price_bucket_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            eround(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
         .orderBy("bucket")
     )
@@ -492,7 +493,7 @@ def q28_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        eround(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
         F.count("*").over(w).alias("n_orders_30d"),
     )
 
@@ -509,8 +510,8 @@ def q29_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        eround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        eround(F.cume_dist().over(w), 6).alias("cume"),
     ).filter(F.col("p_partkey") % 20 == 0)
 
 

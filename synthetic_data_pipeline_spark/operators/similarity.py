@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import eround
 from ..sources.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
@@ -52,7 +53,7 @@ def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            eround(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -75,7 +76,7 @@ def q51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode(_as_double("embedding")).alias("dim", "x")
         )
         .groupBy("label", "dim")
-        .agg(F.round(1e-9 + F.avg("x"), 4).alias("centroid_val"))
+        .agg(eround(1e-9 + F.avg("x"), 4).alias("centroid_val"))
         .filter(F.col("dim") < 8)  # keep the checked slice compact
         .orderBy("label", "dim")
     )
@@ -92,9 +93,9 @@ def q52_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(1e-9 + F.avg("l2"), 4).alias("avg_norm"),
-            F.round(F.min("l2"), 4).alias("min_norm"),
-            F.round(F.max("l2"), 4).alias("max_norm"),
+            eround(1e-9 + F.avg("l2"), 4).alias("avg_norm"),
+            eround(F.min("l2"), 4).alias("min_norm"),
+            eround(F.max("l2"), 4).alias("max_norm"),
         )
         .orderBy("label")
     )
@@ -163,7 +164,7 @@ def q54_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+            eround(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
@@ -207,7 +208,7 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "label",
-            F.round(F.col("dot") / (F.col("cnorm") * F.col("qnorm")), 6).alias(
+            eround(F.col("dot") / (F.col("cnorm") * F.col("qnorm")), 6).alias(
                 "ccos"
             ),
         )
@@ -227,7 +228,7 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            eround(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -264,7 +265,7 @@ def q56_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
         )
         wa = Window.partitionBy("vec_id").orderBy(
-            F.round("d2", 6).asc(), F.asc("cid")
+            eround("d2", 6).asc(), F.asc("cid")
         )
         assign = (
             d2.withColumn("rn", F.row_number().over(wa))
@@ -281,7 +282,7 @@ def q56_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "cid")
         .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.round("d2", 6).asc(), F.asc("cid"))
+    wa = Window.partitionBy("vec_id").orderBy(eround("d2", 6).asc(), F.asc("cid"))
     assign = (
         final.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
@@ -290,7 +291,7 @@ def q56_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.groupBy("cid")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.sum("d2"), 2).alias("inertia"),
+            eround(F.sum("d2"), 2).alias("inertia"),
         )
         .orderBy("cid")
     )

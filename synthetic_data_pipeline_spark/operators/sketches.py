@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.xsql import hash_u16
+from ..functions.rounding import eround
 from ..sources.tables import load_table
 
 BLOOM_BITS = 4096
@@ -196,9 +197,9 @@ def q59_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(1e-9 + F.avg("entropy"), 4).alias("avg_entropy"),
-            F.round(1e-9 + F.min("entropy"), 4).alias("min_entropy"),
-            F.round(1e-9 + F.max("entropy"), 4).alias("max_entropy"),
+            eround(1e-9 + F.avg("entropy"), 4).alias("avg_entropy"),
+            eround(1e-9 + F.min("entropy"), 4).alias("min_entropy"),
+            eround(1e-9 + F.max("entropy"), 4).alias("max_entropy"),
         )
         .orderBy("lang")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.rounding import apply_sql_eround
 from ..sources.tables import register_views
 
 _SQL = {
@@ -125,6 +126,8 @@ _SQL = {
         ORDER BY returnflag, linestatus
     """,
 }
+
+_SQL = {k: apply_sql_eround(v) for k, v in _SQL.items()}
 
 _NEEDED = ["supplier", "nation", "customer", "orders", "lineitem", "part"]
 

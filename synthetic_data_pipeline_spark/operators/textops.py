@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import eround
 from ..sources.tables import load_table
 
 # Marker stopwords per language for the heuristic language-ID operator.
@@ -43,10 +44,10 @@ def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(1e-9 + F.avg("n_tokens"), 4).alias("avg_tokens"),
+            eround(1e-9 + F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.min("n_tokens").alias("min_tokens"),
             F.max("n_tokens").alias("max_tokens"),
-            F.round(1e-9 + F.avg(F.col("n_chars") / F.col("n_tokens")), 4).alias(
+            eround(1e-9 + F.avg(F.col("n_chars") / F.col("n_tokens")), 4).alias(
                 "avg_chars_per_token"
             ),
         )
@@ -109,9 +110,9 @@ def q42_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(1e-9 + F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(1e-9 + F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
-            F.round(1e-9 + F.avg("avg_token_len"), 4).alias("avg_token_len"),
+            eround(1e-9 + F.avg("n_tokens"), 4).alias("avg_tokens"),
+            eround(1e-9 + F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+            eround(1e-9 + F.avg("avg_token_len"), 4).alias("avg_token_len"),
         )
         .orderBy("source")
     )
@@ -184,8 +185,8 @@ def q49_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("bpe_tokens").alias("total_bpe_tokens"),
-            F.round(1e-9 + F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
-            F.round(
+            eround(1e-9 + F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+            eround(
                 1e-9 + F.avg(F.col("bpe_tokens") / F.col("ws_tokens")), 4
             ).alias("avg_bpe_per_word"),
         )
@@ -227,7 +228,7 @@ def q66_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_fps").alias("total_fps"),
-            F.round(1e-9 + F.avg("n_fps"), 4).alias("avg_fps"),
+            eround(1e-9 + F.avg("n_fps"), 4).alias("avg_fps"),
         )
         .orderBy("lang")
     )

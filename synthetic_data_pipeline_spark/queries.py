@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.rounding import apply_sql_eround
 from .operators import dedup, events, generation, mapping, relational, similarity, sitscan, sketches, subqueries, textops
 
 _MODULES = [dedup, events, generation, mapping, relational, similarity, sitscan, sketches, subqueries, textops]
@@ -29,7 +30,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
-        out.update(m.ORACLES)
+        # boundary-safe rounding applied to every oracle; the Spark
+        # builders apply the identical formula (eround / transformed
+        # shared SQL), so both engines compute the same expression.
+        out.update({k: apply_sql_eround(v) for k, v in m.ORACLES.items()})
     unknown = set(out) - set(all_queries())
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")

@@ -20,6 +20,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.rounding import eround
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -59,7 +61,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            eround(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
