@@ -397,6 +397,37 @@ ORACLES = {
                  4) >= {COSINE_DUP_THRESHOLD}
         ORDER BY vec_a, vec_b
     """,
+    # q53: weights table = planes × dims with md5-parity signs — the
+    # same ±1 family the Spark fold derives per element. 64 dims fixed
+    # by the embeddings schema (FIXTURES.md §B).
+    "q53_ann_bucket_stats": f"""
+        WITH weights AS (
+          SELECT p.range AS p, d.range AS d,
+                 CASE WHEN ascii(substr(md5(concat(p.range, ':', d.range)), 32, 1)) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END AS w
+          FROM range(0, {N_HYPERPLANES}) p, range(0, 64) d
+        ),
+        dims AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        proj AS (
+          SELECT m.vec_id, w.p, sum(m.x * w.w) AS proj
+          FROM dims m JOIN weights w ON m.d = w.d
+          GROUP BY m.vec_id, w.p
+        ),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN proj > 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id
+        ),
+        buckets AS (SELECT bucket, count(*) AS n_vecs FROM sigs GROUP BY bucket)
+        SELECT count(*) AS n_buckets,
+               max(n_vecs) AS largest_bucket,
+               min(n_vecs) AS smallest_bucket
+        FROM buckets
+    """,
     "q51_label_centroids": """
         WITH x AS (
           SELECT label,
