@@ -234,10 +234,46 @@ def q66_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q67: TF-IDF top terms (SURVEY §7 M5 "tokenize/ngram/TF-IDF").
+# tf = term count / doc length; idf = ln(N / df). Top-3 terms per doc
+# for a bounded doc slice, ranked deterministically. Two shuffles:
+# (doc, term) counts and the tiny df table (broadcast back).
+def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar, exact in both engines
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_), "token")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "token",
+            eround(
+                (F.col("cnt") / F.col("len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
     "q66_winnowing_fingerprints": q66_winnowing_fingerprints,
+    "q67_tfidf_top_terms": q67_tfidf_top_terms,
     "q41_lang_id": q41_lang_id,
     "q42_quality_by_source": q42_quality_by_source,
     "q43_fingerprints": q43_fingerprints,
@@ -279,6 +315,34 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES = {
+    "q67_tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY doc_id, token),
+        doc_len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.token,
+                 round((CAST(t.cnt AS DOUBLE) / l.len)
+                       * ln(CAST(n.n_docs AS DOUBLE) / f.df), 6) AS tfidf
+          FROM tf t
+          JOIN doc_len l ON t.doc_id = l.doc_id
+          JOIN df f ON t.token = f.token
+          CROSS JOIN n
+          WHERE t.doc_id < 20
+        )
+        SELECT doc_id, token, tfidf, rk FROM (
+          SELECT doc_id, token, tfidf,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                 ) AS INTEGER) AS rk
+          FROM scored
+        ) WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
     "q49_bpe_token_stats": f"""
         WITH t AS (
           SELECT lang,
