@@ -178,8 +178,75 @@ def q35_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- q36: top event type per hour — ranking a windowed aggregate
+# (window-over-aggregate, the "trending" query shape).
+def q36_hourly_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("hour", "event_type", "n_events")
+        .orderBy("hour")
+    )
+
+
+# --- q37: conversion funnel — per user, ordered stage progression
+# (first view → first click after it → first purchase after that).
+# Pure min-over-conditional aggregation: one shuffle on user_id, no
+# joins, no state — the scalable funnel formulation.
+def q37_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t")
+    )
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t")
+    )
+    first_purchase = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        per_user.filter(F.col("t_view").isNotNull())
+        .join(first_click, "user_id", "left")
+        .join(first_purchase, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_viewers"),
+            F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias(
+                "n_clicked_after_view"
+            ),
+            F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias(
+                "n_purchased_after_click"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q30_tumbling_hourly": q30_tumbling_hourly,
+    "q36_hourly_top_event": q36_hourly_top_event,
+    "q37_conversion_funnel": q37_conversion_funnel,
     "q31_sliding_hourly": q31_sliding_hourly,
     "q32_user_sessions": q32_user_sessions,
     "q33_json_prop_stats": q33_json_prop_stats,
@@ -188,6 +255,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q36_hourly_top_event": """
+        WITH hourly AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                 event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        SELECT hour, event_type, n_events FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY hour ORDER BY n_events DESC, event_type ASC
+          ) AS rk FROM hourly
+        ) WHERE rk = 1 ORDER BY hour
+    """,
+    "q37_conversion_funnel": """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM events GROUP BY user_id
+        ),
+        first_click AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN per_user u ON e.user_id = u.user_id
+          WHERE e.event_type = 'click' AND e.ts > u.t_view
+          GROUP BY e.user_id
+        ),
+        first_purchase AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN first_click c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT count(*) AS n_viewers,
+               CAST(sum(CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+               CAST(sum(CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+        FROM per_user u
+        LEFT JOIN first_click c ON u.user_id = c.user_id
+        LEFT JOIN first_purchase p ON u.user_id = p.user_id
+        WHERE u.t_view IS NOT NULL
+    """,
     "q30_tumbling_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n_events,
