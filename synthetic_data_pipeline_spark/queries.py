@@ -12,9 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.rounding import apply_sql_eround
-from .operators import dedup, events, generation, mapping, relational, similarity, sitscan, sketches, subqueries, textops
+from .operators import dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops
 
-_MODULES = [dedup, events, generation, mapping, relational, similarity, sitscan, sketches, subqueries, textops]
+_MODULES = [dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
