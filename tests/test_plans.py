@@ -58,3 +58,29 @@ def test_partial_final_aggregation(spark):
     p = plan(df)
     assert "partial_" in p, "expected map-side partial aggregation"
     assert "codegen id" in p, "expected whole-stage codegen spans"
+
+
+def test_two_phase_global_rank_equals_single_window(spark):
+    """The scalable range-bucketed rank must reproduce the naive global
+    window exactly (same total order, no single-partition sort)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.functions.ranking import global_rank
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    naive = part.select(
+        "p_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey")))
+        .alias("rk"),
+    )
+    scalable = global_rank(
+        part, "p_retailprice", "p_partkey", n_buckets=16, ascending=False
+    ).select("p_partkey", F.col("global_rank").alias("rk"))
+    a = {r.p_partkey: r.rk for r in naive.collect()}
+    b = {r.p_partkey: r.rk for r in scalable.collect()}
+    assert a == b
+    # and the scalable plan has no empty-partitionBy window over the data
+    p = plan(scalable)
+    assert "TakeOrdered" in p or "Exchange hashpartitioning(_rb" in p or "_rb" in p
