@@ -1,0 +1,103 @@
+"""The full reference pipeline end-to-end through the engine:
+generate corpus → render binary formats → write partitioned parquet →
+binaryFile-style read-back → extract text → regex validation — the
+loop modules/meta_generator → content_generator → postprocessor →
+validator perform via files on disk (SURVEY.md §1.3), here as Spark
+stages. Asserts the validation golden SURVIVES the binary round trip:
+every TP satisfied, no FP flagged, on text recovered from the
+renditions rather than the original strings.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from synthetic_data_pipeline_spark.functions.xsql import expand_u16
+from synthetic_data_pipeline_spark.operators.generation import (
+    _DIALECTS,
+    _gen_ctes,
+    _rendered_cte,
+)
+from synthetic_data_pipeline_spark.plans.catalog import SIT_CATALOG
+from synthetic_data_pipeline_spark.plans.generate import GenConfig
+from synthetic_data_pipeline_spark.sources.io import write_partitioned_parquet
+from synthetic_data_pipeline_spark.sources.renditions import (
+    add_renditions,
+    extract_docx_text,
+    extract_eml_text,
+    extract_pdf_text,
+)
+
+
+def test_generate_render_extract_validate_loop(spark, tmp_path):
+    cfg = GenConfig(per_sit_count=10)  # 40 docs — small but full-shape
+    d = _DIALECTS["spark"]
+    rendered = spark.sql(
+        expand_u16(
+            f"WITH {_gen_ctes(cfg, d)}, {_rendered_cte(d)} "
+            "SELECT doc_id, format, text FROM rendered",
+            "spark",
+        )
+    )
+    with_bins = add_renditions(rendered)
+    out = str(tmp_path / "corpus")
+    write_partitioned_parquet(
+        with_bins, out, partition_cols=["format"], max_records_per_file=50
+    )
+
+    back = spark.read.parquet(out)
+    assert back.count() == cfg.n_docs
+
+    # recover text from the best-available rendition (the validator's
+    # fallback chain, P6): eml → docx → pdf → original text
+    rows = back.collect()
+    recovered = {}
+    for r in rows:
+        if r.eml is not None:
+            recovered[r.doc_id] = extract_eml_text(bytes(r.eml))
+        elif r.docx is not None:
+            recovered[r.doc_id] = extract_docx_text(bytes(r.docx))
+        elif r.pdf is not None:
+            recovered[r.doc_id] = extract_pdf_text(bytes(r.pdf))
+        else:
+            recovered[r.doc_id] = r.text
+
+    # per (doc, sit) expectations from the generation metadata
+    vals = spark.sql(
+        expand_u16(
+            f"WITH {_gen_ctes(cfg, d)} "
+            "SELECT doc_id, sit_id, label, instances FROM vals",
+            "spark",
+        )
+    ).collect()
+    patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG}
+
+    def is_ph(v: str) -> bool:
+        s = v.strip().lower()
+        alnum = re.sub(r"[^a-z0-9]", "", s)
+        digits = re.sub(r"[^0-9]", "", s)
+        return (
+            any(m in s for m in ("xxx", "redacted", "placeholder", "example", "sample"))
+            or bool(re.fullmatch(r"[x*\-_]{3,}", s))
+            or len(s) <= 2
+            or (len(alnum) > 0 and alnum == alnum[0] * len(alnum))
+            or (len(digits) > 0 and set(digits) == {"0"})
+            or len(alnum) < len(s) * 0.4
+        )
+
+    n_tp = n_fp = 0
+    for v in vals:
+        text = recovered[v.doc_id]
+        real = [m for m in patterns[v.sit_id].findall(text) if not is_ph(m)]
+        if v.label == "TP":
+            n_tp += 1
+            assert len(real) >= v.instances, (
+                f"doc {v.doc_id} {v.sit_id}: {len(real)} < {v.instances} "
+                "after binary round trip"
+            )
+        else:
+            n_fp += 1
+            assert not real, f"doc {v.doc_id} {v.sit_id}: FP flagged after round trip"
+    assert n_tp > 30 and n_fp > 30
