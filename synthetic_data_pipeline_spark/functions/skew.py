@@ -30,8 +30,15 @@ def salted_agg(
 
     Level 1 shuffles on (keys, salt) — hot keys split across n_salts
     reducers — level 2 shuffles only |distinct keys| rows.
+
+    The salt is derived from row CONTENTS only (hash of every column):
+    a non-deterministic salt (monotonically_increasing_id, rand) used as
+    a shuffle key can drop/double-count partials when a stage retry
+    recomputes map tasks with different values (SPARK-23207 class).
+    Identical duplicate rows share a salt — correct, and hot keys still
+    fan out because their non-key columns vary.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial_exprs = []
     final_exprs = []
     for name, (fn, col) in aggs.items():

@@ -410,7 +410,8 @@ def q23_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_finished"
             ),
             eround(
-                F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
+                1e-9
+                + F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
                 4,
             ).alias("avg_open_price"),
         )
@@ -499,19 +500,24 @@ def q28_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q29: analytic function battery — ntile / percent_rank / cume_dist
-# over a deterministic total order. NOTE: these functions are global by
-# definition (one ordered pass); at 100TB you'd compute them two-phase
-# over range buckets (repartitionByRange + per-bucket rank + offset by
-# bucket counts) — the single-partition window here is the semantic
-# reference, sized for dimension tables.
+# over a deterministic total order, computed TWO-PHASE (sampled range
+# buckets + per-bucket rank + bucket-count offsets; functions/ranking.py)
+# instead of a single-partition global window — no "WindowExec: No
+# Partition Defined" stage, scales to any table size. Equivalence with
+# the built-in window functions is pinned by tests/test_plans.py.
 def q29_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_analytics
+
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
-    return part.select(
+    ranked = global_analytics(
+        part, "p_retailprice", "p_partkey", n_buckets=32, ntile_k=10,
+        ntile_name="decile",
+    )
+    return ranked.select(
         "p_partkey",
-        F.ntile(10).over(w).alias("decile"),
-        eround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        eround(F.cume_dist().over(w), 6).alias("cume"),
+        F.col("decile"),
+        eround(F.col("pct_rank"), 6).alias("pct_rank"),
+        eround(F.col("cume"), 6).alias("cume"),
     ).filter(F.col("p_partkey") % 20 == 0)
 
 

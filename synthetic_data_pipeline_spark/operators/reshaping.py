@@ -48,8 +48,12 @@ def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = []
-    for q in (0.5, 0.9, 0.99):
-        thresh = int(total * q)
+    # threshold via exact integer arithmetic with floor semantics; the
+    # oracle mirrors with CAST(floor(t * q) AS BIGINT) — float
+    # truncation (int(15000*0.99)=14849) vs decimal rounding would
+    # otherwise put the two engines one bucket apart on exact landings.
+    for q, num, den in ((0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)):
+        thresh = (total * num) // den
         est = (
             cum.filter(F.col("cum") >= F.lit(thresh))
             .agg(F.min("bucket").alias("b"))
@@ -171,7 +175,7 @@ ORACLES = {
                round({PRICE_LO} + (b + 1) * {(PRICE_HI - PRICE_LO) / N_BUCKETS}, 2) AS estimate
         FROM (
           SELECT q, (SELECT min(bucket) FROM cum, total
-                     WHERE cum >= CAST(t * q AS BIGINT)) AS b
+                     WHERE cum >= CAST(floor(t * q) AS BIGINT)) AS b
           FROM (VALUES (0.5), (0.9), (0.99)) v(q)
         ) ORDER BY q
     """,

@@ -34,8 +34,9 @@ _SQL = {
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
         GROUP BY l_partkey
-        HAVING sum(l_extendedprice * (1 - l_discount)) > (
-          SELECT 0.0015 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem
+        HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > (
+          SELECT round(0.0008 * sum(l_extendedprice * (1 - l_discount)), 2)
+          FROM lineitem
         )
         ORDER BY l_partkey
     """,
@@ -80,11 +81,11 @@ _SQL = {
                round(sum(c_acctbal), 2) AS total_bal
         FROM customer c
         WHERE c_acctbal > (
-          SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
         )
         AND NOT EXISTS (
           SELECT 1 FROM orders o
-          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
         )
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

@@ -33,9 +33,9 @@ SIT_CATALOG: list[tuple[str, str, str, list[str]]] = [
     ("SIT_DATE", "ISO Date", r"\b\d{4}-\d{2}-\d{2}\b", ["General"]),
 ]
 
-# RE2 (DuckDB) rejects backreferences like \1 — the CCN pattern above
-# uses one for separator consistency, so the oracle-portable subset
-# excludes it. Spark-side code may use the full catalog.
+# RE2 (DuckDB) rejects backreferences like \1; every catalog pattern is
+# authored without them, so the oracle-portable subset is currently the
+# full catalog. The filter stays as a guard for future additions.
 RE2_SAFE_IDS = [s[0] for s in SIT_CATALOG if "\\1" not in s[2]]
 
 

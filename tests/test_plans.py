@@ -84,3 +84,59 @@ def test_two_phase_global_rank_equals_single_window(spark):
     # and the scalable plan has no empty-partitionBy window over the data
     p = plan(scalable)
     assert "TakeOrdered" in p or "Exchange hashpartitioning(_rb" in p or "_rb" in p
+
+
+def test_global_analytics_equals_builtin_windows(spark):
+    """Two-phase ntile / percent_rank / cume_dist must equal the
+    built-in single-partition window functions on a unique total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.functions.ranking import global_analytics
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    w = Window.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    naive = part.select(
+        "p_partkey",
+        F.ntile(7).over(w).alias("t"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    scalable = global_analytics(
+        part, "p_retailprice", "p_partkey", n_buckets=16, ntile_k=7
+    ).select("p_partkey", "ntile", "pct_rank", "cume")
+    a = {r.p_partkey: (r.t, round(r.pr, 9), round(r.cd, 9)) for r in naive.collect()}
+    b = {
+        r.p_partkey: (r.ntile, round(r.pct_rank, 9), round(r.cume, 9))
+        for r in scalable.collect()
+    }
+    assert a == b
+
+
+def test_global_rank_empty_frame(spark):
+    """Empty input must not raise (min/max→None regression guard)."""
+    from synthetic_data_pipeline_spark.functions.ranking import (
+        global_analytics,
+        global_rank,
+    )
+
+    empty = spark.createDataFrame([], "k double, id long")
+    assert global_rank(empty, "k", "id").collect() == []
+    out = global_analytics(empty, "k", "id", ntile_k=4)
+    assert out.collect() == []
+    assert {"pct_rank", "cume", "ntile"} <= set(out.columns)
+
+
+def test_q29_no_global_window(spark):
+    """q29 must not plan a single-partition global WindowExec over the
+    full table (the 'No Partition Defined' scale-killer)."""
+    df = relational.q29_price_analytics(spark, SF_DIR)
+    p = plan(df)
+    import re
+
+    # every Window node must have a non-empty partitionBy; the two-phase
+    # form partitions by _rb
+    for m in re.finditer(r"Window \[", p):
+        seg = p[m.start(): m.start() + 400]
+        assert "partitionby" not in seg.lower() or "_rb" in seg, seg
+    assert "_rb" in p, p
