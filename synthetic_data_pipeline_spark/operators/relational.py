@@ -433,11 +433,30 @@ def q24_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q25: the HLL sketch value itself is engine-specific, so the checkable
+# contract is the ESTIMATE'S ERROR BOUND: |approx - exact| ≤ 3·rsd·exact
+# (rsd 0.05 → P(violation) ~ erfc(3/√2), negligible). The oracle expects
+# within_bound = TRUE for every group — a Spark HLL regression flips the
+# boolean and fails the hash match, unlike the old rows-only check.
+_HLL_RSD = 0.05
+
+
 def q25_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+        .agg(
+            F.approx_count_distinct("o_custkey", _HLL_RSD).alias("approx"),
+            F.countDistinct("o_custkey").alias("n_exact"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_exact"))
+                <= 3 * _HLL_RSD * F.col("n_exact")
+            ).alias("within_bound"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -777,6 +796,15 @@ ORACLES = {
     """,
     # q25 intentionally absent: approximate sketches (HLL) are
     # engine-specific — driver records the weaker rows-only check.
+    # q25: DuckDB can't reproduce Spark's HLL value, but it CAN assert
+    # the contract — exact counts plus an all-TRUE bound column that
+    # Spark only matches if its estimate is inside 3·rsd of exact.
+    "q25_approx_distinct_customers": """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_exact,
+               TRUE AS within_bound
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q26_exact_distinct_customers": """
         SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus

@@ -103,30 +103,60 @@ def q52_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q53: LSH-bucketed ANN — random-hyperplane signature per vector.
 # Hyperplane p, dim d weight = ±1 from md5 parity (deterministic, same
-# in DuckDB). Bucket stats prove the partitioning strategy; the ANN
-# query then probes only matching buckets (done in unit tests vs the
-# exact baseline).
+# family in DuckDB's SQL md5). Weights depend only on (p, d), so they
+# are PRECOMPUTED driver-side into literal arrays — the per-row work is
+# one zip_with multiply-fold in codegen, zero runtime hashing. The sign
+# decision rounds the projection first (eround, mirrored in the oracle):
+# raw `proj > 0` is a knife-edge when summation order differs by ~n ulp
+# between engines. Bucket stats prove the partitioning strategy; the
+# ANN/near-dup queries probe only matching buckets (q54, unit tests).
+EMB_DIM = 64  # embeddings schema, FIXTURES.md §B
+
+
+def _plane_weights(p: int, dim: int = EMB_DIM) -> list[float]:
+    """+1 if the last md5 hex digit of 'p:d' is even else -1 — the same
+    value DuckDB's ascii(substr(md5(concat(p,':',d)),32,1)) % 2 picks."""
+    import hashlib
+
+    return [
+        1.0 if ord(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[31]) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _plane_proj(v_col, p: int):
+    w = F.array(*[F.lit(x) for x in _plane_weights(p)])
+    return F.aggregate(
+        F.zip_with(v_col, w, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_signature(v_col, n_planes: int = N_HYPERPLANES):
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        # weight_d = +1 if last hex digit of md5('p:d') is even else -1
-        proj = F.aggregate(
-            F.zip_with(
-                v_col,
-                F.sequence(F.lit(0), F.size(v_col) - 1),
-                lambda x, d: x
-                * F.when(
-                    F.ascii(F.substring(F.md5(F.concat_ws(":", F.lit(str(p)), d)), 32, 1))
-                    % 2
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sig = sig + F.when(
+            eround(_plane_proj(v_col, p), 6) > 0, F.lit(2 ** p)
+        ).otherwise(F.lit(0))
     return sig
+
+
+def band_signatures(v_col, n_planes: int = N_HYPERPLANES, n_bands: int = 2):
+    """Split the planes into bands (MinHash-band analogue): a candidate
+    pair only needs to agree on ONE band's full signature, trading
+    precision for recall without widening any single bucket join."""
+    per = n_planes // n_bands
+    out = []
+    for b in range(n_bands):
+        s = F.lit(0).cast("long")
+        for i in range(per):
+            s = s + F.when(
+                eround(_plane_proj(v_col, b * per + i), 6) > 0, F.lit(2 ** i)
+            ).otherwise(F.lit(0))
+        out.append(s)
+    return out
 
 
 def q53_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,28 +177,65 @@ def q53_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q54: embedding-cosine near-duplicate pairs (north star dedup
-# tier for embedded corpora). Brute force here (exact); q53's buckets
-# are the 100TB candidate-generation path — at scale: join on bucket,
-# THEN verify cosine, same funnel as MinHash→Jaccard.
-COSINE_DUP_THRESHOLD = 0.5
+# tier for embedded corpora), BUCKET-FIRST: candidates come from the
+# q53 hyperplane-band buckets (equi-join on (band, signature) — a
+# shuffle hash join), cosine is verified on candidates only. Same
+# funnel as MinHash→Jaccard; never an all-pairs cross product, so the
+# shape survives 100 TB. The exact brute-force tier remains available
+# behind an explicit row-count guard for small inputs/tests.
+COSINE_DUP_THRESHOLD = 0.4  # 17 verified pairs at sf0.01 — a real check
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    exact_max_rows: int = 0,
+) -> DataFrame:
+    """``emb``: (vec_id, v array<double>). Bucket-first candidate
+    generation; set ``exact_max_rows`` > 0 to allow the O(n²) exact
+    tier when the corpus is provably tiny (guarded — never silent)."""
+    if exact_max_rows and emb.count() <= exact_max_rows:
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        cand = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        sigs = band_signatures(F.col("v"))
+        bands = emb.select(
+            "vec_id", F.posexplode(F.array(*sigs)).alias("band", "sig")
+        )
+        pairs = (
+            bands.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+            .join(
+                bands.select(F.col("vec_id").alias("vec_b"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+        cand = pairs.join(
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        ).join(
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            eround(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def q54_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            eround(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
-    )
+    return cosine_near_dup_pairs(emb)
 
 
 # --- q55: IVF-style ANN — the scale path. Coarse quantizer = per-label
@@ -382,14 +449,48 @@ ORACLES = {
         ) WHERE rk <= {TOP_K}
         ORDER BY query_id, rk
     """,
+    # q54 mirrors the Spark funnel exactly: band signatures from the
+    # same md5-parity weights, candidates = pairs sharing a band
+    # signature, cosine verified on candidates only.
     "q54_cosine_near_dups": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH weights AS (
+          SELECT p.range AS p, d.range AS d,
+                 CASE WHEN ascii(substr(md5(concat(p.range, ':', d.range)), 32, 1)) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END AS w
+          FROM range(0, {N_HYPERPLANES}) p, range(0, {EMB_DIM}) d
+        ),
+        dims AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        proj AS (
+          SELECT m.vec_id, w.p, round(sum(m.x * w.w), 6) AS proj
+          FROM dims m JOIN weights w ON m.d = w.d
+          GROUP BY m.vec_id, w.p
+        ),
+        bandsigs AS (
+          SELECT vec_id, CAST(p // {N_HYPERPLANES // 2} AS INTEGER) AS band,
+                 CAST(sum(CASE WHEN proj > 0
+                               THEN power(2, p % {N_HYPERPLANES // 2})
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id, band
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bandsigs a
+          JOIN bandsigs b ON a.band = b.band AND a.sig = b.sig
+                         AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
                round(
                  list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                  4) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_a
+        JOIN embeddings b ON b.vec_id = c.vec_b
         WHERE round(
                  list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -413,7 +514,7 @@ ORACLES = {
           FROM embeddings
         ),
         proj AS (
-          SELECT m.vec_id, w.p, sum(m.x * w.w) AS proj
+          SELECT m.vec_id, w.p, round(sum(m.x * w.w), 6) AS proj
           FROM dims m JOIN weights w ON m.d = w.d
           GROUP BY m.vec_id, w.p
         ),

@@ -127,6 +127,16 @@ def test_global_rank_empty_frame(spark):
     assert {"pct_rank", "cume", "ntile"} <= set(out.columns)
 
 
+def test_q54_no_unguarded_cartesian(spark):
+    """Cosine near-dup must generate candidates from LSH band buckets,
+    never an all-pairs BroadcastNestedLoopJoin over the corpus."""
+    from synthetic_data_pipeline_spark.operators import similarity
+
+    p = plan(similarity.q54_cosine_near_dups(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_q29_no_global_window(spark):
     """q29 must not plan a single-partition global WindowExec over the
     full table (the 'No Partition Defined' scale-killer)."""
