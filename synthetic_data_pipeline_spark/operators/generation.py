@@ -35,6 +35,7 @@ from ..plans.generate import (
     header_sql,
     iban_bban_sql,
     sit_block_sql,
+    sit_value_chunks,
     sit_value_sql,
 )
 
@@ -67,8 +68,10 @@ def _docs_only_sql(cfg: GenConfig) -> str:
     return docs_sql(cfg, _DIALECTS["spark"]["numbers"].format(n=cfg.n_docs))
 
 
-def _gen_ctes(cfg: GenConfig, d: dict) -> str:
-    """WITH-clause body: docs → slots → doc_sits → vals (value+block)."""
+def _gen_ctes_base(cfg: GenConfig, d: dict) -> str:
+    """WITH-clause body up to vals0 (slots + SIT assignment + the two
+    named generator bodies) — the part whose expressions are all small
+    enough for one codegen unit."""
     numbers = d["numbers"].format(n=cfg.n_docs)
     return f"""
       docs AS ({docs_sql(cfg, numbers)}),
@@ -77,7 +80,17 @@ def _gen_ctes(cfg: GenConfig, d: dict) -> str:
         SELECT *, {ccn_body_sql("slot")} AS ccn_body,
                {iban_bban_sql("slot")} AS iban_bban
         FROM doc_sits
-      ),
+      )
+    """
+
+
+def _gen_ctes(cfg: GenConfig, d: dict) -> str:
+    """WITH-clause body: docs → slots → doc_sits → vals (value+block).
+    Single-SQL form — used verbatim by the DuckDB oracle (DuckDB has no
+    codegen method limit); the Spark side of the value-bearing queries
+    goes through ``_staged_vals`` instead."""
+    return f"""
+      {_gen_ctes_base(cfg, d)},
       vals1 AS (
         SELECT *, {sit_value_sql("slot")} AS value FROM vals0
       ),
@@ -85,6 +98,37 @@ def _gen_ctes(cfg: GenConfig, d: dict) -> str:
         SELECT *, {sit_block_sql()} AS block FROM vals1
       )
     """
+
+
+def _staged_vals(cfg: GenConfig, spark: SparkSession):
+    """Spark-side vals with codegen-safe staging: every TP value chunk
+    is its OWN top-level column in the first projection (per-column code
+    is independently compilable; one inlined 54-SIT dispatch blows the
+    JVM 64KB method limit and drops the whole generate+render+scan
+    pipeline to interpreted mode — measured ~6× slower). The tiny slot
+    table is then materialized once with localCheckpoint, and
+    value/block are built from plain column references."""
+    from pyspark.sql import functions as F
+
+    d = _DIALECTS["spark"]
+    tp_chunks, fp_case = sit_value_chunks("slot")
+    chunk_cols = ", ".join(f"{c} AS _tp{i}" for i, c in enumerate(tp_chunks))
+    base = spark.sql(
+        expand_u16(
+            f"WITH {_gen_ctes_base(cfg, d)} "
+            f"SELECT *, {chunk_cols}, {fp_case} AS _fp FROM vals0",
+            "spark",
+        )
+    ).localCheckpoint()
+    value = F.when(
+        F.col("label") == "TP",
+        F.coalesce(*[F.col(f"_tp{i}") for i in range(len(tp_chunks))], F.lit("?")),
+    ).otherwise(F.col("_fp"))
+    return (
+        base.withColumn("value", value)
+        .withColumn("block", F.expr(sit_block_sql()))
+        .drop("_fp", *[f"_tp{i}" for i in range(len(tp_chunks))])
+    )
 
 
 def _rendered_cte(d: dict) -> str:
@@ -125,11 +169,11 @@ def _meta_summary_sql(cfg: GenConfig, dialect: str) -> str:
     """, dialect))
 
 
-def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
-    d = _DIALECTS[dialect]
-    return apply_sql_eround(expand_u16(f"""
-      WITH {_gen_ctes(cfg, d)},
-      {_rendered_cte(d)}
+def _corpus_agg_select(d: dict) -> str:
+    """The q61 aggregate over the ``rendered`` CTE — one text shared by
+    the Spark staged path and the DuckDB single-SQL oracle so both
+    engines compute the identical (eround-rewritten) formula."""
+    return f"""
       SELECT format,
              count(*) AS n_docs,
              CAST(sum({d["len"]}(split(text, ' '))) AS BIGINT) AS total_words,
@@ -138,6 +182,15 @@ def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
              CAST(max(length(text)) AS BIGINT) AS max_chars
       FROM rendered
       GROUP BY format ORDER BY format
+    """
+
+
+def _corpus_stats_sql(cfg: GenConfig, dialect: str) -> str:
+    d = _DIALECTS[dialect]
+    return apply_sql_eround(expand_u16(f"""
+      WITH {_gen_ctes(cfg, d)},
+      {_rendered_cte(d)}
+      {_corpus_agg_select(d)}
     """, dialect))
 
 
@@ -155,6 +208,10 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
         if sid in RE2_SAFE_IDS
     )
     real = f"(CASE sit_id {whens} ELSE 0 END)"
+    # TC SITs (empty regex) are generated but never scanned — same skip
+    # as the reference validator; the Spark q62 path drops them via its
+    # inner join against the per-pattern scan branches.
+    scan_ids = ", ".join(f"'{sid}'" for sid in RE2_SAFE_IDS)
     return apply_sql_eround(expand_u16(f"""
       WITH {_gen_ctes(cfg, d)},
       {_rendered_cte(d)},
@@ -162,6 +219,7 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
         SELECT v.sit_id, v.doc_id, v.label, v.instances,
                {real} AS real_matches
         FROM vals v JOIN rendered r ON v.doc_id = r.doc_id
+        WHERE v.sit_id IN ({scan_ids})
       )
       SELECT sit_id,
              count(*) AS n_docs,
@@ -181,7 +239,16 @@ def q60_gen_meta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q61_gen_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_corpus_stats_sql(DEFAULT_CONFIG, "spark"))
+    """Staged like q62 (codegen-safe vals), then the same rendered+agg
+    SQL text the oracle runs."""
+    d = _DIALECTS["spark"]
+    _staged_vals(DEFAULT_CONFIG, spark).createOrReplaceTempView("gen_vals_staged")
+    return spark.sql(
+        apply_sql_eround(
+            f"WITH vals AS (SELECT * FROM gen_vals_staged), "
+            f"{_rendered_cte(d)} {_corpus_agg_select(d)}"
+        )
+    )
 
 
 def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,29 +265,11 @@ def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.catalog import is_placeholder
 
     d = _DIALECTS["spark"]
-    vals = spark.sql(
-        expand_u16(
-            f"WITH {_gen_ctes(DEFAULT_CONFIG, d)} "
-            "SELECT doc_id, slot, sit_id, label, instances, block FROM vals",
-            "spark",
-        )
-    ).localCheckpoint()
-    vals.createOrReplaceTempView("gen_vals_ckpt")
-    # rendered text from the checkpointed vals + doc attrs re-derived
-    docs_meta = spark.sql(
-        expand_u16(
-            f"WITH docs AS ({_docs_only_sql(DEFAULT_CONFIG)}) "
-            "SELECT doc_id, format, word_count_target FROM docs",
-            "spark",
-        )
-    ).localCheckpoint()
-    docs_meta.createOrReplaceTempView("gen_docs_ckpt")
+    vals = _staged_vals(DEFAULT_CONFIG, spark)
+    vals.createOrReplaceTempView("gen_vals_staged")
     rendered = spark.sql(
         f"""
-        WITH vals AS (
-          SELECT v.doc_id, v.slot, v.block, d.format, d.word_count_target
-          FROM gen_vals_ckpt v JOIN gen_docs_ckpt d ON v.doc_id = d.doc_id
-        ),
+        WITH vals AS (SELECT * FROM gen_vals_staged),
         {_rendered_cte(d)}
         SELECT doc_id, text FROM rendered
         """

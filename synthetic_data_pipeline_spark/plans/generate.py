@@ -176,6 +176,27 @@ def _letter(key: str, tag: str) -> str:
     return f"chr(65 + ({hash_u16(key, tag)} % 26))"
 
 
+def _letter_from(key: str, tag: str, alphabet: str) -> str:
+    """One char drawn uniformly from an explicit alphabet (used when a
+    pattern's letter class is restricted, e.g. NINO, ICD-10)."""
+    return f"substr('{alphabet}', 1 + ({hash_u16(key, tag)} % {len(alphabet)}), 1)"
+
+
+def _letters(key: str, tag: str, n: int, alphabet: str | None = None) -> str:
+    parts = [
+        _letter_from(key, f"{tag}{i}", alphabet) if alphabet else _letter(key, f"{tag}{i}")
+        for i in range(n)
+    ]
+    return "concat(" + ", ".join(parts) + ")" if n > 1 else parts[0]
+
+
+def _nonzero_lead_digits(key: str, tag: str, n: int) -> str:
+    """First digit 1-9, then n-1 md5 digits — a \\b-delimited n-digit
+    run that can never be the all-zero placeholder shape."""
+    head = f"CAST(1 + {hash_u16(key, f'{tag}h')} % 9 AS STRING)"
+    return f"concat({head}, {_digits(key, tag, n - 1)})" if n > 1 else head
+
+
 def iban_bban_sql(key: str = "slot") -> str:
     """16-digit BBAN body, materialized as a column like ccn_body."""
     return _digits(key, "iban", 16)
@@ -223,9 +244,26 @@ def iban_gb_sql(bban_col: str) -> str:
     return f"concat('GB', {check}, {bban_col})"
 
 
+def sit_value_chunks(key: str = "slot") -> tuple[list[str], str]:
+    """The TP dispatch as a list of small CASE chunks (exactly one is
+    non-NULL per sit_id) plus the FP CASE. Exposed separately so the
+    Spark side can materialize each chunk as its OWN column — per-column
+    projections are the one codegen unit Spark reliably splits into
+    sub-methods; a single inlined 54-branch dispatch blows the JVM 64KB
+    method limit and silently drops the stage to interpreted mode."""
+    return _sit_value_parts(key)
+
+
 def sit_value_sql(key: str = "slot") -> str:
     """Dispatch CASE: per-sit TP value (regex-conformant) or FP
-    placeholder (content_generator.py:197-206 dispatch, F15/F16)."""
+    placeholder (content_generator.py:197-206 dispatch, F15/F16) —
+    single-expression form for the (DuckDB) single-SQL path."""
+    tp_chunks, fp_case = _sit_value_parts(key)
+    tp_expr = "coalesce(" + ", ".join(tp_chunks) + ", '?')"
+    return f"(CASE WHEN label = 'TP' THEN {tp_expr} ELSE {fp_case} END)"
+
+
+def _sit_value_parts(key: str = "slot") -> tuple[list[str], str]:
     k = key
     tp = {
         "SIT_CCN": luhn_formatted_sql("ccn_body"),
@@ -250,9 +288,14 @@ def sit_value_sql(key: str = "slot") -> str:
         "SIT_ABA": f"concat(CAST({hash_u16(k, 'aba0')} % 4 AS STRING), {_digits(k, 'aba', 8)})",
         "SIT_PASSPORT": f"concat({_letter(k, 'pp')}, {_digits(k, 'ppd', 8)})",
         "SIT_DEA": f"concat({_letter(k, 'dea1')}, {_letter(k, 'dea2')}, {_digits(k, 'dead', 7)})",
-        "SIT_SWIFT": "concat("
-        + ", ".join(_letter(k, f"sw{i}") for i in range(8))
-        + ")",
+        # 8-char BIC half the time, 11-char (branch suffix) otherwise —
+        # the reference's SWIFT-8/SWIFT-11 variants in one generator.
+        # Letters only: a digit in the tail could seed a \b-digit run.
+        "SIT_SWIFT": (
+            f"concat({_letters(k, 'sw', 8)}, "
+            f"CASE WHEN {hash_u16(k, 'sw11')} % 2 = 0 "
+            f"THEN {_letters(k, 'swb', 3)} ELSE '' END)"
+        ),
         "SIT_ITIN": (
             f"concat('9', {_digits(k, 'it1', 2)}, '-7', "
             f"CAST({hash_u16(k, 'it2')} % 10 AS STRING), '-', {_digits(k, 'it3', 4)})"
@@ -262,6 +305,78 @@ def sit_value_sql(key: str = "slot") -> str:
             f"lpad(CAST(1 + {hash_u16(k, 'dm')} % 12 AS STRING), 2, '0'), '-', "
             f"lpad(CAST(1 + {hash_u16(k, 'dd')} % 28 AS STRING), 2, '0'))"
         ),
+        # label-anchored families: the label keyword is part of the VALUE
+        # so the pattern matches wherever the value lands in a document,
+        # independent of the surrounding block's sit_name prefix.
+        "SIT_PASSPORT_LABELED": (
+            f"concat('passport no: ', {_letters(k, 'plb', 3)}, {_nonzero_lead_digits(k, 'pld', 6)})"
+        ),
+        "SIT_BANK_US": f"concat('account number: ', {_nonzero_lead_digits(k, 'bus', 10)})",
+        "SIT_DRIVER_US": (
+            "concat('driver license: ', "
+            + ", ".join(
+                f"{_letter(k, f'dl{i}')}, CAST(1 + {hash_u16(k, f'dld{i}')} % 9 AS STRING)"
+                for i in range(4)
+            )
+            + ")"
+        ),
+        "SIT_CAN_PHIN": (
+            f"concat('phin: ', CAST(7 + {hash_u16(k, 'phh')} % 3 AS STRING), "
+            f"{_digits(k, 'phd', 8)})"
+        ),
+        "SIT_AUS_MEDACC": f"concat('medical account: ', {_nonzero_lead_digits(k, 'mda', 11)})",
+        "SIT_CAN_DRIVER": (
+            f"concat('permis no: ', {_nonzero_lead_digits(k, 'cdr1', 5)}, '-', {_digits(k, 'cdr2', 5)})"
+        ),
+        "SIT_AUS_DRIVER": (
+            f"concat('driver licence: ', {_letters(k, 'adl', 2)}, "
+            f"CAST(10 + {hash_u16(k, 'add')} % 90 AS STRING), {_letters(k, 'adt', 2)})"
+        ),
+        # lowercase-only token: never collides with any uppercase class
+        "SIT_AZURE_SAS": (
+            "concat('sig=', "
+            + ", ".join(
+                f"chr(97 + ({hash_u16(k, f'sas{i}')} % 20))" for i in range(16)
+            )
+            + ")"
+        ),
+        # bare, shape-disjoint families
+        "SIT_ICD10": (
+            f"concat({_letter_from(k, 'i10l', 'ABCDFGHJKL')}, CAST(10 + {hash_u16(k, 'i10d')} % 90 AS STRING), "
+            f"'.', CAST({hash_u16(k, 'i10x')} % 10 AS STRING))"
+        ),
+        "SIT_ICD9": (
+            f"concat('E', CAST(100 + {hash_u16(k, 'i9d')} % 900 AS STRING), '.', "
+            f"CAST({hash_u16(k, 'i9x')} % 10 AS STRING))"
+        ),
+        "SIT_UK_NINO": (
+            f"concat({_letters(k, 'nin', 2, 'ACEGHJKLMNOPRSTWXYZ')}, "
+            f"{_nonzero_lead_digits(k, 'nind', 6)}, {_letter_from(k, 'nint', 'ABCD')})"
+        ),
+        "SIT_BR_CPF": (
+            f"concat({_nonzero_lead_digits(k, 'cpf1', 3)}, '.', {_digits(k, 'cpf2', 3)}, '.', "
+            f"{_digits(k, 'cpf3', 3)}, '-', {_digits(k, 'cpf4', 2)})"
+        ),
+        "SIT_BR_RG": (
+            f"concat(CAST(10 + {hash_u16(k, 'rg1')} % 90 AS STRING), '.', {_digits(k, 'rg2', 3)}, '.', "
+            f"{_digits(k, 'rg3', 3)}, '-', CAST({hash_u16(k, 'rg4')} % 10 AS STRING))"
+        ),
+        "SIT_CAN_SIN": (
+            f"concat({_nonzero_lead_digits(k, 'sin1', 3)}, '-', {_digits(k, 'sin2', 3)}, '-', "
+            f"{_digits(k, 'sin3', 3)})"
+        ),
+        "SIT_CAN_BANK": _nonzero_lead_digits(k, "cbk", 7),
+        "SIT_AUS_TFN": _nonzero_lead_digits(k, "tfn", 8),
+        "SIT_CAN_HEALTH": (
+            f"concat(CAST(4 + {hash_u16(k, 'chh')} % 3 AS STRING), {_digits(k, 'chd', 8)})"
+        ),
+        "SIT_FR_INSEE": (
+            f"concat(CAST(1 + {hash_u16(k, 'ins')} % 2 AS STRING), {_digits(k, 'insd', 12)})"
+        ),
+        "SIT_EU_DEBIT": f"concat('6', {_digits(k, 'eud', 15)})",
+        "SIT_CAN_PASSPORT": f"concat({_letters(k, 'cpp', 2)}, {_nonzero_lead_digits(k, 'cppd', 6)})",
+        "SIT_AUS_PASSPORT": f"concat({_letter(k, 'app')}, {_nonzero_lead_digits(k, 'appd', 7)})",
+        "SIT_AUS_BANK": _nonzero_lead_digits(k, "abk", 6),
     }
     fp = {
         "SIT_CCN": "'0000 0000 0000 0000'",
@@ -276,13 +391,49 @@ def sit_value_sql(key: str = "slot") -> str:
         "SIT_SWIFT": "'XXXXXXXX'",
         "SIT_ITIN": "'9XX-7X-XXXX'",
         "SIT_DATE": "'0000-00-00'",
+        "SIT_PASSPORT_LABELED": "'passport no: XXX000000'",
+        "SIT_BANK_US": "'account number: 0000000000'",
+        "SIT_DRIVER_US": "'driver license: X0X0X0X0'",
+        "SIT_CAN_PHIN": "'phin: 000000000'",
+        "SIT_AUS_MEDACC": "'medical account: 00000000000'",
+        "SIT_CAN_DRIVER": "'permis no: 00000-00000'",
+        "SIT_AUS_DRIVER": "'driver licence: XX00XX'",
+        "SIT_AZURE_SAS": "'sig=000000000000'",
+        "SIT_ICD10": "'X00.0'",
+        "SIT_ICD9": "'E000.0'",
+        "SIT_UK_NINO": "'XX000000X'",
+        "SIT_BR_CPF": "'000.000.000-00'",
+        "SIT_BR_RG": "'00.000.000-0'",
+        "SIT_CAN_SIN": "'000-000-000'",
+        "SIT_CAN_BANK": "'0000000'",
+        "SIT_AUS_TFN": "'00000000'",
+        "SIT_CAN_HEALTH": "'000000000'",
+        "SIT_FR_INSEE": "'0000000000000'",
+        "SIT_EU_DEBIT": "'0000000000000000'",
+        "SIT_CAN_PASSPORT": "'XX000000'",
+        "SIT_AUS_PASSPORT": "'X0000000'",
+        "SIT_AUS_BANK": "'000000'",
     }
-    tp_whens = " ".join(f"WHEN '{sid}' THEN {tp[sid]}" for sid, *_ in SIT_CATALOG)
-    fp_whens = " ".join(f"WHEN '{sid}' THEN {fp[sid]}" for sid, *_ in SIT_CATALOG)
-    return (
-        f"(CASE WHEN label = 'TP' THEN (CASE sit_id {tp_whens} ELSE '?' END) "
-        f"ELSE (CASE sit_id {fp_whens} ELSE 'REDACTED' END) END)"
+    # TC SITs: the reference's generic fallback (content_generator.py:
+    # 133-138) — TP '<ID_VALUE>', FP 'REDACTED_<id>' (placeholder by the
+    # 'redacted' marker). Underscore-joined, so no \b-delimited letter
+    # or digit run ever escapes into another SIT's pattern space.
+    #
+    ids = [sid for sid, *_ in SIT_CATALOG]
+    chunk = 6
+    tp_chunks = []
+    for i in range(0, len(ids), chunk):
+        whens = " ".join(
+            f"WHEN '{sid}' THEN " + tp.get(sid, f"'<{sid}_VALUE>'")
+            for sid in ids[i:i + chunk]
+        )
+        tp_chunks.append(f"(CASE sit_id {whens} ELSE NULL END)")
+    fp_whens = " ".join(
+        f"WHEN '{sid}' THEN " + fp.get(sid, f"'REDACTED_{sid}'")
+        for sid, *_ in SIT_CATALOG
     )
+    fp_case = f"(CASE sit_id {fp_whens} ELSE 'REDACTED' END)"
+    return tp_chunks, fp_case
 
 
 def sit_block_sql() -> str:

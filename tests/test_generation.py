@@ -43,7 +43,8 @@ def test_validation_golden(spark, sf_dir):
 def test_tp_values_match_python_re(spark, sf_dir):
     """Pattern-compat across regex engines: every generated TP value
     must match its catalog pattern under Python ``re`` as well (the
-    JVM and RE2 sides are covered by the q62 oracle parity)."""
+    JVM and RE2 sides are covered by the q62 oracle parity). TC SITs
+    (empty regex) are generated but never scanned."""
     d = _DIALECTS["spark"]
     vals = spark.sql(
         expand_u16(
@@ -52,15 +53,76 @@ def test_tp_values_match_python_re(spark, sf_dir):
             "spark",
         )
     ).collect()
-    patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG}
+    patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG if rx}
     n_tp = 0
     for r in vals:
-        if r.label == "TP":
+        if r.label == "TP" and r.sit_id in patterns:
             n_tp += 1
             assert patterns[r.sit_id].search(r.value), (
                 f"{r.sit_id} TP value {r.value!r} fails python re"
             )
     assert n_tp > 100
+
+
+def _is_placeholder_py(s: str) -> bool:
+    """Python mirror of plans/catalog.py::is_placeholder (spec test)."""
+    s = s.strip().lower()
+    digits = re.sub(r"[^0-9]", "", s)
+    alnum = re.sub(r"[^a-z0-9]", "", s)
+    if any(m in s for m in ("xxx", "redacted", "placeholder", "example", "sample")):
+        return True
+    if re.fullmatch(r"[x*\-_]{3,}", s):
+        return True
+    if len(s) <= 2:
+        return True
+    if alnum and len(set(alnum)) == 1:
+        return True
+    if digits and set(digits) == {"0"}:
+        return True
+    return len(alnum) < len(s) * 0.4
+
+
+def test_catalog_pairwise_disjoint():
+    """The catalog design invariant: no SIT's pattern produces a real
+    (non-placeholder) match on any OTHER SIT's rendered block — this is
+    what makes the end-to-end validation clean by construction, where
+    the reference's own report shows massive cross-matching. Evaluated
+    through DuckDB (fast, no Spark session needed) over every generated
+    (sit, label, value) and scanned with Python re."""
+    import duckdb
+
+    sql = expand_u16(
+        f"WITH {_gen_ctes(DEFAULT_CONFIG, _DIALECTS['duckdb'])} "
+        "SELECT DISTINCT sit_id, sit_name, label, value, instances FROM vals",
+        "duckdb",
+    )
+    rows = duckdb.connect().execute(sql).fetchall()
+    assert len(rows) > 1000
+    pats = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG if rx}
+    seen_sits = set()
+    for sid, name, label, value, inst in rows:
+        seen_sits.add(sid)
+        block = f"{name}: " + f"{value} | " * inst
+        own = pats.get(sid)
+        real_own = (
+            [m for m in own.findall(block) if not _is_placeholder_py(m)]
+            if own
+            else []
+        )
+        if own and label == "TP":
+            assert len(real_own) >= inst, (
+                f"{sid} TP block yields {len(real_own)} < {inst} matches: {block[:120]!r}"
+            )
+        elif own:
+            assert not real_own, f"{sid} FP block self-matches: {real_own[:3]}"
+        for other, pat in pats.items():
+            if other == sid:
+                continue
+            cross = [m for m in pat.findall(block) if not _is_placeholder_py(m)]
+            assert not cross, (
+                f"{other} fires on {sid}/{label} block: {cross[:3]} in {block[:140]!r}"
+            )
+    assert len(seen_sits) == len(SIT_CATALOG)
 
 
 def test_iban_check_digits_valid(spark, sf_dir):

@@ -72,7 +72,9 @@ def test_generate_render_extract_validate_loop(spark, tmp_path):
             "spark",
         )
     ).collect()
-    patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG}
+    # TC SITs carry an empty regex — generated but never scanned, the
+    # validator's skip of uncompilable patterns.
+    patterns = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG if rx}
 
     def is_ph(v: str) -> bool:
         s = v.strip().lower()
@@ -89,6 +91,8 @@ def test_generate_render_extract_validate_loop(spark, tmp_path):
 
     n_tp = n_fp = 0
     for v in vals:
+        if v.sit_id not in patterns:
+            continue
         text = recovered[v.doc_id]
         real = [m for m in patterns[v.sit_id].findall(text) if not is_ph(m)]
         if v.label == "TP":
