@@ -243,6 +243,40 @@ def q37_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q92: per-event-type stats via two-level SALTED aggregation
+# (functions/skew.py — SURVEY §4.4). event_type is the classic
+# low-cardinality hot-key: a handful of values over the whole table
+# means a plain groupBy sends every row for a type to ONE reducer. The
+# salted form shuffles on (event_type, salt) — each hot key fans out
+# across 16 reducers with map-side partials — then reduces the tiny
+# (event_type) space. Exactly equal to the direct aggregation
+# (algebraic fns only; equivalence pinned by test_salted_agg_* and the
+# DuckDB oracle).
+def q92_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", "ts"
+    )
+    agg = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "first_ts": ("min", "ts"),
+            "last_ts": ("max", "ts"),
+        },
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        eround(1e-9 + F.col("total_value"), 2).alias("total_value"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "q30_tumbling_hourly": q30_tumbling_hourly,
     "q36_hourly_top_event": q36_hourly_top_event,
@@ -252,6 +286,7 @@ QUERIES = {
     "q33_json_prop_stats": q33_json_prop_stats,
     "q34_asof_click_error": q34_asof_click_error,
     "q35_first_event_per_user_type": q35_first_event_per_user_type,
+    "q92_salted_event_stats": q92_salted_event_stats,
 }
 
 ORACLES = {
@@ -367,5 +402,13 @@ ORACLES = {
                  ) AS rn
           FROM events
         ) WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+    "q92_salted_event_stats": """
+        SELECT event_type,
+               count(event_id) AS n_events,
+               round(1e-9 + sum(value), 2) AS total_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

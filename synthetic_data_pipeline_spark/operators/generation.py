@@ -32,7 +32,6 @@ from ..plans.generate import (
     ccn_body_sql,
     doc_sits_sql,
     docs_sql,
-    header_sql,
     iban_bban_sql,
     sit_block_sql,
     sit_value_chunks,
@@ -101,40 +100,72 @@ def _gen_ctes(cfg: GenConfig, d: dict) -> str:
 
 
 def _staged_vals(cfg: GenConfig, spark: SparkSession):
-    """Spark-side vals with codegen-safe staging: every TP value chunk
-    is its OWN top-level column in the first projection (per-column code
-    is independently compilable; one inlined 54-SIT dispatch blows the
-    JVM 64KB method limit and drops the whole generate+render+scan
-    pipeline to interpreted mode — measured ~6× slower). The tiny slot
-    table is then materialized once with localCheckpoint, and
-    value/block are built from plain column references."""
+    """Spark-side vals with codegen-safe staging: the slot table is
+    materialized ONCE with localCheckpoint after only small expressions
+    (docs → slots → sit assignment → ccn/iban bodies), then the 54-SIT
+    value dispatch is ROW-partitioned — each 6-SIT chunk evaluates its
+    own small CASE in its own union branch, i.e. its own codegen unit.
+    One inlined 54-branch dispatch exceeds the JVM 64KB method limit
+    inside the generate stage and silently drops the whole
+    generate+render+scan pipeline to interpreted mode (measured ~9s of
+    failed compile attempts + interpreted eval on a 2k-row slot table;
+    this form compiles everywhere)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     d = _DIALECTS["spark"]
     tp_chunks, fp_case = sit_value_chunks("slot")
-    chunk_cols = ", ".join(f"{c} AS _tp{i}" for i, c in enumerate(tp_chunks))
     base = spark.sql(
         expand_u16(
-            f"WITH {_gen_ctes_base(cfg, d)} "
-            f"SELECT *, {chunk_cols}, {fp_case} AS _fp FROM vals0",
-            "spark",
+            f"WITH {_gen_ctes_base(cfg, d)} SELECT * FROM vals0", "spark"
         )
     ).localCheckpoint()
-    value = F.when(
-        F.col("label") == "TP",
-        F.coalesce(*[F.col(f"_tp{i}") for i in range(len(tp_chunks))], F.lit("?")),
-    ).otherwise(F.col("_fp"))
-    return (
-        base.withColumn("value", value)
-        .withColumn("block", F.expr(sit_block_sql()))
-        .drop("_fp", *[f"_tp{i}" for i in range(len(tp_chunks))])
+    parts = [
+        base.filter(F.col("sit_id").isin(cids)).selectExpr(
+            "*",
+            expand_u16(
+                f"(CASE WHEN label = 'TP' THEN coalesce({tp_case}, '?') "
+                f"ELSE {fp_case} END) AS value",
+                "spark",
+            ),
+        )
+        for cids, tp_case in tp_chunks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).withColumn(
+        "block", F.expr(sit_block_sql())
     )
 
 
 def _rendered_cte(d: dict) -> str:
-    """docs rendered to text: header + ordered SIT blocks + filler pad
-    to the word target (content_generator.py:236-242's padding, but
-    deterministic)."""
+    """docs rendered to text: per-format frame (header/footer) around
+    the ordered SIT blocks + filler pad to the word target
+    (content_generator.py:275-303's per-format dispatch and :236-242's
+    padding, but deterministic). Email formats get From/To/Subject
+    framing and a regards footer (EMAIL_TEMPLATE), email_with_attachment
+    adds the attachment note, document/pdf get the CONFIDENTIAL header
+    with the doc id and a closing line (build_document_text). Frame
+    prose is lowercase/digit-safe and the doc id is prefixed with a
+    letter ('d123') so no \\b-delimited digit run can reach another
+    SIT's pattern space."""
+    pre = (
+        "(CASE format "
+        "WHEN 'email' THEN 'from: records-desk at corp-mail "
+        "to: billing-team at corp-mail subject: confidential records update' "
+        "WHEN 'email_with_attachment' THEN 'from: records-desk at corp-mail "
+        "to: billing-team at corp-mail subject: see attached files' "
+        "WHEN 'chat' THEN 'chat transcript follows' "
+        "ELSE concat('confidential - internal memorandum d', "
+        "CAST(doc_id AS STRING)) END)"
+    )
+    post = (
+        "(CASE format "
+        "WHEN 'email' THEN 'regards, records-desk' "
+        "WHEN 'email_with_attachment' THEN "
+        "'attached: report.xlsx regards, records-desk' "
+        "WHEN 'chat' THEN 'end of chat' "
+        "ELSE 'end of record' END)"
+    )
     return f"""
       bodies AS (
         SELECT doc_id, format, word_count_target,
@@ -144,7 +175,7 @@ def _rendered_cte(d: dict) -> str:
       ),
       rendered AS (
         SELECT doc_id, format, word_count_target,
-               concat({header_sql()}, ' ', body, ' ',
+               concat({pre}, ' ', body, ' ', {post}, ' ',
                       repeat('lorem ',
                              CAST(greatest(word_count_target
                                            - {d["len"]}(split(body, ' ')), 0) AS INT)
@@ -251,21 +282,40 @@ def q61_gen_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side is staged, not one SQL: the fully-inlined generation +
-    12-regex scan expression tree exceeds the JVM's 64KB codegen method
-    limit, silently dropping the whole stage to interpreted mode
-    (measured 21.5s → ~2s). The tiny generated corpus is materialized
-    once with localCheckpoint, then scanned with one literal-pattern
-    branch per SIT (small codegen units), then aggregated — same
-    relation as the single-SQL DuckDB oracle.
+def _ms_whens(d: dict) -> list[str]:
+    """Per-SIT WHEN branches of the scan dispatch: for the row's own
+    sit_id, the non-placeholder matches of that SIT's pattern in the
+    rendered text. One literal regex per branch (both engines require
+    foldable patterns; literals also keep the compiled regex cached in
+    codegen)."""
+    ph = d["ph"]("x")
+    return [
+        f"WHEN '{sid}' THEN {d['filter']}("
+        f"regexp_extract_all(text, '{d['esc'](rx)}', 0), x -> NOT {ph})"
+        for sid, _n, rx, _t in SIT_CATALOG
+        if sid in RE2_SAFE_IDS
+    ]
+
+
+def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
+    """(doc_id, sit_id, label, instances, text, ms) for every ASSIGNED
+    (doc, scanned-SIT) pair — the validator's loop shape
+    (modules/validator.py:255-299 iterates mapping rows and runs only
+    that row's SIT regex on that doc). Joining vals to rendered before
+    the regex means each document is scanned with its ~4 assigned
+    patterns, not all |catalog| of them — at 100 TB that is the
+    difference between O(pairs) and O(docs × catalog) regex work.
+
+    Codegen safety: the 33-branch dispatch is split into 6-branch CASE
+    chunks, each its own column, materialized with localCheckpoint
+    before the chunks are coalesced — one inlined mega-CASE (regex +
+    placeholder-filter per branch) exceeds the JVM 64KB method limit
+    and drops the stage to interpreted mode.
     """
     from pyspark.sql import functions as F
 
-    from ..plans.catalog import is_placeholder
-
     d = _DIALECTS["spark"]
-    vals = _staged_vals(DEFAULT_CONFIG, spark)
+    vals = _staged_vals(cfg, spark)
     vals.createOrReplaceTempView("gen_vals_staged")
     rendered = spark.sql(
         f"""
@@ -273,29 +323,49 @@ def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_rendered_cte(d)}
         SELECT doc_id, text FROM rendered
         """
-    ).localCheckpoint()
-
-    branches = []
-    for sid, _n, regex, _t in SIT_CATALOG:
-        if sid not in RE2_SAFE_IDS:
-            continue
-        real = F.size(
-            F.filter(
-                F.regexp_extract_all("text", F.lit(regex), 0),
-                lambda m: ~is_placeholder(m),
-            )
-        )
-        branches.append(
-            rendered.select(
-                F.lit(sid).alias("sit_id"), "doc_id", real.alias("real_matches")
-            )
-        )
-    scanned = branches[0]
-    for b in branches[1:]:
-        scanned = scanned.unionByName(b)
-    return (
+    )
+    whens = _ms_whens(d)
+    chunk = 6
+    chunks = [
+        f"(CASE sit_id {' '.join(whens[i:i + chunk])} ELSE NULL END)"
+        for i in range(0, len(whens), chunk)
+    ]
+    staged = (
         vals.select("doc_id", "sit_id", "label", "instances")
-        .join(scanned, ["doc_id", "sit_id"])
+        .filter(F.col("sit_id").isin(RE2_SAFE_IDS))
+        .join(rendered, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "sit_id",
+            "label",
+            "instances",
+            "text",
+            *[f"{c} AS _ms{i}" for i, c in enumerate(chunks)],
+        )
+        .localCheckpoint()
+    )
+    return staged.withColumn(
+        "ms", F.coalesce(*[F.col(f"_ms{i}") for i in range(len(chunks))])
+    ).drop(*[f"_ms{i}" for i in range(len(chunks))])
+
+
+def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side is staged, not one SQL: the fully-inlined generation +
+    regex-scan expression tree exceeds the JVM's 64KB codegen method
+    limit, silently dropping the whole stage to interpreted mode
+    (measured 21.5s → ~2s). Built on the per-assigned-pair scan — same
+    relation as the single-SQL DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    return (
+        _scanned_pairs(spark)
+        .select(
+            "doc_id",
+            "sit_id",
+            "label",
+            "instances",
+            F.size("ms").alias("real_matches"),
+        )
         .groupBy("sit_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -318,14 +388,148 @@ def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_sit_issue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-detail issue list over the generated corpus: every real
+    (non-placeholder) match of an assigned (doc, SIT) pair with its
+    0-based character position and ±30-char excerpt, deduped by value
+    per (doc, SIT), capped at 5 rows per SIT and 500 rows globally.
+
+    Re-expresses the reference validator's diagnostic capture
+    (modules/validator.py:279-299 positions + excerpts, 210-233 per-SIT
+    display samples, 351-352 global issue cap) with set semantics:
+    dedup by match value, first-occurrence position via ``instr``, and
+    deterministic (doc_id, match) ordering replacing Python list order.
+
+    Scale shape: position and excerpt are computed in the same narrow
+    projection that explodes the match list, so the cap window's
+    shuffle never carries document text (see sitscan.cap_issues).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sitscan import POSITION_EXCERPT_EXPRS, cap_issues
+
+    matched = (
+        _scanned_pairs(spark)
+        .select("sit_id", "doc_id", "text", F.explode("ms").alias("match"))
+        .selectExpr("sit_id", "doc_id", "match", *POSITION_EXCERPT_EXPRS)
+        .distinct()
+    )
+    return cap_issues(matched)
+
+
+def _issue_list_sql(cfg: GenConfig, dialect: str) -> str:
+    """Single-SQL form of q91 (the DuckDB oracle; DuckDB has no codegen
+    method limit so the dispatch stays one CASE)."""
+    d = _DIALECTS[dialect]
+    whens = " ".join(_ms_whens(d))
+    scan_ids = ", ".join(f"'{sid}'" for sid in RE2_SAFE_IDS)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    return expand_u16(f"""
+      WITH {_gen_ctes(cfg, d)},
+      {_rendered_cte(d)},
+      pairs AS (
+        SELECT v.sit_id, v.doc_id, r.text,
+               (CASE v.sit_id {whens} ELSE NULL END) AS ms
+        FROM vals v JOIN rendered r ON v.doc_id = r.doc_id
+        WHERE v.sit_id IN ({scan_ids})
+      ),
+      mrows AS (
+        SELECT sit_id, doc_id, text, {unnest}(ms) AS match FROM pairs
+      ),
+      p AS (
+        SELECT DISTINCT sit_id, doc_id, match,
+               CAST(instr(text, match) - 1 AS BIGINT) AS start,
+               replace(substr(text, greatest(1, instr(text, match) - 30),
+                       least(length(text), instr(text, match) - 1 + length(match) + 30)
+                       - greatest(0, instr(text, match) - 31)),
+                       chr(10), ' ') AS excerpt
+        FROM mrows
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY sit_id ORDER BY doc_id, match) AS rn
+        FROM p
+      )
+      SELECT sit_id, doc_id, match, start, excerpt
+      FROM ranked WHERE rn <= 5
+      ORDER BY sit_id, doc_id, match LIMIT 500
+    """, dialect)
+
+
+def write_validation_report(
+    spark: SparkSession, path: str, cfg: GenConfig = DEFAULT_CONFIG
+) -> str:
+    """S17 sink: the single-file validation report text artifact
+    (modules/validator.py:332-357), assembled from the oracle-checked
+    distributed aggregates — the q60 per-SIT meta (ALL SITs, including
+    the unscanned TC family, like the reference's mapping loop), the
+    q62 scan results, and the FP issue lines from the per-pair scan.
+    The collect()s fetch ≤ |catalog| + 500 short rows — final result
+    fetch, not a driver-side compute loop. Returns the report text and
+    writes it to ``path`` as one file.
+    """
+    from pyspark.sql import functions as F
+
+    meta = {r.sit_id: r for r in q60_gen_meta_summary(spark, "").collect()}
+    val = {r.sit_id: r for r in q62_gen_validation_report(spark, "").collect()}
+    fp_issues = (
+        _scanned_pairs(spark, cfg)
+        .filter((F.col("label") == "FP") & (F.size("ms") > 0))
+        .select(
+            "doc_id", "sit_id", F.slice(F.array_distinct("ms"), 1, 5).alias("sample")
+        )
+        .orderBy("sit_id", "doc_id")
+        .limit(500)
+        .collect()
+    )
+
+    lines = ["Validation report\n=================\n"]
+    lines.append(f"Total unique SITs observed in mapping: {len(meta)}\n")
+    for sid in sorted(meta):
+        m, v = meta[sid], val.get(sid)
+        tp = v.tp_satisfied if v is not None else 0
+        fp = v.fp_flagged if v is not None else 0
+        lines.append(
+            f"{sid}: docs={m.n_docs}, tp_docs={tp}, fp_flagged={fp}, "
+            f"total_instances={m.total_instances}"
+        )
+        if m.n_docs < cfg.per_sit_count:
+            lines.append(
+                f"  >>> WARNING: only {m.n_docs} docs for {sid} "
+                f"(target {cfg.per_sit_count})"
+            )
+
+    n_rows = sum(m.n_docs for m in meta.values())
+    n_inst = sum(m.total_instances for m in meta.values())
+    lines.append("\nDistribution summary:\n")
+    lines.append(f"Average SITs per doc: {n_rows / cfg.n_docs:.2f}")
+    lines.append(f"Average instances per SIT (across docs): {n_inst / n_rows:.2f}")
+
+    lines.append("\nDetected issues (first 500 lines):\n")
+    if fp_issues:
+        lines.extend(
+            f"FP contains valid-looking match in doc {r.doc_id}, "
+            f"sit {r.sit_id}: sample {list(r.sample)}"
+            for r in fp_issues
+        )
+    else:
+        lines.append("No issues detected based on regex checks and heuristics.\n")
+
+    text = "\n".join(lines)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+    return text
+
+
 QUERIES = {
     "q60_gen_meta_summary": q60_gen_meta_summary,
     "q61_gen_corpus_stats": q61_gen_corpus_stats,
     "q62_gen_validation_report": q62_gen_validation_report,
+    "q91_sit_issue_list": q91_sit_issue_list,
 }
 
 ORACLES = {
     "q60_gen_meta_summary": _meta_summary_sql(DEFAULT_CONFIG, "duckdb"),
     "q61_gen_corpus_stats": _corpus_stats_sql(DEFAULT_CONFIG, "duckdb"),
     "q62_gen_validation_report": _validation_sql(DEFAULT_CONFIG, "duckdb"),
+    "q91_sit_issue_list": _issue_list_sql(DEFAULT_CONFIG, "duckdb"),
 }

@@ -93,106 +93,43 @@ def _sit_scan_oracle() -> str:
     """
 
 
-def sit_issue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic issue list: every real (non-placeholder) match with its
-    character position and ±30-char excerpt, deduped by value per (doc,
-    SIT), capped at 5 rows per SIT and 500 rows globally.
+# --- match-detail helpers shared with the generated-corpus issue list
+# (operators/generation.py q91). The position is 0-based like Python's
+# m.start(); the excerpt is text[max(0, start-30) : min(len, end+30)]
+# with newlines flattened (modules/validator.py:279-299), expressed
+# 1-based for SQL substr. Identical text works on Spark and DuckDB —
+# both have instr/substr/greatest/least/replace/chr.
+POSITION_EXCERPT_EXPRS = [
+    "CAST(instr(text, match) - 1 AS BIGINT) AS start",
+    "replace(substr(text, greatest(1, instr(text, match) - 30), "
+    "least(length(text), instr(text, match) - 1 + length(match) + 30) "
+    "- greatest(0, instr(text, match) - 31)), chr(10), ' ') AS excerpt",
+]
 
-    Re-expresses the reference validator's match-detail capture
-    (modules/validator.py:279-299 positions + excerpts,
-    validator.py:210-233 per-SIT display samples, validator.py:351-352
-    global issue cap) with set semantics: dedup by match value,
-    first-occurrence position via ``instr``, and a deterministic
-    (doc_id, match) ordering replacing Python list order.
 
-    Scale shape: ONE documents scan; position and excerpt are computed
-    in the same narrow projection as the regex extraction, so the
-    window shuffle applying the per-SIT cap carries only short
-    (sit_id, doc_id, match, start, excerpt) rows — never the document
-    text. The global 500-cap is a sorted limit over ≤ 5·|catalog| rows
-    (TakeOrderedAndProject, no global sort).
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    entries = []
-    for sit_id, _name, regex, _tcs in SIT_CATALOG:
-        if sit_id not in RE2_SAFE_IDS:
-            continue
-        matches = F.regexp_extract_all("text", F.lit(regex), 0)
-        real = F.filter(matches, lambda m: ~is_placeholder(m))
-        entries.append(
-            F.struct(F.lit(sit_id).alias("sit_id"), real.alias("ms"))
-        )
-    exploded = (
-        docs.select("doc_id", "text", F.explode(F.array(*entries)).alias("e"))
-        .select(
-            "doc_id",
-            "text",
-            F.col("e.sit_id").alias("sit_id"),
-            F.explode("e.ms").alias("match"),
-        )
-    )
-    # start is 0-based like Python m.start(); the excerpt is
-    # text[max(0, start-30) : min(len, end+30)] with newlines flattened
-    # (validator.py:285-286), expressed 1-based for SQL substr.
-    projected = exploded.selectExpr(
-        "sit_id",
-        "doc_id",
-        "match",
-        "CAST(instr(text, match) - 1 AS BIGINT) AS start",
-        "replace(substr(text, greatest(1, instr(text, match) - 30), "
-        "least(length(text), instr(text, match) - 1 + length(match) + 30) "
-        "- greatest(0, instr(text, match) - 31)), chr(10), ' ') AS excerpt",
-    ).distinct()
+def cap_issues(
+    matched: DataFrame, per_sit: int = 5, global_cap: int = 500
+) -> DataFrame:
+    """Apply the validator's display caps (validator.py:210-233 per-SIT
+    samples, validator.py:351-352 global cap) deterministically: top
+    ``per_sit`` rows per SIT by (doc_id, match), then a sorted global
+    limit. The window shuffle carries only short issue rows (never
+    document text); the global cap is TakeOrderedAndProject over
+    ≤ per_sit·|catalog| rows — no global sort."""
     w = Window.partitionBy("sit_id").orderBy("doc_id", "match")
     return (
-        projected.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_sit)
         .drop("rn")
         .orderBy("sit_id", "doc_id", "match")
-        .limit(500)
+        .limit(global_cap)
     )
-
-
-def _sit_issue_oracle() -> str:
-    """DuckDB twin: same instr/substr arithmetic, same caps."""
-    unions = []
-    for sit_id, _name, regex, _tcs in SIT_CATALOG:
-        if sit_id not in RE2_SAFE_IDS:
-            continue
-        pat = regex.replace("'", "''")
-        unions.append(
-            f"SELECT '{sit_id}' AS sit_id, doc_id, text, "
-            f"unnest(regexp_extract_all(text, '{pat}')) AS match "
-            "FROM documents"
-        )
-    ph = is_placeholder_duckdb("match")
-    return f"""
-        WITH m AS ({' UNION ALL '.join(unions)}),
-        p AS (
-          SELECT DISTINCT sit_id, doc_id, match,
-                 CAST(instr(text, match) - 1 AS BIGINT) AS start,
-                 replace(substr(text, greatest(1, instr(text, match) - 30),
-                         least(length(text), instr(text, match) - 1 + length(match) + 30)
-                         - greatest(0, instr(text, match) - 31)),
-                         chr(10), ' ') AS excerpt
-          FROM m WHERE NOT {ph}
-        ),
-        r AS (
-          SELECT *, row_number() OVER (PARTITION BY sit_id ORDER BY doc_id, match) AS rn
-          FROM p
-        )
-        SELECT sit_id, doc_id, match, start, excerpt
-        FROM r WHERE rn <= 5
-        ORDER BY sit_id, doc_id, match LIMIT 500
-    """
 
 
 QUERIES = {
     "q90_flagship_sit_scan": sit_match_counts,
-    "q91_sit_issue_list": sit_issue_list,
 }
 
 ORACLES = {
     "q90_flagship_sit_scan": _sit_scan_oracle(),
-    "q91_sit_issue_list": _sit_issue_oracle(),
 }

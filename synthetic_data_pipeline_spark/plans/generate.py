@@ -112,6 +112,17 @@ def doc_sits_sql(cfg: GenConfig, docs_cte: str, explode_j: str) -> str:
     sit_name = (
         f"(CASE sit_id {name_whens} ELSE '{SIT_CATALOG[-1][1]}' END)"
     )
+    # lowercase comma-joined TC list, used by the template context
+    # lines — lowercase so no uppercase-class pattern can ever fire on
+    # template prose (the disjointness invariant, plans/catalog.py).
+    tcs_whens = " ".join(
+        f"WHEN '{sid}' THEN '{', '.join(t.lower() for t in tcs)}'"
+        for sid, _name, _rx, tcs in SIT_CATALOG[:-1]
+    )
+    tcs_expr = (
+        f"(CASE sit_id {tcs_whens} "
+        f"ELSE '{', '.join(t.lower() for t in SIT_CATALOG[-1][3])}' END)"
+    )
     label = (
         f"(CASE WHEN {hash_unit('slot', 'label')} < {cfg.tp_ratio} "
         f"THEN 'TP' ELSE 'FP' END)"
@@ -148,7 +159,8 @@ def doc_sits_sql(cfg: GenConfig, docs_cte: str, explode_j: str) -> str:
         SELECT *, {label} AS label, {inst} AS instances FROM doc_sits0
       ),
       doc_sits AS (
-        SELECT *, {sit_name} AS sit_name, {conf} AS confidence
+        SELECT *, {sit_name} AS sit_name, {tcs_expr} AS tcs,
+               {conf} AS confidence
         FROM doc_sits1
       )
     """
@@ -244,13 +256,14 @@ def iban_gb_sql(bban_col: str) -> str:
     return f"concat('GB', {check}, {bban_col})"
 
 
-def sit_value_chunks(key: str = "slot") -> tuple[list[str], str]:
-    """The TP dispatch as a list of small CASE chunks (exactly one is
-    non-NULL per sit_id) plus the FP CASE. Exposed separately so the
-    Spark side can materialize each chunk as its OWN column — per-column
-    projections are the one codegen unit Spark reliably splits into
-    sub-methods; a single inlined 54-branch dispatch blows the JVM 64KB
-    method limit and silently drops the stage to interpreted mode."""
+def sit_value_chunks(key: str = "slot") -> tuple[list[tuple[list[str], str]], str]:
+    """The TP dispatch as (chunk_sit_ids, small CASE) pairs plus the FP
+    CASE. Exposed separately so the Spark side can ROW-partition the
+    slot table by sit_id chunk and evaluate each small CASE in its own
+    union branch (its own codegen unit) — a single inlined 54-branch
+    dispatch blows the JVM 64KB method limit and silently drops the
+    whole generate stage to interpreted mode (measured ~9s of compile
+    attempts + interpreted eval on a 2k-row table)."""
     return _sit_value_parts(key)
 
 
@@ -259,11 +272,11 @@ def sit_value_sql(key: str = "slot") -> str:
     placeholder (content_generator.py:197-206 dispatch, F15/F16) —
     single-expression form for the (DuckDB) single-SQL path."""
     tp_chunks, fp_case = _sit_value_parts(key)
-    tp_expr = "coalesce(" + ", ".join(tp_chunks) + ", '?')"
+    tp_expr = "coalesce(" + ", ".join(c for _ids, c in tp_chunks) + ", '?')"
     return f"(CASE WHEN label = 'TP' THEN {tp_expr} ELSE {fp_case} END)"
 
 
-def _sit_value_parts(key: str = "slot") -> tuple[list[str], str]:
+def _sit_value_parts(key: str = "slot") -> tuple[list[tuple[list[str], str]], str]:
     k = key
     tp = {
         "SIT_CCN": luhn_formatted_sql("ccn_body"),
@@ -423,11 +436,12 @@ def _sit_value_parts(key: str = "slot") -> tuple[list[str], str]:
     chunk = 6
     tp_chunks = []
     for i in range(0, len(ids), chunk):
+        cids = ids[i:i + chunk]
         whens = " ".join(
             f"WHEN '{sid}' THEN " + tp.get(sid, f"'<{sid}_VALUE>'")
-            for sid in ids[i:i + chunk]
+            for sid in cids
         )
-        tp_chunks.append(f"(CASE sit_id {whens} ELSE NULL END)")
+        tp_chunks.append((cids, f"(CASE sit_id {whens} ELSE NULL END)"))
     fp_whens = " ".join(
         f"WHEN '{sid}' THEN " + fp.get(sid, f"'REDACTED_{sid}'")
         for sid, *_ in SIT_CATALOG
@@ -437,27 +451,29 @@ def _sit_value_parts(key: str = "slot") -> tuple[list[str], str]:
 
 
 def sit_block_sql() -> str:
-    """Per-(doc,sit) text block: 'name: value | value | ...' — the
-    template fill of content_generator.py:208-234, instances copies."""
-    return "concat(sit_name, ': ', repeat(concat(value, ' | '), instances))"
+    """Per-(doc,sit) text block, format-aware — the reference's three
+    body builders (content_generator.py:208-234): email formats get a
+    per-SIT context line (build_email_body), chat gets two timestamped
+    Q/A turns (build_chat_text, CHAT_LINE_TEMPLATE), document/pdf get a
+    details line (build_document_text). All template prose is lowercase
+    and digit-safe (times are 2-digit groups), so no catalog pattern
+    can fire on it — the disjointness invariant."""
+    vals = "repeat(concat(value, ' | '), instances)"
+    t = "'[09:0', CAST(slot % 10 AS STRING), ']'"
+    return (
+        "(CASE WHEN format IN ('email', 'email_with_attachment') THEN "
+        f"concat(sit_name, ': ', {vals}, 'context: related to ', tcs, '.') "
+        "WHEN format = 'chat' THEN "
+        f"concat({t}, ' agent: please share the ', sit_name, '. ', "
+        f"{t}, ' client: the ', sit_name, ' is ', {vals}, 'thanks.') "
+        "ELSE "
+        f"concat(sit_name, ': ', {vals}, 'details: related tcs: ', tcs, '.') "
+        "END)"
+    )
 
 
-HEADERS = {
-    "email": "subject: quarterly update from the records team",
-    "chat": "chat transcript follows",
-    "document": "internal memorandum, handle with care",
-    "pdf": "internal memorandum, handle with care",
-    "email_with_attachment": "subject: see attached files",
-}
-# Headers/filler are all-lowercase on purpose: uppercase words ≥8 chars
-# would false-positive the SWIFT/PASSPORT patterns — the reference's own
+# Frame/filler prose (operators/generation.py::_rendered_cte) is
+# all-lowercase on purpose: uppercase words ≥8 chars would
+# false-positive the SWIFT/PASSPORT patterns — the reference's own
 # committed run suffers exactly that (validation_report.txt:52).
 FILLER_WORD = "lorem "
-
-
-def header_sql() -> str:
-    whens = " ".join(
-        f"WHEN '{f}' THEN '{h}'" for f, h in list(HEADERS.items())[:-1]
-    )
-    last = list(HEADERS.values())[-1]
-    return f"(CASE format {whens} ELSE '{last}' END)"

@@ -164,6 +164,25 @@ def extract_pdf_text(data: bytes) -> str:
     return "\n".join(page.extract_text() or "" for page in reader.pages)
 
 
+def extract_xlsx_rows(data: bytes) -> list[list[str]]:
+    """Inverse of ``render_xlsx_bytes`` — the validator's xlsx mapping
+    scan (validator.py:27-34). Real openpyxl parse when the library is
+    present; the stub container decodes without it."""
+    if data.startswith(_XLSX_MAGIC):
+        payload = data[len(_XLSX_MAGIC):].decode("utf-8")
+        return [ln.split("\t") for ln in payload.splitlines()]
+    openpyxl = _try_import("openpyxl")
+    if openpyxl is None:
+        raise NotImplementedError("real .xlsx given but openpyxl missing")
+    import io  # pragma: no cover
+
+    wb = openpyxl.load_workbook(io.BytesIO(data), read_only=True)
+    return [
+        ["" if c is None else str(c) for c in row]
+        for row in wb.active.iter_rows(values_only=True)
+    ]
+
+
 def extract_eml_text(data: bytes) -> str:
     """Walk multipart, keep text/plain (validator.py:89-103)."""
     msg = BytesParser(policy=policy.default).parsebytes(data)

@@ -93,16 +93,15 @@ def test_catalog_pairwise_disjoint():
 
     sql = expand_u16(
         f"WITH {_gen_ctes(DEFAULT_CONFIG, _DIALECTS['duckdb'])} "
-        "SELECT DISTINCT sit_id, sit_name, label, value, instances FROM vals",
+        "SELECT DISTINCT sit_id, label, value, instances, block FROM vals",
         "duckdb",
     )
     rows = duckdb.connect().execute(sql).fetchall()
     assert len(rows) > 1000
     pats = {sid: re.compile(rx) for sid, _n, rx, _t in SIT_CATALOG if rx}
     seen_sits = set()
-    for sid, name, label, value, inst in rows:
+    for sid, label, value, inst, block in rows:
         seen_sits.add(sid)
-        block = f"{name}: " + f"{value} | " * inst
         own = pats.get(sid)
         real_own = (
             [m for m in own.findall(block) if not _is_placeholder_py(m)]
@@ -155,3 +154,36 @@ def test_generation_deterministic_across_parallelism(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_validation_report_artifact(spark, sf_dir, tmp_path):
+    """S17 golden: the single-file report mirrors the oracle-checked
+    aggregates line by line, covers every catalog SIT (including the
+    unscanned TC family), meets quota everywhere, and — unlike the
+    reference's own committed run — detects no issues."""
+    from synthetic_data_pipeline_spark.operators.generation import (
+        q60_gen_meta_summary,
+        write_validation_report,
+    )
+
+    out = tmp_path / "validation_report.txt"
+    text = write_validation_report(spark, str(out))
+    assert out.read_text(encoding="utf-8") == text
+    lines = text.splitlines()
+    assert lines[0] == "Validation report"
+    assert f"Total unique SITs observed in mapping: {len(SIT_CATALOG)}" in text
+    sit_lines = [l for l in lines if l.startswith("SIT_")]
+    assert len(sit_lines) == len(SIT_CATALOG)
+    meta = {r.sit_id: r for r in q60_gen_meta_summary(spark, sf_dir).collect()}
+    for l in sit_lines:
+        sid = l.split(":")[0]
+        assert f"docs={meta[sid].n_docs}," in l
+        assert f"total_instances={meta[sid].total_instances}" in l
+    assert ">>> WARNING" not in text, "quota shortfall in report"
+    assert "No issues detected based on regex checks and heuristics." in text
+    # every scanned TP doc satisfied -> tp_docs == n_tp for non-TC SITs
+    for l in sit_lines:
+        sid = l.split(":")[0]
+        if not sid.endswith("_TC"):
+            assert f"tp_docs={meta[sid].n_tp}," in l, l
+        assert "fp_flagged=0," in l, l

@@ -150,3 +150,19 @@ def test_q29_no_global_window(spark):
         seg = p[m.start(): m.start() + 400]
         assert "partitionby" not in seg.lower() or "_rb" in seg, seg
     assert "_rb" in p, p
+
+
+def test_q92_salted_two_level_aggregation(spark):
+    """The salted skew form must plan TWO aggregation levels: a partial
+    shuffle keyed on (event_type, _salt) — hot keys fan out — then a
+    final reduce on event_type alone, with the salt derived
+    deterministically from row contents (xxhash64), never from a
+    non-deterministic expression."""
+    from synthetic_data_pipeline_spark.operators import events
+
+    p = plan(events.q92_salted_event_stats(spark, SF_DIR))
+    assert "xxhash64" in p, p
+    assert "_salt" in p, p
+    # partial+final pairs for both levels → at least 4 HashAggregates
+    assert p.count("HashAggregate") >= 4, p
+    assert "monotonically_increasing_id" not in p and "rand(" not in p, p
