@@ -34,6 +34,8 @@ HEADLINE = [
     "q62_gen_validation_report",
     "q66_winnowing_fingerprints",
     "q90_flagship_sit_scan",
+    "q91_sit_issue_list",
+    "q92_salted_event_stats",
 ]
 
 

@@ -147,24 +147,49 @@ def _rendered_cte(d: dict) -> str:
     with the doc id and a closing line (build_document_text). Frame
     prose is lowercase/digit-safe and the doc id is prefixed with a
     letter ('d123') so no \\b-delimited digit run can reach another
-    SIT's pattern space."""
+    SIT's pattern space. Each format draws one of TWO template variants
+    per doc (the reference ships two templates per format —
+    templates/email_templates.md 'Formal Invoice Email' / 'Short
+    Notification', doc_templates.md 'Employee Record' / 'Financial
+    Statement', chat_templates.md 'Support Chat' / 'Quick Exchange')."""
+    from ..functions.xsql import hash_u16
+
+    v = f"({hash_u16('doc_id', 'tmplv')} % 2)"
+    email_hdr = (
+        f"concat('from: records-desk at corp-mail to: billing-team at "
+        f"corp-mail subject: ', CASE WHEN {v} = 0 "
+        "THEN 'invoice payment details' "
+        "ELSE 'payment confirmation' END)"
+    )
+    doc_hdr = (
+        f"concat(CASE WHEN {v} = 0 "
+        "THEN 'confidential - employee record d' "
+        "ELSE 'financial statement - confidential d' END, "
+        "CAST(doc_id AS STRING))"
+    )
+    chat_hdr = (
+        f"(CASE WHEN {v} = 0 THEN 'support chat transcript follows' "
+        "ELSE 'quick exchange transcript follows' END)"
+    )
     pre = (
         "(CASE format "
-        "WHEN 'email' THEN 'from: records-desk at corp-mail "
-        "to: billing-team at corp-mail subject: confidential records update' "
-        "WHEN 'email_with_attachment' THEN 'from: records-desk at corp-mail "
-        "to: billing-team at corp-mail subject: see attached files' "
-        "WHEN 'chat' THEN 'chat transcript follows' "
-        "ELSE concat('confidential - internal memorandum d', "
-        "CAST(doc_id AS STRING)) END)"
+        f"WHEN 'email' THEN {email_hdr} "
+        "WHEN 'email_with_attachment' THEN 'from: records-desk at "
+        "corp-mail to: billing-team at corp-mail subject: see attached files' "
+        f"WHEN 'chat' THEN {chat_hdr} "
+        f"ELSE {doc_hdr} END)"
     )
     post = (
         "(CASE format "
-        "WHEN 'email' THEN 'regards, records-desk' "
+        f"WHEN 'email' THEN (CASE WHEN {v} = 0 "
+        "THEN 'if you need anything else, please let me know. best "
+        "regards, records-desk' ELSE 'thanks, records-desk' END) "
         "WHEN 'email_with_attachment' THEN "
         "'attached: report.xlsx regards, records-desk' "
         "WHEN 'chat' THEN 'end of chat' "
-        "ELSE 'end of record' END)"
+        f"ELSE (CASE WHEN {v} = 0 THEN 'approved by: records-desk "
+        "end of record' ELSE 'summary: see details above end of record' "
+        "END) END)"
     )
     return f"""
       bodies AS (
@@ -276,8 +301,11 @@ def q61_gen_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _staged_vals(DEFAULT_CONFIG, spark).createOrReplaceTempView("gen_vals_staged")
     return spark.sql(
         apply_sql_eround(
-            f"WITH vals AS (SELECT * FROM gen_vals_staged), "
-            f"{_rendered_cte(d)} {_corpus_agg_select(d)}"
+            expand_u16(
+                f"WITH vals AS (SELECT * FROM gen_vals_staged), "
+                f"{_rendered_cte(d)} {_corpus_agg_select(d)}",
+                "spark",
+            )
         )
     )
 
@@ -318,11 +346,14 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
     vals = _staged_vals(cfg, spark)
     vals.createOrReplaceTempView("gen_vals_staged")
     rendered = spark.sql(
-        f"""
-        WITH vals AS (SELECT * FROM gen_vals_staged),
-        {_rendered_cte(d)}
-        SELECT doc_id, text FROM rendered
-        """
+        expand_u16(
+            f"""
+            WITH vals AS (SELECT * FROM gen_vals_staged),
+            {_rendered_cte(d)}
+            SELECT doc_id, text FROM rendered
+            """,
+            "spark",
+        )
     )
     whens = _ms_whens(d)
     chunk = 6

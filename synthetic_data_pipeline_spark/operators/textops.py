@@ -240,7 +240,9 @@ def q66_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc, term) counts and the tiny df table (broadcast back).
 def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # driver-side scalar, exact in both engines
+    # corpus size as a broadcast scalar IN the DAG (one job, no separate
+    # count() action — a second action re-reads the scan at 100 TB)
+    n_df = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     )
@@ -250,13 +252,14 @@ def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(doc_len, "doc_id")
         .join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_df))
         .filter(F.col("doc_id") < 20)
         .select(
             "doc_id",
             "token",
             eround(
                 (F.col("cnt") / F.col("len"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                * F.log(F.col("_n_docs") / F.col("df")),
                 6,
             ).alias("tfidf"),
         )
