@@ -99,6 +99,15 @@ def _gen_ctes(cfg: GenConfig, d: dict) -> str:
     """
 
 
+def _gen_partitions(cfg: GenConfig) -> int:
+    """Partition count sized to the configured corpus: ~5k docs per
+    partition, capped at 32 locally. The default 32-partition layout
+    launches ~500 near-empty tasks per generation query at the test
+    corpus size — pure scheduler overhead; at a 100 TB-scale config the
+    same formula grows the partition count linearly with n_docs."""
+    return max(2, min(32, cfg.n_docs // 5_000 + 2))
+
+
 def _staged_vals(cfg: GenConfig, spark: SparkSession):
     """Spark-side vals with codegen-safe staging: the slot table is
     materialized ONCE with localCheckpoint after only small expressions
@@ -116,11 +125,15 @@ def _staged_vals(cfg: GenConfig, spark: SparkSession):
 
     d = _DIALECTS["spark"]
     tp_chunks, fp_case = sit_value_chunks("slot")
-    base = spark.sql(
-        expand_u16(
-            f"WITH {_gen_ctes_base(cfg, d)} SELECT * FROM vals0", "spark"
+    base = (
+        spark.sql(
+            expand_u16(
+                f"WITH {_gen_ctes_base(cfg, d)} SELECT * FROM vals0", "spark"
+            )
         )
-    ).localCheckpoint()
+        .coalesce(_gen_partitions(cfg))
+        .localCheckpoint()
+    )
     parts = [
         base.filter(F.col("sit_id").isin(cids)).selectExpr(
             "*",
@@ -338,7 +351,13 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
     chunks, each its own column, materialized with localCheckpoint
     before the chunks are coalesced — one inlined mega-CASE (regex +
     placeholder-filter per branch) exceeds the JVM 64KB method limit
-    and drops the stage to interpreted mode.
+    and drops the stage to interpreted mode. (A union-of-row-chunks
+    form without the checkpoint was measured 3-5× slower here: each
+    branch re-executes the vals union + render agg + join.)
+
+    The join takes a shuffle-hash hint: the rendered side carries the
+    full document text, and broadcasting it collects the whole corpus
+    to the driver per call — wasteful here, fatal at 100 TB.
     """
     from pyspark.sql import functions as F
 
@@ -364,7 +383,7 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
     staged = (
         vals.select("doc_id", "sit_id", "label", "instances")
         .filter(F.col("sit_id").isin(RE2_SAFE_IDS))
-        .join(rendered, "doc_id")
+        .join(rendered.hint("shuffle_hash"), "doc_id")
         .selectExpr(
             "doc_id",
             "sit_id",
@@ -373,6 +392,7 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
             "text",
             *[f"{c} AS _ms{i}" for i, c in enumerate(chunks)],
         )
+        .coalesce(_gen_partitions(cfg))
         .localCheckpoint()
     )
     return staged.withColumn(

@@ -126,10 +126,61 @@ def cap_issues(
     )
 
 
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (q93): every catalog-pattern match replaced with its
+    ``[SIT_ID]`` tag — the pass a training-data pipeline runs before
+    text reaches a model. Patterns apply in catalog order (identical on
+    both engines, so overlapping-match resolution is deterministic);
+    tags are bracketed upper_snake tokens no catalog pattern can match,
+    so a replacement never creates a new hit for a later pattern.
+
+    Output carries (n_redactions, md5) instead of the scrubbed text so
+    the correctness gate hashes small rows; the full text is one
+    ``.select`` away. Scale shape: ONE scan, narrow per-row map — no
+    shuffle, no join; this is the cheapest possible 100 TB pass.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    col = F.col("text")
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        col = F.regexp_replace(col, F.lit(regex), F.lit(f"[{sit_id}]"))
+    n_red = (
+        (F.length(col) - F.length(F.replace(col, F.lit("[SIT_"), F.lit(""))))
+        / F.lit(5)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        F.md5(col.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _redact_oracle() -> str:
+    """DuckDB twin: same replace chain in the same order ('g' flag —
+    DuckDB's regexp_replace is first-match-only by default, Spark's is
+    global)."""
+    col = "text"
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        pat = regex.replace("'", "''")
+        col = f"regexp_replace({col}, '{pat}', '[{sit_id}]', 'g')"
+    return f"""
+        SELECT doc_id,
+               CAST((length({col}) - length(replace({col}, '[SIT_', ''))) / 5
+                    AS BIGINT) AS n_redactions,
+               md5({col}) AS redacted_md5
+        FROM documents ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "q90_flagship_sit_scan": sit_match_counts,
+    "q93_redact_documents": redact_documents,
 }
 
 ORACLES = {
     "q90_flagship_sit_scan": _sit_scan_oracle(),
+    "q93_redact_documents": _redact_oracle(),
 }

@@ -272,6 +272,34 @@ def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q94: sliding token-window chunking — the training-data prep step
+# that turns documents into fixed-size overlapping model inputs.
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap
+
+
+def q94_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into 64-token windows with stride 48
+    (16-token overlap), emitting per-chunk size + content hash. Scale
+    shape: ONE scan → narrow split → explode (~len/stride per doc) →
+    no shuffle except the output sort; windows never cross documents so
+    the operator is embarrassingly partition-parallel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(_STRIDE)
+    )
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -281,6 +309,7 @@ QUERIES = {
     "q42_quality_by_source": q42_quality_by_source,
     "q43_fingerprints": q43_fingerprints,
     "q44_trigram_stats": q44_trigram_stats,
+    "q94_token_chunks": q94_token_chunks,
 }
 
 
@@ -316,6 +345,22 @@ def _lang_id_oracle() -> str:
         FROM labeled GROUP BY lang, predicted ORDER BY lang, predicted
     """
 
+
+_Q94_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), {_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / {_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, start + 1, start + {_CHUNK})) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + {_CHUNK}), ' ')) AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_id
+"""
 
 ORACLES = {
     "q67_tfidf_top_terms": """
@@ -452,4 +497,5 @@ ORACLES = {
         FROM tri WHERE t2 IS NOT NULL
         GROUP BY lang ORDER BY lang
     """,
+    "q94_token_chunks": _Q94_ORACLE,
 }
