@@ -69,13 +69,12 @@ _BLOOM_SQL = f"""
 """
 
 
-def q58_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH near-dup pairs: each doc's
-    cluster label starts as itself and takes the min over neighbors for
-    exactly LP_ITERS unrolled rounds; report cluster-size histogram.
-    DataFrame-API loop on Spark, unrolled CTE chain in the oracle —
-    identical computation.
-    """
+def _lp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the LSH near-dup pairs: each
+    doc's cluster label starts as itself and takes the min over
+    neighbors for exactly LP_ITERS unrolled rounds. DataFrame-API loop
+    on Spark, unrolled CTE chain in the oracles — identical
+    computation. Shared by q58 (histogram) and q95 (retention)."""
     from .dedup import lsh_candidates, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
@@ -103,6 +102,12 @@ def q58_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+    return labels
+
+
+def q58_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the LSH connected components."""
+    labels = _lp_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")
@@ -111,7 +116,28 @@ def q58_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dup_clusters_oracle() -> str:
+def q95_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION the clusters exist for: within each near-dup
+    cluster keep the minimum-id member (the cluster label under min
+    label propagation — canonical by construction) and list every
+    dropped doc with its canonical. Docs outside any cluster are
+    implicitly kept; an anti-join of the corpus against this result IS
+    the deduplicated dataset, so the operator composes with any
+    downstream query without a second clustering pass."""
+    labels = _lp_labels(spark, sf_dir)
+    return (
+        labels.filter(F.col("node") != F.col("label"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lp_with_body() -> tuple[str, str]:
+    """(WITH-clause body, final-labels CTE name) shared by the q58 and
+    q95 oracles."""
     from .dedup import _SHINGLES_SQL, BAND_ROWS, N_HASHES
 
     steps = []
@@ -130,8 +156,8 @@ def _dup_clusters_oracle() -> str:
             )"""
         )
         prev = f"l{it}"
-    return f"""
-      WITH tokens AS ({_SHINGLES_SQL.format(src="documents")}),
+    body = f"""
+      tokens AS ({_SHINGLES_SQL.format(src="documents")}),
       mins AS (
         SELECT doc_id,
                {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
@@ -155,12 +181,28 @@ def _dup_clusters_oracle() -> str:
       l0 AS (
         SELECT DISTINCT doc_a AS node, doc_a AS label FROM edges
       ),
-      {", ".join(steps)},
+      {", ".join(steps)}"""
+    return body, prev
+
+
+def _dup_clusters_oracle() -> str:
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body},
       sizes AS (
-        SELECT label, count(*) AS cluster_size FROM {prev} GROUP BY label
+        SELECT label, count(*) AS cluster_size FROM {final} GROUP BY label
       )
       SELECT cluster_size, count(*) AS n_clusters
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+def _dedup_retention_oracle() -> str:
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body}
+      SELECT node AS doc_id, label AS canonical_id
+      FROM {final} WHERE node != label ORDER BY doc_id
     """
 
 
@@ -209,6 +251,7 @@ QUERIES = {
     "q57_bloom_membership": q57_bloom_membership,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
+    "q95_dedup_retention": q95_dedup_retention,
 }
 
 
@@ -218,6 +261,7 @@ def _oracles() -> dict[str, str]:
     return {
         "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
         "q58_dup_clusters": _dup_clusters_oracle(),
+        "q95_dedup_retention": _dedup_retention_oracle(),
         "q59_token_entropy": """
             WITH toks AS (
               SELECT doc_id, lang,

@@ -300,6 +300,42 @@ def q94_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+# --- q96: deterministic train/val/test split — hash-of-key bucketing,
+# the reproducible alternative to random sampling for dataset assembly.
+def q96_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assigned by counter-mode md5 over doc_id — stable
+    under any partitioning, re-runs, engine, or data order (a random()
+    split is none of these). Emits per-(split, lang) counts so the gate
+    verifies the whole assignment, not just the ratios. Scale: narrow
+    map + one small-key aggregation."""
+    from ..functions.xsql import expand_u16, hash_u16
+
+    bucket = expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "spark")
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        f"(CASE WHEN {bucket} % 10 < 8 THEN 'train' "
+        f"WHEN {bucket} % 10 = 8 THEN 'val' ELSE 'test' END)"
+    )
+    return (
+        docs.selectExpr(f"{split} AS split", "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def _q96_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    bucket = expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "duckdb")
+    return f"""
+        SELECT (CASE WHEN {bucket} % 10 < 8 THEN 'train'
+                     WHEN {bucket} % 10 = 8 THEN 'val' ELSE 'test' END) AS split,
+               lang, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY split, lang
+    """
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -310,6 +346,7 @@ QUERIES = {
     "q43_fingerprints": q43_fingerprints,
     "q44_trigram_stats": q44_trigram_stats,
     "q94_token_chunks": q94_token_chunks,
+    "q96_dataset_split": q96_dataset_split,
 }
 
 
@@ -498,4 +535,5 @@ ORACLES = {
         GROUP BY lang ORDER BY lang
     """,
     "q94_token_chunks": _Q94_ORACLE,
+    "q96_dataset_split": _q96_oracle(),
 }
