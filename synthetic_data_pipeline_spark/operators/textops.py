@@ -300,6 +300,46 @@ def q94_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+# --- q97: quality-filter action — per-doc keep/drop decisions from the
+# q42 signals, first failing rule wins (the filter pass of a
+# training-data pipeline; q42 reports the signals, this APPLIES them).
+# Thresholds compare per-row double divisions, which are bit-identical
+# across engines (single IEEE op on the same ints — no summation-order
+# knife edge).
+def q97_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    per_doc = docs.select("doc_id", n_tokens.alias("n_tokens"), dr.alias("dr"))
+    reason = (
+        F.when(F.col("n_tokens") < 25, "too_short")
+        .when(F.col("dr") < 0.32, "low_diversity")
+    )
+    return (
+        per_doc.select("doc_id", reason.alias("reason"))
+        .filter(F.col("reason").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+_Q97_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS dr
+      FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tokens < 25 THEN 'too_short'
+                 WHEN dr < 0.32 THEN 'low_diversity' END) AS reason
+    FROM t
+    WHERE n_tokens < 25 OR dr < 0.32
+    ORDER BY doc_id
+"""
+
+
 # --- q96: deterministic train/val/test split — hash-of-key bucketing,
 # the reproducible alternative to random sampling for dataset assembly.
 def q96_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +387,7 @@ QUERIES = {
     "q44_trigram_stats": q44_trigram_stats,
     "q94_token_chunks": q94_token_chunks,
     "q96_dataset_split": q96_dataset_split,
+    "q97_quality_filter": q97_quality_filter,
 }
 
 
@@ -536,4 +577,5 @@ ORACLES = {
     """,
     "q94_token_chunks": _Q94_ORACLE,
     "q96_dataset_split": _q96_oracle(),
+    "q97_quality_filter": _Q97_ORACLE,
 }

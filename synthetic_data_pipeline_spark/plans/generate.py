@@ -29,7 +29,7 @@ only the numbers source and the per-row explode differ per engine.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..functions.xsql import hash_int_range, hash_u16, hash_unit
 from ..plans.catalog import SIT_CATALOG

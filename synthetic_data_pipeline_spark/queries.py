@@ -28,7 +28,7 @@ _PRIORITY = [
     "q91_sit_issue_list",
     "q92_salted_event_stats",
     "q93_redact_documents", "q94_token_chunks",
-    "q95_dedup_retention", "q96_dataset_split",
+    "q95_dedup_retention", "q96_dataset_split", "q97_quality_filter",
     "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
     "q43_fingerprints", "q44_trigram_stats",
     "q49_bpe_token_stats", "q50_knn_bruteforce", "q51_label_centroids",

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
-
 from synthetic_data_pipeline_spark.operators.generation import (
     _DIALECTS,
     _gen_ctes,

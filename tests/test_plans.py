@@ -8,8 +8,6 @@ them (SURVEY.md §4.2).
 
 from __future__ import annotations
 
-import pytest
-
 from synthetic_data_pipeline_spark.operators import relational
 from tests.conftest import SF_DIR
 
