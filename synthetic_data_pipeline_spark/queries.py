@@ -47,6 +47,8 @@ _PRIORITY = [
     # catalog-widening touches these — keep them in the checked window
     "q60_gen_meta_summary", "q61_gen_corpus_stats",
     "q62_gen_validation_report",
+    "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
+    "q65_distinct_tcs_histogram",
 ]
 
 
