@@ -164,3 +164,20 @@ def test_q92_salted_two_level_aggregation(spark):
     # partial+final pairs for both levels → at least 4 HashAggregates
     assert p.count("HashAggregate") >= 4, p
     assert "monotonically_increasing_id" not in p and "rand(" not in p, p
+
+
+def test_q93_q94_stay_narrow(spark):
+    """The redaction and chunking passes must stay single-scan narrow
+    maps — no join, and no shuffle beyond the one range partitioning
+    for the deterministic output sort."""
+    from synthetic_data_pipeline_spark.operators import sitscan, textops
+
+    for df in (
+        sitscan.redact_documents(spark, SF_DIR),
+        textops.q94_token_chunks(spark, SF_DIR),
+    ):
+        p = plan(df)
+        assert "Join" not in p, p
+        # only the output sort's rangepartitioning — no hash shuffle
+        assert "hashpartitioning" not in p, p
+        assert p.count("- Exchange") <= 1, p
