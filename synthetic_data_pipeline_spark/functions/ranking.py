@@ -65,7 +65,13 @@ def global_rank(
     ascending: bool = True,
 ) -> DataFrame:
     """Append a global row_number over (order_col, tiebreak_col)
-    without a single-partition window."""
+    without a single-partition window.
+
+    ``df`` MUST be deterministic across re-evaluation: the engine runs
+    three separate actions (quantile sample, bucket counts, final pass),
+    so a frame derived from ``sample``/``rand`` would yield offsets that
+    disagree with the final pass. Pass ``df.localCheckpoint()`` first if
+    the lineage is non-deterministic."""
     return _two_phase(
         df, order_col, tiebreak_col, n_buckets, ascending,
         lambda rn, n: {rank_name: rn},
@@ -85,7 +91,11 @@ def global_analytics(
 ) -> DataFrame:
     """Append percent_rank, cume_dist and (optionally) ntile over the
     unique total order (order_col, tiebreak_col) — two-phase, no
-    single-partition WindowExec."""
+    single-partition WindowExec.
+
+    Like :func:`global_rank`, ``df`` must be deterministic across the
+    three internal actions — ``localCheckpoint()`` non-deterministic
+    lineage first."""
 
     def make(rn: Column, n: int) -> dict[str, Column]:
         out = {

@@ -23,6 +23,7 @@ from ..sources.tables import load_table
 N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 TOP_K = 5
 N_HYPERPLANES = 8
+N_BANDS = 2  # shared by band_signatures AND the q54 oracle SQL below
 
 
 def _as_double(col):
@@ -143,10 +144,15 @@ def hyperplane_signature(v_col, n_planes: int = N_HYPERPLANES):
     return sig
 
 
-def band_signatures(v_col, n_planes: int = N_HYPERPLANES, n_bands: int = 2):
+def band_signatures(v_col, n_planes: int = N_HYPERPLANES, n_bands: int = N_BANDS):
     """Split the planes into bands (MinHash-band analogue): a candidate
     pair only needs to agree on ONE band's full signature, trading
     precision for recall without widening any single bucket join."""
+    if n_planes % n_bands:
+        raise ValueError(
+            f"n_planes ({n_planes}) must divide evenly into n_bands "
+            f"({n_bands}); trailing planes would be silently dropped"
+        )
     per = n_planes // n_bands
     out = []
     for b in range(n_bands):
@@ -470,9 +476,9 @@ ORACLES = {
           GROUP BY m.vec_id, w.p
         ),
         bandsigs AS (
-          SELECT vec_id, CAST(p // {N_HYPERPLANES // 2} AS INTEGER) AS band,
+          SELECT vec_id, CAST(p // {N_HYPERPLANES // N_BANDS} AS INTEGER) AS band,
                  CAST(sum(CASE WHEN proj > 0
-                               THEN power(2, p % {N_HYPERPLANES // 2})
+                               THEN power(2, p % {N_HYPERPLANES // N_BANDS})
                                ELSE 0 END) AS BIGINT) AS sig
           FROM proj GROUP BY vec_id, band
         ),

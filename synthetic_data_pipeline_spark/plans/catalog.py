@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 # tests/test_generation.py::test_catalog_pairwise_disjoint pins this.
 SIT_CATALOG: list[tuple[str, str, str, list[str]]] = [
     ("SIT_CCN", "Credit Card Number", r"\b(?:4\d{3}|5[1-5]\d{2})[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", ["Finance"]),
-    ("SIT_SSN", "US Social Security Number", r"(?i)\b[0-8]\d{2}-\d{2}-\d{4}\b|ssn[: ]+[0-8]\d{2}-\d{2}-\d{4}\b", ["HR", "Tax"]),
+    ("SIT_SSN", "US Social Security Number", r"\b[0-8]\d{2}-\d{2}-\d{4}\b", ["HR", "Tax"]),
     ("SIT_IBAN", "IBAN", r"\b[A-Z]{2}\d{2}[A-Z0-9]{12,30}\b", ["Finance"]),
     ("SIT_IPV4", "IPv4 Address", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", ["Network"]),
     ("SIT_EMAIL", "Email Address", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", ["Contact"]),
