@@ -314,10 +314,13 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q56: iterative k-means (3 fixed iterations, deterministic init) —
-# a genuinely non-SQL-expressible iterative algorithm (driver records
-# the weaker rows-only check). Each iteration: broadcast k centroids,
-# assign by min squared distance, recompute means via dim-exploded agg.
+# --- q56: iterative k-means (3 fixed iterations, deterministic init).
+# The FIXED iteration count makes it SQL-expressible after all: the
+# oracle below unrolls the three assign→recompute rounds as CTE stages
+# (same round-6 tie-break on squared distance, same cid ordering), so
+# the driver gets a full hash check instead of rows-only. Each
+# iteration: broadcast k centroids, assign by min squared distance,
+# recompute means via dim-exploded agg.
 K_CLUSTERS = 8
 KMEANS_ITERS = 3
 
@@ -370,6 +373,61 @@ def q56_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
+    """Unroll the fixed-iteration k-means as CTE stages — one
+    assign→recompute pair per iteration, built from the SAME constants
+    the Spark builder uses so the two can never drift. Tie-breaks mirror
+    the Spark side exactly: round-6 squared distance, then cid."""
+    ctes = [
+        f"""dims AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        )""",
+        f"""cent0 AS (
+          SELECT CAST(vec_id AS INTEGER) AS cid, dim, x AS c
+          FROM dims WHERE vec_id < {k}
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""d2_{i} AS (
+          SELECT m.vec_id, c.cid, sum((m.x - c.c) * (m.x - c.c)) AS d2
+          FROM dims m JOIN cent{i - 1} c ON m.dim = c.dim
+          GROUP BY m.vec_id, c.cid
+        )""")
+        ctes.append(f"""a{i} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY round(d2, 6) ASC, cid ASC
+            ) AS rn FROM d2_{i}
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""cent{i} AS (
+          SELECT a.cid, m.dim, avg(m.x) AS c
+          FROM dims m JOIN a{i} a ON m.vec_id = a.vec_id
+          GROUP BY a.cid, m.dim
+        )""")
+    ctes.append(f"""finald2 AS (
+          SELECT m.vec_id, c.cid, sum((m.x - c.c) * (m.x - c.c)) AS d2
+          FROM dims m JOIN cent{iters} c ON m.dim = c.dim
+          GROUP BY m.vec_id, c.cid
+        )""")
+    ctes.append("""finala AS (
+          SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2, row_number() OVER (
+              PARTITION BY vec_id ORDER BY round(d2, 6) ASC, cid ASC
+            ) AS rn FROM finald2
+          ) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(sum(d2), 2) AS inertia
+        FROM finala GROUP BY cid ORDER BY cid
+    """
+    )
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q54_cosine_near_dups": q54_cosine_near_dups,
@@ -392,6 +450,7 @@ _COSINE_SQL = """
 """
 
 ORACLES = {
+    "q56_kmeans": _kmeans_oracle_sql(),
     "q50_knn_bruteforce": f"""
         WITH scored AS ({_COSINE_SQL.format(nq=N_QUERIES)}),
         ranked AS (
