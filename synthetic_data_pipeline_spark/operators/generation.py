@@ -506,6 +506,138 @@ def _issue_list_sql(cfg: GenConfig, dialect: str) -> str:
     """, dialect)
 
 
+# --- q98: per-doc validation-failure list (the reference validator's
+# issue branches, modules/validator.py:301-330). On a clean generated
+# corpus both branches are provably empty (q62: tp_satisfied==tp_total,
+# fp_flagged==0), so the driver query demonstrates the detector under
+# deterministic FAULT INJECTION applied identically on both engines:
+# every FLIP_MOD-th doc's TP pairs are relabeled FP (their planted
+# values then count as FP hits), and every INFLATE_MOD-th doc's TP
+# quota is inflated past what was planted (TP shortfall). The
+# uninjected detector also feeds write_validation_report's issue lines.
+_FAIL_FLIP_MOD = 7
+_FAIL_INFLATE_MOD = 5
+_FAIL_INFLATE_BY = 2
+
+
+def validation_failures(pairs) -> "DataFrame":
+    """Failure rows from a (doc_id, sit_id, label, instances, ms) pair
+    relation: TP pairs with fewer real matches than max(1, instances)
+    (validator.py:303-318) and FP pairs with any real match
+    (validator.py:319-330). ``ms`` is the already-placeholder-filtered
+    match list, so ``size(ms)`` is the reference's ``found_real``."""
+    from pyspark.sql import functions as F
+
+    needed = (
+        F.when(
+            F.col("label") == "TP",
+            F.greatest(F.lit(1), F.col("instances")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        pairs.select(
+            "sit_id",
+            "doc_id",
+            "label",
+            needed.alias("needed"),
+            F.size("ms").cast("long").alias("found"),
+        )
+        .withColumn(
+            "issue_type",
+            F.when(
+                (F.col("label") == "TP") & (F.col("found") < F.col("needed")),
+                F.lit("TP_SHORTFALL"),
+            ).when(
+                (F.col("label") == "FP") & (F.col("found") > 0),
+                F.lit("FP_HIT"),
+            ),
+        )
+        .filter(F.col("issue_type").isNotNull())
+    )
+
+
+def q98_validation_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-injected failure list, capped like q91 (5/SIT + 500
+    global). Scale shape: the injection and failure predicates are
+    narrow per-row maps over the per-assigned-pair scan; the cap window
+    shuffles only short issue rows."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sitscan import cap_issues
+
+    pairs = _scanned_pairs(spark)
+    pert = pairs.select(
+        "doc_id",
+        "sit_id",
+        F.when(
+            (F.col("doc_id") % _FAIL_FLIP_MOD == 0) & (F.col("label") == "TP"),
+            F.lit("FP"),
+        )
+        .otherwise(F.col("label"))
+        .alias("label"),
+        F.when(
+            (F.col("doc_id") % _FAIL_INFLATE_MOD == 0)
+            & (F.col("label") == "TP"),
+            F.col("instances") + _FAIL_INFLATE_BY,
+        )
+        .otherwise(F.col("instances"))
+        .alias("instances"),
+        "ms",
+    )
+    return cap_issues(validation_failures(pert), order_cols=("doc_id",))
+
+
+def _failures_sql(cfg: GenConfig, dialect: str) -> str:
+    """Single-SQL twin of q98 — same fault-injection constants, same
+    caps."""
+    d = _DIALECTS[dialect]
+    whens = " ".join(_ms_whens(d))
+    scan_ids = ", ".join(f"'{sid}'" for sid in RE2_SAFE_IDS)
+    return expand_u16(f"""
+      WITH {_gen_ctes(cfg, d)},
+      {_rendered_cte(d)},
+      pairs AS (
+        SELECT v.doc_id, v.sit_id, v.label, v.instances,
+               (CASE v.sit_id {whens} ELSE NULL END) AS ms
+        FROM vals v JOIN rendered r ON v.doc_id = r.doc_id
+        WHERE v.sit_id IN ({scan_ids})
+      ),
+      pert AS (
+        SELECT doc_id, sit_id,
+               CASE WHEN doc_id % {_FAIL_FLIP_MOD} = 0 AND label = 'TP'
+                    THEN 'FP' ELSE label END AS label,
+               CASE WHEN doc_id % {_FAIL_INFLATE_MOD} = 0 AND label = 'TP'
+                    THEN instances + {_FAIL_INFLATE_BY}
+                    ELSE instances END AS instances,
+               ms
+        FROM pairs
+      ),
+      f AS (
+        SELECT sit_id, doc_id, label,
+               CAST(CASE WHEN label = 'TP' THEN greatest(1, instances)
+                         ELSE 0 END AS BIGINT) AS needed,
+               CAST({d['len']}(ms) AS BIGINT) AS found
+        FROM pert
+      ),
+      iss AS (
+        SELECT sit_id, doc_id, label, needed, found,
+               CASE WHEN label = 'TP' AND found < needed THEN 'TP_SHORTFALL'
+                    WHEN label = 'FP' AND found > 0 THEN 'FP_HIT'
+               END AS issue_type
+        FROM f
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY sit_id ORDER BY doc_id) AS rn
+        FROM iss WHERE issue_type IS NOT NULL
+      )
+      SELECT sit_id, doc_id, label, needed, found, issue_type
+      FROM ranked WHERE rn <= 5
+      ORDER BY sit_id, doc_id LIMIT 500
+    """, dialect)
+
+
 def write_validation_report(
     spark: SparkSession, path: str, cfg: GenConfig = DEFAULT_CONFIG
 ) -> str:
@@ -522,11 +654,26 @@ def write_validation_report(
 
     meta = {r.sit_id: r for r in q60_gen_meta_summary(spark, "").collect()}
     val = {r.sit_id: r for r in q62_gen_validation_report(spark, "").collect()}
-    fp_issues = (
+    # both validator failure branches (validator.py:303-330): TP docs
+    # short of their quota and FP docs with any real-looking match, each
+    # with a ≤5-value sample, capped at 500 lines like the reference
+    issues = (
         _scanned_pairs(spark, cfg)
-        .filter((F.col("label") == "FP") & (F.size("ms") > 0))
+        .withColumn("found", F.size("ms"))
+        .withColumn(
+            "needed",
+            F.when(
+                F.col("label") == "TP",
+                F.greatest(F.lit(1), F.col("instances")),
+            ).otherwise(F.lit(0)),
+        )
+        .filter(
+            ((F.col("label") == "TP") & (F.col("found") < F.col("needed")))
+            | ((F.col("label") == "FP") & (F.col("found") > 0))
+        )
         .select(
-            "doc_id", "sit_id", F.slice(F.array_distinct("ms"), 1, 5).alias("sample")
+            "doc_id", "sit_id", "label", "found", "needed",
+            F.slice(F.array_distinct("ms"), 1, 5).alias("sample"),
         )
         .orderBy("sit_id", "doc_id")
         .limit(500)
@@ -556,11 +703,17 @@ def write_validation_report(
     lines.append(f"Average instances per SIT (across docs): {n_inst / n_rows:.2f}")
 
     lines.append("\nDetected issues (first 500 lines):\n")
-    if fp_issues:
+    if issues:
         lines.extend(
-            f"FP contains valid-looking match in doc {r.doc_id}, "
-            f"sit {r.sit_id}: sample {list(r.sample)}"
-            for r in fp_issues
+            (
+                f"TP missing matches for doc {r.doc_id}, sit {r.sit_id}: "
+                f"found {r.found} expected {r.needed} "
+                f"sample_matches: {list(r.sample)}"
+                if r.label == "TP"
+                else f"FP contains valid-looking match in doc {r.doc_id}, "
+                f"sit {r.sit_id}: sample {list(r.sample)}"
+            )
+            for r in issues
         )
     else:
         lines.append("No issues detected based on regex checks and heuristics.\n")
@@ -576,6 +729,7 @@ QUERIES = {
     "q61_gen_corpus_stats": q61_gen_corpus_stats,
     "q62_gen_validation_report": q62_gen_validation_report,
     "q91_sit_issue_list": q91_sit_issue_list,
+    "q98_validation_failures": q98_validation_failures,
 }
 
 ORACLES = {
@@ -583,4 +737,5 @@ ORACLES = {
     "q61_gen_corpus_stats": _corpus_stats_sql(DEFAULT_CONFIG, "duckdb"),
     "q62_gen_validation_report": _validation_sql(DEFAULT_CONFIG, "duckdb"),
     "q91_sit_issue_list": _issue_list_sql(DEFAULT_CONFIG, "duckdb"),
+    "q98_validation_failures": _failures_sql(DEFAULT_CONFIG, "duckdb"),
 }

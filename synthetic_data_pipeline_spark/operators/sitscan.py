@@ -108,20 +108,24 @@ POSITION_EXCERPT_EXPRS = [
 
 
 def cap_issues(
-    matched: DataFrame, per_sit: int = 5, global_cap: int = 500
+    matched: DataFrame,
+    per_sit: int = 5,
+    global_cap: int = 500,
+    order_cols: tuple[str, ...] = ("doc_id", "match"),
 ) -> DataFrame:
     """Apply the validator's display caps (validator.py:210-233 per-SIT
     samples, validator.py:351-352 global cap) deterministically: top
-    ``per_sit`` rows per SIT by (doc_id, match), then a sorted global
-    limit. The window shuffle carries only short issue rows (never
-    document text); the global cap is TakeOrderedAndProject over
-    ≤ per_sit·|catalog| rows — no global sort."""
-    w = Window.partitionBy("sit_id").orderBy("doc_id", "match")
+    ``per_sit`` rows per SIT by ``order_cols``, then a sorted global
+    limit. ``order_cols`` must make rows unique within a SIT. The window
+    shuffle carries only short issue rows (never document text); the
+    global cap is TakeOrderedAndProject over ≤ per_sit·|catalog| rows —
+    no global sort."""
+    w = Window.partitionBy("sit_id").orderBy(*order_cols)
     return (
         matched.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= per_sit)
         .drop("rn")
-        .orderBy("sit_id", "doc_id", "match")
+        .orderBy("sit_id", *order_cols)
         .limit(global_cap)
     )
 

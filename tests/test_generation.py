@@ -38,6 +38,36 @@ def test_validation_golden(spark, sf_dir):
         assert r.fp_flagged == 0, f"{r.sit_id}: flagged FPs"
 
 
+def test_validation_failures_detector(spark, sf_dir):
+    """The failure detector (validator.py:301-330 branches) on
+    handcrafted pairs: shortfall fires on found < max(1, instances),
+    FP-hit fires on any real match, satisfied pairs emit nothing."""
+    from synthetic_data_pipeline_spark.operators.generation import (
+        validation_failures,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # (doc, sit, label, instances, ms)
+            (1, "S_A", "TP", 2, ["x", "y"]),      # satisfied
+            (2, "S_A", "TP", 3, ["x"]),           # shortfall 1 < 3
+            (3, "S_A", "TP", 0, []),              # needed=max(1,0)=1 > 0
+            (4, "S_B", "FP", 0, []),              # clean FP
+            (5, "S_B", "FP", 0, ["leak"]),        # FP hit
+        ],
+        "doc_id long, sit_id string, label string, instances int, ms array<string>",
+    )
+    got = {
+        (r.doc_id, r.issue_type, r.needed, r.found)
+        for r in validation_failures(pairs).collect()
+    }
+    assert got == {
+        (2, "TP_SHORTFALL", 3, 1),
+        (3, "TP_SHORTFALL", 1, 0),
+        (5, "FP_HIT", 0, 1),
+    }
+
+
 def test_tp_values_match_python_re(spark, sf_dir):
     """Pattern-compat across regex engines: every generated TP value
     must match its catalog pattern under Python ``re`` as well (the
