@@ -3,13 +3,15 @@
 as Arrow-batched pandas UDFs over BinaryType columns.
 
 Library policy (this container ships none of python-docx / pypdf /
-reportlab / openpyxl): each renderer tries the real library first and
-otherwise falls back to a DETERMINISTIC STUB container (magic header +
-UTF-8 payload) that the matching extractor understands, so the full
+reportlab): docx/pdf renderers try the real library first and otherwise
+fall back to a DETERMINISTIC STUB container (magic header + UTF-8
+payload) that the matching extractor understands, so the full
 render → write → binaryFile-scan → extract → validate loop is real
 Spark plumbing end-to-end with or without the libs. The EML path uses
 only the stdlib and is fully real (MIME multipart, attachments —
-postprocessor.py:93-115).
+postprocessor.py:93-115), and the XLSX path is fully real via the
+stdlib SpreadsheetML writer/reader in ``sources/xlsx.py`` — no
+openpyxl, no stub.
 
 The PDF line-wrap logic (100-char wrap, postprocessor.py:55-75) is real
 and applied before packaging regardless of backend.
@@ -33,9 +35,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StringType
 from pyspark.sql.functions import pandas_udf
 
+from .xlsx import read_xlsx, write_xlsx
+
 _DOCX_MAGIC = b"SDPS-FAKE-DOCX\x00"
 _PDF_MAGIC = b"SDPS-FAKE-PDF\x00"
-_XLSX_MAGIC = b"SDPS-FAKE-XLSX\x00"
 
 
 def _try_import(name: str):
@@ -104,19 +107,10 @@ def render_pdf_bytes(text: str) -> bytes:
 
 
 def render_xlsx_bytes(rows: list[tuple[str, str]]) -> bytes:
-    openpyxl = _try_import("openpyxl")
-    if openpyxl is not None:  # pragma: no cover
-        import io
-
-        wb = openpyxl.Workbook()
-        ws = wb.active
-        for r in rows:
-            ws.append(list(r))
-        buf = io.BytesIO()
-        wb.save(buf)
-        return buf.getvalue()
-    payload = "\n".join("\t".join(r) for r in rows)
-    return _XLSX_MAGIC + payload.encode("utf-8")
+    """Real one-sheet workbook bytes via the stdlib SpreadsheetML writer
+    (postprocessor.py:79-91's mapping rendition) — no library gate, no
+    stub container."""
+    return write_xlsx(rows)
 
 
 def render_eml_bytes(
@@ -166,21 +160,9 @@ def extract_pdf_text(data: bytes) -> str:
 
 def extract_xlsx_rows(data: bytes) -> list[list[str]]:
     """Inverse of ``render_xlsx_bytes`` — the validator's xlsx mapping
-    scan (validator.py:27-34). Real openpyxl parse when the library is
-    present; the stub container decodes without it."""
-    if data.startswith(_XLSX_MAGIC):
-        payload = data[len(_XLSX_MAGIC):].decode("utf-8")
-        return [ln.split("\t") for ln in payload.splitlines()]
-    openpyxl = _try_import("openpyxl")
-    if openpyxl is None:
-        raise NotImplementedError("real .xlsx given but openpyxl missing")
-    import io  # pragma: no cover
-
-    wb = openpyxl.load_workbook(io.BytesIO(data), read_only=True)
-    return [
-        ["" if c is None else str(c) for c in row]
-        for row in wb.active.iter_rows(values_only=True)
-    ]
+    scan (validator.py:27-34). Stdlib zip+XML parse; also reads
+    shared-string workbooks produced by Excel/openpyxl."""
+    return read_xlsx(data)
 
 
 def extract_eml_text(data: bytes) -> str:

@@ -85,32 +85,63 @@ def test_file_sink_and_binary_scan(spark, docs, tmp_path):
     assert any("SSN 123-45-6789" in x.t for x in texts)
 
 
-def test_xlsx_roundtrip_stub_or_real():
-    """render_xlsx_bytes → extract_xlsx_rows round trip — exercises
-    whichever path the container has (stub without openpyxl, real
-    workbook bytes with it)."""
+def test_xlsx_roundtrip_real_container():
+    """render_xlsx_bytes → extract_xlsx_rows round trip on REAL
+    SpreadsheetML workbook bytes (stdlib zip+XML, no openpyxl), with
+    XML-hostile values and deterministic output bytes."""
     from synthetic_data_pipeline_spark.sources.renditions import (
         extract_xlsx_rows,
         render_xlsx_bytes,
     )
 
-    rows = [("doc_id", "sit_ids"), ("7", "SIT_SSN;SIT_CCN"), ("9", "")]
+    rows = [
+        ("doc_id", "sit_ids"),
+        ("7", "SIT_SSN;SIT_CCN"),
+        ("9", ""),
+        ("<tag>&amp;", "  spaced  "),
+    ]
     data = render_xlsx_bytes(rows)
+    assert data[:2] == b"PK", "expected a real zip-container workbook"
     assert extract_xlsx_rows(data) == [list(r) for r in rows]
+    assert data == render_xlsx_bytes(rows), "workbook bytes must be stable"
 
 
-def test_xlsx_real_openpyxl_path():
-    """Real workbook bytes (PK zip container) survive the round trip.
-    Skip-marked: the driver container has no openpyxl; this runs
-    wherever the real library exists."""
-    import pytest
+def test_xlsx_reads_shared_strings_and_sparse_refs():
+    """The reader handles what Excel/openpyxl actually emit: shared
+    strings (t=\"s\"), rich-text runs, plain <v> numbers, and sparse
+    r=\"C2\"-style cell refs with gaps."""
+    import io
+    import zipfile
 
-    pytest.importorskip("openpyxl")
     from synthetic_data_pipeline_spark.sources.renditions import (
         extract_xlsx_rows,
         render_xlsx_bytes,
     )
 
-    data = render_xlsx_bytes([("a", "b"), ("1", "2")])
-    assert data[:2] == b"PK", "expected a real zip-container workbook"
-    assert extract_xlsx_rows(data) == [["a", "b"], ["1", "2"]]
+    base = render_xlsx_bytes([("placeholder",)])
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1"><v>42</v></c></row>'
+        '<row r="2"><c r="B2" t="s"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        f'<sst xmlns="{ns}" count="2" uniqueCount="2">'
+        "<si><t>plain</t></si>"
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si>"
+        "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            if name != "xl/worksheets/sheet1.xml":
+                zout.writestr(name, zin.read(name))
+        zout.writestr("xl/worksheets/sheet1.xml", sheet)
+        zout.writestr("xl/sharedStrings.xml", shared)
+    assert extract_xlsx_rows(buf.getvalue()) == [
+        ["plain", "", "42"],
+        ["", "rich"],
+    ]
