@@ -31,11 +31,18 @@ HEADLINE = [
     "q44_trigram_stats",
     "q46_minhash_near_dups",
     "q50_knn_bruteforce",
+    "q54_cosine_near_dups",
+    "q55_ivf_ann",
     "q62_gen_validation_report",
     "q66_winnowing_fingerprints",
     "q90_flagship_sit_scan",
     "q91_sit_issue_list",
     "q92_salted_event_stats",
+    "q93_redact_documents",
+    "q94_token_chunks",
+    "q95_dedup_retention",
+    "q96_dataset_split",
+    "q97_quality_filter",
 ]
 
 
@@ -107,6 +114,25 @@ def main() -> None:
         times[name] = round(best, 3)
 
     extras = _render_throughput(spark)
+
+    # Normalize the two regex-scan headliners by work units (docs ×
+    # scanned patterns) so catalog growth between rounds reads as a
+    # workload change, not a per-unit regression.
+    from synthetic_data_pipeline_spark.operators.generation import DEFAULT_CONFIG
+    from synthetic_data_pipeline_spark.plans.catalog import RE2_SAFE_IDS
+
+    n_patterns = len(RE2_SAFE_IDS)
+    if "q90_flagship_sit_scan" in times:
+        n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        extras["q90_us_per_doc_pattern"] = round(
+            times["q90_flagship_sit_scan"] * 1e6 / (n_corpus * n_patterns), 3
+        )
+    if "q62_gen_validation_report" in times:
+        extras["q62_us_per_doc_pattern"] = round(
+            times["q62_gen_validation_report"] * 1e6
+            / (DEFAULT_CONFIG.n_docs * n_patterns),
+            3,
+        )
 
     total = round(sum(times.values()), 3)
     print(
