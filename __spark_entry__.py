@@ -57,15 +57,17 @@ DRIVER_WINDOW = [
     "q34_asof_click_error", "q35_first_event_per_user_type",
     "q36_hourly_top_event", "q37_conversion_funnel",
     "q80_deterministic_sample", "q81_pivot_status",
-    # changed since their last driver row
-    "q98_validation_failures", "q56_kmeans", "q54_cosine_near_dups",
-    "q29_price_analytics", "q62_gen_validation_report",
-    "q90_flagship_sit_scan", "q91_sit_issue_list",
-    "q93_redact_documents",
+    # changed since their last driver row (q99 is new: single-pass
+    # redaction vs the chain oracle over the match-bearing generated
+    # corpus)
+    "q98_validation_failures", "q99_redact_generated", "q56_kmeans",
+    "q54_cosine_near_dups", "q29_price_analytics",
+    "q62_gen_validation_report", "q90_flagship_sit_scan",
+    "q91_sit_issue_list", "q93_redact_documents",
     # touched by this round's planned template/perf work
     "q60_gen_meta_summary", "q61_gen_corpus_stats",
     "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
-    "q65_distinct_tcs_histogram", "q95_dedup_retention",
+    "q65_distinct_tcs_histogram",
 ]
 
 

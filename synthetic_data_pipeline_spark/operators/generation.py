@@ -439,6 +439,64 @@ def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rendered_docs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
+    """(doc_id, text) for the generated corpus — same staged-vals path
+    as :func:`_scanned_pairs` (64KB-codegen-safe), no pair join."""
+    d = _DIALECTS["spark"]
+    vals = _staged_vals(cfg, spark)
+    vals.createOrReplaceTempView("gen_vals_staged")
+    return spark.sql(
+        expand_u16(
+            f"""
+            WITH vals AS (SELECT * FROM gen_vals_staged),
+            {_rendered_cte(d)}
+            SELECT doc_id, text FROM rendered
+            """,
+            "spark",
+        )
+    )
+
+
+# q99 runs the alternation form, which costs ~20ms/doc on Java regex
+# (see sitscan.redact_df) — a smaller corpus keeps the driver window
+# fast while still planting every SIT's values ≥15 times.
+_REDACT_CONFIG = GenConfig(per_sit_count=15)
+
+
+def q99_redact_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-alternation PII redaction (sitscan.redact_df) over the
+    GENERATED corpus — unlike q93's documents table, every doc here
+    carries planted SIT values, so the hash check exercises real
+    replacements. The DuckDB oracle runs the sequential catalog-order
+    replace CHAIN over the identical corpus: a green row is a
+    cross-implementation proof that the one-pass alternation equals
+    the 34-pass chain on match-bearing text."""
+    from ..operators.sitscan import redact_df
+
+    return redact_df(_rendered_docs(spark, _REDACT_CONFIG))
+
+
+def _redact_generated_sql(cfg: GenConfig, dialect: str) -> str:
+    """Chain-form oracle for q99 (see q99_redact_generated docstring)."""
+    d = _DIALECTS[dialect]
+    col = "text"
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        pat = regex.replace("'", "''")
+        flag = ", 'g'" if dialect == "duckdb" else ""
+        col = f"regexp_replace({col}, '{pat}', '[{sit_id}]'{flag})"
+    return expand_u16(f"""
+      WITH {_gen_ctes(cfg, d)},
+      {_rendered_cte(d)}
+      SELECT doc_id,
+             CAST((length({col}) - length(replace({col}, '[SIT_', ''))) / 5
+                  AS BIGINT) AS n_redactions,
+             md5({col}) AS redacted_md5
+      FROM rendered ORDER BY doc_id
+    """, dialect)
+
+
 def q91_sit_issue_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-detail issue list over the generated corpus: every real
     (non-placeholder) match of an assigned (doc, SIT) pair with its
@@ -730,6 +788,7 @@ QUERIES = {
     "q62_gen_validation_report": q62_gen_validation_report,
     "q91_sit_issue_list": q91_sit_issue_list,
     "q98_validation_failures": q98_validation_failures,
+    "q99_redact_generated": q99_redact_generated,
 }
 
 ORACLES = {
@@ -738,4 +797,5 @@ ORACLES = {
     "q62_gen_validation_report": _validation_sql(DEFAULT_CONFIG, "duckdb"),
     "q91_sit_issue_list": _issue_list_sql(DEFAULT_CONFIG, "duckdb"),
     "q98_validation_failures": _failures_sql(DEFAULT_CONFIG, "duckdb"),
+    "q99_redact_generated": _redact_generated_sql(_REDACT_CONFIG, "duckdb"),
 }

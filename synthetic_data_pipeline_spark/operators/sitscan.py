@@ -130,20 +130,91 @@ def cap_issues(
     )
 
 
-def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (q93): every catalog-pattern match replaced with its
-    ``[SIT_ID]`` tag — the pass a training-data pipeline runs before
-    text reaches a model. Patterns apply in catalog order (identical on
-    both engines, so overlapping-match resolution is deterministic);
-    tags are bracketed upper_snake tokens no catalog pattern can match,
-    so a replacement never creates a new hit for a later pattern.
+def _combined_sit_pattern() -> str:
+    """All scanned catalog patterns as one alternation, catalog order.
+    Both Java regex and RE2 resolve alternation leftmost-first, so the
+    catalog-order priority of the sequential chain is preserved for
+    matches starting at the same position."""
+    return "|".join(
+        f"(?:{rx})"
+        for sid, _n, rx, _t in SIT_CATALOG
+        if sid in RE2_SAFE_IDS
+    )
+
+
+def _classify_token(m):
+    """Map a matched token to its ``[SIT_ID]`` tag: full-match tests in
+    catalog order over the SHORT extracted token — same winner as the
+    sequential chain when a token is in two SITs' languages."""
+    expr = None
+    for sit_id, _name, rx, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        cond = m.rlike(f"^(?:{rx})$")
+        tag = F.lit(f"[{sit_id}]")
+        expr = F.when(cond, tag) if expr is None else expr.when(cond, tag)
+    return expr.otherwise(m)
+
+
+def redact_df(docs: DataFrame) -> DataFrame:
+    """Single-ALTERNATION PII scrub over a (doc_id, text) relation:
+    every catalog-pattern match replaced with its ``[SIT_ID]`` tag.
+    One combined alternation drives ``split`` (unmatched segments) plus
+    ``regexp_extract_all`` (matched tokens); each short token is then
+    classified to its tag by catalog-order full-match tests and the
+    document is stitched back with ``zip_with``.
+
+    MEASURED SLOWER than :func:`redact_chain_df` on Spark — sf0.1
+    documents (match-free): 4.4s vs 1.7s; 6,360 generated match-dense
+    docs: 130s vs 38s — because ``java.util.regex`` is a backtracking
+    engine: a 34-way alternation pays ~the sum of all alternatives'
+    first-char/backtrack work at EVERY text position (twice here:
+    split + extract), while the chain's 34 sequential scans each
+    early-out cheaply and ``replaceAll`` returns the original string
+    untouched when a pattern has no match. The single-form pays off
+    only on DFA engines (RE2-style) where alternation compiles to one
+    automaton. Kept as the q99 driver query so the round's correctness
+    gate cross-proves it against the DuckDB CHAIN oracle on
+    match-bearing text; q93 (the hot path) uses the chain.
+
+    Equivalent to the chain when no two patterns' matches overlap
+    mid-span and no replacement manufactures a ``\\b`` that enables a
+    later pattern — both engineered into the catalog (disjointness
+    invariant, plans/catalog.py) and pinned empirically:
+    ``tests/test_sitscan.py`` asserts chain == single-pass per document
+    on both the documents table and the generated corpus.
 
     Output carries (n_redactions, md5) instead of the scrubbed text so
     the correctness gate hashes small rows; the full text is one
     ``.select`` away. Scale shape: ONE scan, narrow per-row map — no
-    shuffle, no join; this is the cheapest possible 100 TB pass.
+    shuffle, no join.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    combined = _combined_sit_pattern()
+    matches = F.regexp_extract_all("text", F.lit(combined), 0)
+    # split keeps trailing empty segments (limit=-1), so |segs| is
+    # always |matches| + 1; pad tags with one '' for zip_with.
+    segs = F.split("text", combined)
+    tags = F.concat(F.transform(matches, _classify_token), F.array(F.lit("")))
+    redacted = F.concat_ws(
+        "",
+        F.zip_with(
+            segs, tags, lambda s, t: F.concat(s, F.coalesce(t, F.lit("")))
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(matches).cast("long").alias("n_redactions"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def redact_chain_df(docs: DataFrame) -> DataFrame:
+    """The literal catalog-order ``regexp_replace`` chain — the FASTER
+    shape on Spark's backtracking regex engine (see :func:`redact_df`
+    for the measured comparison and why). 34 narrow passes, each a
+    cheap early-out scan with zero rewrite on match-free rows; still
+    one parquet scan, no shuffle, no join — the per-pass cost is CPU
+    over in-memory strings, not extra I/O."""
     col = F.col("text")
     for sit_id, _name, regex, _tcs in SIT_CATALOG:
         if sit_id not in RE2_SAFE_IDS:
@@ -158,6 +229,14 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_red.alias("n_redactions"),
         F.md5(col.cast("binary")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q93: the PII scrub over the ``documents`` table, chain form
+    (measured fastest on Spark — see :func:`redact_df`)."""
+    return redact_chain_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def _redact_oracle() -> str:

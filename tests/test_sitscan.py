@@ -20,6 +20,37 @@ from synthetic_data_pipeline_spark.plans.catalog import SIT_CATALOG
 from synthetic_data_pipeline_spark.plans.generate import DEFAULT_CONFIG
 
 
+def test_redact_single_pass_equals_chain(spark, sf_dir):
+    """The single-pass alternation redaction must agree per document
+    with the sequential catalog-order replace chain — the semantic spec
+    it optimizes. Runs over BOTH the documents table (match-free
+    passthrough) and the generated corpus (every doc carries planted
+    SIT values, so real replacements are exercised); q99's DuckDB chain
+    oracle re-proves the generated-corpus case every round."""
+    from synthetic_data_pipeline_spark.operators.generation import _rendered_docs
+    from synthetic_data_pipeline_spark.operators.sitscan import (
+        redact_chain_df,
+        redact_df,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    corpora = {
+        "documents": load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ),
+        "generated": _rendered_docs(spark),
+    }
+    for label, docs in corpora.items():
+        fast = {r.doc_id: (r.n_redactions, r.redacted_md5)
+                for r in redact_df(docs).collect()}
+        chain = {r.doc_id: (r.n_redactions, r.redacted_md5)
+                 for r in redact_chain_df(docs).collect()}
+        assert fast == chain, f"{label}: single-pass != chain"
+    assert any(n > 0 for n, _ in fast.values()), (
+        "generated corpus redacted nothing — planted values unmatched"
+    )
+
+
 def test_issue_list_positions_and_excerpts(spark, sf_dir):
     rows = q91_sit_issue_list(spark, sf_dir).collect()
     assert rows, "issue list empty"
