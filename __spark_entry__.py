@@ -59,15 +59,16 @@ DRIVER_WINDOW = [
     "q80_deterministic_sample", "q81_pivot_status",
     # changed since their last driver row (q99 is new: single-pass
     # redaction vs the chain oracle over the match-bearing generated
-    # corpus)
-    "q98_validation_failures", "q99_redact_generated", "q56_kmeans",
+    # corpus; q100 is new: real-container media decode + features vs
+    # an independently derived golden table)
+    "q98_validation_failures", "q99_redact_generated",
+    "q100_media_features", "q56_kmeans",
     "q54_cosine_near_dups", "q29_price_analytics",
     "q62_gen_validation_report", "q90_flagship_sit_scan",
     "q91_sit_issue_list", "q93_redact_documents",
     # touched by this round's planned template/perf work
     "q60_gen_meta_summary", "q61_gen_corpus_stats",
     "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
-    "q65_distinct_tcs_histogram",
 ]
 
 

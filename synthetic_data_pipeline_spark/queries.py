@@ -13,8 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.rounding import apply_sql_eround
 from .operators import dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops
+from .sources import multimodal
 
-_MODULES = [dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops]
+_MODULES = [dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops, multimodal]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry in natural module order. Any driver-window rotation

@@ -1,26 +1,42 @@
 """Multimodal columns: image/audio/video as opaque BinaryType payloads
-with typed metadata (north star requirement). The real decoders
-(Pillow / libav) are NOT in this container, so decoding is STUBBED with
-a deterministic raw-container interpretation — but everything Spark-side
-is real and tested: the schema, the mapInPandas batch shape, the Arrow
-transfer of binary columns, the partition-parallel feature extraction.
+with typed metadata (north star requirement; reference has no media
+path — this is the training-data-pipeline extension tier).
 
-Container convention for the stub codec (clearly fake, never a real
-format): payload = raw uint8 bytes, row-major; images are
-``meta.width × meta.height`` grayscale; audio is ``meta.n_samples``
-unsigned 8-bit PCM; video is ``meta.n_frames`` concatenated images.
-A real deployment swaps ``_decode_*`` for Pillow/soundfile/av calls —
-the Spark plumbing does not change.
+The payloads are REAL public container formats, encoded and decoded in
+pure numpy — no Pillow/libav needed:
+
+- images: binary PGM (``P5``, the netpbm grayscale format) or 24-bit
+  uncompressed BMP (``BM`` magic, bottom-up BGR rows, 4-byte padded)
+- audio: RIFF/WAVE, 8-bit unsigned mono PCM
+- video: a concatenated-PGM frame stream (self-describing, each frame
+  carries its own ``P5`` header — the same concatenation idea as MJPEG)
+
+Decode dispatches on the container's magic bytes, so the typed ``meta``
+struct is catalog metadata, not a decode crutch. Compressed codecs the
+container lacks libraries for (PNG, JPEG) are detected by magic and
+rejected with an honest ``NotImplementedError`` — a real deployment
+swaps those arms for Pillow/soundfile/av; the Spark plumbing (Arrow
+binary transfer, mapInPandas batch shape, partition parallelism) does
+not change.
+
+Per-batch feature math is vectorized numpy-on-Arrow: payloads decode to
+one concatenated uint8 buffer and mean/std/brightness reduce per-row
+via ``np.add.reduceat`` — three vectorized passes per batch, no per-row
+Python arithmetic.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import eround
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -33,87 +49,246 @@ FEATURE_SCHEMA = (
 )
 
 
-def synth_media(spark: SparkSession, n: int = 60) -> DataFrame:
-    """Deterministic fake corpus: payload bytes derived from md5(media_id)
-    so every test run (and partitioning) sees identical data."""
-    rows = []
-    for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        seed = hashlib.md5(f"media:{i}".encode()).digest()
-        rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
-        if kind == "image":
-            w, h, ns, nf = 16, 12, 0, 0
-            payload = rng.integers(0, 256, w * h, dtype=np.uint8)
-        elif kind == "audio":
-            w, h, ns, nf = 0, 0, 400, 0
-            payload = rng.integers(0, 256, ns, dtype=np.uint8)
-        else:
-            w, h, ns, nf = 8, 8, 0, 5
-            payload = rng.integers(0, 256, w * h * nf, dtype=np.uint8)
-        rows.append((i, kind, bytes(payload.tobytes()), (w, h, ns, nf)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+# --- codecs: real public formats, pure numpy ------------------------------
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """Binary PGM (netpbm ``P5``): ASCII header, then raw raster."""
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
-def _decode_array(kind: str, payload: bytes, meta) -> np.ndarray:
-    """STUB decoder — raw-container interpretation (see module doc).
-    Real image/audio decoding would raise on these fake bytes:"""
-    arr = np.frombuffer(payload, dtype=np.uint8)
+def decode_pgm(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Parse one ``P5`` image starting at ``offset``; returns
+    (array, offset past the raster) so streams of concatenated frames
+    parse with the same function. Handles netpbm whitespace and
+    ``#`` comments in the header."""
+    if buf[offset : offset + 2] != b"P5":
+        raise ValueError("not a P5/PGM payload")
+    pos = offset + 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM not supported")
+    end = pos + w * h
+    arr = np.frombuffer(buf[pos:end], dtype=np.uint8).reshape(h, w)
+    return arr, end
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP from a grayscale array (B=G=R). Rows are
+    bottom-up and padded to 4-byte multiples per the spec."""
+    h, w = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = np.repeat(arr[::-1].astype(np.uint8), 3, axis=1)  # bottom-up
+    rows[:, : w * 3] = bgr
+    return header + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP to grayscale (blue channel —
+    exact inverse of :func:`encode_bmp`'s B=G=R encoding)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", buf, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    row_bytes = (w * 3 + 3) & ~3
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    rows = np.frombuffer(
+        buf[pix_offset : pix_offset + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)
+    gray = rows[:, : w * 3 : 3]
+    return gray[::-1] if flip else gray
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """RIFF/WAVE, 8-bit unsigned mono PCM."""
+    data = samples.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """Parse RIFF/WAVE chunks; supports 8-bit unsigned mono PCM."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, bits = 12, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels = struct.unpack_from("<HH", buf, body)
+            bits = struct.unpack_from("<H", buf, body + 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 8:
+                raise NotImplementedError(
+                    f"only 8-bit mono PCM (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            return np.frombuffer(buf[body : body + size], dtype=np.uint8)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
+def encode_pgm_stream(frames: np.ndarray) -> bytes:
+    """Video container: concatenated P5 frames (MJPEG-style stream)."""
+    return b"".join(encode_pgm(f) for f in frames)
+
+
+def decode_pgm_stream(buf: bytes) -> np.ndarray:
+    """Parse a concatenated-PGM stream to (n_frames, h, w)."""
+    frames, pos = [], 0
+    while pos < len(buf):
+        frame, pos = decode_pgm(buf, pos)
+        frames.append(frame)
+    return np.stack(frames)
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Magic-dispatched image decode. PNG/JPEG are recognized and
+    rejected honestly — decoding them needs Pillow, absent here."""
+    if buf[:2] == b"P5":
+        return decode_pgm(buf)[0]
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" or buf[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG decode requires Pillow (absent from this container)"
+        )
+    raise ValueError("unrecognized image container")
+
+
+def decode_media(kind: str, payload: bytes) -> np.ndarray:
+    """Decode any media payload to a numpy array by kind + magic."""
     if kind == "image":
-        return arr.reshape(meta["height"], meta["width"])
+        return decode_image(payload)
     if kind == "audio":
-        return arr[: meta["n_samples"]]
+        return decode_wav(payload)
     if kind == "video":
-        return arr.reshape(meta["n_frames"], meta["height"], meta["width"])
+        return decode_pgm_stream(payload)
     raise NotImplementedError(f"unknown media kind: {kind}")
+
+
+# --- corpus + operators ---------------------------------------------------
+
+def _media_row(i: int) -> tuple[str, np.ndarray, bytes, tuple]:
+    """Deterministic (kind, pixels, container payload, meta) for media
+    id ``i`` — bytes derived from md5(media_id) so every run (and
+    partitioning) sees identical data; images alternate PGM and BMP so
+    both decode arms are exercised."""
+    kind = ["image", "audio", "video"][i % 3]
+    seed = hashlib.md5(f"media:{i}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
+    if kind == "image":
+        w, h, ns, nf = 16, 12, 0, 0
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        payload = encode_pgm(arr) if (i // 3) % 2 == 0 else encode_bmp(arr)
+    elif kind == "audio":
+        w, h, ns, nf = 0, 0, 400, 0
+        arr = rng.integers(0, 256, ns, dtype=np.uint8)
+        payload = encode_wav(arr)
+    else:
+        w, h, ns, nf = 8, 8, 0, 5
+        arr = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+        payload = encode_pgm_stream(arr)
+    return kind, arr, payload, (w, h, ns, nf)
+
+
+def synth_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic corpus of REAL containers (see :func:`_media_row`)."""
+    rows = [
+        (i, kind, payload, meta)
+        for i, (kind, _arr, payload, meta) in (
+            (i, _media_row(i)) for i in range(n)
+        )
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Per-row brightness/energy features via mapInPandas — the Arrow
-    batch boundary a real decode pipeline would use. Partition-parallel;
-    no shuffle."""
+    batch boundary a real decode pipeline would use. Partition-parallel,
+    no shuffle; per-batch math is 3 reduceat passes over one
+    concatenated buffer (see module doc), not per-row Python."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for r in pdf.itertuples(index=False):
-                arr = _decode_array(r.kind, r.payload, r.meta)
-                out.append(
-                    (
-                        r.media_id,
-                        r.kind,
-                        len(r.payload),
-                        float(arr.mean()),
-                        float(arr.std()),
-                        float((arr > 127).mean()),
-                    )
-                )
+            if not len(pdf):
+                continue
+            kinds = pdf["kind"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            arrs = [
+                decode_media(k, p).reshape(-1)
+                for k, p in zip(kinds, payloads)
+            ]
+            lens = np.array([a.size for a in arrs], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            flat = np.concatenate(arrs).astype(np.float64)
+            s = np.add.reduceat(flat, offsets)
+            s2 = np.add.reduceat(flat * flat, offsets)
+            nb = np.add.reduceat((flat > 127).astype(np.float64), offsets)
+            mean = s / lens
+            std = np.sqrt(np.maximum(s2 / lens - mean * mean, 0.0))
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "kind", "n_bytes", "mean", "std", "p_bright"
-                ],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kinds,
+                    "n_bytes": np.array([len(p) for p in payloads]),
+                    "mean": mean,
+                    "std": std,
+                    "p_bright": nb / lens,
+                }
             )
 
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize of image payloads (STUB decode, real
-    resample math + real binary-in/binary-out plumbing)."""
+    """Nearest-neighbor resize of image payloads — real decode (PGM or
+    BMP in), vectorized index-grid resample, real PGM out."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "image":
+            for mid, kind, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                if kind != "image":
                     continue
-                img = _decode_array(r.kind, r.payload, r.meta)
-                ys = (np.arange(out_h) * img.shape[0] // out_h)
-                xs = (np.arange(out_w) * img.shape[1] // out_w)
-                small = img[np.ix_(ys, xs)]
-                rows.append(
-                    (r.media_id, bytes(small.tobytes()), out_w, out_h)
-                )
+                img = decode_image(payload)
+                ys = np.arange(out_h) * img.shape[0] // out_h
+                xs = np.arange(out_w) * img.shape[1] // out_w
+                rows.append((mid, encode_pgm(img[np.ix_(ys, xs)]), out_w, out_h))
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload", "width", "height"]
             )
@@ -124,22 +299,86 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
-    """Frame sampling for video payloads: keep every k-th frame —
-    one row out per kept frame (explode-shaped mapInPandas)."""
+    """Frame sampling for video payloads: keep every k-th frame of the
+    PGM stream — one PGM-encoded row out per kept frame
+    (explode-shaped mapInPandas)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "video":
+            for mid, kind, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                if kind != "video":
                     continue
-                vid = _decode_array(r.kind, r.payload, r.meta)
-                for fi in range(0, vid.shape[0], every_k):
-                    rows.append(
-                        (r.media_id, fi, bytes(vid[fi].tobytes()))
-                    )
+                vid = decode_pgm_stream(payload)
+                rows.extend(
+                    (mid, fi, encode_pgm(vid[fi]))
+                    for fi in range(0, vid.shape[0], every_k)
+                )
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.mapInPandas(
         _batches, "media_id long, frame_no int, frame binary"
     )
+
+
+# --- driver-checked query + golden oracle ---------------------------------
+
+_Q100_N = 60
+_SCALE = 6
+
+
+def q100_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-featurize the deterministic media corpus: the full
+    Spark path (Arrow binary transfer → mapInPandas → magic-dispatched
+    container decode → reduceat batch math). The oracle is a golden
+    VALUES table re-derived per-row by plain numpy (``arr.mean()`` /
+    ``arr.std()``) with no Spark, no Arrow, and no codec in the loop —
+    a green row proves the container encode/decode round-trips and the
+    vectorized batch math against an independent implementation.
+    (``sf_dir`` unused: the corpus is self-contained by design.)"""
+    feats = extract_features(synth_media(spark, _Q100_N))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        eround(F.col("mean"), _SCALE).alias("mean_v"),
+        eround(F.col("std"), _SCALE).alias("std_v"),
+        eround(F.col("p_bright"), _SCALE).alias("p_bright_v"),
+    ).orderBy("media_id")
+
+
+def _media_features_sql() -> str:
+    """Golden oracle for q100 (see its docstring). Values are rounded
+    HERE with the same eround formula the Spark side applies, so the
+    SQL carries no round() call for apply_sql_eround to rewrite."""
+    def er(x: float) -> float:
+        return round(x + 1e-6 + abs(x) * 1e-12, _SCALE)
+
+    rows = []
+    for i in range(_Q100_N):
+        kind, arr, payload, _meta = _media_row(i)
+        flat = arr.reshape(-1).astype(np.float64)
+        rows.append(
+            f"({i}, '{kind}', {len(payload)}, {er(float(flat.mean()))!r}, "
+            f"{er(float(flat.std()))!r}, {er(float((flat > 127).mean()))!r})"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+      SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+             CAST(n_bytes AS BIGINT) AS n_bytes,
+             CAST(mean_v AS DOUBLE) AS mean_v,
+             CAST(std_v AS DOUBLE) AS std_v,
+             CAST(p_bright_v AS DOUBLE) AS p_bright_v
+      FROM (VALUES
+      {values}
+      ) AS t(media_id, kind, n_bytes, mean_v, std_v, p_bright_v)
+      ORDER BY media_id
+    """
+
+
+QUERIES = {"q100_media_features": q100_media_features}
+ORACLES = {"q100_media_features": _media_features_sql()}

@@ -1,13 +1,23 @@
-"""Multimodal plumbing tests: deterministic fake corpus, feature
-extraction over mapInPandas, resize + frame sampling shapes."""
+"""Multimodal tests: real pure-numpy codecs (PGM/BMP/WAV/PGM-stream),
+feature extraction over mapInPandas, resize + frame sampling shapes."""
 
 from __future__ import annotations
 
 import hashlib
 
 import numpy as np
+import pytest
 
 from synthetic_data_pipeline_spark.sources.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_pgm,
+    decode_pgm_stream,
+    decode_wav,
+    encode_bmp,
+    encode_pgm,
+    encode_pgm_stream,
+    encode_wav,
     extract_features,
     resize_images,
     sample_frames,
@@ -15,19 +25,49 @@ from synthetic_data_pipeline_spark.sources.multimodal import (
 )
 
 
+def test_codec_roundtrips():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 17), dtype=np.uint8)  # odd w → BMP padding
+    assert (decode_pgm(encode_pgm(img))[0] == img).all()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    pcm = rng.integers(0, 256, 333, dtype=np.uint8)
+    assert (decode_wav(encode_wav(pcm)) == pcm).all()
+    vid = rng.integers(0, 256, (4, 5, 6), dtype=np.uint8)
+    assert (decode_pgm_stream(encode_pgm_stream(vid)) == vid).all()
+
+
+def test_pgm_header_comments():
+    img = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    buf = b"P5\n# a netpbm comment\n3 2\n255\n" + img.tobytes()
+    assert (decode_pgm(buf)[0] == img).all()
+
+
+def test_compressed_codecs_rejected_honestly():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 16)
+
+
 def test_features_match_numpy_reference(spark):
     media = synth_media(spark, 30).cache()
     feats = {r.media_id: r for r in extract_features(media).collect()}
     assert len(feats) == 30
-    # recompute media 0 (an image) independently
+    # recompute media 0 (a PGM image) independently from the seed
     seed = hashlib.md5(b"media:0").digest()
     rng = np.random.default_rng(int.from_bytes(seed[:8], "big"))
-    arr = rng.integers(0, 256, 16 * 12, dtype=np.uint8)
+    arr = rng.integers(0, 256, (12, 16), dtype=np.uint8)
     r = feats[0]
     assert r.kind == "image"
     assert abs(r.mean - arr.mean()) < 1e-9
     assert abs(r.std - arr.std()) < 1e-9
     assert abs(r.p_bright - (arr > 127).mean()) < 1e-9
+    # media 3 is the BMP arm — features must come from decoded pixels,
+    # not container bytes, so PGM and BMP images share value ranges
+    assert feats[3].kind == "image"
+    assert 0.0 <= feats[3].p_bright <= 1.0
 
 
 def test_resize_shapes(spark):
@@ -35,7 +75,7 @@ def test_resize_shapes(spark):
     out = resize_images(media, 4, 3).collect()
     assert len(out) == 4  # one third of rows are images
     for r in out:
-        assert len(r.payload) == 4 * 3
+        assert decode_pgm(bytes(r.payload))[0].shape == (3, 4)
 
 
 def test_frame_sampling(spark):
@@ -44,7 +84,7 @@ def test_frame_sampling(spark):
     vids = 4  # one third of 12
     assert len(frames) == vids * 3  # frames 0, 2, 4 of 5
     for r in frames:
-        assert len(r.frame) == 8 * 8
+        assert decode_pgm(bytes(r.frame))[0].shape == (8, 8)
         assert r.frame_no in (0, 2, 4)
 
 
