@@ -32,6 +32,7 @@ from ..plans.generate import (
     ccn_body_sql,
     doc_sits_sql,
     docs_sql,
+    filler_word_sql,
     iban_bban_sql,
     sit_block_sql,
     sit_value_chunks,
@@ -48,6 +49,7 @@ _DIALECTS = {
             "concat_ws(' ', transform(array_sort(collect_list(struct(slot, block))), "
             "x -> x.block))"
         ),
+        "fill": "array_join(transform(sequence(1, ({n})), i -> {w}), ' ')",
         "ph": is_placeholder_spark_sql,
         "esc": lambda pat: pat.replace("\\", "\\\\"),
     },
@@ -57,6 +59,9 @@ _DIALECTS = {
         "len": "len",
         "filter": "list_filter",
         "agg_body": "string_agg(block, ' ' ORDER BY slot)",
+        "fill": (
+            "array_to_string(list_transform(range(1, ({n}) + 1), i -> {w}), ' ')"
+        ),
         "ph": is_placeholder_duckdb,
         "esc": lambda pat: pat,
     },
@@ -184,11 +189,17 @@ def _rendered_cte(d: dict) -> str:
         f"(CASE WHEN {v} = 0 THEN 'support chat transcript follows' "
         "ELSE 'quick exchange transcript follows' END)"
     )
+    # the attachment email names ITS OWN attachment (letter-prefixed
+    # doc id keeps the digit run out of \b-pattern space) — the
+    # reference's email_with_attachment body references the generated
+    # attachment filename (content_generator.py:208-234)
+    att_name = "'report-d', CAST(doc_id AS STRING), '.xlsx'"
     pre = (
         "(CASE format "
         f"WHEN 'email' THEN {email_hdr} "
-        "WHEN 'email_with_attachment' THEN 'from: records-desk at "
-        "corp-mail to: billing-team at corp-mail subject: see attached files' "
+        "WHEN 'email_with_attachment' THEN concat('from: records-desk at "
+        "corp-mail to: billing-team at corp-mail subject: see attached ', "
+        f"{att_name}) "
         f"WHEN 'chat' THEN {chat_hdr} "
         f"ELSE {doc_hdr} END)"
     )
@@ -198,12 +209,20 @@ def _rendered_cte(d: dict) -> str:
         "THEN 'if you need anything else, please let me know. best "
         "regards, records-desk' ELSE 'thanks, records-desk' END) "
         "WHEN 'email_with_attachment' THEN "
-        "'attached: report.xlsx regards, records-desk' "
+        f"concat('attached: ', {att_name}, ' regards, records-desk') "
         "WHEN 'chat' THEN 'end of chat' "
         f"ELSE (CASE WHEN {v} = 0 THEN 'approved by: records-desk "
         "end of record' ELSE 'summary: see details above end of record' "
         "END) END)"
     )
+    # paragraph break — a real blank line between frame, body, and
+    # footer (multi-paragraph register; space-padded so ' '-tokenizing
+    # stays stable on both engines). chr(10) rather than a '\n' literal:
+    # Spark interprets backslash escapes in string literals, standard
+    # SQL (DuckDB) does not.
+    brk = "concat(' ', chr(10), chr(10), ' ')"
+    fill_n = f"greatest(word_count_target - {d['len']}(split(body, ' ')), 0)"
+    fill = d["fill"].format(n=fill_n, w=filler_word_sql())
     return f"""
       bodies AS (
         SELECT doc_id, format, word_count_target,
@@ -213,11 +232,7 @@ def _rendered_cte(d: dict) -> str:
       ),
       rendered AS (
         SELECT doc_id, format, word_count_target,
-               concat({pre}, ' ', body, ' ', {post}, ' ',
-                      repeat('lorem ',
-                             CAST(greatest(word_count_target
-                                           - {d["len"]}(split(body, ' ')), 0) AS INT)
-                      )) AS text
+               concat({pre}, {brk}, body, {brk}, {post}, ' ', {fill}) AS text
         FROM bodies
       )
     """

@@ -453,8 +453,10 @@ def _sit_value_parts(key: str = "slot") -> tuple[list[tuple[list[str], str]], st
 def sit_block_sql() -> str:
     """Per-(doc,sit) text block, format-aware — the reference's three
     body builders (content_generator.py:208-234): email formats get a
-    per-SIT context line (build_email_body), chat gets two timestamped
-    Q/A turns (build_chat_text, CHAT_LINE_TEMPLATE), document/pdf get a
+    per-SIT context line (build_email_body), chat gets three
+    timestamped turns with agent/client speaker alternation — ask,
+    answer, acknowledge (build_chat_text, CHAT_LINE_TEMPLATE,
+    multi-turn per the reference's transcripts), document/pdf get a
     details line (build_document_text). All template prose is lowercase
     and digit-safe (times are 2-digit groups), so no catalog pattern
     can fire on it — the disjointness invariant."""
@@ -465,7 +467,8 @@ def sit_block_sql() -> str:
         f"concat(sit_name, ': ', {vals}, 'context: related to ', tcs, '.') "
         "WHEN format = 'chat' THEN "
         f"concat({t}, ' agent: please share the ', sit_name, '. ', "
-        f"{t}, ' client: the ', sit_name, ' is ', {vals}, 'thanks.') "
+        f"{t}, ' client: the ', sit_name, ' is ', {vals}, 'thanks. ', "
+        f"{t}, ' agent: thank you, the ', sit_name, ' has been noted.') "
         "ELSE "
         f"concat(sit_name, ': ', {vals}, 'details: related tcs: ', tcs, '.') "
         "END)"
@@ -476,4 +479,24 @@ def sit_block_sql() -> str:
 # all-lowercase on purpose: uppercase words ≥8 chars would
 # false-positive the SWIFT/PASSPORT patterns — the reference's own
 # committed run suffers exactly that (validation_report.txt:52).
-FILLER_WORD = "lorem "
+# The pad is multi-register (an 8-word rotation keyed on doc_id +
+# position, with a period every 9th word) rather than one repeated
+# token — the reference pads with faker sentences
+# (content_generator.py:236-242); distributional fidelity, not byte
+# fidelity, is the standard.
+FILLER_WORDS = [
+    "lorem", "ipsum", "dolor", "amet", "tempor", "vitae", "sed", "magna",
+]
+
+
+def filler_word_sql(pos: str = "(doc_id + i)") -> str:
+    """One filler word chosen by position — pure ANSI CASE, identical
+    on both engines; ``pos`` is the 0-based position expression."""
+    whens = " ".join(
+        f"WHEN {k} THEN '{w}'" for k, w in enumerate(FILLER_WORDS[:-1])
+    )
+    return (
+        f"concat(CASE {pos} % {len(FILLER_WORDS)} {whens} "
+        f"ELSE '{FILLER_WORDS[-1]}' END, "
+        f"CASE WHEN {pos} % 9 = 8 THEN '.' ELSE '' END)"
+    )

@@ -215,3 +215,53 @@ def test_validation_report_artifact(spark, sf_dir, tmp_path):
         if not sid.endswith("_TC"):
             assert f"tp_docs={meta[sid].n_tp}," in l, l
         assert "fp_flagged=0," in l, l
+
+
+def test_template_register_distribution(spark):
+    """Pin the corpus texture the templates promise (reference
+    content_generator.py:208-242): multi-paragraph bodies, multi-turn
+    chat with agent/client alternation, the attachment email naming its
+    own attachment file, and a multi-register filler pad — as
+    DISTRIBUTIONAL invariants, not byte goldens, so template wording can
+    evolve without breaking the pin."""
+    from synthetic_data_pipeline_spark.operators.generation import (
+        _REDACT_CONFIG,
+        _rendered_docs,
+    )
+    from synthetic_data_pipeline_spark.plans.generate import FILLER_WORDS
+
+    docs = _rendered_docs(spark, _REDACT_CONFIG).collect()
+    fmt_of = {}  # derive format from the frame line
+    for r in docs:
+        assert "\n\n" in r.text, f"doc {r.doc_id}: no paragraph break"
+        if r.text.startswith("from:"):
+            fmt_of[r.doc_id] = (
+                "email_with_attachment"
+                if "see attached report-d" in r.text
+                else "email"
+            )
+        elif "transcript follows" in r.text:
+            fmt_of[r.doc_id] = "chat"
+        else:
+            fmt_of[r.doc_id] = "document"
+    assert set(fmt_of.values()) == {
+        "email", "email_with_attachment", "chat", "document"
+    }
+    for r in docs:
+        fmt = fmt_of[r.doc_id]
+        if fmt == "chat":
+            # each SIT block is ask → answer → acknowledge
+            assert r.text.count("agent:") >= 2, r.doc_id
+            assert r.text.count("client:") >= 1, r.doc_id
+            assert r.text.count("agent:") == 2 * r.text.count("client:")
+        if fmt == "email_with_attachment":
+            # the body must reference ITS OWN attachment filename
+            assert f"report-d{r.doc_id}.xlsx" in r.text, r.doc_id
+    # filler is multi-register across the corpus: every bank word
+    # appears, and some padded doc uses >=3 distinct filler words
+    corpus = " ".join(r.text for r in docs)
+    for w in FILLER_WORDS:
+        assert f" {w}" in corpus, f"filler word {w!r} never used"
+    assert any(
+        sum(1 for w in FILLER_WORDS if f" {w} " in r.text) >= 3 for r in docs
+    ), "no doc shows a multi-word filler rotation"
