@@ -103,36 +103,49 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # One failing query must never zero the whole bench (it killed two
+    # rounds of data): record its error and keep timing the rest.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):  # min-of-2: exclude JIT/codegen warmup noise
-            t0 = time.perf_counter()
-            df = registry[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        try:
+            best = float("inf")
+            for _ in range(2):  # min-of-2: exclude JIT/codegen warmup noise
+                t0 = time.perf_counter()
+                df = registry[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must always emit
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    extras = _render_throughput(spark)
+    try:
+        extras = _render_throughput(spark)
+    except Exception as exc:  # noqa: BLE001
+        extras = {}
+        errors["_render_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a
     # workload change, not a per-unit regression.
-    from synthetic_data_pipeline_spark.operators.generation import DEFAULT_CONFIG
-    from synthetic_data_pipeline_spark.plans.catalog import RE2_SAFE_IDS
+    try:
+        from synthetic_data_pipeline_spark.operators.generation import DEFAULT_CONFIG
+        from synthetic_data_pipeline_spark.plans.catalog import RE2_SAFE_IDS
 
-    n_patterns = len(RE2_SAFE_IDS)
-    if "q90_flagship_sit_scan" in times:
-        n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        extras["q90_us_per_doc_pattern"] = round(
-            times["q90_flagship_sit_scan"] * 1e6 / (n_corpus * n_patterns), 3
-        )
-    if "q62_gen_validation_report" in times:
-        extras["q62_us_per_doc_pattern"] = round(
-            times["q62_gen_validation_report"] * 1e6
-            / (DEFAULT_CONFIG.n_docs * n_patterns),
-            3,
-        )
+        n_patterns = len(RE2_SAFE_IDS)
+        if "q90_flagship_sit_scan" in times:
+            n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            extras["q90_us_per_doc_pattern"] = round(
+                times["q90_flagship_sit_scan"] * 1e6 / (n_corpus * n_patterns), 3
+            )
+        if "q62_gen_validation_report" in times:
+            extras["q62_us_per_doc_pattern"] = round(
+                times["q62_gen_validation_report"] * 1e6
+                / (DEFAULT_CONFIG.n_docs * n_patterns),
+                3,
+            )
+    except Exception as exc:  # noqa: BLE001
+        errors["_normalized_extras"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
     print(
@@ -144,6 +157,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "extras": extras,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

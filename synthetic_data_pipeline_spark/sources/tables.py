@@ -27,22 +27,35 @@ TABLE_NAMES = [
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to ``TimestampType`` regardless
+    of how the parquet writer stored it, so every consumer sees one type:
+
+    - TIMESTAMP(NANOS) read as INT64 (legacy ``nanosAsLong`` conf):
+      truncate to micros — what DuckDB/pandas do implicitly.
+    - Naive micros → ``TIMESTAMP_NTZ``: cast to session-tz timestamp.
+      The session timezone is pinned to UTC (session.py), so the cast is
+      value-identical; without it, ``cast(ts as long)`` arithmetic fails
+      analysis (TIMESTAMP_NTZ has no BIGINT cast).
+    - Already ``TimestampType``: no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if not isinstance(t, TimestampType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the nanos as
-        # INT64 via the legacy conf and truncate to micros — exactly
-        # what DuckDB/pandas do implicitly, so oracles agree.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
+        # The nanosAsLong conf keeps TIMESTAMP(NANOS) testdata readable
+        # ([PARQUET_TYPE_ILLEGAL] otherwise); harmless for micros data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -22,36 +22,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import eround
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.tables import normalize_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos → micros, as in
-    sources/tables.py)."""
+    """File-source stream over the events parquet. The stream schema is
+    taken from a batch read of the same file (file sources require an
+    explicit schema), then ``ts`` is normalized to ``TimestampType`` by
+    the same type-adaptive shim as the batch loader — so nanos-as-long,
+    TIMESTAMP_NTZ, and plain timestamp testdata all stream identically."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -32,6 +32,35 @@ def test_session_stream_runs(spark, sf_dir):
     assert got.filter("n_events < 1").count() == 0
 
 
+def test_session_stream_equals_batch(spark, sf_dir):
+    """F.session_window (stream) vs the batch gap-and-cumsum
+    sessionization (q32) must agree on per-user session structure.
+    Both use a 30-minute inactivity gap; q32's strict `gap > 30min`
+    differs from session_window's half-open [ts, ts+gap) only for gaps
+    of exactly 1800.000000s, which the microsecond-resolution testdata
+    never produces. Durations aren't compared — session_window's end is
+    last_ts+gap by definition, not last_ts."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.events import q32_user_sessions
+
+    stream = session_counts(stream_events(spark, sf_dir))
+    got = (
+        run_available_now(stream, mode="complete")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    g = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+    w = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q32_user_sessions(spark, sf_dir).collect()
+    }
+    assert g == w
+
+
 def test_stateful_operator_matches_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
