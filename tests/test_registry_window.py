@@ -14,11 +14,14 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries whose last driver-green row predates the round-2 refactor of
-# operators/relational.py — they MUST occupy this round's window.
+# Queries that MUST occupy the round-5 window: the 39 whose last driver
+# row is r2 (the LLM-pipeline + TPC-H-pattern tiers), plus q32 — the
+# two-round-red sessionization fixed this round — and the other events
+# queries whose loaded ts type the normalize_ts fix changed.
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [*range(1, 23), 24, *range(26, 29),
-                          *range(30, 38), 80, 81]
+    f"q{i:02d}" for i in [23, 25, *range(30, 38), *range(40, 54), 55,
+                          *range(57, 60), *range(65, 68),
+                          *range(70, 80), 82, 92, *range(94, 98), 32]
 ]
 
 
