@@ -631,17 +631,14 @@ def validation_failures(pairs) -> "DataFrame":
     )
 
 
-def q98_validation_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fault-injected failure list, capped like q91 (5/SIT + 500
-    global). Scale shape: the injection and failure predicates are
-    narrow per-row maps over the per-assigned-pair scan; the cap window
-    shuffles only short issue rows."""
+def inject_faults(pairs) -> "DataFrame":
+    """Deterministic fault injection shared by q98 and the report
+    writer: every FLIP_MOD-th doc's TP pairs are relabeled FP (their
+    planted values then count as FP hits) and every INFLATE_MOD-th
+    doc's TP quota is inflated past what was planted (TP shortfall)."""
     from pyspark.sql import functions as F
 
-    from ..operators.sitscan import cap_issues
-
-    pairs = _scanned_pairs(spark)
-    pert = pairs.select(
+    return pairs.select(
         "doc_id",
         "sit_id",
         F.when(
@@ -659,6 +656,16 @@ def q98_validation_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("instances"),
         "ms",
     )
+
+
+def q98_validation_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-injected failure list, capped like q91 (5/SIT + 500
+    global). Scale shape: the injection and failure predicates are
+    narrow per-row maps over the per-assigned-pair scan; the cap window
+    shuffles only short issue rows."""
+    from ..operators.sitscan import cap_issues
+
+    pert = inject_faults(_scanned_pairs(spark))
     return cap_issues(validation_failures(pert), order_cols=("doc_id",))
 
 
@@ -712,7 +719,11 @@ def _failures_sql(cfg: GenConfig, dialect: str) -> str:
 
 
 def write_validation_report(
-    spark: SparkSession, path: str, cfg: GenConfig = DEFAULT_CONFIG
+    spark: SparkSession,
+    path: str,
+    cfg: GenConfig = DEFAULT_CONFIG,
+    inject: bool = False,
+    coverage_target: int | None = None,
 ) -> str:
     """S17 sink: the single-file validation report text artifact
     (modules/validator.py:332-357), assembled from the oracle-checked
@@ -722,16 +733,27 @@ def write_validation_report(
     The collect()s fetch ≤ |catalog| + 500 short rows — final result
     fetch, not a driver-side compute loop. Returns the report text and
     writes it to ``path`` as one file.
+
+    ``cfg`` must stay DEFAULT_CONFIG for the per-SIT/summary sections
+    (q60/q62 are pinned to it); it parameterizes only the issue scan.
+    ``inject=True`` applies q98's deterministic fault injection so both
+    failure branches render real lines; ``coverage_target`` overrides
+    the warning threshold (default ``cfg.per_sit_count``) — together
+    they exercise every report section for the golden test.
     """
     from pyspark.sql import functions as F
 
+    target = coverage_target if coverage_target is not None else cfg.per_sit_count
     meta = {r.sit_id: r for r in q60_gen_meta_summary(spark, "").collect()}
     val = {r.sit_id: r for r in q62_gen_validation_report(spark, "").collect()}
     # both validator failure branches (validator.py:303-330): TP docs
     # short of their quota and FP docs with any real-looking match, each
     # with a ≤5-value sample, capped at 500 lines like the reference
+    pairs = _scanned_pairs(spark, cfg)
+    if inject:
+        pairs = inject_faults(pairs)
     issues = (
-        _scanned_pairs(spark, cfg)
+        pairs
         .withColumn("found", F.size("ms"))
         .withColumn(
             "needed",
@@ -763,10 +785,10 @@ def write_validation_report(
             f"{sid}: docs={m.n_docs}, tp_docs={tp}, fp_flagged={fp}, "
             f"total_instances={m.total_instances}"
         )
-        if m.n_docs < cfg.per_sit_count:
+        if m.n_docs < target:
             lines.append(
                 f"  >>> WARNING: only {m.n_docs} docs for {sid} "
-                f"(target {cfg.per_sit_count})"
+                f"(target {target})"
             )
 
     n_rows = sum(m.n_docs for m in meta.values())

@@ -217,6 +217,37 @@ def test_validation_report_artifact(spark, sf_dir, tmp_path):
         assert "fp_flagged=0," in l, l
 
 
+def test_validation_report_fault_golden(spark, tmp_path):
+    """VERDICT r4 stretch #8: byte-pin the FULL report text with q98's
+    deterministic fault injection and an elevated coverage target, so
+    every section of the reference's report shape
+    (modules/validator.py:332-357) — per-SIT lines, coverage warnings,
+    distribution summary, TP-shortfall and FP-hit issue lines — renders
+    and stays stable. Regenerate tests/golden/validation_report_faults.txt
+    deliberately if templates/catalog change."""
+    from pathlib import Path
+
+    from synthetic_data_pipeline_spark.operators.generation import (
+        DEFAULT_CONFIG,
+        write_validation_report,
+    )
+
+    golden = Path(__file__).parent / "golden" / "validation_report_faults.txt"
+    out = tmp_path / "report.txt"
+    text = write_validation_report(
+        spark, str(out), inject=True,
+        coverage_target=DEFAULT_CONFIG.per_sit_count + 1,
+    )
+    assert out.read_text(encoding="utf-8") == text
+    # shape: all reference sections present before the byte compare,
+    # so a mismatch failure still says WHICH branch broke
+    assert "  >>> WARNING: only" in text
+    assert "TP missing matches for doc" in text
+    assert "FP contains valid-looking match in doc" in text
+    assert "Distribution summary:" in text
+    assert text == golden.read_text(encoding="utf-8")
+
+
 def test_template_register_distribution(spark):
     """Pin the corpus texture the templates promise (reference
     content_generator.py:208-242): multi-paragraph bodies, multi-turn
