@@ -151,7 +151,9 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dst = os.path.join(repo, ".scaling", "sf1x")
-    out_path = os.path.join(repo, "SCALING_r3.json")
+    out_path = os.path.join(
+        repo, f"SCALING_r{os.environ.get('SPARK_GRAFT_ROUND', '5')}.json"
+    )
 
     spark = get_spark(app_name="sdp-scaling")
     t0 = time.perf_counter()
