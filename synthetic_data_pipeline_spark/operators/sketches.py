@@ -88,6 +88,11 @@ def _lp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     for _ in range(LP_ITERS):
+        # Truncate lineage each round: labels is referenced twice per
+        # iteration (neighbor join + carry-through), so without a
+        # checkpoint the label plan doubles per round — 2^LP_ITERS
+        # recomputation of the early rounds. Identical results.
+        labels = labels.localCheckpoint(eager=False)
         neigh = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy("doc_a")
