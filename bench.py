@@ -88,6 +88,29 @@ def _render_throughput(spark) -> dict:
     }
 
 
+def time_queries(
+    spark, registry: dict, names: list, sf_dir: str, runs: int = 2
+) -> "tuple[dict, dict]":
+    """Time each query (min-of-``runs``, forced end-to-end with a noop
+    write). One failing query must never zero the whole bench (it killed
+    two rounds of data): its error is recorded and the rest keep
+    timing. Returns (times, errors)."""
+    times: dict = {}
+    errors: dict = {}
+    for name in names:
+        try:
+            best = float("inf")
+            for _ in range(runs):  # min-of-N: exclude JIT/codegen warmup
+                t0 = time.perf_counter()
+                df = registry[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must always emit
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    return times, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -103,21 +126,7 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # One failing query must never zero the whole bench (it killed two
-    # rounds of data): record its error and keep timing the rest.
-    times: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in names:
-        try:
-            best = float("inf")
-            for _ in range(2):  # min-of-2: exclude JIT/codegen warmup noise
-                t0 = time.perf_counter()
-                df = registry[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            times[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — bench must always emit
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    times, errors = time_queries(spark, registry, names, sf_dir)
 
     try:
         extras = _render_throughput(spark)
