@@ -59,6 +59,24 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q31_sliding_hourly (1h window, 30m slide —
+    each event lands in two windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            eround(1e-9 + F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (F.session_window) — the streaming
     counterpart of the batch gap-and-cumsum sessionization (q32)."""

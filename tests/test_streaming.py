@@ -6,12 +6,14 @@ from __future__ import annotations
 
 from synthetic_data_pipeline_spark.operators.events import (
     q30_tumbling_hourly,
+    q31_sliding_hourly,
     q35_first_event_per_user_type,
 )
 from synthetic_data_pipeline_spark.streaming.jobs import (
     dedup_first_events,
     run_available_now,
     session_counts,
+    sliding_counts,
     stream_events,
     tumbling_counts,
 )
@@ -21,6 +23,13 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     stream = tumbling_counts(stream_events(spark, sf_dir))
     got = run_available_now(stream, mode="complete").collect()
     want = q30_tumbling_hourly(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    stream = sliding_counts(stream_events(spark, sf_dir))
+    got = run_available_now(stream, mode="complete").collect()
+    want = q31_sliding_hourly(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
