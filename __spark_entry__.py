@@ -64,9 +64,11 @@ DRIVER_WINDOW = [
     "q65_distinct_tcs_histogram", "q66_winnowing_fingerprints",
     "q67_tfidf_top_terms", "q94_token_chunks",
     "q95_dedup_retention", "q96_dataset_split", "q97_quality_filter",
+    # new this round: the dedup action materialized (anti-join +
+    # summary over the LP clusters)
+    "q101_deduped_corpus",
     # anchors on the new loader / hot paths
-    "q01_pricing_summary", "q62_gen_validation_report",
-    "q90_flagship_sit_scan",
+    "q62_gen_validation_report", "q90_flagship_sit_scan",
 ]
 
 

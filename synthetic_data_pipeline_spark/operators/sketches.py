@@ -211,6 +211,49 @@ def _dedup_retention_oracle() -> str:
     """
 
 
+def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION applied end-to-end: anti-join the corpus
+    against the q95 retention list (drop every non-canonical cluster
+    member) and summarize the surviving corpus per source — the
+    materialization step a training-data pipeline runs after
+    clustering (reference has no dedup at all; north-star op). At
+    100 TB: the retention list is small relative to the corpus when
+    dup rates are sane, so Catalyst broadcasts it (AQE decides from the
+    measured size — no forced hint, since a pathological 50%-dup corpus
+    would need the shuffle anti-join) and the corpus streams through in
+    one narrow pass; the only shuffle carries |sources| aggregate
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = q95_dedup_retention(spark, sf_dir).select("doc_id")
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            eround(1e-9 + F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _deduped_corpus_oracle() -> str:
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body},
+      dropped AS (
+        SELECT node AS doc_id FROM {final} WHERE node != label
+      )
+      SELECT d.source,
+             count(*) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+             round(1e-9 + avg(d.n_chars), 4) AS avg_chars
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      GROUP BY d.source ORDER BY d.source
+    """
+
+
 def q59_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's token distribution, aggregated per
     language — low-entropy documents are the repetitive/low-quality
@@ -257,6 +300,7 @@ QUERIES = {
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
+    "q101_deduped_corpus": q101_deduped_corpus,
 }
 
 
@@ -267,6 +311,7 @@ def _oracles() -> dict[str, str]:
         "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
         "q58_dup_clusters": _dup_clusters_oracle(),
         "q95_dedup_retention": _dedup_retention_oracle(),
+        "q101_deduped_corpus": _deduped_corpus_oracle(),
         "q59_token_entropy": """
             WITH toks AS (
               SELECT doc_id, lang,
