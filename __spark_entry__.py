@@ -65,10 +65,11 @@ DRIVER_WINDOW = [
     "q67_tfidf_top_terms", "q94_token_chunks",
     "q95_dedup_retention", "q96_dataset_split", "q97_quality_filter",
     # new this round: the dedup action materialized (anti-join +
-    # summary over the LP clusters)
-    "q101_deduped_corpus",
-    # anchors on the new loader / hot paths
-    "q62_gen_validation_report", "q90_flagship_sit_scan",
+    # summary over the LP clusters) and the composed training-data
+    # prep chain (quality filter -> exact dedup -> split -> stats)
+    "q101_deduped_corpus", "q102_training_prep",
+    # anchor: generation.py changed this round (inject_faults refactor)
+    "q62_gen_validation_report",
 ]
 
 

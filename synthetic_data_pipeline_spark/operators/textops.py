@@ -376,6 +376,79 @@ def _q96_oracle() -> str:
     """
 
 
+# --- q102: the full training-data prep chain in ONE lineage — apply
+# the q97 quality rules, drop exact duplicates keeping the min doc_id
+# (q45's normalization), assign the deterministic q96 split, report
+# per-split stats. The composition stays two shuffles total regardless
+# of corpus size (dedup window on md5(norm) + the |splits|-key agg);
+# everything else is narrow maps, so it scales exactly like its parts.
+def q102_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.xsql import expand_u16, hash_u16
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    kept = docs.select("doc_id", "lang", "n_chars", "text",
+                       n_tokens.alias("n_tokens"), dr.alias("dr")).filter(
+        ~((F.col("n_tokens") < 25) | (F.col("dr") < 0.32))
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "spark")
+    split = (
+        f"(CASE WHEN {bucket} % 10 < 8 THEN 'train' "
+        f"WHEN {bucket} % 10 = 8 THEN 'val' ELSE 'test' END)"
+    )
+    return (
+        uniq.selectExpr(f"{split} AS split", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            eround(1e-9 + F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _q102_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    bucket = expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "duckdb")
+    return f"""
+        WITH sig AS (
+          SELECT doc_id, lang, n_chars,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                 len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+                 CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS dr
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM sig WHERE NOT (n_tokens < 25 OR dr < 0.32)
+        ),
+        uniq AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM kept
+          ) WHERE rn = 1
+        )
+        SELECT (CASE WHEN {bucket} % 10 < 8 THEN 'train'
+                     WHEN {bucket} % 10 = 8 THEN 'val' ELSE 'test' END) AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(1e-9 + avg(n_chars), 4) AS avg_chars
+        FROM uniq GROUP BY 1 ORDER BY split
+    """
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -388,6 +461,7 @@ QUERIES = {
     "q94_token_chunks": q94_token_chunks,
     "q96_dataset_split": q96_dataset_split,
     "q97_quality_filter": q97_quality_filter,
+    "q102_training_prep": q102_training_prep,
 }
 
 
@@ -578,4 +652,5 @@ ORACLES = {
     "q94_token_chunks": _Q94_ORACLE,
     "q96_dataset_split": _q96_oracle(),
     "q97_quality_filter": _Q97_ORACLE,
+    "q102_training_prep": _q102_oracle(),
 }

@@ -21,7 +21,7 @@ DRIVER_CAP = 50
 R2_UNCHECKED = [
     f"q{i:02d}" for i in [23, 25, *range(30, 38), *range(40, 54), 55,
                           *range(57, 60), *range(65, 68),
-                          *range(70, 80), 82, 92, *range(94, 98), 32, 101]
+                          *range(70, 80), 82, 92, *range(94, 98), 32, 101, 102]
 ]
 
 
