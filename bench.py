@@ -43,6 +43,7 @@ HEADLINE = [
     "q95_dedup_retention",
     "q96_dataset_split",
     "q97_quality_filter",
+    "q102_training_prep",
 ]
 
 
