@@ -51,6 +51,8 @@ PROBE = [
     "q93_redact_documents",       # narrow per-row regex map
     "q94_token_chunks",           # explode-shaped chunking
     "q97_quality_filter",         # per-row quality signals
+    "q101_deduped_corpus",        # LP clusters + anti-join materialization
+    "q102_training_prep",         # composed filter→dedup→split chain
 ]
 
 
