@@ -55,6 +55,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The nanosAsLong conf keeps TIMESTAMP(NANOS) testdata readable
         # ([PARQUET_TYPE_ILLEGAL] otherwise); harmless for micros data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→LTZ normalization and date_format render in SESSION
+        # time — pin UTC so events queries agree with the naive-time
+        # DuckDB oracle even under a driver session we didn't build.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

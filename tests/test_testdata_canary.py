@@ -121,6 +121,26 @@ def test_events_ts_arithmetic_works(spark, sf_dir):
     assert n_windows > 0
 
 
+def test_events_queries_session_tz_independent(spark, sf_dir):
+    """The real driver builds its OWN SparkSession; if its session tz
+    weren't UTC, the NTZ→LTZ ts normalization plus date_format would
+    shift every events-query output off the naive-time DuckDB oracle.
+    load_table pins UTC on events loads — assert a hostile session tz
+    cannot change the answer."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        q30_tumbling_hourly,
+    )
+
+    want = sorted(map(tuple, q30_tumbling_hourly(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = sorted(map(tuple, q30_tumbling_hourly(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == want
+
+
 def test_embeddings_vector_shape(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
