@@ -89,6 +89,31 @@ def _render_throughput(spark) -> dict:
     }
 
 
+def _stream_throughput(spark, sf_dir: str) -> dict:
+    """Drain the tumbling-window stream (availableNow) over the events
+    table and report events/s — the streaming subsystem's perf number,
+    comparable round-over-round like the render throughput."""
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    t0 = time.perf_counter()
+    out = run_available_now(
+        tumbling_counts(stream_events(spark, sf_dir)), mode="complete"
+    )
+    n_windows = out.count()
+    dt = time.perf_counter() - t0
+    return {
+        "stream_events": n_events,
+        "stream_tumbling_rows": n_windows,
+        "stream_drain_sec": round(dt, 3),
+        "stream_events_per_sec": round(n_events / dt, 1),
+    }
+
+
 def time_queries(
     spark, registry: dict, names: list, sf_dir: str, runs: int = 2
 ) -> "tuple[dict, dict]":
@@ -134,6 +159,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         extras = {}
         errors["_render_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_stream_throughput(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_stream_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a
