@@ -125,6 +125,18 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """Interop sink: ORC with zstd — the other columnar lake format a
+    migrating warehouse may already hold. Same pushdown/pruning story
+    as parquet (Spark's native ORC reader supports predicate pushdown
+    and column pruning), so engine queries run unchanged on it."""
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def explode_meta_sits(meta: DataFrame) -> DataFrame:
     """Nested meta → flat (doc, sit) rows: the explode() that replaces
     the reference's per-doc dict loops (SURVEY.md §1.1)."""

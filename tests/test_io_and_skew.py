@@ -36,6 +36,30 @@ def test_mapping_csv_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC interop: values survive the round trip exactly and a filter
+    on the read side reaches the ORC scan as a pushed predicate (same
+    pruning story as parquet, so engine queries run unchanged)."""
+    from synthetic_data_pipeline_spark.sources.io import read_orc, write_orc
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    path = str(tmp_path / "lineitem_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, li.collect())
+    )
+    plan = (
+        back.filter(F.col("l_quantity") > 25)
+        .select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+
 def test_meta_json_roundtrip_and_explode(spark, tmp_path):
     meta = spark.createDataFrame(
         [
