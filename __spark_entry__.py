@@ -27,49 +27,53 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-5 window (VERDICT r4 "Next round" #3). Composition:
-#   * the 39 queries whose last driver row is r2 — the whole
-#     LLM-pipeline tier (q40-q53, q55, q57-q59, q65-q67, q94-q97),
-#     the TPC-H-pattern tier (q70-q79), plus q23, q25, q82, q92 —
-#     the r3/r4 windows burned two rounds re-checking the other 50;
-#   * q32 plus every other events-table query (q30, q31, q33-q37):
-#     this round's normalize_ts loader fix changes the type they all
-#     read, and q32 must flip its two-round-red driver row to green;
-#   * three anchors re-pinning unchanged hot paths on the new loader:
-#     q01 (relational core), q62 and q90 (flagship scans).
+# Round-6 window (VERDICT r5 "Next round" #1). Composition:
+#   * the 41 queries whose last driver row is r3/r4 — the relational
+#     core q01-q22 + q24, q26-q29 (q23/q25 were re-pinned in r5), the
+#     similarity stragglers q54/q56, the generation/mapping tier
+#     q60-q61/q63-q64 (q62 re-pinned in r5), sampling/pivot q80-q81,
+#     the flagship scans q90-q91, redaction q93, and q98-q100 —
+#     after this rotation every registry query has an r5-or-r6 row;
+#   * anchors on everything round-6 code touches: q58/q95/q101 (LP
+#     convergence telemetry + funnel-reuse work), q46 (the 100x
+#     scaling-probe watch item), q36/q30 (streaming foreachBatch twin
+#     + tz pin land in streaming/jobs.py; these are the batch twins),
+#     q62 (corpus-texture change in plans/generate.py feeds it);
+#   * continuity anchors from the r5 window: q32, q101, q102.
 DRIVER_WINDOW = [
-    # q32 first: driver-red in r3+r4, fixed this round (TIMESTAMP_NTZ)
-    "q32_user_sessions",
-    # events tier — all consumers of the normalized ts column
-    "q30_tumbling_hourly", "q31_sliding_hourly",
-    "q33_json_prop_stats", "q34_asof_click_error",
-    "q35_first_event_per_user_type", "q36_hourly_top_event",
-    "q37_conversion_funnel", "q92_salted_event_stats",
-    # last driver row r2: relational stragglers
-    "q23_conditional_agg", "q25_approx_distinct_customers",
-    "q70_cheapest_supplier_per_nation", "q71_important_parts",
-    "q72_top_revenue_nation", "q73_large_quantity_orders",
-    "q74_disjunctive_revenue", "q75_wealthy_inactive_customers",
-    "q76_grouping_sets", "q77_nation_pair_volume",
-    "q78_brand_revenue_share", "q79_histogram_quantiles",
-    "q82_unpivot_nation_stats",
-    # last driver row r2: text-analysis / dedup / similarity tier
-    "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
-    "q43_fingerprints", "q44_trigram_stats", "q45_exact_dedup",
-    "q46_minhash_near_dups", "q47_pairwise_jaccard_sample",
-    "q48_simhash_buckets", "q49_bpe_token_stats",
-    "q50_knn_bruteforce", "q51_label_centroids", "q52_norm_stats",
-    "q53_ann_bucket_stats", "q55_ivf_ann", "q57_bloom_membership",
-    "q58_dup_clusters", "q59_token_entropy",
-    "q65_distinct_tcs_histogram", "q66_winnowing_fingerprints",
-    "q67_tfidf_top_terms", "q94_token_chunks",
-    "q95_dedup_retention", "q96_dataset_split", "q97_quality_filter",
-    # new this round: the dedup action materialized (anti-join +
-    # summary over the LP clusters) and the composed training-data
-    # prep chain (quality filter -> exact dedup -> split -> stats)
-    "q101_deduped_corpus", "q102_training_prep",
-    # anchor: generation.py changed this round (inject_faults refactor)
-    "q62_gen_validation_report",
+    # relational core — last driver row r3/r4
+    "q01_pricing_summary", "q02_top_revenue_orders",
+    "q03_regional_revenue", "q04_priority_with_returns",
+    "q05_customers_without_orders", "q06_forecast_revenue",
+    "q07_acctbal_by_nation", "q08_parts_by_type",
+    "q09_returned_revenue_top_customers", "q10_rollup_orders",
+    "q11_cube_lineitem", "q12_top_orders_per_customer",
+    "q13_running_total", "q14_order_gap_days",
+    "q15_top_parts_by_price", "q16_distinct_segments",
+    "q17_nations_intersect", "q18_nations_except",
+    "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
+    "q21_brand_prefix_stats", "q22_monthly_sales",
+    "q24_price_percentiles", "q26_exact_distinct_customers",
+    "q27_price_bucket_range_join", "q28_trailing_30d_spend",
+    "q29_price_analytics",
+    # similarity stragglers — last driver row r3/r4
+    "q54_cosine_near_dups", "q56_kmeans",
+    # generation / mapping tier — last driver row r3/r4
+    "q60_gen_meta_summary", "q61_gen_corpus_stats",
+    "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
+    # sampling / pivot — last driver row r3/r4
+    "q80_deterministic_sample", "q81_pivot_status",
+    # flagship scans, redaction, validation/media — last row r3/r4
+    "q90_flagship_sit_scan", "q91_sit_issue_list",
+    "q93_redact_documents", "q98_validation_failures",
+    "q99_redact_generated", "q100_media_features",
+    # anchors: code round 6 touches (LP telemetry/reuse, scaling
+    # watch, streaming twins' batch forms, corpus texture)
+    "q58_dup_clusters", "q95_dedup_retention",
+    "q46_minhash_near_dups", "q36_hourly_top_event",
+    "q30_tumbling_hourly", "q62_gen_validation_report",
+    # continuity anchors from the r5 window
+    "q32_user_sessions", "q101_deduped_corpus", "q102_training_prep",
 ]
 
 

@@ -14,14 +14,17 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-5 window: the 39 whose last driver
-# row is r2 (the LLM-pipeline + TPC-H-pattern tiers), plus q32 — the
-# two-round-red sessionization fixed this round — and the other events
-# queries whose loaded ts type the normalize_ts fix changed.
+# Queries that MUST occupy the round-6 window: the 41 whose last
+# driver row is r3/r4 (the r5 rotation checked the complement), plus
+# the anchors round-6 code touches (LP funnel q58/q95, scaling-watch
+# q46, streaming batch twins q30/q36, corpus-texture q62) and the
+# r5-window continuity anchors q32/q101/q102.
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [23, 25, *range(30, 38), *range(40, 54), 55,
-                          *range(57, 60), *range(65, 68),
-                          *range(70, 80), 82, 92, *range(94, 98), 32, 101, 102]
+    f"q{i:02d}" for i in [*range(1, 23), 24, *range(26, 30),  # relational
+                          54, 56, 60, 61, 63, 64, 80, 81,
+                          90, 91, 93, 98, 99, 100,            # 41 stale
+                          58, 95, 46, 36, 30, 62,             # touched
+                          32, 101, 102]                       # continuity
 ]
 
 
