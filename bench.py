@@ -99,6 +99,10 @@ def _stream_throughput(spark, sf_dir: str) -> dict:
         tumbling_counts,
     )
 
+    # Count via the same type-adaptive conf the stream uses: a raw read
+    # of TIMESTAMP(NANOS) testdata throws [PARQUET_TYPE_ILLEGAL] before
+    # stream_events gets a chance to set the conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     t0 = time.perf_counter()
     out = run_available_now(
@@ -124,8 +128,8 @@ def time_queries(
     times: dict = {}
     errors: dict = {}
     for name in names:
+        best = float("inf")
         try:
-            best = float("inf")
             for _ in range(runs):  # min-of-N: exclude JIT/codegen warmup
                 t0 = time.perf_counter()
                 df = registry[name](spark, sf_dir)
@@ -134,6 +138,11 @@ def time_queries(
             times[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — bench must always emit
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            # A flaky-at-action query that succeeded on an earlier run
+            # still has a valid timing — keep it rather than understate
+            # coverage (the error entry records the flake).
+            if best != float("inf"):
+                times[name] = round(best, 3)
     return times, errors
 
 

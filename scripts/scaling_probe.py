@@ -153,9 +153,14 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dst = os.path.join(repo, ".scaling", "sf1x")
-    out_path = os.path.join(
-        repo, f"SCALING_r{os.environ.get('SPARK_GRAFT_ROUND', '5')}.json"
-    )
+    # No default round: a silent fallback would overwrite the pinned
+    # SCALING_r{N}.json of a previous round (same overwrite-artifact
+    # gotcha as driver_sim's sf argument).
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if not round_no:
+        sys.exit("set SPARK_GRAFT_ROUND=<n> (refusing to guess the "
+                 "artifact name and overwrite a pinned SCALING_r*.json)")
+    out_path = os.path.join(repo, f"SCALING_r{round_no}.json")
 
     spark = get_spark(app_name="sdp-scaling")
     t0 = time.perf_counter()

@@ -30,7 +30,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken from a batch read of the same file (file sources require an
     explicit schema), then ``ts`` is normalized to ``TimestampType`` by
     the same type-adaptive shim as the batch loader — so nanos-as-long,
-    TIMESTAMP_NTZ, and plain timestamp testdata all stream identically."""
+    TIMESTAMP_NTZ, and plain timestamp testdata all stream identically.
+
+    Session timezone is pinned to UTC exactly as the batch events loader
+    does (``sources/tables.py``): the NTZ->timestamp cast and the
+    window-edge ``date_format`` both render in session time, so an
+    externally built non-UTC session (worst case a fractional-hour
+    offset like +05:30) would otherwise make streaming windows diverge
+    from the batch twins and the DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (

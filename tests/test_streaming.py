@@ -33,6 +33,22 @@ def test_sliding_stream_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_tumbling_stream_session_tz_independent(spark, sf_dir):
+    """stream_events pins the session tz to UTC the way the batch
+    events loader does: under a hostile externally built session tz
+    (fractional-hour offsets shift window edges AND their rendered
+    labels) the streaming windows must still equal the batch twin."""
+    want = sorted(map(tuple, q30_tumbling_hourly(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
+    try:
+        stream = tumbling_counts(stream_events(spark, sf_dir))
+        got = run_available_now(stream, mode="complete").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert sorted(map(tuple, got)) == want
+
+
 def test_session_stream_runs(spark, sf_dir):
     stream = session_counts(stream_events(spark, sf_dir))
     got = run_available_now(stream, mode="complete")
