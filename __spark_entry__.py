@@ -34,11 +34,11 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q60-q61/q63-q64 (q62 re-pinned in r5), sampling/pivot q80-q81,
 #     the flagship scans q90-q91, redaction q93, and q98-q100 —
 #     after this rotation every registry query has an r5-or-r6 row;
-#   * anchors on everything round-6 code touches: q58/q95/q101 (LP
-#     convergence telemetry + funnel-reuse work), q46 (the 100x
-#     scaling-probe watch item), q36/q30 (streaming foreachBatch twin
-#     + tz pin land in streaming/jobs.py; these are the batch twins),
-#     q62 (corpus-texture change in plans/generate.py feeds it);
+#   * anchors on everything round-6 code touches: q58/q95/q101/q103
+#     (LP convergence telemetry + shared-funnel reuse), q46 (the 100x
+#     scaling-probe watch item), q36 (its streaming foreachBatch twin
+#     + the tz pin land in streaming/jobs.py), q62 (corpus-texture
+#     change in plans/generate.py feeds it);
 #   * continuity anchors from the r5 window: q32, q101, q102.
 DRIVER_WINDOW = [
     # relational core — last driver row r3/r4
@@ -68,10 +68,11 @@ DRIVER_WINDOW = [
     "q93_redact_documents", "q98_validation_failures",
     "q99_redact_generated", "q100_media_features",
     # anchors: code round 6 touches (LP telemetry/reuse, scaling
-    # watch, streaming twins' batch forms, corpus texture)
+    # watch, streaming twins' batch forms, corpus texture) — q103 is
+    # new this round (LP convergence probe over the shared funnel)
     "q58_dup_clusters", "q95_dedup_retention",
     "q46_minhash_near_dups", "q36_hourly_top_event",
-    "q30_tumbling_hourly", "q62_gen_validation_report",
+    "q103_lp_convergence", "q62_gen_validation_report",
     # continuity anchors from the r5 window
     "q32_user_sessions", "q101_deduped_corpus", "q102_training_prep",
 ]

@@ -41,6 +41,12 @@ HEADLINE = [
     "q93_redact_documents",
     "q94_token_chunks",
     "q95_dedup_retention",
+    # the rest of the LP funnel: q58/q101/q103 reuse q95's memoized
+    # (edges, labels) state, so their numbers measure the consumer
+    # cost, not a funnel rebuild (extras carry the cold-build time)
+    "q58_dup_clusters",
+    "q101_deduped_corpus",
+    "q103_lp_convergence",
     "q96_dataset_split",
     "q97_quality_filter",
     "q102_training_prep",
@@ -118,6 +124,32 @@ def _stream_throughput(spark, sf_dir: str) -> dict:
     }
 
 
+def _funnel_reuse(spark, sf_dir: str) -> dict:
+    """Cold vs warm cost of the shared LP dedup funnel: the headline
+    times for q58/q95/q101/q103 all read the memoized (edges, labels)
+    state, so this extra records what a fresh session pays to build it
+    once (cold = q95 with a cleared cache) and what each additional
+    consumer pays afterwards (warm = q58 on the memoized state)."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    sketches.clear_lp_cache()
+    t0 = time.perf_counter()
+    sketches.q95_dedup_retention(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sketches.q58_dup_clusters(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm = time.perf_counter() - t0
+    return {
+        "lp_funnel_cold_sec": round(cold, 3),
+        "lp_funnel_warm_sec": round(warm, 3),
+        "lp_funnel_reuse_x": round(cold / warm, 1),
+    }
+
+
 def time_queries(
     spark, registry: dict, names: list, sf_dir: str, runs: int = 2
 ) -> "tuple[dict, dict]":
@@ -173,6 +205,11 @@ def main() -> None:
         extras.update(_stream_throughput(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_stream_throughput"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_funnel_reuse(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_funnel_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a

@@ -57,3 +57,38 @@ def test_signatures_deterministic(spark):
     a = sorted(map(tuple, minhash_signatures(docs).collect()))
     b = sorted(map(tuple, minhash_signatures(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_lp_converges_within_unroll(spark, sf_dir):
+    """q103's probe round: on testdata every dup cluster's diameter
+    must fit inside the LP_ITERS unroll, i.e. a 6th min-label round
+    changes nothing. A nonzero count here is exactly the silent
+    under-merge a >5-hop dup chain would cause at corpus scale."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        q103_lp_convergence,
+    )
+
+    row = q103_lp_convergence(spark, sf_dir).collect()[0]
+    assert row.n_nodes > 0, "probe should see the clustered nodes"
+    assert row.n_changed == 0, (
+        f"{row.n_changed}/{row.n_nodes} labels still moving after "
+        "LP_ITERS rounds — raise LP_ITERS (and the oracle unroll)"
+    )
+
+
+def test_lp_funnel_memoized_and_stable(spark, sf_dir):
+    """The shared funnel must (a) memoize per (session, sf_dir) so
+    q58/q95/q101/q103 pay for one build, and (b) return bit-identical
+    labels on a cache hit vs a cold rebuild."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    sketches.clear_lp_cache()
+    assert not sketches._LP_CACHE
+    cold = sorted(map(tuple, sketches._lp_labels(spark, sf_dir).collect()))
+    assert len(sketches._LP_CACHE) == 1
+    hit = sketches._lp_labels(spark, sf_dir)
+    assert hit is sketches._lp_state(spark, sf_dir)[1], "second call must hit"
+    assert sorted(map(tuple, hit.collect())) == cold
+    sketches.clear_lp_cache()
+    rebuilt = sorted(map(tuple, sketches._lp_labels(spark, sf_dir).collect()))
+    assert rebuilt == cold

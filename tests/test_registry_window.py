@@ -23,7 +23,7 @@ R2_UNCHECKED = [
     f"q{i:02d}" for i in [*range(1, 23), 24, *range(26, 30),  # relational
                           54, 56, 60, 61, 63, 64, 80, 81,
                           90, 91, 93, 98, 99, 100,            # 41 stale
-                          58, 95, 46, 36, 30, 62,             # touched
+                          58, 95, 46, 36, 103, 62,            # touched
                           32, 101, 102]                       # continuity
 ]
 
