@@ -60,6 +60,46 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "l_quantity" in plan
 
 
+def test_orc_events_roundtrip_ts_semantics(spark, sf_dir, tmp_path):
+    """ORC and parquet differ in timestamp physics (ORC stores
+    TIMESTAMP as local-time seconds+nanos, parquet testdata arrives as
+    NANOS-as-long or NTZ micros) — prove normalize_ts is a safe no-op
+    after an ORC round trip: values identical to the parquet load, ts
+    arithmetic (BIGINT cast) analyzable, and an hour-bucket agg equal
+    on both paths."""
+    from synthetic_data_pipeline_spark.sources.io import read_orc, write_orc
+    from synthetic_data_pipeline_spark.sources.tables import (
+        load_table,
+        normalize_ts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = normalize_ts(read_orc(spark, path))
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+
+    def hourly(df):
+        # ts.cast(long) inside the agg: fails analysis outright if the
+        # round trip degraded ts to a type without BIGINT arithmetic
+        return sorted(
+            map(
+                tuple,
+                df.groupBy(F.date_trunc("hour", "ts").alias("h"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("ts").cast("long") % 3600).alias("off_sum"),
+                )
+                .collect(),
+            )
+        )
+
+    assert hourly(back) == hourly(ev)
+
+
 def test_meta_json_roundtrip_and_explode(spark, tmp_path):
     meta = spark.createDataFrame(
         [
