@@ -138,15 +138,53 @@ def user_value_state(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_top_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming half of the q36 twin: windowed (hour, event_type)
+    counts. The top-1-per-hour ranking happens batch-side inside
+    foreachBatch (see ``top1_per_hour``) — analytic window functions
+    aren't supported on streaming DataFrames, so rank-over-aggregate is
+    exactly the operator shape foreachBatch exists for."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def top1_per_hour(df: DataFrame) -> DataFrame:
+    """Batch-side ranking for the q36 twin: highest count per hour,
+    event_type as the deterministic tiebreak (same as the batch q36)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("hour", "event_type", "n_events")
+    )
+
+
 def run_foreach_batch_parquet(
-    df: DataFrame, out_dir: str, mode: str = "append"
+    df: DataFrame, out_dir: str, mode: str = "append", transform=None
 ) -> int:
     """foreachBatch sink: each micro-batch lands as parquet under its
     batch id — the pattern for sinks Spark lacks natively (upserts into
-    table formats, JDBC merges...). Returns the number of batches."""
+    table formats, JDBC merges...). ``transform`` (batch DataFrame →
+    batch DataFrame) runs with full batch semantics before the write —
+    window functions, ranks, joins the streaming engine won't take.
+    Returns the number of batches."""
     n_batches = {"n": 0}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         n_batches["n"] += 1
 

@@ -129,6 +129,38 @@ def test_dedup_stream_matches_batch_count(spark, sf_dir):
     assert g == w
 
 
+def test_hourly_top_event_stream_equals_batch(spark, sf_dir, tmp_path):
+    """q36's streaming twin: windowed counts maintained by the stream,
+    top-1-per-hour ranked batch-side in foreachBatch. The final
+    complete-mode batch must equal the batch q36 exactly — closes the
+    last batch-only gap in the events tier."""
+    import glob
+
+    from synthetic_data_pipeline_spark.operators.events import (
+        q36_hourly_top_event,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        hourly_top_counts,
+        run_foreach_batch_parquet,
+        top1_per_hour,
+    )
+
+    out = str(tmp_path / "top1")
+    n = run_foreach_batch_parquet(
+        hourly_top_counts(stream_events(spark, sf_dir)),
+        out,
+        mode="complete",
+        transform=top1_per_hour,
+    )
+    assert n >= 1
+    last = max(
+        glob.glob(f"{out}/batch=*"), key=lambda p: int(p.rsplit("=", 1)[1])
+    )
+    got = spark.read.parquet(last).collect()
+    want = q36_hourly_top_event(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     from synthetic_data_pipeline_spark.streaming.jobs import (
         run_foreach_batch_parquet,
