@@ -479,24 +479,34 @@ def sit_block_sql() -> str:
 # all-lowercase on purpose: uppercase words ≥8 chars would
 # false-positive the SWIFT/PASSPORT patterns — the reference's own
 # committed run suffers exactly that (validation_report.txt:52).
-# The pad is multi-register (an 8-word rotation keyed on doc_id +
-# position, with a period every 9th word) rather than one repeated
-# token — the reference pads with faker sentences
+# The pad is multi-register with per-doc register MIXING rather than
+# one repeated token — the reference pads with faker sentences
 # (content_generator.py:236-242); distributional fidelity, not byte
-# fidelity, is the standard.
+# fidelity, is the standard. Each doc walks the 16-word pool with an
+# odd per-doc stride (odd ⇒ coprime with 16 ⇒ a full-cycle
+# permutation, every word reachable in every register) plus a per-doc
+# offset, and sentence length varies 7–10 words per doc — so the
+# corpus carries hundreds of distinct sentence forms instead of the 8
+# rotations a single fixed-stride/fixed-cadence pad produces.
 FILLER_WORDS = [
     "lorem", "ipsum", "dolor", "amet", "tempor", "vitae", "sed", "magna",
+    "elit", "nulla", "fusce", "porta", "ornare", "cursus", "neque", "augue",
 ]
 
 
-def filler_word_sql(pos: str = "(doc_id + i)") -> str:
-    """One filler word chosen by position — pure ANSI CASE, identical
-    on both engines; ``pos`` is the 0-based position expression."""
+def filler_word_sql(pos: str = "i", doc: str = "doc_id") -> str:
+    """One filler word at 0-based position ``pos`` of document ``doc``
+    — pure ANSI arithmetic + CASE, identical on both engines. All
+    words stay lowercase/short (uppercase ≥8-char tokens would
+    false-positive the SWIFT/PASSPORT patterns, see module note)."""
+    n = len(FILLER_WORDS)
+    idx = f"(({pos}) * (1 + 2 * (({doc}) % 4)) + ({doc})) % {n}"
+    slen = f"(7 + (({doc}) % 4))"
     whens = " ".join(
         f"WHEN {k} THEN '{w}'" for k, w in enumerate(FILLER_WORDS[:-1])
     )
     return (
-        f"concat(CASE {pos} % {len(FILLER_WORDS)} {whens} "
+        f"concat(CASE {idx} {whens} "
         f"ELSE '{FILLER_WORDS[-1]}' END, "
-        f"CASE WHEN {pos} % 9 = 8 THEN '.' ELSE '' END)"
+        f"CASE WHEN ({pos}) % {slen} = {slen} - 1 THEN '.' ELSE '' END)"
     )
