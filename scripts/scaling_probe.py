@@ -40,7 +40,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 COPIES = 10
+COPIES_2 = 100  # second decade: 100x tier on the headline subset
 ALPHA = "etaoinshrd"
+ALPHA_2 = "lucmfwypbg"  # disjoint from ALPHA: composed rotations stay bijective
 PROBE = [
     "q01_pricing_summary",        # scan + hash agg
     "q03_regional_revenue",       # fact-fact join + broadcast dims
@@ -54,90 +56,140 @@ PROBE = [
     "q101_deduped_corpus",        # LP clusters + anti-join materialization
     "q102_training_prep",         # composed filter→dedup→split chain
 ]
+# Second decade (VERDICT r5 #2): the headline subset at 100 copies —
+# single timed run each, since the tier exists to catch super-linear
+# blow-ups (q46's candidate join is the watch item), not microseconds.
+PROBE_100 = [
+    "q01_pricing_summary",
+    "q46_minhash_near_dups",
+    "q90_flagship_sit_scan",
+    "q93_redact_documents",
+    "q101_deduped_corpus",
+    "q102_training_prep",
+]
 
 
-def _with_copies(df: DataFrame) -> DataFrame:
-    copies = F.broadcast(
-        SparkSession.active().range(COPIES).withColumnRenamed("id", "copy")
+def _with_copies(df: DataFrame, copies: int = COPIES) -> DataFrame:
+    cp = F.broadcast(
+        SparkSession.active().range(copies).withColumnRenamed("id", "copy")
     )
-    return df.crossJoin(copies)
+    return df.crossJoin(cp)
 
 
 def _stride(df: DataFrame, key: str) -> int:
     return int(df.agg(F.max(key)).first()[0]) + 1
 
 
-def _translate_by_copy(col, alphabet: str):
-    """Per-copy bijective letter substitution: copy k maps the alphabet
-    to its rotation by k (translate needs literal from/to, so a 10-arm
-    CASE on the copy index)."""
+def _rot_case(col, idx, alphabet: str):
     expr = col
-    for k in range(1, COPIES):
+    for k in range(1, len(alphabet)):
         rot = alphabet[k:] + alphabet[:k]
-        expr = F.when(F.col("copy") == k, F.translate(col, alphabet, rot)).otherwise(expr)
+        expr = F.when(idx == k, F.translate(col, alphabet, rot)).otherwise(expr)
     return expr
 
 
-def build_scaled(spark: SparkSession, src: str, dst: str) -> None:
+def _translate_by_copy(col, copies: int = COPIES):
+    """Per-copy bijective letter substitution. Up to 10 copies: copy k
+    maps ALPHA to its rotation by k (translate needs literal from/to,
+    so a CASE on the copy index). Beyond 10, a second rotation keyed on
+    copy//10 over the DISJOINT alphabet ALPHA_2 composes with the
+    first — 10x10 distinct bijections, so even at 100 copies no two
+    copies share a substitution (verbatim cross-copy duplicates would
+    make every doc a copies-way near-dup cluster and measure a
+    different problem than scale-out)."""
+    expr = _rot_case(col, F.col("copy") % 10, ALPHA)
+    if copies > 10:
+        expr = _rot_case(expr, (F.col("copy") / 10).cast("long") % 10, ALPHA_2)
+    return expr
+
+
+def build_scaled(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    copies: int = COPIES,
+    scale_tables: tuple = ("orders", "lineitem", "events", "documents"),
+) -> None:
     os.makedirs(dst, exist_ok=True)
-    ok_stride = _stride(spark.read.parquet(f"{src}/orders.parquet"), "o_orderkey")
+    scaled: dict[str, DataFrame] = {}
 
-    orders = _with_copies(spark.read.parquet(f"{src}/orders.parquet")).select(
-        (F.col("o_orderkey") + F.col("copy") * ok_stride).alias("o_orderkey"),
-        *[c for c in spark.read.parquet(f"{src}/orders.parquet").columns
-          if c != "o_orderkey"],
-    )
-    li_src = spark.read.parquet(f"{src}/lineitem.parquet")
-    lineitem = _with_copies(li_src).select(
-        (F.col("l_orderkey") + F.col("copy") * ok_stride).alias("l_orderkey"),
-        *[c for c in li_src.columns if c != "l_orderkey"],
-    )
+    if "orders" in scale_tables or "lineitem" in scale_tables:
+        ok_stride = _stride(
+            spark.read.parquet(f"{src}/orders.parquet"), "o_orderkey"
+        )
+    if "orders" in scale_tables:
+        o_src = spark.read.parquet(f"{src}/orders.parquet")
+        scaled["orders"] = _with_copies(o_src, copies).select(
+            (F.col("o_orderkey") + F.col("copy") * ok_stride).alias("o_orderkey"),
+            *[c for c in o_src.columns if c != "o_orderkey"],
+        )
+    if "lineitem" in scale_tables:
+        li_src = spark.read.parquet(f"{src}/lineitem.parquet")
+        scaled["lineitem"] = _with_copies(li_src, copies).select(
+            (F.col("l_orderkey") + F.col("copy") * ok_stride).alias("l_orderkey"),
+            *[c for c in li_src.columns if c != "l_orderkey"],
+        )
 
-    # events stores TIMESTAMP(NANOS) — go through load_table, which
-    # reads nanos-as-long and truncates to micros; the rewritten copy
-    # is plain micros, which load_table passes through unchanged.
-    from synthetic_data_pipeline_spark.sources.tables import load_table
+    if "events" in scale_tables:
+        # events stores TIMESTAMP(NANOS) — go through load_table, which
+        # reads nanos-as-long and truncates to micros; the rewritten
+        # copy is plain micros, which load_table passes through.
+        from synthetic_data_pipeline_spark.sources.tables import load_table
 
-    ev_src = load_table(spark, src, "events")
-    eid_stride = _stride(ev_src, "event_id")
-    uid_stride = _stride(ev_src, "user_id")
-    events = _with_copies(ev_src).select(
-        (F.col("event_id") + F.col("copy") * eid_stride).alias("event_id"),
-        "ts",
-        (F.col("user_id") + F.col("copy") * uid_stride).alias("user_id"),
-        "event_type", "value", "props",
-    )
+        ev_src = load_table(spark, src, "events")
+        eid_stride = _stride(ev_src, "event_id")
+        uid_stride = _stride(ev_src, "user_id")
+        scaled["events"] = _with_copies(ev_src, copies).select(
+            (F.col("event_id") + F.col("copy") * eid_stride).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("copy") * uid_stride).alias("user_id"),
+            "event_type", "value", "props",
+        )
 
-    doc_src = spark.read.parquet(f"{src}/documents.parquet")
-    did_stride = _stride(doc_src, "doc_id")
-    documents = _with_copies(doc_src).select(
-        (F.col("doc_id") + F.col("copy") * did_stride).alias("doc_id"),
-        _translate_by_copy(F.col("text"), ALPHA).alias("text"),
-        "lang", "source", "n_chars",
-    )
+    if "documents" in scale_tables:
+        doc_src = spark.read.parquet(f"{src}/documents.parquet")
+        did_stride = _stride(doc_src, "doc_id")
+        scaled["documents"] = _with_copies(doc_src, copies).select(
+            (F.col("doc_id") + F.col("copy") * did_stride).alias("doc_id"),
+            _translate_by_copy(F.col("text"), copies).alias("text"),
+            "lang", "source", "n_chars",
+        )
 
-    for name, df in [
-        ("orders", orders), ("lineitem", lineitem),
-        ("events", events), ("documents", documents),
-    ]:
+    for name, df in scaled.items():
         df.repartition(32).write.mode("overwrite").parquet(
             f"{dst}/{name}.parquet"
         )
     for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
                  "embeddings"]:
         link = f"{dst}/{name}.parquet"
-        if not os.path.exists(link):
+        if name not in scaled and not os.path.exists(link):
             os.symlink(f"{src}/{name}.parquet", link)
 
 
-def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def time_queries(
+    spark: SparkSession, sf_dir: str, probe: list = PROBE, runs: int = 2
+) -> dict[str, float]:
+    from synthetic_data_pipeline_spark.operators.sketches import clear_lp_cache
     from synthetic_data_pipeline_spark.queries import all_queries
+
+    import gc
 
     registry = all_queries()
     out = {}
-    for name in PROBE:
+    for name in probe:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
+            # cold funnel each run: the memoized LP state would turn
+            # q101's second run into a consumer-only timing and hide
+            # exactly the funnel scaling this probe exists to measure
+            clear_lp_cache()
+            # drop lingering localCheckpoint blocks from earlier
+            # queries before timing — they are freed when their Python
+            # handles are GC'd, and letting them pile up makes later
+            # queries pay eviction/GC costs that read as (phantom)
+            # super-linear scaling
+            gc.collect()
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -162,14 +214,35 @@ def main() -> None:
                  "artifact name and overwrite a pinned SCALING_r*.json)")
     out_path = os.path.join(repo, f"SCALING_r{round_no}.json")
 
-    spark = get_spark(app_name="sdp-scaling")
+    # Corpus builds in a throwaway session; each tier then times on a
+    # FRESH session — shuffle files, checkpoint blocks, and JIT state
+    # from one tier can't bleed into another tier's timings (observed
+    # as multi-second phantom stalls on late-tier queries otherwise).
+    dst100 = os.path.join(repo, ".scaling", "sf100x")
+    spark = get_spark(app_name="sdp-scaling-build")
     t0 = time.perf_counter()
-    build_scaled(spark, src, dst)
+    if not os.path.exists(f"{dst}/_BUILT"):
+        build_scaled(spark, src, dst)
+        open(f"{dst}/_BUILT", "w").close()
     build_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES}x corpus in {build_sec}s -> {dst}", file=sys.stderr)
+    t0 = time.perf_counter()
+    if not os.path.exists(f"{dst100}/_BUILT"):
+        build_scaled(spark, src, dst100, copies=COPIES_2,
+                     scale_tables=("lineitem", "documents"))
+        open(f"{dst100}/_BUILT", "w").close()
+    build100_sec = round(time.perf_counter() - t0, 1)
+    print(f"built {COPIES_2}x corpus in {build100_sec}s -> {dst100}",
+          file=sys.stderr)
+    spark.stop()
 
-    t_1x = time_queries(spark, src)
+    spark = get_spark(app_name="sdp-scaling-1x")
+    t_1x = time_queries(spark, src, probe=PROBE + [n for n in PROBE_100
+                                                  if n not in PROBE])
+    spark.stop()
+    spark = get_spark(app_name="sdp-scaling-10x")
     t_10x = time_queries(spark, dst)
+    spark.stop()
     rows = {
         name: {
             "t_1x": t_1x[name],
@@ -178,15 +251,41 @@ def main() -> None:
         }
         for name in PROBE
     }
+
+    # Second decade: 100x on the headline subset (only lineitem +
+    # documents scale — nothing in PROBE_100 reads scaled orders or
+    # events — the rest symlink at 1x, the realistic "dims don't grow
+    # with facts" shape).
+    spark = get_spark(app_name="sdp-scaling-100x")
+    t_100x = time_queries(spark, dst100, probe=PROBE_100)
+    rows100 = {
+        name: {
+            "t_1x": t_1x[name],
+            "t_100x": t_100x[name],
+            "per_row_ratio_100x": round(
+                t_100x[name] / (COPIES_2 * t_1x[name]), 3
+            ),
+        }
+        for name in PROBE_100
+    }
+
     result = {
         "sf_base": src,
         "copies": COPIES,
         "queries": rows,
         "max_per_row_ratio": max(r["per_row_ratio"] for r in rows.values()),
+        "copies_2": COPIES_2,
+        "queries_100x": rows100,
+        "max_per_row_ratio_100x": max(
+            r["per_row_ratio_100x"] for r in rows100.values()
+        ),
         "note": (
             "per_row_ratio = t_10x / (10 * t_1x); <=1 means per-row cost "
             "flat-or-better at 10x (fixed overheads amortize), the linear-"
-            "scaling bar is ~1.3"
+            "scaling bar is ~1.3. per_row_ratio_100x = t_100x / (100 * "
+            "t_1x) over two decades on the headline subset. Each tier "
+            "runs min-of-2 on its own fresh SparkSession; the LP funnel "
+            "cache is cleared before every run at every scale"
         ),
     }
     with open(out_path, "w") as f:
