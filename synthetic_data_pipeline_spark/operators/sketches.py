@@ -251,6 +251,22 @@ def _dedup_retention_oracle() -> str:
     """
 
 
+def _dedup_summary(docs: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Anti-join the corpus against a retention list and summarize the
+    survivors per source — shared by q101 (in-session funnel) and
+    ``deduped_corpus_from`` (persisted retention table)."""
+    kept = docs.join(dropped.select("doc_id"), "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            eround(1e-9 + F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION applied end-to-end: anti-join the corpus
     against the q95 retention list (drop every non-canonical cluster
@@ -264,17 +280,26 @@ def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one narrow pass; the only shuffle carries |sources| aggregate
     rows."""
     docs = load_table(spark, sf_dir, "documents")
-    dropped = q95_dedup_retention(spark, sf_dir).select("doc_id")
-    kept = docs.join(dropped, "doc_id", "left_anti")
-    return (
-        kept.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            eround(1e-9 + F.avg("n_chars"), 4).alias("avg_chars"),
-        )
-        .orderBy("source")
-    )
+    return _dedup_summary(docs, q95_dedup_retention(spark, sf_dir))
+
+
+def write_retention(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the retention list as a parquet table — the
+    cross-JOB form of the in-session funnel memo. At 100 TB the LSH
+    funnel runs once per corpus snapshot and every downstream job
+    anti-joins against the persisted list; this is that run."""
+    q95_dedup_retention(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+
+def deduped_corpus_from(
+    spark: SparkSession, sf_dir: str, retention_path: str
+) -> DataFrame:
+    """q101's action against a PERSISTED retention list: zero
+    clustering work — scan corpus, anti-join the parquet retention
+    table, aggregate. The plan touches no shingles, signatures, or
+    label state; a test pins that this never rebuilds the funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup_summary(docs, spark.read.parquet(retention_path))
 
 
 def _deduped_corpus_oracle() -> str:

@@ -92,3 +92,27 @@ def test_lp_funnel_memoized_and_stable(spark, sf_dir):
     sketches.clear_lp_cache()
     rebuilt = sorted(map(tuple, sketches._lp_labels(spark, sf_dir).collect()))
     assert rebuilt == cold
+
+
+def test_persisted_retention_reuse(spark, sf_dir, tmp_path):
+    """Cross-job funnel reuse: materialize the retention list once as
+    parquet, then run the dedup action from the persisted table in a
+    'fresh session' (cleared memo) — identical summary, and the
+    consumer provably never rebuilds the funnel (the memo stays
+    empty)."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    path = str(tmp_path / "retention")
+    sketches.write_retention(spark, sf_dir, path)
+    want = sorted(
+        map(tuple, sketches.q101_deduped_corpus(spark, sf_dir).collect())
+    )
+    sketches.clear_lp_cache()
+    got = sorted(
+        map(
+            tuple,
+            sketches.deduped_corpus_from(spark, sf_dir, path).collect(),
+        )
+    )
+    assert got == want
+    assert not sketches._LP_CACHE, "consumer rebuilt the funnel"
