@@ -82,11 +82,16 @@ _LP_CACHE_MAX = 3  # bench + scaling probe use ≤2 sf_dirs per session
 
 
 def clear_lp_cache() -> None:
-    """Unpersist and drop every memoized funnel (tests / reloads)."""
+    """Unpersist and drop every memoized funnel stage (tests / cold
+    probes) — including the upstream shingle/candidate memo, so a
+    'cold' timing really rebuilds the whole pipeline."""
+    from .dedup import clear_shingle_cache
+
     for edges, labels in _LP_CACHE.values():
         edges.unpersist()
         labels.unpersist()
     _LP_CACHE.clear()
+    clear_shingle_cache()
 
 
 def _lp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -98,15 +103,14 @@ def _lp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     whether or not the cache hits (same lineage, same determinism)."""
     from pyspark import StorageLevel
 
-    from .dedup import lsh_candidates, minhash_signatures
+    from .dedup import shingle_state
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _LP_CACHE.get(key)
     if hit is not None:
         return hit
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidates(minhash_signatures(docs)).localCheckpoint(eager=False)
+    _, pairs = shingle_state(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
