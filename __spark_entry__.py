@@ -67,14 +67,19 @@ DRIVER_WINDOW = [
     "q90_flagship_sit_scan", "q91_sit_issue_list",
     "q93_redact_documents", "q98_validation_failures",
     "q99_redact_generated", "q100_media_features",
-    # anchors: code round 6 touches (LP telemetry/reuse, scaling
-    # watch, streaming twins' batch forms, corpus texture) — q103 is
-    # new this round (LP convergence probe over the shared funnel)
-    "q58_dup_clusters", "q95_dedup_retention",
-    "q46_minhash_near_dups", "q36_hourly_top_event",
-    "q103_lp_convergence", "q62_gen_validation_report",
-    # continuity anchors from the r5 window
-    "q32_user_sessions", "q101_deduped_corpus", "q102_training_prep",
+    # anchors: code round 6 touches — q103 (new LP convergence probe)
+    # and q101 cover the shared-funnel change for the whole
+    # q58/q95/q101/q103 group (same memoized lineage), q46 is the 100x
+    # scaling watch item sharing the shingle state, q62 sits on the
+    # corpus-texture change in plans/generate.py
+    "q46_minhash_near_dups", "q103_lp_convergence",
+    "q62_gen_validation_report", "q101_deduped_corpus",
+    # new operators this session — new code needs driver rows most
+    # (displacing the r5-green continuity anchors q32/q36/q58/q95/q102,
+    # whose code paths are covered by the anchors above + pytest)
+    "q104_ngram_jaccard_join", "q105_decontaminate",
+    "q106_repetition_signals", "q107_quantized_knn",
+    "q108_click_error_interval",
 ]
 
 

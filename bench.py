@@ -30,9 +30,19 @@ HEADLINE = [
     "q42_quality_by_source",
     "q44_trigram_stats",
     "q46_minhash_near_dups",
+    # q104 shares q46's memoized shingle state — its headline number is
+    # the capped-posting-list candidate join + verify, not a re-shingle
+    "q104_ngram_jaccard_join",
+    "q105_decontaminate",
+    "q106_repetition_signals",
     "q50_knn_bruteforce",
     "q54_cosine_near_dups",
     "q55_ivf_ann",
+    "q107_quantized_knn",
+    "q108_click_error_interval",
+    # q62/q91 share the session-memoized scanned-pairs table
+    # (generation._scanned_pairs): their headline numbers measure the
+    # consumer agg/issue-list cost; extras carry the cold build time
     "q62_gen_validation_report",
     "q66_winnowing_fingerprints",
     "q90_flagship_sit_scan",
@@ -150,6 +160,32 @@ def _funnel_reuse(spark, sf_dir: str) -> dict:
     }
 
 
+def _gen_scan_reuse(spark, sf_dir: str) -> dict:
+    """Cold vs warm cost of the shared generate→render→regex-scan
+    table (generation._scanned_pairs): q62/q91/q98 headline times read
+    the memoized checkpoint, so this extra records what a fresh session
+    pays to build it once (cold = q62 with a cleared cache) and what
+    each additional consumer pays afterwards (warm = q91 on the memo)."""
+    from synthetic_data_pipeline_spark.operators import generation
+
+    generation.clear_scanned_pairs_cache()
+    t0 = time.perf_counter()
+    generation.q62_gen_validation_report(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    generation.q91_sit_issue_list(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm = time.perf_counter() - t0
+    return {
+        "gen_scan_cold_sec": round(cold, 3),
+        "gen_scan_warm_sec": round(warm, 3),
+        "gen_scan_reuse_x": round(cold / warm, 1),
+    }
+
+
 def time_queries(
     spark, registry: dict, names: list, sf_dir: str, runs: int = 2
 ) -> "tuple[dict, dict]":
@@ -210,6 +246,11 @@ def main() -> None:
         extras.update(_funnel_reuse(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_funnel_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_gen_scan_reuse(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_gen_scan_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a

@@ -55,6 +55,10 @@ PROBE = [
     "q97_quality_filter",         # per-row quality signals
     "q101_deduped_corpus",        # LP clusters + anti-join materialization
     "q102_training_prep",         # composed filter→dedup→split chain
+    "q104_ngram_jaccard_join",    # capped posting-list candidate join
+    "q105_decontaminate",         # broadcast benchmark-gram semi join
+    "q106_repetition_signals",    # two (doc, gram) counting shuffles
+    "q108_click_error_interval",  # equi-key interval join
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -66,6 +70,9 @@ PROBE_100 = [
     "q93_redact_documents",
     "q101_deduped_corpus",
     "q102_training_prep",
+    # q104's posting-list pair join is the same candidate-blow-up risk
+    # class as q46's band join — watch both across two decades
+    "q104_ngram_jaccard_join",
 ]
 
 

@@ -160,6 +160,49 @@ def q34_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q108: time-interval (range) join — every (click, error) pair for
+# the same user where the error lands within INTERVAL_HOURS after the
+# click, aggregated per user. This is the batch form of a Structured
+# Streaming stream-stream inner join (equi-key on user_id + time-range
+# predicate; see streaming/jobs.py interval_join_stream — the streaming
+# twin keeps bounded state via watermarks on BOTH sides). Scale shape:
+# the equi-key keeps it a hash join on user_id — the range predicate is
+# a post-join filter, never a cross product; per-user fan-out is
+# clicks×errors within one user, bounded by the time window at real
+# event rates. Latency math in microseconds (unix_micros / epoch_us) —
+# whole-second casts would silently floor sub-second latencies.
+INTERVAL_HOURS = 6
+
+
+def q108_click_error_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets")
+    )
+    lat = (
+        F.unix_micros("ets") - F.unix_micros("cts")
+    ).cast("double") / 1e6
+    return (
+        clicks.join(errors, "user_id")
+        .filter(
+            (F.col("ets") > F.col("cts"))
+            & (F.col("ets") <= F.col("cts") + F.expr(f"INTERVAL {INTERVAL_HOURS} HOURS"))
+        )
+        .select("user_id", lat.alias("latency_sec"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            eround(1e-9 + F.avg("latency_sec"), 4).alias("avg_latency_sec"),
+            eround(F.min("latency_sec"), 4).alias("min_latency_sec"),
+            eround(F.max("latency_sec"), 4).alias("max_latency_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --- q35: keyed dedup keeping the earliest event (SURVEY U1 first-wins
 # semantics, and the batch twin of dropDuplicatesWithinWatermark).
 def q35_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,10 +329,27 @@ QUERIES = {
     "q33_json_prop_stats": q33_json_prop_stats,
     "q34_asof_click_error": q34_asof_click_error,
     "q35_first_event_per_user_type": q35_first_event_per_user_type,
+    "q108_click_error_interval": q108_click_error_interval,
     "q92_salted_event_stats": q92_salted_event_stats,
 }
 
 ORACLES = {
+    "q108_click_error_interval": f"""
+        WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+        e AS (SELECT user_id, ts AS ets FROM events WHERE event_type = 'error'),
+        pairs AS (
+          SELECT c.user_id,
+                 (epoch_us(e.ets) - epoch_us(c.cts)) / 1e6 AS latency_sec
+          FROM c JOIN e ON e.user_id = c.user_id
+                       AND e.ets > c.cts
+                       AND e.ets <= c.cts + INTERVAL {INTERVAL_HOURS} HOUR
+        )
+        SELECT user_id, count(*) AS n_pairs,
+               round(1e-9 + avg(latency_sec), 4) AS avg_latency_sec,
+               round(min(latency_sec), 4) AS min_latency_sec,
+               round(max(latency_sec), 4) AS max_latency_sec
+        FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
     "q36_hourly_top_event": """
         WITH hourly AS (
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -353,6 +353,24 @@ def _ms_whens(d: dict) -> list[str]:
     ]
 
 
+# Scanned-pairs table per (Spark application, GenConfig): q62, q91,
+# q98 and the report assembly all consume the SAME generate → render →
+# join → regex-scan pipeline; within one session it is computed once
+# (the already-present localCheckpoint materializes it) — the
+# in-session form of "at 100 TB you'd persist the validation scan as a
+# table" (same reuse pattern as dedup.shingle_state). Results are
+# identical with or without a memo hit: the lineage is deterministic,
+# consumers only append further transformations.
+_SCANNED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SCANNED_CACHE_MAX = 3
+
+
+def clear_scanned_pairs_cache() -> None:
+    """Drop memoized scanned-pairs frames (checkpoint blocks are freed
+    when the handles are GC'd) — keeps cold-path probes honest."""
+    _SCANNED_CACHE.clear()
+
+
 def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
     """(doc_id, sit_id, label, instances, text, ms) for every ASSIGNED
     (doc, scanned-SIT) pair — the validator's loop shape
@@ -375,6 +393,11 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
     to the driver per call — wasteful here, fatal at 100 TB.
     """
     from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, repr(cfg))
+    hit = _SCANNED_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     d = _DIALECTS["spark"]
     vals = _staged_vals(cfg, spark)
@@ -410,9 +433,13 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
         .coalesce(_gen_partitions(cfg))
         .localCheckpoint()
     )
-    return staged.withColumn(
+    out = staged.withColumn(
         "ms", F.coalesce(*[F.col(f"_ms{i}") for i in range(len(chunks))])
     ).drop(*[f"_ms{i}" for i in range(len(chunks))])
+    while len(_SCANNED_CACHE) >= _SCANNED_CACHE_MAX:
+        _SCANNED_CACHE.pop(next(iter(_SCANNED_CACHE)))
+    _SCANNED_CACHE[key] = out
+    return out
 
 
 def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,6 +353,216 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q107: scalar-quantized kNN with measured recall — the memory-
+# bandwidth scale path for embedding search. Each dimension is affinely
+# mapped to the QUANT_LEVELS int grid using corpus min/max (the 64-row
+# stats table BROADCASTS), vectors are reconstructed from the grid, and
+# top-k runs on the reconstructed values; the query reports per-probe
+# recall@k and cosine error vs the exact float ranking computed in the
+# same lineage. At 100 TB the int8 codes are 4× smaller than float32 —
+# the corpus scan that dominates brute-force/IVF search moves 4× less
+# memory — and this query is the accuracy audit for that trade.
+# floor(v + 0.5) instead of round(): identical half-up semantics in
+# both engines on any double (round()'s half-to-even vs half-away
+# difference is a knife-edge on grid-aligned inputs). Two grid sizes
+# run side by side — 255 (int8) and 15 (int4) — because the int8 tier
+# alone is indistinguishable from exact on this corpus (recall 1.0);
+# the int4 tier is where the trade becomes visible (recall ~0.78).
+QUANT_LEVELS = (255, 15)
+
+
+def _quantized_recall_tier(dims: DataFrame, levels: int) -> DataFrame:
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    code = F.floor(
+        (F.col("x") - F.col("mn")) * levels / (F.col("mx") - F.col("mn"))
+        + 0.5
+    )
+    dq = (
+        dims.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            "x",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.col("mn")
+                + code * (F.col("mx") - F.col("mn")) / levels,
+            )
+            .otherwise(F.col("x"))
+            .alias("dqx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = dq.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("dqx") * F.col("dqx"))).alias("qn"),
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("en"),
+    )
+    probe = dq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "dim",
+        F.col("dqx").alias("pq"),
+        F.col("x").alias("px"),
+    )
+    dots = (
+        F.broadcast(probe)
+        .join(dq, "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("pq") * F.col("dqx")).alias("qdot"),
+            F.sum(F.col("px") * F.col("x")).alias("edot"),
+        )
+    )
+    scored = (
+        dots.join(
+            norms.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qn").alias("qna"),
+                F.col("en").alias("ena"),
+            ),
+            "query_id",
+        )
+        .join(norms, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            eround(F.col("qdot") / (F.col("qna") * F.col("qn")), 4).alias(
+                "qcos"
+            ),
+            eround(F.col("edot") / (F.col("ena") * F.col("en")), 4).alias(
+                "ecos"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("ecos"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "qcos",
+        "ecos",
+        F.row_number().over(wq).alias("qrk"),
+        F.row_number().over(we).alias("erk"),
+    )
+    topq = ranked.filter(F.col("qrk") <= TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    tope = ranked.filter(F.col("erk") <= TOP_K).select(
+        "query_id", "neighbor_id", "qcos", "ecos"
+    )
+    hits = tope.join(topq, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        tope.groupBy("query_id")
+        .agg(
+            eround(1e-9 + F.avg(F.abs(F.col("qcos") - F.col("ecos"))), 4).alias(
+                "avg_abs_cos_err"
+            )
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+            "query_id",
+            "left",
+        )
+    )
+    return per_q.select(
+        F.lit(levels).alias("levels"),
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        eround(F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K, 4).alias(
+            "recall"
+        ),
+        "avg_abs_cos_err",
+    )
+
+
+def q107_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    ).localCheckpoint(eager=False)
+    tiers = [_quantized_recall_tier(dims, lv) for lv in QUANT_LEVELS]
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("levels", "query_id")
+
+
+_Q107_ORACLE_TEMPLATE = """
+    SELECT CAST({L} AS INTEGER) AS levels, query_id, n_hits, recall,
+           avg_abs_cos_err
+    FROM (
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+    dq AS (
+      SELECT d.vec_id, d.dim, d.x,
+             CASE WHEN s.mx > s.mn
+                  THEN s.mn + floor((d.x - s.mn) * {L} / (s.mx - s.mn) + 0.5)
+                       * (s.mx - s.mn) / {L}
+                  ELSE d.x END AS dqx
+      FROM dims d JOIN stats s ON s.dim = d.dim
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(dqx * dqx)) AS qn, sqrt(sum(x * x)) AS en
+      FROM dq GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT p.vec_id AS query_id, c.vec_id,
+             sum(p.dqx * c.dqx) AS qdot, sum(p.x * c.x) AS edot
+      FROM dq p JOIN dq c ON c.dim = p.dim AND c.vec_id != p.vec_id
+      WHERE p.vec_id < {NQ}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id AS neighbor_id,
+             round(d.qdot / (na.qn * nb.qn), 4) AS qcos,
+             round(d.edot / (na.en * nb.en), 4) AS ecos
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, qcos, ecos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcos DESC, neighbor_id ASC) AS qrk,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ecos DESC, neighbor_id ASC) AS erk
+      FROM scored
+    ),
+    topq AS (SELECT query_id, neighbor_id FROM ranked WHERE qrk <= {K}),
+    tope AS (SELECT query_id, neighbor_id, qcos, ecos FROM ranked
+             WHERE erk <= {K}),
+    hitc AS (
+      SELECT t.query_id, count(*) AS n_hits
+      FROM tope t JOIN topq q
+        ON q.query_id = t.query_id AND q.neighbor_id = t.neighbor_id
+      GROUP BY 1
+    ),
+    errs AS (
+      SELECT query_id,
+             round(1e-9 + avg(abs(qcos - ecos)), 4) AS avg_abs_cos_err
+      FROM tope GROUP BY query_id
+    )
+    SELECT e.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {K}, 4) AS recall,
+           e.avg_abs_cos_err
+    FROM errs e LEFT JOIN hitc h ON h.query_id = e.query_id
+    )
+"""
+
+
 # --- q56: iterative k-means (3 fixed iterations, deterministic init).
 # The FIXED iteration count makes it SQL-expressible after all: the
 # oracle below unrolls the three assign→recompute rounds as CTE stages
@@ -475,6 +685,7 @@ QUERIES = {
     "q51_label_centroids": q51_label_centroids,
     "q52_norm_stats": q52_norm_stats,
     "q53_ann_bucket_stats": q53_ann_bucket_stats,
+    "q107_quantized_knn": q107_quantized_knn,
 }
 
 _COSINE_SQL = """
@@ -490,6 +701,10 @@ _COSINE_SQL = """
 
 ORACLES = {
     "q56_kmeans": _kmeans_oracle_sql(),
+    "q107_quantized_knn": " UNION ALL ".join(
+        _Q107_ORACLE_TEMPLATE.format(L=lv, NQ=N_QUERIES, K=TOP_K)
+        for lv in QUANT_LEVELS
+    ) + " ORDER BY levels, query_id",
     "q50_knn_bruteforce": f"""
         WITH scored AS ({_COSINE_SQL.format(nq=N_QUERIES)}),
         ranked AS (

@@ -449,6 +449,253 @@ def _q102_oracle() -> str:
     """
 
 
+# --- q105: benchmark decontamination — the eval-set overlap check every
+# training-data pipeline runs before release. One source ('src0') plays
+# the held-out benchmark; a training doc is CONTAMINATED if it shares
+# any word n-gram with any benchmark doc (the standard 13-gram rule,
+# run here at n=4 because the synthetic docs are ~100 tokens over a
+# 31-word vocabulary — at 13 the overlap signal vanishes; the constant
+# is the only knob). Scale shape: the benchmark gram set is tiny
+# relative to the corpus by construction, so it BROADCASTS; the train
+# side is one scan → narrow distinct-gram explode → broadcast hash join
+# → two small per-source aggs. No shuffle ever carries document text.
+DECON_N = 4
+DECON_BENCH_SOURCE = "src0"
+
+
+def decontaminate_by_source(
+    docs: DataFrame, n: int = DECON_N, bench_source: str = DECON_BENCH_SOURCE
+) -> DataFrame:
+    """Per-source contamination report for a (doc_id, source, text)
+    frame; ``bench_source`` plays the held-out benchmark."""
+    arr = _tokens(F.col("text"))
+    grams_arr = F.when(
+        F.size("arr") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("arr"), (i + j).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", "source", arr.alias("arr")).select(
+        "doc_id", "source", F.explode(F.array_distinct(grams_arr)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("source") == bench_source)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("source") != bench_source)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    per_src = (
+        docs.filter(F.col("source") != bench_source)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    cont = hits.groupBy("source").agg(
+        F.count("*").alias("n_contaminated"),
+        F.sum("n_hit_grams").alias("n_shared_grams"),
+    )
+    return (
+        per_src.join(cont, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            eround(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q105_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+_Q105_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, len(arr) - {DECON_N - 2}),
+               i -> concat_ws(' ', {", ".join(f"arr[i+{j}]" if j else "arr[i]" for j in range(DECON_N))})
+             ))) AS g
+      FROM toks WHERE len(arr) >= {DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE source = '{DECON_BENCH_SOURCE}'
+    ),
+    hits AS (
+      SELECT gr.doc_id, gr.source, count(*) AS n_hit_grams
+      FROM grams gr JOIN bench USING (g)
+      WHERE gr.source != '{DECON_BENCH_SOURCE}'
+      GROUP BY 1, 2
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs FROM documents
+      WHERE source != '{DECON_BENCH_SOURCE}' GROUP BY 1
+    ),
+    cont AS (
+      SELECT source, count(*) AS n_contaminated,
+             sum(n_hit_grams) AS n_shared
+      FROM hits GROUP BY 1
+    )
+    SELECT p.source, p.n_docs,
+           CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(c.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / p.n_docs, 4)
+             AS contamination_rate
+    FROM per_src p LEFT JOIN cont c USING (source)
+    ORDER BY source
+"""
+
+
+# --- q106: repetition signals (Gopher-style quality rules): per-doc
+# type-token ratio, most-frequent-token fraction, and the token mass
+# covered by the most frequent bigram — the three cheap detectors for
+# degenerate/looping text. Thresholds (top-token fraction ≥ 0.15,
+# TTR ≤ 0.35) sit at ~p93 of the corpus so the flag is a real split.
+# Scale shape: narrow per-doc expressions + two (doc_id, gram) counting
+# shuffles whose keys are uniform (doc_id ⊂ key), then a |sources|-key
+# agg — no skew, no text in any shuffle except the short gram strings.
+REP_TOP_TOK_FRAC = 0.15
+REP_TTR_MIN = 0.35
+
+
+def repetition_doc_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, ttr, top_tok_frac, top_bigram_frac) per doc."""
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("arr"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+    )
+    tokc = (
+        base.select("doc_id", F.explode("arr").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    top_tok = tokc.groupBy("doc_id").agg(F.max("c").alias("top_tok"))
+    bigrams = F.when(
+        F.size("arr") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("arr"), i.cast("int")),
+                F.element_at(F.col("arr"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    top_bg = bgc.groupBy("doc_id").agg(F.max("c").alias("top_bg"))
+    return (
+        base.select("doc_id", "source", "n_tokens", "ttr")
+        .join(top_tok, "doc_id")
+        .join(top_bg, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "ttr",
+            (F.col("top_tok").cast("double") / F.col("n_tokens")).alias(
+                "top_tok_frac"
+            ),
+            (F.col("top_bg") * F.lit(2.0) / F.col("n_tokens")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def q106_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = repetition_doc_signals(load_table(spark, sf_dir, "documents"))
+    flagged = (F.col("top_tok_frac") >= REP_TOP_TOK_FRAC) | (
+        F.col("ttr") <= REP_TTR_MIN
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            eround(1e-9 + F.avg("ttr"), 4).alias("avg_ttr"),
+            eround(1e-9 + F.avg("top_tok_frac"), 4).alias("avg_top_tok_frac"),
+            eround(1e-9 + F.avg("top_bigram_frac"), 4).alias(
+                "avg_top_bigram_frac"
+            ),
+            F.sum(F.when(flagged, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q106_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, source, len(arr) AS n_tokens,
+             CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS ttr
+      FROM base
+    ),
+    tokc AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest(arr) AS t FROM base) GROUP BY 1, 2
+    ),
+    top_tok AS (SELECT doc_id, max(c) AS top_tok FROM tokc GROUP BY 1),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> concat_ws(' ', arr[i], arr[i+1]))) AS b
+      FROM base WHERE len(arr) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    top_bg AS (SELECT doc_id, max(c) AS top_bg FROM bgc GROUP BY 1),
+    per_doc AS (
+      SELECT s.source, s.ttr,
+             CAST(tt.top_tok AS DOUBLE) / s.n_tokens AS top_tok_frac,
+             tb.top_bg * 2.0 / s.n_tokens AS top_bigram_frac
+      FROM st s
+      JOIN top_tok tt USING (doc_id)
+      JOIN top_bg tb USING (doc_id)
+    )
+    SELECT source, count(*) AS n_docs,
+           round(1e-9 + avg(ttr), 4) AS avg_ttr,
+           round(1e-9 + avg(top_tok_frac), 4) AS avg_top_tok_frac,
+           round(1e-9 + avg(top_bigram_frac), 4) AS avg_top_bigram_frac,
+           CAST(sum(CASE WHEN top_tok_frac >= {REP_TOP_TOK_FRAC}
+                          OR ttr <= {REP_TTR_MIN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -462,6 +709,8 @@ QUERIES = {
     "q96_dataset_split": q96_dataset_split,
     "q97_quality_filter": q97_quality_filter,
     "q102_training_prep": q102_training_prep,
+    "q105_decontaminate": q105_decontaminate,
+    "q106_repetition_signals": q106_repetition_signals,
 }
 
 
@@ -652,5 +901,7 @@ ORACLES = {
     "q94_token_chunks": _Q94_ORACLE,
     "q96_dataset_split": _q96_oracle(),
     "q97_quality_filter": _Q97_ORACLE,
+    "q105_decontaminate": _Q105_ORACLE,
+    "q106_repetition_signals": _Q106_ORACLE,
     "q102_training_prep": _q102_oracle(),
 }

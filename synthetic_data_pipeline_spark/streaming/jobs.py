@@ -171,6 +171,33 @@ def top1_per_hour(df: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_stream(events: DataFrame, hours: int = 6) -> DataFrame:
+    """Stream-stream inner join — the streaming twin of
+    q108_click_error_interval (operators/events.py). Both sides carry a
+    watermark and the join predicate carries a two-sided time-range
+    bound, which is exactly what lets Spark expire join state: a click
+    older than (watermark + ``hours``) can never match a future error,
+    so per-key buffered state stays finite on an unbounded stream.
+    Emits the raw matched pairs (append mode); rank/agg over the pairs
+    belongs batch-side or in foreachBatch."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 hour")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user_id"), F.col("ts").alias("ets"))
+        .withWatermark("ets", "1 hour")
+    )
+    return clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("ets") > F.col("cts"))
+        & (F.col("ets") <= F.col("cts") + F.expr(f"INTERVAL {hours} HOURS")),
+    ).select("user_id", "cts", "ets")
+
+
 def run_foreach_batch_parquet(
     df: DataFrame, out_dir: str, mode: str = "append", transform=None
 ) -> int:

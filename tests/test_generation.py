@@ -329,3 +329,29 @@ def test_filler_sentence_variety(spark):
         "regressed to a fixed rotation"
     )
     assert len(lengths) >= 3, f"sentence cadence not varying: {lengths}"
+
+
+def test_scanned_pairs_memoized_and_stable(spark):
+    """q62/q91/q98 share one session-memoized scanned-pairs table; a
+    memo hit must return the identical frame, and a rebuilt frame must
+    carry the identical relation (deterministic lineage)."""
+    from synthetic_data_pipeline_spark.operators import generation
+
+    generation.clear_scanned_pairs_cache()
+    a = generation._scanned_pairs(spark)
+    assert generation._scanned_pairs(spark) is a, "memo must hit"
+    cold = sorted(
+        map(tuple, a.select("doc_id", "sit_id", "label", "instances").collect())
+    )
+    generation.clear_scanned_pairs_cache()
+    b = generation._scanned_pairs(spark)
+    assert b is not a, "cleared cache must rebuild"
+    assert (
+        sorted(
+            map(
+                tuple,
+                b.select("doc_id", "sit_id", "label", "instances").collect(),
+            )
+        )
+        == cold
+    )

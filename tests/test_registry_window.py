@@ -15,16 +15,16 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 DRIVER_CAP = 50
 
 # Queries that MUST occupy the round-6 window: the 41 whose last
-# driver row is r3/r4 (the r5 rotation checked the complement), plus
-# the anchors round-6 code touches (LP funnel q58/q95, scaling-watch
-# q46, streaming batch twins q30/q36, corpus-texture q62) and the
-# r5-window continuity anchors q32/q101/q102.
+# driver row is r3/r4 (the r5 rotation checked the complement), the
+# anchors for code round 6 touches (shared LP funnel via q101/q103,
+# scaling-watch q46, corpus-texture q62), and the five operators new
+# this round (q104–q108) — brand-new code needs driver rows most.
 R2_UNCHECKED = [
     f"q{i:02d}" for i in [*range(1, 23), 24, *range(26, 30),  # relational
                           54, 56, 60, 61, 63, 64, 80, 81,
                           90, 91, 93, 98, 99, 100,            # 41 stale
-                          58, 95, 46, 36, 103, 62,            # touched
-                          32, 101, 102]                       # continuity
+                          46, 103, 62, 101,                   # touched
+                          104, 105, 106, 107, 108]            # new ops
 ]
 
 

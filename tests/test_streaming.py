@@ -4,6 +4,8 @@ answers on the static events table (SURVEY.md §2.10)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from synthetic_data_pipeline_spark.operators.events import (
     q30_tumbling_hourly,
     q31_sliding_hourly,
@@ -47,6 +49,29 @@ def test_tumbling_stream_session_tz_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert sorted(map(tuple, got)) == want
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """Stream-stream inner join (watermarks both sides + time-range
+    predicate) must reproduce the batch interval join's per-user pair
+    counts when drained with availableNow."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        q108_click_error_interval,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import interval_join_stream
+
+    pairs = run_available_now(
+        interval_join_stream(stream_events(spark, sf_dir)), mode="append"
+    )
+    got = sorted(
+        (r.user_id, r.n) for r in
+        pairs.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_pairs)
+        for r in q108_click_error_interval(spark, sf_dir).collect()
+    )
+    assert got == want
 
 
 def test_session_stream_runs(spark, sf_dir):

@@ -1,0 +1,154 @@
+"""Unit tests for the round-6 training-pipeline operators: capped
+inverted-index Jaccard join (q104), benchmark decontamination (q105),
+repetition signals (q106), quantized-kNN recall audit (q107), and the
+click→error interval join (q108). The oracle gate proves engine parity;
+these prove the SEMANTICS on crafted inputs the driver corpus can't
+exercise (planted dups, known contamination, degenerate repetition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from synthetic_data_pipeline_spark.operators.dedup import (
+    distinct_shingles,
+    inverted_index_candidates,
+    token_jaccard,
+)
+from synthetic_data_pipeline_spark.operators.events import (
+    INTERVAL_HOURS,
+    q108_click_error_interval,
+)
+from synthetic_data_pipeline_spark.operators.similarity import (
+    q107_quantized_knn,
+)
+from synthetic_data_pipeline_spark.operators.textops import (
+    decontaminate_by_source,
+    repetition_doc_signals,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the river runs "
+    "slowly past the quiet mill and the miller watches the water turn "
+    "the old wheel beneath a pale morning sky"
+)
+
+
+def test_inverted_index_finds_planted_dups(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate
+        (2, BASE.replace("pale morning", "grey evening")),  # near-dup
+        (3, "completely different content about spark shuffles and "
+            "partitions and adaptive query execution plans at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = distinct_shingles(docs)
+    cands = inverted_index_candidates(tokens)
+    pairs = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # doc 3 shares no shingle with anything → never a candidate
+    assert all(3 not in p for p in pairs)
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in token_jaccard(tokens, cands).collect()}
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 < jac[(0, 2)] < 1.0
+
+
+def test_inverted_index_df_cap_drops_stop_shingles(spark):
+    # 30 docs all sharing one ubiquitous shingle (df=30 > cap) plus a
+    # unique tail → with df_cap=20 the shared shingle is a stop-gram
+    # and generates NO candidate pairs.
+    rows = [(i, f"alpha beta gamma unique{i} tail{i} end{i}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = distinct_shingles(docs)
+    # min_shared=1 isolates the df-cap behavior from the count filter
+    assert (
+        inverted_index_candidates(tokens, df_cap=20, min_shared=1).count() == 0
+    )
+    # raising the cap above 30 re-admits it
+    assert (
+        inverted_index_candidates(tokens, df_cap=64, min_shared=1).count()
+        == 30 * 29 / 2
+    )
+    # ...and the count filter alone kills these 1-shared-shingle pairs
+    assert (
+        inverted_index_candidates(tokens, df_cap=64, min_shared=5).count() == 0
+    )
+
+
+def test_decontaminate_flags_copied_ngram(spark):
+    bench_text = "zeta eta theta iota kappa lambda mu nu xi"
+    rows = [
+        (0, "bench", bench_text),
+        (1, "train_a", "alpha beta gamma delta " + bench_text),  # copies 4-grams
+        (2, "train_a", "one two three four five six seven eight nine"),
+        (3, "train_b", "ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in
+           decontaminate_by_source(docs, n=4, bench_source="bench").collect()}
+    assert out["train_a"].n_docs == 2
+    assert out["train_a"].n_contaminated == 1
+    assert out["train_a"].n_shared_grams == 6  # 9-token copy → 6 4-grams
+    assert out["train_b"].n_contaminated == 0
+    assert out["train_b"].contamination_rate == 0.0
+
+
+def test_repetition_signals_flag_degenerate_text(spark):
+    rows = [
+        (0, "s", " ".join(["spam"] * 40)),               # fully degenerate
+        (1, "s", " ".join(f"w{i}" for i in range(40))),  # fully diverse
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sig = {r.doc_id: r for r in repetition_doc_signals(docs).collect()}
+    assert sig[0].ttr == 1 / 40 and sig[0].top_tok_frac == 1.0
+    assert sig[0].top_bigram_frac == 39 * 2 / 40
+    assert sig[1].ttr == 1.0 and sig[1].top_tok_frac == 1 / 40
+    assert sig[1].top_bigram_frac == 2 / 40
+
+
+def test_quantized_knn_recall_monotone_in_levels(spark, sf_dir):
+    rows = q107_quantized_knn(spark, sf_dir).collect()
+    by_level: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_level.setdefault(r.levels, {})[r.query_id] = r.recall
+        assert 0.0 <= r.recall <= 1.0
+        assert r.avg_abs_cos_err >= 0.0
+    assert set(by_level) == {255, 15}
+    # int8 can't be worse than int4 on average (finer grid)
+    avg = {lv: sum(d.values()) / len(d) for lv, d in by_level.items()}
+    assert avg[255] >= avg[15]
+
+
+def test_interval_join_latencies_bounded(spark, sf_dir):
+    rows = q108_click_error_interval(spark, sf_dir).collect()
+    assert rows, "expected at least one user with click→error pairs"
+    limit = INTERVAL_HOURS * 3600
+    for r in rows:
+        assert r.n_pairs >= 1
+        assert 0 < r.min_latency_sec <= r.avg_latency_sec <= r.max_latency_sec
+        assert r.max_latency_sec <= limit
+
+
+def test_interval_join_pair_count_matches_sql(spark, sf_dir):
+    got = (
+        q108_click_error_interval(spark, sf_dir)
+        .agg(F.sum("n_pairs").alias("n"))
+        .collect()[0]
+        .n
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_q108")
+    want = spark.sql(
+        f"""
+        SELECT count(*) AS n
+        FROM (SELECT user_id, ts FROM ev_q108 WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts FROM ev_q108 WHERE event_type = 'error') e
+          ON e.user_id = c.user_id
+         AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL {INTERVAL_HOURS} HOURS
+        """
+    ).collect()[0].n
+    assert got == want
