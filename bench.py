@@ -35,10 +35,12 @@ HEADLINE = [
     "q104_ngram_jaccard_join",
     "q105_decontaminate",
     "q106_repetition_signals",
+    "q109_perplexity_proxy",
     "q50_knn_bruteforce",
     "q54_cosine_near_dups",
     "q55_ivf_ann",
     "q107_quantized_knn",
+    "q110_embedding_outliers",
     "q108_click_error_interval",
     # q62/q91 share the session-memoized scanned-pairs table
     # (generation._scanned_pairs): their headline numbers measure the

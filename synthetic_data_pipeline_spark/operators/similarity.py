@@ -563,6 +563,81 @@ _Q107_ORACLE_TEMPLATE = """
 """
 
 
+# --- q110: embedding outlier detection — per-label centroid distance
+# z-scores, the cheap corpus-hygiene pass that catches mislabeled or
+# corrupted vectors before they poison training. Two aggregations over
+# the dim-exploded layout (shuffle keys (label, dim) then (vec_id,
+# label) — both uniform), then a broadcast of the |labels|-row moment
+# table; a vector is an outlier when its distance sits more than
+# Z_OUTLIER sample standard deviations above its label's mean. The
+# z comparison rounds first (same knife-edge policy as the hyperplane
+# signs): both engines compute sums in different orders, and an
+# unrounded z exactly at the threshold would flip between them.
+Z_OUTLIER = 2.0
+
+
+def q110_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("dim", "x")
+    ).localCheckpoint(eager=False)
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)).alias("d"))
+    )
+    moments = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
+    )
+    z = eround((F.col("d") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        dist.join(F.broadcast(moments), "label")
+        .select("label", "d", z.alias("z"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            eround(1e-9 + F.avg("d"), 4).alias("avg_dist"),
+            eround(F.max("z"), 4).alias("max_z"),
+            F.sum(
+                F.when(F.col("z") > Z_OUTLIER, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q110_ORACLE = f"""
+    WITH dims AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+    dist AS (
+      SELECT d.vec_id, d.label, sqrt(sum((d.x - c.c) * (d.x - c.c))) AS d
+      FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+      GROUP BY d.vec_id, d.label
+    ),
+    moments AS (
+      SELECT label, avg(d) AS mu, stddev_samp(d) AS sd
+      FROM dist GROUP BY label
+    ),
+    z AS (
+      SELECT t.label, t.d, round((t.d - m.mu) / m.sd, 6) AS z
+      FROM dist t JOIN moments m ON m.label = t.label
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(1e-9 + avg(d), 4) AS avg_dist,
+           round(max(z), 4) AS max_z,
+           CAST(sum(CASE WHEN z > {Z_OUTLIER} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM z GROUP BY label ORDER BY label
+"""
+
+
 # --- q56: iterative k-means (3 fixed iterations, deterministic init).
 # The FIXED iteration count makes it SQL-expressible after all: the
 # oracle below unrolls the three assign→recompute rounds as CTE stages
@@ -686,6 +761,7 @@ QUERIES = {
     "q52_norm_stats": q52_norm_stats,
     "q53_ann_bucket_stats": q53_ann_bucket_stats,
     "q107_quantized_knn": q107_quantized_knn,
+    "q110_embedding_outliers": q110_embedding_outliers,
 }
 
 _COSINE_SQL = """
@@ -701,6 +777,7 @@ _COSINE_SQL = """
 
 ORACLES = {
     "q56_kmeans": _kmeans_oracle_sql(),
+    "q110_embedding_outliers": _Q110_ORACLE,
     "q107_quantized_knn": " UNION ALL ".join(
         _Q107_ORACLE_TEMPLATE.format(L=lv, NQ=N_QUERIES, K=TOP_K)
         for lv in QUANT_LEVELS

@@ -34,6 +34,23 @@ def _tokens(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+def _bigram_array(arr_col: str = "arr"):
+    """Positional (non-distinct) word bigrams of a token-array column —
+    shared by the repetition signals (q106) and the LM perplexity proxy
+    (q109); mirrors DuckDB's list_transform(range(1, len(arr)), ...)."""
+    return F.when(
+        F.size(arr_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr_col) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col(arr_col), i.cast("int")),
+                F.element_at(F.col(arr_col), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # --- q40: token counting (north star "token counting").
 def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -598,19 +615,8 @@ def repetition_doc_signals(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     top_tok = tokc.groupBy("doc_id").agg(F.max("c").alias("top_tok"))
-    bigrams = F.when(
-        F.size("arr") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("arr") - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("arr"), i.cast("int")),
-                F.element_at(F.col("arr"), (i + 1).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     bgc = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        base.select("doc_id", F.explode(_bigram_array()).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("c"))
     )
@@ -696,6 +702,100 @@ _Q106_ORACLE = f"""
 """
 
 
+# --- q109: n-gram language-model perplexity proxy — the statistical
+# quality signal real pipelines compute with a trained LM, expressed
+# with a corpus-fit add-k-smoothed bigram model so it stays a pure
+# two-pass SQL relation: pass 1 fits the model (bigram counts c12,
+# context counts c1, vocabulary size V — all VOCAB-BOUNDED tables that
+# BROADCAST no matter how big the corpus), pass 2 scores every doc's
+# bigrams with ln((c12+k)/(c1+k·V)) and reports per-source
+# pseudo-perplexity exp(-avg ln p). High ppl = improbable word
+# sequences (noise/garbage); low ppl = repetitive/templated text.
+# Scale shape: one corpus scan per pass, narrow bigram explode,
+# broadcast joins against the model, per-doc then per-source aggs.
+PPL_SMOOTH_K = 0.5
+
+
+def q109_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("arr")
+    )
+    bg = base.select(
+        "doc_id", "source", F.explode(_bigram_array()).alias("bg")
+    )
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = base.select(F.explode("arr").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    lp = F.log(
+        (F.col("c12") + F.lit(PPL_SMOOTH_K))
+        / (F.col("c1") + F.lit(PPL_SMOOTH_K) * F.col("v"))
+    )
+    per_doc = (
+        bg.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "source")
+        .agg(F.exp(-F.avg(lp)).alias("ppl"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            eround(1e-9 + F.avg("ppl"), 4).alias("avg_ppl"),
+            eround(F.min("ppl"), 4).alias("min_ppl"),
+            eround(F.max("ppl"), 4).alias("max_ppl"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q109_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> concat_ws(' ', arr[i], arr[i+1]))) AS bg
+      FROM base WHERE len(arr) >= 2
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+      FROM bg GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(arr) AS t FROM base)
+    ),
+    per_doc AS (
+      SELECT b.doc_id, b.source,
+             exp(-avg(ln((m.c12 + {PPL_SMOOTH_K})
+                         / (c.c1 + {PPL_SMOOTH_K} * vocab.v)))) AS ppl
+      FROM bg b
+      JOIN c12 m ON m.bg = b.bg
+      JOIN c1 c ON c.w1 = string_split(b.bg, ' ')[1]
+      CROSS JOIN vocab
+      GROUP BY b.doc_id, b.source
+    )
+    SELECT source, count(*) AS n_docs,
+           round(1e-9 + avg(ppl), 4) AS avg_ppl,
+           round(min(ppl), 4) AS min_ppl,
+           round(max(ppl), 4) AS max_ppl
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -711,6 +811,7 @@ QUERIES = {
     "q102_training_prep": q102_training_prep,
     "q105_decontaminate": q105_decontaminate,
     "q106_repetition_signals": q106_repetition_signals,
+    "q109_perplexity_proxy": q109_perplexity_proxy,
 }
 
 
@@ -903,5 +1004,6 @@ ORACLES = {
     "q97_quality_filter": _Q97_ORACLE,
     "q105_decontaminate": _Q105_ORACLE,
     "q106_repetition_signals": _Q106_ORACLE,
+    "q109_perplexity_proxy": _Q109_ORACLE,
     "q102_training_prep": _q102_oracle(),
 }

@@ -152,3 +152,74 @@ def test_interval_join_pair_count_matches_sql(spark, sf_dir):
         """
     ).collect()[0].n
     assert got == want
+
+
+def test_perplexity_orders_repetitive_below_diverse(spark):
+    """Corpus-fit bigram ppl: a doc repeating one bigram must score a
+    LOWER pseudo-perplexity than a doc of never-repeated bigrams."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q109_perplexity_proxy,
+    )
+    from synthetic_data_pipeline_spark.sources import tables
+
+    rows = [
+        (0, "rep", " ".join(["spam"] * 30)),
+        (1, "div", " ".join(f"w{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+    docs.createOrReplaceTempView("_ppl_docs")
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda sp, sf, name: (
+            sp.table("_ppl_docs") if name == "documents"
+            else orig(sp, sf, name)
+        )
+        import synthetic_data_pipeline_spark.operators.textops as t
+
+        orig_t = t.load_table
+        t.load_table = tables.load_table
+        try:
+            out = {r.source: r for r in
+                   q109_perplexity_proxy(spark, "unused").collect()}
+        finally:
+            t.load_table = orig_t
+    finally:
+        tables.load_table = orig
+    assert out["rep"].avg_ppl < out["div"].avg_ppl
+    # the all-repeat doc's bigram is near-certain under the model
+    assert out["rep"].avg_ppl < 5.0
+
+
+def test_embedding_outlier_detected(spark):
+    """A planted far vector inside an otherwise tight label must be
+    flagged; a label with mild spread must not flag anything."""
+    from synthetic_data_pipeline_spark.operators import similarity as sim
+
+    rows = []
+    # label 0: 12 tight vectors + one at 10x distance
+    for i in range(12):
+        rows.append((i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0], 0))
+    rows.append((12, [-10.0, 0.0, 0.0, 0.0], 0))
+    # label 1: mild spread, no outlier
+    for i in range(8):
+        rows.append((100 + i, [0.0, 1.0 + 0.05 * i, 0.0, 0.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.createOrReplaceTempView("_out_emb")
+
+    orig = sim.load_table
+    sim.load_table = lambda sp, sf, name: (
+        sp.table("_out_emb") if name == "embeddings" else orig(sp, sf, name)
+    )
+    try:
+        out = {r.label: r for r in
+               sim.q110_embedding_outliers(spark, "unused").collect()}
+    finally:
+        sim.load_table = orig
+    assert out[0].n_vecs == 13 and out[0].n_outliers >= 1
+    assert out[0].max_z > sim.Z_OUTLIER
+    assert out[1].n_outliers == 0
