@@ -36,6 +36,7 @@ HEADLINE = [
     "q105_decontaminate",
     "q106_repetition_signals",
     "q109_perplexity_proxy",
+    "q111_adaptive_quality",
     "q50_knn_bruteforce",
     "q54_cosine_near_dups",
     "q55_ivf_ann",

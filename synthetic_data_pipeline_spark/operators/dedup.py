@@ -130,39 +130,65 @@ def minhash_signatures_from_tokens(
 # identical with or without a cache hit (same deterministic lineage);
 # sketches.clear_lp_cache() clears this too, so probes timing the
 # cold path stay honest.
+# Two-level memo: the shingle TOKEN table has more consumers than the
+# LSH pair table (q104's posting-list join needs tokens but never the
+# minhash band join), so they materialize independently — a consumer
+# that only needs tokens doesn't pay the candidate build.
+_TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _SHINGLE_CACHE_MAX = 3
 
 
 def clear_shingle_cache() -> None:
-    for tokens, pairs in _SHINGLE_CACHE.values():
-        tokens.unpersist()
+    for _tokens, pairs in _SHINGLE_CACHE.values():
         pairs.unpersist()
     _SHINGLE_CACHE.clear()
+    for tokens in _TOKEN_CACHE.values():
+        tokens.unpersist()
+    _TOKEN_CACHE.clear()
+
+
+def token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted shingle-token table (doc_id, token) — the
+    shared upstream of both candidate generators (LSH banding and the
+    q104 posting-list join) and of exact-Jaccard verification."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TOKEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    tokens.count()
+    while len(_TOKEN_CACHE) >= _SHINGLE_CACHE_MAX:
+        _TOKEN_CACHE.pop(next(iter(_TOKEN_CACHE))).unpersist()
+    _TOKEN_CACHE[key] = tokens
+    return tokens
 
 
 def shingle_state(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Memoized (shingle tokens, distinct doc_a < doc_b candidate
-    pairs) over the documents table, both persisted eagerly on first
-    build. Tokens feed signature building AND exact-Jaccard
-    verification; pairs feed verification and the dup-cluster graph."""
+    """Memoized (shingle tokens, distinct doc_a < doc_b LSH candidate
+    pairs), both persisted eagerly on first build. Tokens feed
+    signature building AND exact-Jaccard verification; pairs feed
+    verification and the dup-cluster graph."""
     from pyspark import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    tokens = token_state(spark, sf_dir)
     pairs = lsh_candidates(minhash_signatures_from_tokens(tokens)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs.count()
     while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-        old_tokens, old_pairs = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
-        old_tokens.unpersist()
+        _old_tokens, old_pairs = _SHINGLE_CACHE.pop(
+            next(iter(_SHINGLE_CACHE))
+        )
         old_pairs.unpersist()
     _SHINGLE_CACHE[key] = (tokens, pairs)
     return tokens, pairs
@@ -308,7 +334,7 @@ def inverted_index_candidates(
 
 
 def q104_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tokens, _ = shingle_state(spark, sf_dir)
+    tokens = token_state(spark, sf_dir)
     pairs = inverted_index_candidates(tokens)
     return (
         token_jaccard(tokens, pairs)

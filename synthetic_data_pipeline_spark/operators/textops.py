@@ -716,8 +716,10 @@ _Q106_ORACLE = f"""
 PPL_SMOOTH_K = 0.5
 
 
-def q109_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def doc_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, ppl) — per-doc pseudo-perplexity under the
+    corpus-fit bigram model (shared by q109's report and q111's
+    adaptive filter)."""
     base = docs.select(
         "doc_id", "source", _tokens(F.col("text")).alias("arr")
     )
@@ -737,7 +739,7 @@ def q109_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c12") + F.lit(PPL_SMOOTH_K))
         / (F.col("c1") + F.lit(PPL_SMOOTH_K) * F.col("v"))
     )
-    per_doc = (
+    return (
         bg.withColumn("w1", F.split("bg", " ").getItem(0))
         .join(F.broadcast(c12), "bg")
         .join(F.broadcast(c1), "w1")
@@ -745,6 +747,10 @@ def q109_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.exp(-F.avg(lp)).alias("ppl"))
     )
+
+
+def q109_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = doc_perplexity(load_table(spark, sf_dir, "documents"))
     return (
         per_doc.groupBy("source")
         .agg(
@@ -757,8 +763,7 @@ def q109_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q109_ORACLE = f"""
-    WITH base AS (
+_PPL_PER_DOC_SQL = f"""base AS (
       SELECT doc_id, source,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
       FROM documents
@@ -787,12 +792,73 @@ _Q109_ORACLE = f"""
       JOIN c1 c ON c.w1 = string_split(b.bg, ' ')[1]
       CROSS JOIN vocab
       GROUP BY b.doc_id, b.source
-    )
+    )"""
+
+_Q109_ORACLE = f"""
+    WITH {_PPL_PER_DOC_SQL}
     SELECT source, count(*) AS n_docs,
            round(1e-9 + avg(ppl), 4) AS avg_ppl,
            round(min(ppl), 4) AS min_ppl,
            round(max(ppl), 4) AS max_ppl
     FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# --- q111: ADAPTIVE quality filter — the cutoff comes from the data
+# (90th-percentile ppl over the corpus), not a hand-tuned constant, so
+# the same job drops "the most improbable 10%" of any corpus it runs
+# on. Two-pass shape: pass 1 fits the bigram model + the percentile
+# (both tiny broadcast relations: the model is vocab-bounded, the
+# threshold is ONE row); pass 2 flags each doc against the broadcast
+# threshold. Exact `percentile` keeps the DuckDB oracle bit-matched
+# (quantile_cont, same interpolation) — at 100 TB you'd swap in
+# approx_percentile and keep the identical plan shape. Both compare
+# sides are rounded first: ppl and threshold differ by ~n·ulp between
+# engines, and the doc sitting exactly AT the percentile is a
+# knife-edge otherwise.
+PPL_DROP_QUANTILE = 0.9
+
+
+def q111_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = doc_perplexity(load_table(spark, sf_dir, "documents"))
+    thr = per_doc.agg(
+        F.expr(f"percentile(ppl, {PPL_DROP_QUANTILE})").alias("thr")
+    )
+    flagged = F.when(
+        eround(F.col("ppl"), 6) > eround(F.col("thr"), 6), 1
+    ).otherwise(0)
+    return (
+        per_doc.crossJoin(F.broadcast(thr))
+        .select("source", "ppl", flagged.alias("dropped"), "thr")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dropped").alias("n_dropped"),
+            eround(
+                F.sum("dropped").cast("double") / F.count("*"), 4
+            ).alias("drop_rate"),
+            eround(F.max("thr"), 4).alias("ppl_threshold"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q111_ORACLE = f"""
+    WITH {{per_doc}},
+    thr AS (
+      SELECT quantile_cont(ppl, {PPL_DROP_QUANTILE}) AS thr FROM per_doc
+    ),
+    flags AS (
+      SELECT p.source, p.ppl, t.thr,
+             CASE WHEN round(p.ppl, 6) > round(t.thr, 6)
+                  THEN 1 ELSE 0 END AS dropped
+      FROM per_doc p CROSS JOIN thr t
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           round(CAST(sum(dropped) AS DOUBLE) / count(*), 4) AS drop_rate,
+           round(max(thr), 4) AS ppl_threshold
+    FROM flags GROUP BY source ORDER BY source
 """
 
 
@@ -812,6 +878,7 @@ QUERIES = {
     "q105_decontaminate": q105_decontaminate,
     "q106_repetition_signals": q106_repetition_signals,
     "q109_perplexity_proxy": q109_perplexity_proxy,
+    "q111_adaptive_quality": q111_adaptive_quality,
 }
 
 
@@ -1005,5 +1072,6 @@ ORACLES = {
     "q105_decontaminate": _Q105_ORACLE,
     "q106_repetition_signals": _Q106_ORACLE,
     "q109_perplexity_proxy": _Q109_ORACLE,
+    "q111_adaptive_quality": _Q111_ORACLE.format(per_doc=_PPL_PER_DOC_SQL),
     "q102_training_prep": _q102_oracle(),
 }

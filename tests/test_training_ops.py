@@ -223,3 +223,33 @@ def test_embedding_outlier_detected(spark):
     assert out[0].n_vecs == 13 and out[0].n_outliers >= 1
     assert out[0].max_z > sim.Z_OUTLIER
     assert out[1].n_outliers == 0
+
+
+def test_adaptive_quality_drops_top_decile(spark):
+    """The percentile threshold adapts to the corpus: with 20 docs of
+    distinct ppl, a 0.9 quantile cutoff drops exactly the 2 most
+    improbable docs — regardless of their absolute ppl values."""
+    import synthetic_data_pipeline_spark.operators.textops as t
+
+    # doc i repeats a fixed bigram i times then adds unique tail words:
+    # more unique tails -> higher ppl; all 20 ppl values distinct
+    rows = []
+    for i in range(20):
+        text = ("common pair " * 3) + " ".join(f"u{i}x{j}" for j in range(i + 2))
+        rows.append((i, f"s{i % 4}", text))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    docs.createOrReplaceTempView("_aq_docs")
+    orig = t.load_table
+    t.load_table = lambda sp, sf, name: (
+        sp.table("_aq_docs") if name == "documents" else orig(sp, sf, name)
+    )
+    try:
+        out = t.q111_adaptive_quality(spark, "unused").collect()
+    finally:
+        t.load_table = orig
+    assert sum(r.n_docs for r in out) == 20
+    assert sum(r.n_dropped for r in out) == 2
+    thr = {r.ppl_threshold for r in out}
+    assert len(thr) == 1, "threshold must be global, not per source"
