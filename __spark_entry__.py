@@ -34,12 +34,11 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q60-q61/q63-q64 (q62 re-pinned in r5), sampling/pivot q80-q81,
 #     the flagship scans q90-q91, redaction q93, and q98-q100 —
 #     after this rotation every registry query has an r5-or-r6 row;
-#   * anchors on everything round-6 code touches: q58/q95/q101/q103
-#     (LP convergence telemetry + shared-funnel reuse), q46 (the 100x
-#     scaling-probe watch item), q36 (its streaming foreachBatch twin
-#     + the tz pin land in streaming/jobs.py), q62 (corpus-texture
-#     change in plans/generate.py feeds it);
-#   * continuity anchors from the r5 window: q32, q101, q102.
+#   * q103 as the anchor for the shared LP funnel (its lineage runs
+#     shingles → LSH candidates → label propagation, covering the
+#     round-6 funnel-sharing change for q46/q58/q95/q101 too);
+#   * the eight operators NEW this round (q104–q111) — brand-new code
+#     has no driver row at all, so it outranks r5-green anchors.
 DRIVER_WINDOW = [
     # relational core — last driver row r3/r4
     "q01_pricing_summary", "q02_top_revenue_orders",
@@ -67,19 +66,21 @@ DRIVER_WINDOW = [
     "q90_flagship_sit_scan", "q91_sit_issue_list",
     "q93_redact_documents", "q98_validation_failures",
     "q99_redact_generated", "q100_media_features",
-    # anchors: code round 6 touches — q103 (new LP convergence probe)
-    # and q101 cover the shared-funnel change for the whole
-    # q58/q95/q101/q103 group (same memoized lineage), q46 is the 100x
-    # scaling watch item sharing the shingle state, q62 sits on the
-    # corpus-texture change in plans/generate.py
-    "q46_minhash_near_dups", "q103_lp_convergence",
-    "q62_gen_validation_report", "q101_deduped_corpus",
-    # new operators this session — new code needs driver rows most
-    # (displacing the r5-green continuity anchors q32/q36/q58/q95/q102,
-    # whose code paths are covered by the anchors above + pytest)
+    # anchor: q103 (new LP convergence probe) consumes the shared
+    # funnel lineage (shingles → LSH candidates → LP), so it covers the
+    # round-6 funnel-sharing change for the whole q46/q58/q95/q101
+    # group; q61 (above, stale-rotation) covers the corpus-texture
+    # change in plans/generate.py
+    "q103_lp_convergence",
+    # new operators this session — new code needs driver rows most:
+    # q104–q108 displaced the r5-green continuity anchors q32/q36/q58/
+    # q95/q102, and q109–q111 (added late in the session) displaced the
+    # r5-green anchors q46/q62/q101, whose code paths are covered by
+    # q103 + pytest + the full-registry local parity artifact
     "q104_ngram_jaccard_join", "q105_decontaminate",
     "q106_repetition_signals", "q107_quantized_knn",
-    "q108_click_error_interval",
+    "q108_click_error_interval", "q109_perplexity_proxy",
+    "q110_embedding_outliers", "q111_adaptive_quality",
 ]
 
 

@@ -15,16 +15,17 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 DRIVER_CAP = 50
 
 # Queries that MUST occupy the round-6 window: the 41 whose last
-# driver row is r3/r4 (the r5 rotation checked the complement), the
-# anchors for code round 6 touches (shared LP funnel via q101/q103,
-# scaling-watch q46, corpus-texture q62), and the five operators new
-# this round (q104–q108) — brand-new code needs driver rows most.
+# driver row is r3/r4 (the r5 rotation checked the complement), q103
+# as the shared-LP-funnel anchor (its lineage covers the round-6
+# funnel-sharing change for q46/q58/q95/q101 too), and the eight
+# operators new this round (q104–q111) — brand-new code needs driver
+# rows most, outranking anchors that already hold an r5-green row.
 R2_UNCHECKED = [
     f"q{i:02d}" for i in [*range(1, 23), 24, *range(26, 30),  # relational
                           54, 56, 60, 61, 63, 64, 80, 81,
                           90, 91, 93, 98, 99, 100,            # 41 stale
-                          46, 103, 62, 101,                   # touched
-                          104, 105, 106, 107, 108]            # new ops
+                          103,                                # funnel anchor
+                          *range(104, 112)]                   # new ops
 ]
 
 
