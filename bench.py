@@ -63,6 +63,14 @@ HEADLINE = [
     "q96_dataset_split",
     "q97_quality_filter",
     "q102_training_prep",
+    # dataset-assembly tier: two-phase cumsum packing, packed-shard
+    # materialization, mixture balancing, salted stratified top-K
+    "q112_sequence_packing",
+    "q113_domain_mixture",
+    "q114_stratified_sample",
+    "q115_packed_shards",
+    "q116_length_curriculum",
+    "q117_cms_heavy_hitters",
 ]
 
 

@@ -59,6 +59,9 @@ PROBE = [
     "q105_decontaminate",         # broadcast benchmark-gram semi join
     "q106_repetition_signals",    # two (doc, gram) counting shuffles
     "q108_click_error_interval",  # equi-key interval join
+    "q112_sequence_packing",      # two-phase global cumsum + shard agg
+    "q114_stratified_sample",     # salted per-stratum top-K (no window)
+    "q117_cms_heavy_hitters",     # fixed-width sketch agg + broadcast probe
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -73,6 +76,9 @@ PROBE_100 = [
     # q104's posting-list pair join is the same candidate-blow-up risk
     # class as q46's band join — watch both across two decades
     "q104_ngram_jaccard_join",
+    # the packing cumsum's range buckets must keep amortizing — a
+    # global-sort regression would show here first
+    "q112_sequence_packing",
 ]
 
 

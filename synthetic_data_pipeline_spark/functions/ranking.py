@@ -182,3 +182,60 @@ def _two_phase(
     for name, col in make_cols(rn, total_n).items():
         out = out.withColumn(name, col)
     return out.drop("_rb")
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+    name: str = "cumsum",
+) -> DataFrame:
+    """Append the running total of ``value_col`` over the global order
+    (order_col, tiebreak_col) — the building block for token-budget
+    shard assignment (q112/q115) — without a single-partition window.
+
+    Same two-phase shape as :func:`global_rank`: bucket on sampled
+    boundaries of the order key, run the cumulative sum WITHIN each
+    bucket (a partitioned window — parallel), then add the total of all
+    earlier buckets (a ≤ n_buckets-row aggregate collected driver-side
+    and re-attached as a literal map — no join, no global sort point).
+    Values are summed as BIGINT, so offsets are exact.
+
+    ``df`` must be deterministic across the two internal actions — the
+    same contract as :func:`global_rank`.
+    """
+    boundaries = _sampled_boundaries(df, order_col, n_buckets)
+    w_args = [F.asc(order_col), F.asc(tiebreak_col)]
+    val = F.col(value_col).cast("long")
+    if not boundaries:
+        w = Window.orderBy(*w_args).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(name, F.sum(val).over(w))
+    bucket = _bucket_expr(order_col, boundaries)
+    with_bucket = df.withColumn("_rb", bucket)
+    sums = {
+        r["_rb"]: r["_s"]
+        for r in with_bucket.groupBy("_rb")
+        .agg(F.sum(val).alias("_s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in range(len(boundaries) + 1):
+        offsets[b] = acc
+        acc += sums.get(b, 0) or 0
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(*w_args)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = with_bucket.withColumn(
+        name, F.element_at(offset_map, F.col("_rb")) + F.sum(val).over(w)
+    )
+    return out.drop("_rb")

@@ -1,0 +1,316 @@
+"""Dataset-assembly operators: the last mile of a training-data
+pipeline — turning a cleaned corpus into the artifacts a trainer
+consumes (token-budget shards, packed sequences, mixture-balanced and
+stratified subsets).
+
+North-star extensions (BASELINE.json "large-scale training-data
+pipeline"); the reference has no assembly stage at all — its output is
+one pandas frame per run (modules/output_writer.py) — so these are
+engine capabilities, not parity items.
+
+Everything is pure column expressions + the two-phase global-cumsum
+helper (functions/ranking.py): no Python UDFs, no single-partition
+windows, no driver-side loops. Every query here has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ranking import global_cumsum
+from ..functions.xsql import expand_u16, hash_u16
+from ..sources.tables import load_table
+
+# Token budget per training shard (q112/q115). 2048 keeps per-shard
+# state tiny; at 100 TB the cap bounds the collect_list payload of
+# q115 by construction, so shard assembly never builds a hot key.
+SHARD_TOKENS = 2048
+
+# Stratified-sample fan-in bounds (q114).
+STRATA_K = 20
+STRATA_SALT = 32
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str, with_text: bool = False) -> DataFrame:
+    """(doc_id, n_tokens[, text]) — literal-space token counts, the same
+    convention as q94's chunker (split(text, ' '))."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", F.size(F.split("text", " ")).alias("n_tokens")]
+    if with_text:
+        cols.append(F.col("text"))
+    return docs.select(*cols)
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str, with_text: bool = False) -> DataFrame:
+    """Assign every document to a token-budget shard: documents in
+    doc_id order are laid end-to-end and a document belongs to the
+    shard where it STARTS (shard_id = floor(start_offset / cap)).
+
+    Deterministic under any partitioning — the offset is a pure
+    function of the global doc_id order. Scale shape: the running
+    total comes from :func:`global_cumsum` (range-bucketed two-phase —
+    a partitioned window plus a ≤64-row driver aggregate), so there is
+    no single-partition sort point; the cumsum shuffle carries only
+    (doc_id, n_tokens) unless the caller asks for text.
+    """
+    toks = _doc_tokens(spark, sf_dir, with_text=with_text)
+    c = global_cumsum(toks, "n_tokens", "doc_id", "doc_id", name="_cum")
+    start = F.col("_cum") - F.col("n_tokens")
+    return c.withColumn(
+        "shard_id", F.floor(start / F.lit(float(SHARD_TOKENS))).cast("long")
+    ).drop("_cum")
+
+
+# --- q112: sequence-packing plan — per-shard manifest of the
+# token-budget layout (the shard table a trainer's data loader reads).
+def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = shard_assignment(spark, sf_dir)
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_SHARD_CTE = f"""
+    t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, text,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start
+      FROM t
+    ),
+    a AS (
+      SELECT doc_id, n_tokens, text,
+             CAST(floor(start / {SHARD_TOKENS}.0) AS BIGINT) AS shard_id
+      FROM c
+    )
+"""
+
+_Q112_ORACLE = f"""
+    WITH {_SHARD_CTE}
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM a GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+# --- q115: the packing ACTION — materialize each shard's training
+# sequence (documents joined with an <eos> separator, in layout order)
+# and fingerprint it. The md5 keeps the gate exact while the result
+# stays small; a real writer would emit the packed text itself.
+def q115_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard collect_list is safe BY CONSTRUCTION: a shard holds
+    ~SHARD_TOKENS tokens (plus at most one straddling document), so the
+    grouped state is bounded no matter the corpus size — this is the
+    one place the engine materializes text per key, and the cap is what
+    makes that scale."""
+    a = shard_assignment(spark, sf_dir, with_text=True)
+    packed = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    seq = F.concat_ws(" <eos> ", F.transform(packed, lambda s: s["text"]))
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.md5(seq.cast("binary")).alias("pack_md5"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_Q115_ORACLE = f"""
+    WITH {_SHARD_CTE}
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS pack_md5
+    FROM a GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+# --- q113: domain-mixture balancing — deterministically downsample
+# every source to the smallest source's size (uniform target mixture).
+# The accept test is INTEGER-exact in both engines:
+#     u16(doc_id) * n_source  <  n_min * 65536
+# i.e. accept with probability n_min/n_source, decided per-document by
+# counter-mode hash — reproducible under any partitioning, unlike
+# rand()-based sampling. Scale shape: the per-source count table is
+# |sources| rows (broadcast both ways); the accept filter is a narrow
+# map over the corpus.
+def q113_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("_mn"))
+    rates = counts.crossJoin(F.broadcast(mn))
+    u16 = F.expr(expand_u16(hash_u16("CAST(doc_id AS STRING)", "mix"), "spark"))
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u16 * F.col("n_before") < F.col("_mn") * F.lit(65536))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q113_oracle() -> str:
+    u16 = expand_u16(hash_u16("CAST(d.doc_id AS STRING)", "mix"), "duckdb")
+    return f"""
+        WITH c AS (
+          SELECT source, count(*) AS n_before FROM documents GROUP BY source
+        ),
+        m AS (SELECT min(n_before) AS mn FROM c),
+        k AS (
+          SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN c USING (source) CROSS JOIN m
+          WHERE {u16} * c.n_before < m.mn * 65536
+          GROUP BY d.source
+        )
+        SELECT c.source, c.n_before, COALESCE(k.n_kept, 0) AS n_kept
+        FROM c LEFT JOIN k USING (source)
+        ORDER BY source
+    """
+
+
+# --- q114: stratified sample — the K hash-smallest documents of every
+# (source, lang) stratum. The naive plan (row_number over a stratum
+# window) funnels each stratum through ONE reducer — a scale-killer
+# when strata are few and huge (5 sources × 5 langs over 100 TB).
+# Instead: exact distributed top-K — salt-partial top-K per
+# (stratum, salt) group, then merge the ≤ SALT candidate lists per
+# stratum. Both shuffles carry at most K·SALT short rows per stratum,
+# so no reducer ever sees a stratum's full population.
+def q114_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u16 = F.expr(expand_u16(hash_u16("CAST(doc_id AS STRING)", "strat"), "spark"))
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", u16.alias("h")
+    )
+    partial = (
+        base.groupBy("source", "lang", F.pmod("doc_id", F.lit(STRATA_SALT)).alias("_salt"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+                1,
+                STRATA_K,
+            ).alias("top")
+        )
+    )
+    merged = partial.groupBy("source", "lang").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, STRATA_K
+        ).alias("top")
+    )
+    return (
+        merged.select("source", "lang", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "source",
+            "lang",
+            (F.col("pos") + 1).cast("long").alias("rk"),
+            F.col("s.doc_id").alias("doc_id"),
+        )
+        .orderBy("source", "lang", "rk")
+    )
+
+
+def _q114_oracle() -> str:
+    u16 = expand_u16(hash_u16("CAST(doc_id AS STRING)", "strat"), "duckdb")
+    return f"""
+        WITH t AS (
+          SELECT source, lang, doc_id, {u16} AS h FROM documents
+        ),
+        r AS (
+          SELECT source, lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source, lang ORDER BY h, doc_id
+                 ) AS rk
+          FROM t
+        )
+        SELECT source, lang, CAST(rk AS BIGINT) AS rk, doc_id
+        FROM r WHERE rk <= {STRATA_K}
+        ORDER BY source, lang, rk
+    """
+
+
+# --- q116: length-curriculum phases — split the corpus into 4 ordered
+# training phases by document length (the classic short→long
+# curriculum). Ordering key is INTEGER (n_tokens, doc_id), so the
+# phase assignment is bit-identical across engines — no float-ordering
+# knife edge. The ntile comes from functions/ranking.py's two-phase
+# global_analytics (closed-form ntile over the bucketed global rank),
+# so there is no single-partition window at any corpus size.
+CURRICULUM_PHASES = 4
+
+
+def q116_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_analytics
+
+    toks = _doc_tokens(spark, sf_dir)
+    phased = global_analytics(
+        toks,
+        "n_tokens",
+        "doc_id",
+        ntile_k=CURRICULUM_PHASES,
+        ntile_name="phase",
+    )
+    return (
+        phased.groupBy(F.col("phase").cast("long").alias("phase"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("phase_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("phase")
+    )
+
+
+_Q116_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    p AS (
+      SELECT n_tokens,
+             ntile({CURRICULUM_PHASES}) OVER (ORDER BY n_tokens, doc_id) AS phase
+      FROM t
+    )
+    SELECT CAST(phase AS BIGINT) AS phase, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS phase_tokens,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM p GROUP BY phase ORDER BY phase
+"""
+
+
+QUERIES = {
+    "q112_sequence_packing": q112_sequence_packing,
+    "q113_domain_mixture": q113_domain_mixture,
+    "q114_stratified_sample": q114_stratified_sample,
+    "q115_packed_shards": q115_packed_shards,
+    "q116_length_curriculum": q116_length_curriculum,
+}
+
+ORACLES = {
+    "q116_length_curriculum": _Q116_ORACLE,
+    "q112_sequence_packing": _Q112_ORACLE,
+    "q113_domain_mixture": _q113_oracle(),
+    "q114_stratified_sample": _q114_oracle(),
+    "q115_packed_shards": _Q115_ORACLE,
+}

@@ -159,6 +159,17 @@ def token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = load_table(spark, sf_dir, "documents")
+    # The shingle explode is the funnel's CPU hot spot (~10-100 md5-ed
+    # shingles per doc). A small corpus arrives as ONE parquet split,
+    # so without this the whole explode runs on one core (measured 11 s
+    # single-threaded at sf0.01 vs 1.5 s parallel at sf0.1). Fan the
+    # scan out to the cluster's parallelism first — but only when the
+    # scan is under-partitioned: at real scale the input already has
+    # more splits than cores and the repartition would be a pure-cost
+    # corpus shuffle, so it must stay conditional.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     tokens = distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     tokens.count()
     while len(_TOKEN_CACHE) >= _SHINGLE_CACHE_MAX:

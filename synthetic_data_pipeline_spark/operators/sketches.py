@@ -189,11 +189,17 @@ def _lp_with_body(iters: int = LP_ITERS) -> tuple[str, str]:
     q95, q101 and (with one extra probe round) q103 oracles."""
     from .dedup import _SHINGLES_SQL, BAND_ROWS, N_HASHES
 
+    # Every round references the previous one TWICE (self + the
+    # neighbor-min subquery). DuckDB inlines plain CTEs, so without
+    # MATERIALIZED the funnel would be recomputed 2^iters times —
+    # measured 245 s for the 6-round q103 probe at sf0.01 vs ~4 s
+    # materialized. Spark is unaffected (its side persists the funnel
+    # via the session memo).
     steps = []
     prev = "l0"
     for it in range(1, iters + 1):
         steps.append(
-            f"""l{it} AS (
+            f"""l{it} AS MATERIALIZED (
               SELECT l.node,
                      least(l.label, coalesce(n.nlabel, l.label)) AS label
               FROM {prev} l
@@ -206,28 +212,28 @@ def _lp_with_body(iters: int = LP_ITERS) -> tuple[str, str]:
         )
         prev = f"l{it}"
     body = f"""
-      tokens AS ({_SHINGLES_SQL.format(src="documents")}),
-      mins AS (
+      tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+      mins AS MATERIALIZED (
         SELECT doc_id,
                {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
         FROM tokens GROUP BY doc_id
       ),
-      banded AS (
+      banded AS MATERIALIZED (
         {" UNION ALL ".join(
           f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
           for b in range(N_HASHES // BAND_ROWS)
         )}
       ),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
       ),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT doc_a, doc_b FROM pairs
         UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
       ),
-      l0 AS (
+      l0 AS MATERIALIZED (
         SELECT DISTINCT doc_a AS node, doc_a AS label FROM edges
       ),
       {", ".join(steps)}"""
@@ -405,8 +411,120 @@ def q59_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q117: count-min-sketch heavy hitters — the fixed-memory answer
+# to "top tokens over a 100 TB corpus". The sketch is CMS_ROWS ×
+# CMS_WIDTH counters (4 KiB-ish) REGARDLESS of corpus size; estimates
+# are min-over-rows, so they only ever overcount (collision bias).
+# Like q57's Bloom filter, the md5-derived hash family makes the
+# sketch state exactly reproducible, so the DuckDB oracle verifies the
+# algorithm (cells, estimates, overcounts), not just row counts.
+# Scale shape: one vocab aggregation (map-side partial), a 4096-cell
+# sketch aggregation, a TakeOrdered top-K, and a broadcast probe join
+# — nothing grows with the corpus except the first agg's key space.
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(tok_sql: str, i: int) -> str:
+    return f"({hash_u16(tok_sql, f'cms{i}')} % {CMS_WIDTH})"
+
+
+def q117_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.xsql import expand_u16
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.expr(expand_u16(_cms_bucket_sql("token", i), "spark"))
+                    .cast("long")
+                    .alias("b"),
+                )
+                for i in range(CMS_ROWS)
+            ]
+        )
+    ).alias("rb")
+    sketch = (
+        counts.select("exact_n", rb)
+        .select("exact_n", "rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.sum("exact_n").alias("cell"))
+    )
+    top = counts.orderBy(F.desc("exact_n"), F.asc("token")).limit(CMS_TOPK)
+    probe = top.select("token", "exact_n", rb).select(
+        "token", "exact_n", "rb.r", "rb.b"
+    )
+    est = (
+        sketch.join(F.broadcast(probe), ["r", "b"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "token")
+
+
+def _cms_oracle() -> str:
+    from ..functions.xsql import expand_u16
+
+    branches = "\n          UNION ALL ".join(
+        f"SELECT {i} AS r, {_cms_bucket_sql('token', i)} AS b, exact_n FROM counts"
+        for i in range(CMS_ROWS)
+    )
+    probes = "\n          UNION ALL ".join(
+        f"SELECT token, exact_n, {i} AS r, {_cms_bucket_sql('token', i)} AS b FROM top"
+        for i in range(CMS_ROWS)
+    )
+    return expand_u16(
+        f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+        ),
+        sketch AS (
+          SELECT r, b, CAST(sum(exact_n) AS BIGINT) AS cell FROM (
+          {branches}
+          ) GROUP BY r, b
+        ),
+        top AS (
+          SELECT token, exact_n FROM (
+            SELECT token, exact_n,
+                   row_number() OVER (ORDER BY exact_n DESC, token) AS rk
+            FROM counts
+          ) WHERE rk <= {CMS_TOPK}
+        ),
+        probe AS (
+          {probes}
+        ),
+        est AS (
+          SELECT p.token, p.exact_n, min(s.cell) AS cms_est
+          FROM probe p JOIN sketch s ON s.r = p.r AND s.b = p.b
+          GROUP BY p.token, p.exact_n
+        )
+        SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
+        FROM est ORDER BY exact_n DESC, token
+        """,
+        "duckdb",
+    )
+
+
 QUERIES = {
     "q57_bloom_membership": q57_bloom_membership,
+    "q117_cms_heavy_hitters": q117_cms_heavy_hitters,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
@@ -420,6 +538,7 @@ def _oracles() -> dict[str, str]:
 
     return {
         "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
+        "q117_cms_heavy_hitters": _cms_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
         "q95_dedup_retention": _dedup_retention_oracle(),
         "q101_deduped_corpus": _deduped_corpus_oracle(),

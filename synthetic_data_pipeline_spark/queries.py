@@ -12,10 +12,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.rounding import apply_sql_eround
-from .operators import dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops
+from .operators import assembly, dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops
 from .sources import multimodal
 
-_MODULES = [dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops, multimodal]
+_MODULES = [assembly, dedup, events, generation, mapping, relational, reshaping, similarity, sitscan, sketches, subqueries, textops, multimodal]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry in natural module order. Any driver-window rotation

@@ -1,0 +1,199 @@
+"""Dataset-assembly operators (operators/assembly.py): token-budget
+sequence packing, domain-mixture balancing, distributed stratified
+top-K — behavioral properties + the scale-shape plan guards the oracle
+can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from synthetic_data_pipeline_spark.functions.ranking import global_cumsum
+from synthetic_data_pipeline_spark.functions.xsql import expand_u16, hash_u16
+from synthetic_data_pipeline_spark.operators import assembly
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_cumsum_matches_single_window(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {r.id: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    fast = {
+        r.id: r.c
+        for r in global_cumsum(df, "v", "id", "id", n_buckets=8, name="c").collect()
+    }
+    assert naive == fast
+
+
+def test_shard_layout_invariants(spark):
+    """Shards are contiguous doc_id ranges, every shard except possibly
+    the last holds ≥ SHARD_TOKENS·? — precisely: a shard's token total
+    never exceeds cap + (largest straddling doc), shard ids are dense
+    from 0, and doc ranges never overlap."""
+    stats = assembly.q112_sequence_packing(spark, SF_DIR).collect()
+    assert stats, "no shards produced"
+    max_doc_tokens = (
+        assembly._doc_tokens(spark, SF_DIR)
+        .agg(F.max("n_tokens"))
+        .collect()[0][0]
+    )
+    ids = [r.shard_id for r in stats]
+    assert ids == list(range(len(ids)))
+    prev_last = -1
+    for r in stats:
+        assert r.first_doc > prev_last
+        prev_last = r.last_doc
+        assert r.shard_tokens <= assembly.SHARD_TOKENS + max_doc_tokens
+    # total layout covers the whole corpus exactly once
+    n_docs = assembly._doc_tokens(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in stats) == n_docs
+
+
+def test_packed_shards_agree_with_plan(spark):
+    """q115 packs exactly the documents q112 assigned (same shard ids,
+    same doc counts, same token totals)."""
+    plan_rows = {
+        r.shard_id: (r.n_docs, r.shard_tokens)
+        for r in assembly.q112_sequence_packing(spark, SF_DIR).collect()
+    }
+    pack_rows = {
+        r.shard_id: (r.n_docs, r.shard_tokens)
+        for r in assembly.q115_packed_shards(spark, SF_DIR).collect()
+    }
+    assert plan_rows == pack_rows
+
+
+def test_mixture_balances_to_min_source(spark):
+    rows = assembly.q113_domain_mixture(spark, SF_DIR).collect()
+    assert rows
+    mn = min(r.n_before for r in rows)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_before
+        if r.n_before == mn:
+            # the smallest source is kept whole (rate == 1)
+            assert r.n_kept == mn
+        else:
+            # binomial(n_before, mn/n_before): allow 6 sigma
+            import math
+
+            p = mn / r.n_before
+            sigma = math.sqrt(r.n_before * p * (1 - p))
+            assert abs(r.n_kept - mn) <= 6 * sigma + 1, (r, mn)
+
+
+def test_stratified_topk_is_exact(spark):
+    """The salted two-stage top-K equals the plain stratum-window
+    answer (which is only safe at test scale)."""
+    u16 = F.expr(expand_u16(hash_u16("CAST(doc_id AS STRING)", "strat"), "spark"))
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "lang", u16.alias("h")
+    )
+    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    naive = {
+        (r.source, r.lang, r.rk): r.doc_id
+        for r in base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= assembly.STRATA_K)
+        .collect()
+    }
+    fast = {
+        (r.source, r.lang, r.rk): r.doc_id
+        for r in assembly.q114_stratified_sample(spark, SF_DIR).collect()
+    }
+    assert naive == fast
+
+
+def test_q112_no_global_window(spark):
+    """The packing cumsum must be the two-phase bucketed form — every
+    WindowExec partitioned (by _rb), never a global sort point."""
+    p = _plan(assembly.q112_sequence_packing(spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Window \[", p):
+        seg = p[m.start(): m.start() + 400]
+        assert "partitionby" not in seg.lower() or "_rb" in seg, seg
+    assert "_rb" in p, p
+
+
+def test_q114_no_stratum_window(spark):
+    """The stratified sample must NOT plan a window over the raw
+    strata — the whole point is bounded salt-partial aggregation."""
+    p = _plan(assembly.q114_stratified_sample(spark, SF_DIR))
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 2 or "ObjectHashAggregate" in p, p
+
+
+def test_q113_mixture_broadcasts_rate_table(spark):
+    """The per-source rate table joins broadcast-side; the corpus side
+    must never shuffle for the accept filter."""
+    p = _plan(assembly.q113_domain_mixture(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_curriculum_phases_cover_corpus(spark):
+    """Phases are dense 1..K, docs split near-evenly, and phase token
+    ranges are non-overlapping ascending (short → long)."""
+    rows = assembly.q116_length_curriculum(spark, SF_DIR).collect()
+    k = assembly.CURRICULUM_PHASES
+    assert [r.phase for r in rows] == list(range(1, k + 1))
+    n = sum(r.n_docs for r in rows)
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    assert n == assembly._doc_tokens(spark, SF_DIR).count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_tokens <= b.min_tokens
+
+
+def test_cms_estimates_never_undercount(spark):
+    """CMS property: min-over-rows estimate ≥ exact count, and the
+    top-K set equals the exact top-K by (count desc, token)."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    rows = sketches.q117_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == sketches.CMS_TOPK
+    for r in rows:
+        assert r.cms_est >= r.exact_n
+        assert r.overcount == r.cms_est - r.exact_n
+    # descending exact order with token tiebreak
+    key = [(-r.exact_n, r.token) for r in rows]
+    assert key == sorted(key)
+
+
+def test_cms_sketch_width_is_fixed(spark):
+    """The sketch aggregation must never exceed CMS_ROWS × CMS_WIDTH
+    cells — the fixed-memory contract that makes it a sketch."""
+    from synthetic_data_pipeline_spark.operators import sketches
+    from synthetic_data_pipeline_spark.functions.xsql import expand_u16, hash_u16
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    n_cells = (
+        toks.select(
+            *[
+                F.expr(
+                    expand_u16(hash_u16("token", f"cms{i}"), "spark")
+                ).alias(f"h{i}")
+                for i in range(sketches.CMS_ROWS)
+            ]
+        )
+        .selectExpr(
+            *[f"h{i} % {sketches.CMS_WIDTH} AS b{i}" for i in range(sketches.CMS_ROWS)]
+        )
+        .agg(
+            *[
+                F.countDistinct(f"b{i}").alias(f"d{i}")
+                for i in range(sketches.CMS_ROWS)
+            ]
+        )
+        .collect()[0]
+    )
+    for i in range(sketches.CMS_ROWS):
+        assert n_cells[f"d{i}"] <= sketches.CMS_WIDTH
