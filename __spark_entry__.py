@@ -28,31 +28,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
 # Round-6 window (VERDICT r5 "Next round" #1). Composition:
-#   * the 41 queries whose last driver row is r3/r4 — the relational
-#     core q01-q22 + q24, q26-q29 (q23/q25 were re-pinned in r5), the
+#   * 34 of the 41 queries whose last driver row is r3/r4 (the r5
+#     rotation checked the complement) — the relational core, the
 #     similarity stragglers q54/q56, the generation/mapping tier
-#     q60-q61/q63-q64 (q62 re-pinned in r5), sampling/pivot q80-q81,
-#     the flagship scans q90-q91, redaction q93, and q98-q100 —
-#     after this rotation every registry query has an r5-or-r6 row;
+#     q60-q61/q63-q64, pivot q81, the flagship scans q90-q91,
+#     redaction q93, and q98-q100; the other seven (q06/q16/q17/q18/
+#     q21/q26/q80) yielded their slots to newborn operators, each
+#     leaving an in-window cousin on the same code path;
 #   * q103 as the anchor for the shared LP funnel (its lineage runs
 #     shingles → LSH candidates → label propagation, covering the
 #     round-6 funnel-sharing change for q46/q58/q95/q101 too);
-#   * the eight operators NEW this round (q104–q111) — brand-new code
-#     has no driver row at all, so it outranks r5-green anchors.
+#   * the FIFTEEN operators NEW this round (q104–q118) — brand-new
+#     code has no driver row at all, so it outranks r5-green anchors.
 DRIVER_WINDOW = [
-    # relational core — last driver row r3/r4
+    # relational core — last driver row r3/r4. Seven of the original
+    # 41-stale set (q06, q16, q17, q18, q21, q26, q80) yield their
+    # slots to the q112–q118 operators born this session: never-driver-
+    # checked code outranks refreshing an r3/r4-green row, and each
+    # displaced query leaves an in-window cousin on the same code path
+    # (q06→q01 pushdown scan, q16/q26→q25-r5/q19 distinct-aggs,
+    # q17/q18→q19 set-ops module, q21→q08 prefix-group stats,
+    # q80→q96/q114 deterministic sampling).
     "q01_pricing_summary", "q02_top_revenue_orders",
     "q03_regional_revenue", "q04_priority_with_returns",
-    "q05_customers_without_orders", "q06_forecast_revenue",
+    "q05_customers_without_orders",
     "q07_acctbal_by_nation", "q08_parts_by_type",
     "q09_returned_revenue_top_customers", "q10_rollup_orders",
     "q11_cube_lineitem", "q12_top_orders_per_customer",
     "q13_running_total", "q14_order_gap_days",
-    "q15_top_parts_by_price", "q16_distinct_segments",
-    "q17_nations_intersect", "q18_nations_except",
+    "q15_top_parts_by_price",
     "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
-    "q21_brand_prefix_stats", "q22_monthly_sales",
-    "q24_price_percentiles", "q26_exact_distinct_customers",
+    "q22_monthly_sales",
+    "q24_price_percentiles",
     "q27_price_bucket_range_join", "q28_trailing_30d_spend",
     "q29_price_analytics",
     # similarity stragglers — last driver row r3/r4
@@ -61,7 +68,7 @@ DRIVER_WINDOW = [
     "q60_gen_meta_summary", "q61_gen_corpus_stats",
     "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
     # sampling / pivot — last driver row r3/r4
-    "q80_deterministic_sample", "q81_pivot_status",
+    "q81_pivot_status",
     # flagship scans, redaction, validation/media — last row r3/r4
     "q90_flagship_sit_scan", "q91_sit_issue_list",
     "q93_redact_documents", "q98_validation_failures",
@@ -81,6 +88,10 @@ DRIVER_WINDOW = [
     "q106_repetition_signals", "q107_quantized_knn",
     "q108_click_error_interval", "q109_perplexity_proxy",
     "q110_embedding_outliers", "q111_adaptive_quality",
+    "q112_sequence_packing", "q113_domain_mixture",
+    "q114_stratified_sample", "q115_packed_shards",
+    "q116_length_curriculum", "q117_cms_heavy_hitters",
+    "q118_incremental_dedup",
 ]
 
 

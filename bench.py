@@ -30,9 +30,10 @@ HEADLINE = [
     "q42_quality_by_source",
     "q44_trigram_stats",
     "q46_minhash_near_dups",
-    # q104 shares q46's memoized shingle state — its headline number is
-    # the capped-posting-list candidate join + verify, not a re-shingle
+    # q104/q118 share q46's memoized shingle state — their headline
+    # numbers are candidate join + verify, not a re-shingle
     "q104_ngram_jaccard_join",
+    "q118_incremental_dedup",
     "q105_decontaminate",
     "q106_repetition_signals",
     "q109_perplexity_proxy",

@@ -397,12 +397,66 @@ def q48_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q118: INCREMENTAL dedup — near-dup an incoming batch against an
+# already-indexed corpus without re-clustering the corpus. At 100 TB
+# this is the shape that matters for ongoing ingestion: the corpus
+# side's band signatures are a PERSISTED index (here derived in-query
+# from the shared shingle memo so the oracle can replay it; a real
+# deployment reads the band table written at index-build time, exactly
+# like sketches.write_retention persists the retention list), and the
+# per-ingest work is: shingle the NEW docs only → 8 minima per new doc
+# → equi-join against the band index → exact-Jaccard verify on the
+# collisions. Nothing touches old×old pairs. The batch split is
+# deterministic (doc_id % 20 == 0 ≈ 5% "incoming") so both engines
+# replay the identical scenario.
+INGEST_MOD = 20
+
+
+def incremental_near_dups(
+    tokens: DataFrame, new_pred, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs (new doc, indexed doc, jaccard) for the docs
+    matching ``new_pred`` against the rest — candidates from the LSH
+    band index, verified by exact shingle Jaccard. ``tokens`` is the
+    (doc_id, token) shingle table; the indexed side's signatures are
+    what a deployment would read back from the persisted band table."""
+    sig = minhash_signatures_from_tokens(tokens)
+    new_sig = sig.filter(new_pred(F.col("doc_id")))
+    idx_sig = sig.filter(~new_pred(F.col("doc_id")))
+    cands = (
+        new_sig.alias("a")
+        .join(
+            idx_sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return token_jaccard(tokens, cands).filter(F.col("jaccard") >= threshold)
+
+
+def q118_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = token_state(spark, sf_dir)
+    out = incremental_near_dups(
+        tokens, lambda c: c % INGEST_MOD == 0
+    )
+    return out.select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("dup_of"),
+        "jaccard",
+    ).orderBy("new_doc_id", "dup_of")
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
     "q47_pairwise_jaccard_sample": q47_pairwise_jaccard_sample,
     "q48_simhash_buckets": q48_simhash_buckets,
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
+    "q118_incremental_dedup": q118_incremental_dedup,
 }
 
 _TOKENS_SQL = """
@@ -505,6 +559,30 @@ ORACLES = {
         SELECT doc_a, doc_b, jaccard FROM jac
         WHERE jaccard >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
+    """,
+    "q118_incremental_dedup": f"""
+        WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+        mins AS MATERIALIZED (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
+          FROM tokens GROUP BY doc_id
+        ),
+        banded AS MATERIALIZED (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+            for b in range(N_HASHES // BAND_ROWS)
+          )}
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.minhash = b.minhash
+          WHERE a.doc_id % {INGEST_MOD} = 0 AND b.doc_id % {INGEST_MOD} != 0
+        ),
+        {_JACCARD_SQL}
+        SELECT doc_a AS new_doc_id, doc_b AS dup_of, jaccard FROM jac
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+        ORDER BY new_doc_id, dup_of
     """,
     "q48_simhash_buckets": """
         WITH tokens AS (

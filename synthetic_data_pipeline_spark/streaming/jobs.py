@@ -198,6 +198,53 @@ def interval_join_stream(events: DataFrame, hours: int = 6) -> DataFrame:
     ).select("user_id", "cts", "ets")
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema from a
+    batch read, like ``stream_events``)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """Streaming twin of q118: documents ARRIVE as a stream, and each
+    micro-batch is near-dup-checked against the STATIC indexed corpus
+    — the continuous-ingestion shape of the dedup funnel. The check
+    needs full batch semantics (a groupBy(doc_id) signature build plus
+    the band-index equi-join), so it runs through foreachBatch; the
+    indexed side is the session-memoized shingle table (a deployment
+    would read the persisted band-index parquet instead — same plan).
+    Returns the number of micro-batches written to ``out_dir``."""
+    from ..operators import dedup as ddp
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % ddp.INGEST_MOD == 0
+    )
+    idx_tokens = ddp.token_state(spark, sf_dir).filter(
+        F.col("doc_id") % ddp.INGEST_MOD != 0
+    )
+
+    def check(batch_df: DataFrame) -> DataFrame:
+        toks = idx_tokens.union(ddp.distinct_shingles(batch_df))
+        return (
+            ddp.incremental_near_dups(
+                toks, lambda c: c % ddp.INGEST_MOD == 0
+            )
+            .select(
+                F.col("doc_a").alias("new_doc_id"),
+                F.col("doc_b").alias("dup_of"),
+                "jaccard",
+            )
+        )
+
+    return run_foreach_batch_parquet(incoming, out_dir, transform=check)
+
+
 def run_foreach_batch_parquet(
     df: DataFrame, out_dir: str, mode: str = "append", transform=None
 ) -> int:

@@ -116,3 +116,41 @@ def test_persisted_retention_reuse(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert not sketches._LP_CACHE, "consumer rebuilt the funnel"
+
+
+def test_incremental_dedup_matches_full_scan(spark, sf_dir):
+    """q118's new-vs-indexed pairs must equal the FULL band join's
+    candidate pairs restricted to (new, old) — incremental ingestion
+    loses nothing vs re-running dedup over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators import dedup
+
+    tokens = dedup.token_state(spark, sf_dir)
+    sig = dedup.minhash_signatures_from_tokens(tokens)
+    full = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(
+            (F.col("doc_a") % dedup.INGEST_MOD == 0)
+            & (F.col("doc_b") % dedup.INGEST_MOD != 0)
+        )
+        .distinct()
+    )
+    verified_full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.token_jaccard(tokens, full)
+        .filter(F.col("jaccard") >= dedup.JACCARD_THRESHOLD)
+        .collect()
+    }
+    incr = {
+        (r.new_doc_id, r.dup_of, r.jaccard)
+        for r in dedup.q118_incremental_dedup(spark, sf_dir).collect()
+    }
+    assert incr == verified_full

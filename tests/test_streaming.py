@@ -197,3 +197,26 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     back = spark.read.option("basePath", out).parquet(out)
     want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert back.count() == want
+
+
+def test_incremental_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed ingestion dedup (q118's twin): the union of all
+    micro-batch outputs equals the batch q118 answer."""
+    import glob
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q118_incremental_dedup,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        incremental_dedup_stream,
+    )
+
+    out = str(tmp_path / "incr")
+    n = incremental_dedup_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = sorted(
+        map(tuple, spark.read.option("basePath", out).parquet(out)
+            .select("new_doc_id", "dup_of", "jaccard").collect())
+    )
+    want = sorted(map(tuple, q118_incremental_dedup(spark, sf_dir).collect()))
+    assert got == want
