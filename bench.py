@@ -72,6 +72,7 @@ HEADLINE = [
     "q115_packed_shards",
     "q116_length_curriculum",
     "q117_cms_heavy_hitters",
+    "q119_token_shards",
 ]
 
 

@@ -299,16 +299,103 @@ _Q116_ORACLE = f"""
 """
 
 
+# --- q119: EXACT-boundary token shards — the GPT-style packing that
+# q112 approximates: the corpus is one token stream (docs end-to-end
+# in doc_id order) cut every SHARD_TOKENS tokens, documents SPLITTING
+# across cuts. The output is the segment manifest a data loader needs:
+# which token range of which document lands in which shard. Every
+# shard except the last holds EXACTLY SHARD_TOKENS tokens — an
+# invariant q112's whole-doc assignment can't give. Same scale shape
+# as q112 (two-phase cumsum; the per-doc shard-span explode emits
+# ~n_tokens/SHARD_TOKENS + 1 rows per doc, a narrow op).
+def q119_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    c = global_cumsum(toks, "n_tokens", "doc_id", "doc_id", name="_cum")
+    cap = F.lit(SHARD_TOKENS)
+    start = (F.col("_cum") - F.col("n_tokens")).alias("start")
+    spans = c.select(
+        "doc_id",
+        "n_tokens",
+        start,
+        F.col("_cum").alias("end"),
+    ).select(
+        "doc_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / cap),
+                F.floor((F.col("end") - 1) / cap),
+            )
+        ).alias("shard_id"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("shard_id") * cap)
+    seg_end = F.least(F.col("end"), (F.col("shard_id") + 1) * cap)
+    segs = spans.select(
+        "doc_id",
+        "shard_id",
+        (seg_end - seg_start).alias("seg_tokens"),
+        ((F.col("start") >= F.col("shard_id") * cap)
+         & (F.col("end") <= (F.col("shard_id") + 1) * cap)).alias("whole"),
+    )
+    return (
+        segs.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("seg_tokens").alias("shard_tokens"),
+            F.sum(F.when(F.col("whole"), 1).otherwise(0)).alias("n_whole_docs"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_Q119_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS "end"
+      FROM t
+    ),
+    spans AS (
+      -- DuckDB's windowed sum yields HUGEINT; range() needs BIGINT
+      SELECT doc_id, CAST("end" - n_tokens AS BIGINT) AS start,
+             CAST("end" AS BIGINT) AS "end",
+             unnest(range(CAST(("end" - n_tokens) // {SHARD_TOKENS} AS BIGINT),
+                          CAST(("end" - 1) // {SHARD_TOKENS} + 1 AS BIGINT))) AS shard_id
+      FROM c
+    ),
+    segs AS (
+      SELECT doc_id, shard_id,
+             least("end", (shard_id + 1) * {SHARD_TOKENS})
+               - greatest(start, shard_id * {SHARD_TOKENS}) AS seg_tokens,
+             (start >= shard_id * {SHARD_TOKENS}
+              AND "end" <= (shard_id + 1) * {SHARD_TOKENS}) AS whole
+      FROM spans
+    )
+    SELECT shard_id, count(*) AS n_segments,
+           CAST(sum(seg_tokens) AS BIGINT) AS shard_tokens,
+           CAST(sum(CASE WHEN whole THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs
+    FROM segs GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "q112_sequence_packing": q112_sequence_packing,
     "q113_domain_mixture": q113_domain_mixture,
     "q114_stratified_sample": q114_stratified_sample,
     "q115_packed_shards": q115_packed_shards,
     "q116_length_curriculum": q116_length_curriculum,
+    "q119_token_shards": q119_token_shards,
 }
 
 ORACLES = {
     "q116_length_curriculum": _Q116_ORACLE,
+    "q119_token_shards": _Q119_ORACLE,
     "q112_sequence_packing": _Q112_ORACLE,
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),

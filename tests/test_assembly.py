@@ -197,3 +197,26 @@ def test_cms_sketch_width_is_fixed(spark):
     )
     for i in range(sketches.CMS_ROWS):
         assert n_cells[f"d{i}"] <= sketches.CMS_WIDTH
+
+
+def test_token_shards_exact_cap(spark):
+    """q119: every shard except the last holds EXACTLY SHARD_TOKENS
+    tokens, ids are dense from 0, and the total equals the corpus
+    token count."""
+    rows = assembly.q119_token_shards(spark, SF_DIR).collect()
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.shard_tokens == assembly.SHARD_TOKENS, r
+    assert 0 < rows[-1].shard_tokens <= assembly.SHARD_TOKENS
+    total = (
+        assembly._doc_tokens(spark, SF_DIR).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sum(r.shard_tokens for r in rows) == total
+    # a whole doc never counts as split: segments = whole + split parts,
+    # and split parts come in ≥2 pieces across adjacent shards
+    n_docs = assembly._doc_tokens(spark, SF_DIR).count()
+    n_segments = sum(r.n_segments for r in rows)
+    n_whole = sum(r.n_whole_docs for r in rows)
+    assert n_segments >= n_docs
+    assert n_whole <= n_docs
+    assert n_segments - n_whole >= 2 * (n_docs - n_whole) / 2
