@@ -73,6 +73,7 @@ HEADLINE = [
     "q116_length_curriculum",
     "q117_cms_heavy_hitters",
     "q119_token_shards",
+    "q120_temperature_mixture",
 ]
 
 

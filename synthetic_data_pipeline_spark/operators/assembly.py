@@ -191,6 +191,59 @@ def _q113_oracle() -> str:
     """
 
 
+# --- q120: temperature-τ=0.5 mixture — the standard multilingual
+# rebalancing law (sample source s with probability ∝ n_s^τ): soften
+# the corpus's source skew instead of q113's hard flattening. The
+# acceptance rate sqrt(n_min / n_s) is IRRATIONAL, but the per-doc
+# accept test stays integer-exact in both engines by squaring:
+#     u16/65536 < sqrt(n_min/n_s)  ⟺  u16² · n_s < 65536² · n_min
+# (all BIGINT: u16² ≤ 2^32, corpus counts keep the product far under
+# 2^63 for any real table). Same scale shape as q113: a |sources|-row
+# rate table broadcast into a narrow accept filter.
+def q120_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("_mn"))
+    rates = counts.crossJoin(F.broadcast(mn))
+    u16 = F.expr(expand_u16(hash_u16("CAST(doc_id AS STRING)", "temp"), "spark"))
+    u = u16.cast("long")
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u * u * F.col("n_before") < F.lit(65536 * 65536) * F.col("_mn"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q120_oracle() -> str:
+    u16 = expand_u16(hash_u16("CAST(d.doc_id AS STRING)", "temp"), "duckdb")
+    return f"""
+        WITH c AS (
+          SELECT source, count(*) AS n_before FROM documents GROUP BY source
+        ),
+        m AS (SELECT min(n_before) AS mn FROM c),
+        k AS (
+          SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN c USING (source) CROSS JOIN m
+          WHERE CAST({u16} AS BIGINT) * CAST({u16} AS BIGINT) * c.n_before
+                < {65536 * 65536} * m.mn
+          GROUP BY d.source
+        )
+        SELECT c.source, c.n_before, COALESCE(k.n_kept, 0) AS n_kept
+        FROM c LEFT JOIN k USING (source)
+        ORDER BY source
+    """
+
+
 # --- q114: stratified sample — the K hash-smallest documents of every
 # (source, lang) stratum. The naive plan (row_number over a stratum
 # window) funnels each stratum through ONE reducer — a scale-killer
@@ -391,11 +444,13 @@ QUERIES = {
     "q115_packed_shards": q115_packed_shards,
     "q116_length_curriculum": q116_length_curriculum,
     "q119_token_shards": q119_token_shards,
+    "q120_temperature_mixture": q120_temperature_mixture,
 }
 
 ORACLES = {
     "q116_length_curriculum": _Q116_ORACLE,
     "q119_token_shards": _Q119_ORACLE,
+    "q120_temperature_mixture": _q120_oracle(),
     "q112_sequence_packing": _Q112_ORACLE,
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),

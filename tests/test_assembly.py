@@ -220,3 +220,24 @@ def test_token_shards_exact_cap(spark):
     assert n_segments >= n_docs
     assert n_whole <= n_docs
     assert n_segments - n_whole >= 2 * (n_docs - n_whole) / 2
+
+
+def test_temperature_mixture_softens_skew(spark):
+    """τ=0.5 keeps MORE of a majority source than full balancing
+    (q113) but still downsamples it: n_kept ≈ sqrt(n_min · n_before),
+    between n_min and n_before."""
+    import math
+
+    t_rows = {r.source: r for r in
+              assembly.q120_temperature_mixture(spark, SF_DIR).collect()}
+    b_rows = {r.source: r for r in
+              assembly.q113_domain_mixture(spark, SF_DIR).collect()}
+    mn = min(r.n_before for r in t_rows.values())
+    for s, r in t_rows.items():
+        expect = math.sqrt(mn * r.n_before)
+        sigma = math.sqrt(r.n_before) / 2 + 1
+        assert abs(r.n_kept - expect) <= 6 * sigma, (r, expect)
+        if r.n_before > mn * 1.5:
+            # strictly between hard balance and no-op (binomial margins)
+            assert r.n_kept >= b_rows[s].n_kept
+            assert r.n_kept < r.n_before
