@@ -74,6 +74,7 @@ HEADLINE = [
     "q117_cms_heavy_hitters",
     "q119_token_shards",
     "q120_temperature_mixture",
+    "q121_source_divergence",
 ]
 
 

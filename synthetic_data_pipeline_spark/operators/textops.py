@@ -862,6 +862,79 @@ _Q111_ORACLE = f"""
 """
 
 
+# --- q121: source-vs-corpus divergence — KL(unigram_s ‖ unigram_corpus)
+# per source, the mixture diagnostic that tells a pipeline which domain
+# is drifting from the blend it trains on. No smoothing needed: every
+# source token exists in the corpus distribution, so the log ratio is
+# always finite. Scale shape: one (source, token) count shuffle, one
+# token-marginal aggregation joined back on token (both map-side
+# partial), then a |sources|-key reduce — the same two-shuffle budget
+# as q106. Rounded via the q59 convention (1e-9 nudge + round 4) to
+# absorb float summation-order differences between engines.
+def q121_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    st = toks.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    totals = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    n = st.agg(F.sum("c_st").alias("n_corpus"))
+    per_src = (
+        st.join(totals, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").alias("n_tokens"),
+            F.count("*").alias("distinct_tokens"),
+            F.sum(
+                F.col("c_st")
+                * (
+                    F.log(F.col("c_st").cast("double"))
+                    + F.log(F.col("n_corpus").cast("double"))
+                    - F.log(F.col("c_t").cast("double"))
+                )
+            ).alias("_num"),
+        )
+    )
+    kl = (
+        F.col("_num") / F.col("n_tokens")
+        - F.log(F.col("n_tokens").cast("double"))
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "distinct_tokens",
+        eround(1e-9 + kl, 4).alias("kl_vs_corpus"),
+    ).orderBy("source")
+
+
+_Q121_ORACLE = """
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, count(*) AS c_st FROM toks GROUP BY source, token
+    ),
+    totals AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token),
+    n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_corpus FROM st),
+    per_src AS (
+      SELECT source,
+             CAST(sum(c_st) AS BIGINT) AS n_tokens,
+             count(*) AS distinct_tokens,
+             sum(c_st * (ln(CAST(c_st AS DOUBLE)) + ln(CAST(n.n_corpus AS DOUBLE))
+                         - ln(CAST(t.c_t AS DOUBLE)))) AS _num
+      FROM st JOIN totals t USING (token) CROSS JOIN n
+      GROUP BY source
+    )
+    SELECT source, n_tokens, distinct_tokens,
+           round(1e-9 + (_num / n_tokens - ln(CAST(n_tokens AS DOUBLE))), 4)
+             AS kl_vs_corpus
+    FROM per_src ORDER BY source
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -879,6 +952,7 @@ QUERIES = {
     "q106_repetition_signals": q106_repetition_signals,
     "q109_perplexity_proxy": q109_perplexity_proxy,
     "q111_adaptive_quality": q111_adaptive_quality,
+    "q121_source_divergence": q121_source_divergence,
 }
 
 
@@ -932,6 +1006,7 @@ _Q94_ORACLE = f"""
 """
 
 ORACLES = {
+    "q121_source_divergence": _Q121_ORACLE,
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -241,3 +241,16 @@ def test_temperature_mixture_softens_skew(spark):
             # strictly between hard balance and no-op (binomial margins)
             assert r.n_kept >= b_rows[s].n_kept
             assert r.n_kept < r.n_before
+
+
+def test_source_divergence_nonnegative(spark):
+    """KL ≥ 0 with equality only if a source matches the corpus
+    distribution exactly (Gibbs); values are finite for every source."""
+    from synthetic_data_pipeline_spark.operators import textops
+
+    rows = textops.q121_source_divergence(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_vs_corpus is not None
+        assert r.kl_vs_corpus >= -1e-6, r
+        assert r.n_tokens >= r.distinct_tokens > 0
