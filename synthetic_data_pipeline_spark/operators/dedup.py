@@ -438,6 +438,55 @@ def incremental_near_dups(
     return token_jaccard(tokens, cands).filter(F.col("jaccard") >= threshold)
 
 
+def write_dedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the indexed corpus's dedup state as parquet tables —
+    the artifact a deployment builds ONCE at index time and every
+    later ingest reads: ``{path}/tokens`` (shingle sets, needed by the
+    exact-Jaccard verify) and ``{path}/bands`` (LSH band signatures,
+    the candidate join key). Mirrors sketches.write_retention: cross-
+    job reuse is a parquet read, never a recompute."""
+    tokens = token_state(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_MOD != 0
+    )
+    tokens.write.mode("overwrite").parquet(f"{path}/tokens")
+    minhash_signatures_from_tokens(tokens).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_dedup_from_index(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> DataFrame:
+    """Ingest-time dedup against a PERSISTED index: shingle the new
+    batch, equi-join its signatures against the stored band table,
+    verify candidates with exact Jaccard over stored + new shingles.
+    The indexed corpus's text is never read, let alone re-shingled —
+    provable from the plan (no documents scan; see
+    test_incremental_from_persisted_index)."""
+    idx_tokens = spark.read.parquet(f"{path}/tokens")
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    new_tokens = distinct_shingles(new_docs)
+    cands = (
+        minhash_signatures_from_tokens(new_tokens)
+        .alias("a")
+        .join(
+            idx_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = token_jaccard(idx_tokens.union(new_tokens), cands)
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("dup_of"),
+        "jaccard",
+    )
+
+
 def q118_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = token_state(spark, sf_dir)
     out = incremental_near_dups(

@@ -154,3 +154,40 @@ def test_incremental_dedup_matches_full_scan(spark, sf_dir):
         for r in dedup.q118_incremental_dedup(spark, sf_dir).collect()
     }
     assert incr == verified_full
+
+
+def test_incremental_from_persisted_index(spark, sf_dir, tmp_path):
+    """Deployment shape of q118: build the index ONCE, then dedup an
+    incoming batch reading ONLY the persisted parquet index — result
+    equals q118 and the ingest plan never scans documents.parquet for
+    the indexed side (new batch text comes in as a DataFrame)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators import dedup
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    path = str(tmp_path / "dedup_index")
+    dedup.write_dedup_index(spark, sf_dir, path)
+
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % dedup.INGEST_MOD == 0
+    )
+    out = dedup.incremental_dedup_from_index(spark, path, new_docs)
+    got = sorted((r.new_doc_id, r.dup_of, r.jaccard) for r in out.collect())
+    want = sorted(
+        (r.new_doc_id, r.dup_of, r.jaccard)
+        for r in dedup.q118_incremental_dedup(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # index-only ingest: the indexed side reads the persisted parquet
+    idx_only = dedup.incremental_dedup_from_index(
+        spark, path, new_docs.localCheckpoint()
+    )
+    plan = idx_only._jdf.queryExecution().explainString(
+        idx_only.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "documents.parquet" not in plan, plan
+    assert "dedup_index" in plan, plan
