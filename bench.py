@@ -75,6 +75,9 @@ HEADLINE = [
     "q119_token_shards",
     "q120_temperature_mixture",
     "q121_source_divergence",
+    # capstone: the whole prep pipeline in one lineage (reads the
+    # memoized LP funnel like q58/q95/q101/q103)
+    "q122_pipeline_funnel",
 ]
 
 

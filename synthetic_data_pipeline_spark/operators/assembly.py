@@ -437,6 +437,225 @@ _Q119_ORACLE = f"""
 """
 
 
+# --- q122: the CAPSTONE — the whole training-data prep pipeline as
+# one lineage with per-stage funnel accounting. Stages, in order:
+#   a_raw            training corpus (benchmark source excluded)
+#   b_quality        q97's rules (≥25 tokens, distinct-ratio ≥ 0.32)
+#   c_exact_dedup    keep min-doc_id per normalized-text hash
+#   d_near_dedup     drop non-canonical members of the LSH clusters
+#                    (the shared label-propagation funnel, same state
+#                    q58/q95/q101/q103 read)
+#   e_decontaminated drop docs sharing any word 4-gram with the
+#                    held-out benchmark source (q105's rule)
+#   f_mixture        τ=0.5 temperature accept over the survivors
+#                    (q120's integer-exact squared test, counts taken
+#                    on the e-stage survivors)
+#   g_test/train/val q96's deterministic 80/10/10 split of the final set
+# Output: (stage, n_docs, n_tokens) — the drop accounting a data lead
+# reads before a run. Every stage is a boolean flag on one base frame,
+# so the final reckoning is ONE aggregation; the only extra pass is
+# the mixture's per-source count of e-survivors (q111's two-pass
+# broadcast-threshold pattern). All counters are integers — no float
+# knife edges anywhere in the gate.
+def q122_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import _lp_labels
+    from .textops import DECON_BENCH_SOURCE, _tokens, distinct_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    norm_h = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    base = train.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        dr.alias("dr"),
+        norm_h.alias("h"),
+    ).withColumn("s1", (F.col("n_tokens") >= 25) & (F.col("dr") >= 0.32))
+
+    keepers = (
+        base.filter("s1").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    near_drops = (
+        _lp_labels(spark, sf_dir)
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("_nd"))
+    )
+    grams = distinct_ngrams(docs)
+    bench = (
+        grams.filter(F.col("source") == DECON_BENCH_SOURCE)
+        .select("g")
+        .distinct()
+    )
+    cont = (
+        grams.filter(F.col("source") != DECON_BENCH_SOURCE)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_ct", F.lit(True))
+    )
+    flagged = (
+        base.join(keepers, "h", "left")
+        .join(near_drops, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .withColumn("s2", F.col("s1") & (F.col("doc_id") == F.col("keep_id")))
+        .withColumn("s3", F.col("s2") & F.col("_nd").isNull())
+        .withColumn("s4", F.col("s3") & F.col("_ct").isNull())
+        .select("doc_id", "source", "n_tokens", "s1", "s2", "s3", "s4")
+    )
+
+    cnt = flagged.filter("s4").groupBy("source").agg(
+        F.count("*").alias("n_s")
+    )
+    mn = cnt.agg(F.min("n_s").alias("_mn"))
+    u16 = F.expr(
+        expand_u16(hash_u16("CAST(doc_id AS STRING)", "funnel"), "spark")
+    ).cast("long")
+    bucket = F.expr(
+        expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "spark")
+    )
+    final = (
+        flagged.join(F.broadcast(cnt), "source", "left")
+        .crossJoin(F.broadcast(mn))
+        .withColumn(
+            "s5",
+            F.col("s4")
+            & (u16 * u16 * F.col("n_s") < F.lit(65536 * 65536) * F.col("_mn")),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket % 10 < 8, "train")
+            .when(bucket % 10 == 8, "val")
+            .otherwise("test"),
+        )
+    )
+
+    def _cnt(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+
+    def _tok(flag):
+        return F.sum(F.when(flag, F.col("n_tokens")).otherwise(0)).cast("long")
+
+    agg = final.agg(
+        F.count("*").alias("a_n"), F.sum("n_tokens").alias("a_t"),
+        _cnt(F.col("s1")).alias("b_n"), _tok(F.col("s1")).alias("b_t"),
+        _cnt(F.col("s2")).alias("c_n"), _tok(F.col("s2")).alias("c_t"),
+        _cnt(F.col("s3")).alias("d_n"), _tok(F.col("s3")).alias("d_t"),
+        _cnt(F.col("s4")).alias("e_n"), _tok(F.col("s4")).alias("e_t"),
+        _cnt(F.col("s5")).alias("f_n"), _tok(F.col("s5")).alias("f_t"),
+        *[
+            c
+            for sp in ("test", "train", "val")
+            for c in (
+                _cnt(F.col("s5") & (F.col("split") == sp)).alias(f"g_{sp}_n"),
+                _tok(F.col("s5") & (F.col("split") == sp)).alias(f"g_{sp}_t"),
+            )
+        ],
+    )
+    stages = [
+        ("a_raw", "a_n", "a_t"),
+        ("b_quality", "b_n", "b_t"),
+        ("c_exact_dedup", "c_n", "c_t"),
+        ("d_near_dedup", "d_n", "d_t"),
+        ("e_decontaminated", "e_n", "e_t"),
+        ("f_mixture", "f_n", "f_t"),
+        ("g_test", "g_test_n", "g_test_t"),
+        ("g_train", "g_train_n", "g_train_t"),
+        ("g_val", "g_val_n", "g_val_t"),
+    ]
+    stack = ", ".join(f"'{s}', {n}, {t}" for s, n, t in stages)
+    return agg.selectExpr(
+        f"stack({len(stages)}, {stack}) AS (stage, n_docs, n_tokens)"
+    ).orderBy("stage")
+
+
+def _q122_oracle() -> str:
+    from .sketches import _lp_with_body
+    from .textops import DECON_BENCH_SOURCE, DECON_N
+
+    lp_body, final_labels = _lp_with_body()
+    u16 = expand_u16(hash_u16("CAST(s4.doc_id AS STRING)", "funnel"), "duckdb")
+    bucket = expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "duckdb")
+    gram_expr = ", ".join(
+        f"arr[i+{j}]" if j else "arr[i]" for j in range(DECON_N)
+    )
+    return f"""
+      WITH {lp_body},
+      sig AS MATERIALIZED (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+               len(arr) AS n_tokens,
+               CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS dr
+        FROM (
+          SELECT doc_id, source, text,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+          FROM documents WHERE source != '{DECON_BENCH_SOURCE}'
+        )
+      ),
+      s1 AS MATERIALIZED (
+        SELECT * FROM sig WHERE n_tokens >= 25 AND dr >= 0.32
+      ),
+      keepers AS (SELECT h, min(doc_id) AS keep_id FROM s1 GROUP BY h),
+      s2 AS MATERIALIZED (
+        SELECT s1.* FROM s1 JOIN keepers k
+          ON s1.h = k.h AND s1.doc_id = k.keep_id
+      ),
+      s3 AS MATERIALIZED (
+        SELECT * FROM s2 WHERE doc_id NOT IN (
+          SELECT node FROM {final_labels} WHERE node != label
+        )
+      ),
+      allgrams AS MATERIALIZED (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(arr) - {DECON_N - 2}),
+                 i -> concat_ws(' ', {gram_expr})
+               ))) AS g
+        FROM (
+          SELECT doc_id, source,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+          FROM documents
+        ) WHERE len(arr) >= {DECON_N}
+      ),
+      bench AS (
+        SELECT DISTINCT g FROM allgrams WHERE source = '{DECON_BENCH_SOURCE}'
+      ),
+      cont AS (
+        SELECT DISTINCT ag.doc_id FROM allgrams ag JOIN bench USING (g)
+        WHERE ag.source != '{DECON_BENCH_SOURCE}'
+      ),
+      s4 AS MATERIALIZED (
+        SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+      ),
+      cnt AS (SELECT source, count(*) AS n_s FROM s4 GROUP BY source),
+      mno AS (SELECT min(n_s) AS mn FROM cnt),
+      s5 AS MATERIALIZED (
+        SELECT s4.* FROM s4 JOIN cnt USING (source) CROSS JOIN mno
+        WHERE CAST({u16} AS BIGINT) * CAST({u16} AS BIGINT) * cnt.n_s
+              < {65536 * 65536} * mno.mn
+      )
+      SELECT stage, n_docs, n_tokens FROM (
+        SELECT 'a_raw' AS stage, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM sig
+        UNION ALL SELECT 'b_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s1
+        UNION ALL SELECT 'c_exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s2
+        UNION ALL SELECT 'd_near_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s3
+        UNION ALL SELECT 'e_decontaminated', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s4
+        UNION ALL SELECT 'f_mixture', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s5
+        UNION ALL
+        SELECT 'g_' || (CASE WHEN {bucket} % 10 < 8 THEN 'train'
+                             WHEN {bucket} % 10 = 8 THEN 'val'
+                             ELSE 'test' END),
+               count(*), CAST(sum(n_tokens) AS BIGINT)
+        FROM s5 GROUP BY 1
+      ) ORDER BY stage
+    """
+
+
 QUERIES = {
     "q112_sequence_packing": q112_sequence_packing,
     "q113_domain_mixture": q113_domain_mixture,
@@ -445,12 +664,14 @@ QUERIES = {
     "q116_length_curriculum": q116_length_curriculum,
     "q119_token_shards": q119_token_shards,
     "q120_temperature_mixture": q120_temperature_mixture,
+    "q122_pipeline_funnel": q122_pipeline_funnel,
 }
 
 ORACLES = {
     "q116_length_curriculum": _Q116_ORACLE,
     "q119_token_shards": _Q119_ORACLE,
     "q120_temperature_mixture": _q120_oracle(),
+    "q122_pipeline_funnel": _q122_oracle(),
     "q112_sequence_packing": _Q112_ORACLE,
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),

@@ -480,11 +480,10 @@ DECON_N = 4
 DECON_BENCH_SOURCE = "src0"
 
 
-def decontaminate_by_source(
-    docs: DataFrame, n: int = DECON_N, bench_source: str = DECON_BENCH_SOURCE
-) -> DataFrame:
-    """Per-source contamination report for a (doc_id, source, text)
-    frame; ``bench_source`` plays the held-out benchmark."""
+def distinct_ngrams(docs: DataFrame, n: int = DECON_N) -> DataFrame:
+    """(doc_id, source, g) — distinct word n-grams per document; the
+    gram table shared by the contamination report (q105) and the
+    pipeline funnel's decontamination stage (q122)."""
     arr = _tokens(F.col("text"))
     grams_arr = F.when(
         F.size("arr") >= n,
@@ -499,9 +498,17 @@ def decontaminate_by_source(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select("doc_id", "source", arr.alias("arr")).select(
+    return docs.select("doc_id", "source", arr.alias("arr")).select(
         "doc_id", "source", F.explode(F.array_distinct(grams_arr)).alias("g")
     )
+
+
+def decontaminate_by_source(
+    docs: DataFrame, n: int = DECON_N, bench_source: str = DECON_BENCH_SOURCE
+) -> DataFrame:
+    """Per-source contamination report for a (doc_id, source, text)
+    frame; ``bench_source`` plays the held-out benchmark."""
+    grams = distinct_ngrams(docs, n)
     bench = (
         grams.filter(F.col("source") == bench_source)
         .select("g")

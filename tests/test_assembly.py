@@ -254,3 +254,19 @@ def test_source_divergence_nonnegative(spark):
         assert r.kl_vs_corpus is not None
         assert r.kl_vs_corpus >= -1e-6, r
         assert r.n_tokens >= r.distinct_tokens > 0
+
+
+def test_pipeline_funnel_monotone(spark):
+    """q122: stage counts only ever shrink, split counts partition the
+    mixture survivors exactly, and token sums follow the same order."""
+    rows = {r.stage: r for r in
+            assembly.q122_pipeline_funnel(spark, SF_DIR).collect()}
+    order = ["a_raw", "b_quality", "c_exact_dedup", "d_near_dedup",
+             "e_decontaminated", "f_mixture"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a].n_docs >= rows[b].n_docs, (a, b)
+        assert rows[a].n_tokens >= rows[b].n_tokens, (a, b)
+    splits = [rows[f"g_{s}"] for s in ("test", "train", "val") if f"g_{s}" in rows]
+    assert sum(s.n_docs for s in splits) == rows["f_mixture"].n_docs
+    assert sum(s.n_tokens for s in splits) == rows["f_mixture"].n_tokens
+    assert rows["f_mixture"].n_docs > 0
