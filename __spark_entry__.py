@@ -32,19 +32,21 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     rotation checked the complement) — the relational core, the
 #     similarity stragglers q54/q56, the generation/mapping tier
 #     q60-q61/q63-q64, pivot q81, the flagship scans q90-q91,
-#     redaction q93, and q98-q100; the other eight (q04/q06/q16/q17/
-#     q18/q21/q26/q80) yielded their slots to newborn operators, each
+#     redaction q93, and q98-q100; the other nine (q04/q06/q11/q16/
+#     q17/q18/q21/q26/q80) yielded their slots to newborn operators, each
 #     leaving an in-window cousin on the same code path;
 #   * q103 as the anchor for the shared LP funnel (its lineage runs
 #     shingles → LSH candidates → label propagation, covering the
 #     round-6 funnel-sharing change for q46/q58/q95/q101 too);
-#   * the SIXTEEN operators NEW this round (q104–q119) — brand-new
-#     code has no driver row at all, so it outranks r5-green anchors.
+#   * the SEVENTEEN operators NEW this round (q104–q119, q122) —
+#     brand-new code has no driver row at all, so it outranks
+#     r5-green anchors.
 DRIVER_WINDOW = [
-    # relational core — last driver row r3/r4. Eight of the original
-    # 41-stale set (q04, q06, q16, q17, q18, q21, q26, q80) yield
-    # their slots to the q112–q119 operators born this session: never-driver-
-    # checked code outranks refreshing an r3/r4-green row, and each
+    # relational core — last driver row r3/r4. Nine of the original
+    # 41-stale set (q04, q06, q11, q16, q17, q18, q21, q26, q80) yield
+    # their slots to the q112–q119/q122 operators born this session:
+    # never-driver-
+    #   checked code outranks refreshing an r3/r4-green row, and each
     # displaced query leaves an in-window cousin on the same code path
     # (q06→q01 pushdown scan, q16/q26→q25-r5/q19 distinct-aggs,
     # q17/q18→q19 set-ops module, q21→q08 prefix-group stats,
@@ -54,7 +56,7 @@ DRIVER_WINDOW = [
     "q05_customers_without_orders",
     "q07_acctbal_by_nation", "q08_parts_by_type",
     "q09_returned_revenue_top_customers", "q10_rollup_orders",
-    "q11_cube_lineitem", "q12_top_orders_per_customer",
+    "q12_top_orders_per_customer",
     "q13_running_total", "q14_order_gap_days",
     "q15_top_parts_by_price",
     "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
@@ -92,6 +94,9 @@ DRIVER_WINDOW = [
     "q114_stratified_sample", "q115_packed_shards",
     "q116_length_curriculum", "q117_cms_heavy_hitters",
     "q118_incremental_dedup", "q119_token_shards",
+    # the capstone funnel (q122) takes q11's slot — q10 keeps the
+    # rollup/cube code path (operators/relational.py) in the window
+    "q122_pipeline_funnel",
 ]
 
 
