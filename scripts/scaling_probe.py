@@ -62,6 +62,7 @@ PROBE = [
     "q112_sequence_packing",      # two-phase global cumsum + shard agg
     "q114_stratified_sample",     # salted per-stratum top-K (no window)
     "q117_cms_heavy_hitters",     # fixed-width sketch agg + broadcast probe
+    "q122_pipeline_funnel",       # capstone: funnel + decon + mixture, one reckoning
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

@@ -506,6 +506,11 @@ def q122_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s3", F.col("s2") & F.col("_nd").isNull())
         .withColumn("s4", F.col("s3") & F.col("_ct").isNull())
         .select("doc_id", "source", "n_tokens", "s1", "s2", "s3", "s4")
+        # evaluated twice (mixture-count pass + final reckoning); the
+        # checkpoint stops the second pass from redoing the gram join
+        # and dedup-keeper join — at 100 TB that recompute would cost
+        # more than the materialized flag table (5 narrow columns/doc)
+        .localCheckpoint(eager=False)
     )
 
     cnt = flagged.filter("s4").groupBy("source").agg(

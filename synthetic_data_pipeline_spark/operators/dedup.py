@@ -140,11 +140,13 @@ _SHINGLE_CACHE_MAX = 3
 
 
 def clear_shingle_cache() -> None:
+    from .sketches import _safe_unpersist
+
     for _tokens, pairs in _SHINGLE_CACHE.values():
-        pairs.unpersist()
+        _safe_unpersist(pairs)
     _SHINGLE_CACHE.clear()
     for tokens in _TOKEN_CACHE.values():
-        tokens.unpersist()
+        _safe_unpersist(tokens)
     _TOKEN_CACHE.clear()
 
 
@@ -173,7 +175,9 @@ def token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = distinct_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     tokens.count()
     while len(_TOKEN_CACHE) >= _SHINGLE_CACHE_MAX:
-        _TOKEN_CACHE.pop(next(iter(_TOKEN_CACHE))).unpersist()
+        from .sketches import _safe_unpersist as _su
+
+        _su(_TOKEN_CACHE.pop(next(iter(_TOKEN_CACHE))))
     _TOKEN_CACHE[key] = tokens
     return tokens
 
@@ -200,7 +204,9 @@ def shingle_state(
         _old_tokens, old_pairs = _SHINGLE_CACHE.pop(
             next(iter(_SHINGLE_CACHE))
         )
-        old_pairs.unpersist()
+        from .sketches import _safe_unpersist as _su
+
+        _su(old_pairs)
     _SHINGLE_CACHE[key] = (tokens, pairs)
     return tokens, pairs
 

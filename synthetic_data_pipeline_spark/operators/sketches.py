@@ -81,6 +81,18 @@ _LP_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _LP_CACHE_MAX = 3  # bench + scaling probe use ≤2 sf_dirs per session
 
 
+def _safe_unpersist(df: DataFrame) -> None:
+    """Unpersist tolerating a stopped owner session: harnesses that
+    rotate fresh SparkSessions per tier (scaling probe) may clear a
+    memo whose frames belong to an already-stopped JVM context — the
+    blocks died with that session, so a failed unpersist is a no-op,
+    not an error."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def clear_lp_cache() -> None:
     """Unpersist and drop every memoized funnel stage (tests / cold
     probes) — including the upstream shingle/candidate memo, so a
@@ -88,8 +100,8 @@ def clear_lp_cache() -> None:
     from .dedup import clear_shingle_cache
 
     for edges, labels in _LP_CACHE.values():
-        edges.unpersist()
-        labels.unpersist()
+        _safe_unpersist(edges)
+        _safe_unpersist(labels)
     _LP_CACHE.clear()
     clear_shingle_cache()
 
@@ -144,8 +156,8 @@ def _lp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     labels.count()  # materialize before anyone forks the lineage
     while len(_LP_CACHE) >= _LP_CACHE_MAX:
         old_edges, old_labels = _LP_CACHE.pop(next(iter(_LP_CACHE)))
-        old_edges.unpersist()
-        old_labels.unpersist()
+        _safe_unpersist(old_edges)
+        _safe_unpersist(old_labels)
     _LP_CACHE[key] = (edges, labels)
     return edges, labels
 
