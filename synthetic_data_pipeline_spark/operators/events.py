@@ -320,7 +320,77 @@ def q92_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# --- q123: time-series DENSIFY — the complete hourly spine with
+# zero-filled counts and last-observation-carried-forward averages
+# (gap filling, the op every dashboard/feature-store pipeline needs
+# before resampling). The spine is generated from the observed
+# min/max hour (a 1-row aggregate broadcast into a sequence explode),
+# so empty hours appear explicitly. Scale note: the LOCF window is
+# GLOBAL but runs over the SPINE, whose size is the time range in
+# hours — bounded by calendar time, not corpus size (a year is 8,760
+# rows even at 100 TB of events), so the single-partition window is
+# safe by construction; the heavy table only ever sees one
+# hash-aggregate shuffle on the hour key.
+def q123_dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("h")
+    counts = events.select(hour, "value").groupBy("h").agg(
+        F.count("*").alias("n_events"),
+        eround(1e-9 + F.avg("value"), 4).alias("av"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    joined = spine.join(counts, "h", "left").select(
+        "h",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "av",
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        joined.withColumn("av_locf", F.last("av", ignorenulls=True).over(w))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "av_locf",
+        )
+        .orderBy("hour")
+    )
+
+
+_Q123_ORACLE = """
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS h, value FROM events
+    ),
+    c AS (
+      SELECT h, count(*) AS n_events, round(1e-9 + avg(value), 4) AS av
+      FROM ev GROUP BY h
+    ),
+    b AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+    spine AS (
+      SELECT unnest(range(mn, mx + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ),
+    j AS (
+      SELECT s.h, COALESCE(c.n_events, 0) AS n_events, c.av
+      FROM spine s LEFT JOIN c USING (h)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+           last_value(av IGNORE NULLS) OVER (
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS av_locf
+    FROM j ORDER BY hour
+"""
+
+
 QUERIES = {
+    "q123_dense_hourly": q123_dense_hourly,
     "q30_tumbling_hourly": q30_tumbling_hourly,
     "q36_hourly_top_event": q36_hourly_top_event,
     "q37_conversion_funnel": q37_conversion_funnel,
@@ -334,6 +404,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q123_dense_hourly": _Q123_ORACLE,
     "q108_click_error_interval": f"""
         WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
         e AS (SELECT user_id, ts AS ets FROM events WHERE event_type = 'error'),

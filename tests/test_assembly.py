@@ -270,3 +270,25 @@ def test_pipeline_funnel_monotone(spark):
     assert sum(s.n_docs for s in splits) == rows["f_mixture"].n_docs
     assert sum(s.n_tokens for s in splits) == rows["f_mixture"].n_tokens
     assert rows["f_mixture"].n_docs > 0
+
+
+def test_dense_hourly_spine_complete(spark):
+    """q123: the hourly spine is gap-free (consecutive hours), counts
+    sum to the raw event count, and LOCF never leaves a null after the
+    first observed hour."""
+    from synthetic_data_pipeline_spark.operators.events import q123_dense_hourly
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    import datetime as dt
+
+    rows = q123_dense_hourly(spark, SF_DIR).collect()
+    hours = [dt.datetime.strptime(r.hour, "%Y-%m-%d %H:%M:%S") for r in rows]
+    for a, b in zip(hours, hours[1:]):
+        assert b - a == dt.timedelta(hours=1), (a, b)
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    seen = False
+    for r in rows:
+        if r.av_locf is not None:
+            seen = True
+        if seen:
+            assert r.av_locf is not None
