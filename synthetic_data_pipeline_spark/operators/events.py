@@ -320,6 +320,86 @@ def q92_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# --- q124: behavioral sequence mining — the top event-type sequences
+# per session (the dataset builder for behavior/recommendation
+# models: each session becomes one ordered training example). Reuses
+# q32's sessionization (gap > 30 min starts a new session), then
+# serializes each session's event types in (ts, event_id) order and
+# ranks the most common sequences. Scale shape: one shuffle on
+# user_id for sessionization, one on the sequence string (bounded by
+# session length — the 30-minute gap rule caps realistic sessions),
+# then a TakeOrdered top-K; no shuffle ever carries more than a
+# session's type string.
+SEQ_TOPK = 20
+
+
+def q124_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import ranked_topk
+
+    events = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.col("ts").cast("long") - F.lag("ts").over(w_ord).cast("long")
+    ) / 60.0
+    with_sid = events.withColumn(
+        "new_session",
+        F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    seqs = (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">", F.transform(packed, lambda s: s["event_type"])
+            ).alias("seq")
+        )
+        .groupBy("seq")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    return ranked_topk(
+        seqs, [F.desc("n_sessions"), F.asc("seq")], SEQ_TOPK
+    ).select("rk", "seq", "n_sessions")
+
+
+_Q124_ORACLE = f"""
+    WITH ord AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR (epoch(ts) - epoch(lag(ts) OVER w)) / 60.0 > 30
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_id
+      FROM ord
+    ),
+    seqs AS (
+      SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+      FROM sid GROUP BY user_id, session_id
+    ),
+    counts AS (
+      SELECT seq, count(*) AS n_sessions FROM seqs GROUP BY seq
+    )
+    SELECT rk, seq, n_sessions FROM (
+      SELECT seq, n_sessions,
+             CAST(row_number() OVER (ORDER BY n_sessions DESC, seq) AS INT) AS rk
+      FROM counts
+    ) WHERE rk <= {SEQ_TOPK}
+    ORDER BY rk
+"""
+
+
 # --- q123: time-series DENSIFY — the complete hourly spine with
 # zero-filled counts and last-observation-carried-forward averages
 # (gap filling, the op every dashboard/feature-store pipeline needs
@@ -391,6 +471,7 @@ _Q123_ORACLE = """
 
 QUERIES = {
     "q123_dense_hourly": q123_dense_hourly,
+    "q124_session_sequences": q124_session_sequences,
     "q30_tumbling_hourly": q30_tumbling_hourly,
     "q36_hourly_top_event": q36_hourly_top_event,
     "q37_conversion_funnel": q37_conversion_funnel,
@@ -405,6 +486,7 @@ QUERIES = {
 
 ORACLES = {
     "q123_dense_hourly": _Q123_ORACLE,
+    "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""
         WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
         e AS (SELECT user_id, ts AS ets FROM events WHERE event_type = 'error'),

@@ -292,3 +292,25 @@ def test_dense_hourly_spine_complete(spark):
             seen = True
         if seen:
             assert r.av_locf is not None
+
+
+def test_session_sequences_consistency(spark):
+    """q124: sequence counts conserve sessions (sum over ALL sequences
+    equals q32's total session count) and the top-K ranking is
+    deterministic (count desc, seq asc)."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        q124_session_sequences,
+        q32_user_sessions,
+    )
+
+    rows = q124_session_sequences(spark, SF_DIR).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    key = [(-r.n_sessions, r.seq) for r in rows]
+    assert key == sorted(key)
+    total_sessions = sum(
+        r.n_sessions for r in q32_user_sessions(spark, SF_DIR).collect()
+    )
+    # top-K covers at most all sessions; every listed sequence nonempty
+    assert sum(r.n_sessions for r in rows) <= total_sessions
+    for r in rows:
+        assert r.seq and r.n_sessions > 0
