@@ -215,3 +215,25 @@ def test_write_partitioned_parquet_layout(spark, tmp_path):
     assert back.count() == li.count()
     files = glob.glob(f"{out}/l_returnflag=*/*.parquet")
     assert len(files) >= 4
+
+
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    """A filter on the hive-partition column must reach the scan as a
+    PartitionFilter (directory pruning — the scan never lists the
+    other partitions' files), not a post-scan Filter."""
+    from synthetic_data_pipeline_spark.sources.io import write_partitioned_parquet
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_pruned")
+    write_partitioned_parquet(li, out, partition_cols=["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().explainString(
+        back.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan, plan
+    assert "l_returnflag" in plan.split("PartitionFilters", 1)[1].split("\n")[0], plan
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == want
