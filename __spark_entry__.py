@@ -32,18 +32,19 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     rotation checked the complement) — the relational core, the
 #     similarity stragglers q54/q56, the generation/mapping tier
 #     q60-q61/q63-q64, pivot q81, the flagship scans q90-q91,
-#     redaction q93, and q98-q100; the other ten (q04/q06/q07/q11/
-#     q16/q17/q18/q21/q26/q80) yielded their slots to newborn operators, each
+#     redaction q93, and q98-q100; the other eleven (q04/q06/q07/
+#     q09/q11/q16/q17/q18/q21/q26/q80) yielded their slots to newborn operators, each
 #     leaving an in-window cousin on the same code path;
 #   * q103 as the anchor for the shared LP funnel (its lineage runs
 #     shingles → LSH candidates → label propagation, covering the
 #     round-6 funnel-sharing change for q46/q58/q95/q101 too);
-#   * the EIGHTEEN operators NEW this round (q104–q119, q122, q123) —
+#   * the NINETEEN operators NEW this round (q104–q119, q122–q124) —
 #     brand-new code has no driver row at all, so it outranks
 #     r5-green anchors.
 DRIVER_WINDOW = [
-    # relational core — last driver row r3/r4. Ten of the original
-    # 41-stale set (q04, q06, q07, q11, q16-q18, q21, q26, q80) yield
+    # relational core — last driver row r3/r4. Eleven of the original
+    # 41-stale set (q04, q06, q07, q09, q11, q16-q18, q21, q26, q80)
+    # yield
     # their slots to the q112–q119/q122 operators born this session:
     # never-driver-
     #   checked code outranks refreshing an r3/r4-green row, and each
@@ -55,7 +56,7 @@ DRIVER_WINDOW = [
     "q03_regional_revenue",
     "q05_customers_without_orders",
     "q08_parts_by_type",
-    "q09_returned_revenue_top_customers", "q10_rollup_orders",
+    "q10_rollup_orders",
     "q12_top_orders_per_customer",
     "q13_running_total", "q14_order_gap_days",
     "q15_top_parts_by_price",
@@ -98,6 +99,8 @@ DRIVER_WINDOW = [
     # rollup/cube path in-window); the densify op (q123) takes q07's
     # (q03/q08/q19 keep the broadcast-dim + group-agg class)
     "q122_pipeline_funnel", "q123_dense_hourly",
+    # q124 takes q09's slot (q02 keeps the ranked-top-k join-agg class)
+    "q124_session_sequences",
 ]
 
 
