@@ -246,14 +246,24 @@ def incremental_dedup_stream(
 
 
 def run_foreach_batch_parquet(
-    df: DataFrame, out_dir: str, mode: str = "append", transform=None
+    df: DataFrame,
+    out_dir: str,
+    mode: str = "append",
+    transform=None,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """foreachBatch sink: each micro-batch lands as parquet under its
     batch id — the pattern for sinks Spark lacks natively (upserts into
     table formats, JDBC merges...). ``transform`` (batch DataFrame →
     batch DataFrame) runs with full batch semantics before the write —
     window functions, ranks, joins the streaming engine won't take.
-    Returns the number of batches."""
+    Returns the number of batches.
+
+    Exactly-once: the per-batch overwrite keyed on ``batch_id`` makes
+    the sink idempotent, and a caller-supplied ``checkpoint_dir`` makes
+    restarts RESUME — a rerun over the same checkpoint with no new
+    source files processes zero batches (pinned by
+    test_checkpoint_resume_is_exactly_once)."""
     n_batches = {"n": 0}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -265,7 +275,10 @@ def run_foreach_batch_parquet(
     q = (
         df.writeStream.foreachBatch(_write)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdps_ckpt_"))
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="sdps_ckpt_"),
+        )
         .trigger(availableNow=True)
         .start()
     )

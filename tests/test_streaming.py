@@ -220,3 +220,28 @@ def test_incremental_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, q118_incremental_dedup(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restart semantics: a second availableNow run over the SAME
+    checkpoint with no new source files must process zero batches —
+    the committed offsets make replay a no-op, and the batch-id-keyed
+    overwrite sink stays idempotent either way."""
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        run_foreach_batch_parquet,
+        stream_events,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = run_foreach_batch_parquet(
+        stream_events(spark, sf_dir), out, checkpoint_dir=ckpt
+    )
+    assert n1 >= 1
+    rows_after_first = spark.read.option("basePath", out).parquet(out).count()
+    n2 = run_foreach_batch_parquet(
+        stream_events(spark, sf_dir), out, checkpoint_dir=ckpt
+    )
+    assert n2 == 0
+    rows_after_second = spark.read.option("basePath", out).parquet(out).count()
+    assert rows_after_second == rows_after_first
