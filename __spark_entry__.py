@@ -27,80 +27,57 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-6 window (VERDICT r5 "Next round" #1). Composition:
-#   * 34 of the 41 queries whose last driver row is r3/r4 (the r5
-#     rotation checked the complement) — the relational core, the
-#     similarity stragglers q54/q56, the generation/mapping tier
-#     q60-q61/q63-q64, pivot q81, the flagship scans q90-q91,
-#     redaction q93, and q98-q100; the other eleven (q04/q06/q07/
-#     q09/q11/q16/q17/q18/q21/q26/q80) yielded their slots to newborn operators, each
-#     leaving an in-window cousin on the same code path;
-#   * q103 as the anchor for the shared LP funnel (its lineage runs
-#     shingles → LSH candidates → label propagation, covering the
-#     round-6 funnel-sharing change for q46/q58/q95/q101 too);
-#   * the NINETEEN operators NEW this round (q104–q119, q122–q124) —
-#     brand-new code has no driver row at all, so it outranks
-#     r5-green anchors.
+# Round-7 window (VERDICT r6 "Next round" #2). Composition — after this
+# round NO registry query's last driver row is older than r5:
+#   * the THREE queries that have never had a driver row: q120/q121/
+#     q125 (born r6 outside the 50-slot window — the r6 ADVICE called
+#     out exactly this gap);
+#   * the ELEVEN queries whose last driver row is r3/r4 (they yielded
+#     their r6 slots to the newborn operators): q04, q06, q07, q09,
+#     q11, q16-q18, q21, q26, q80;
+#   * FOUR r6 anchors whose code paths change THIS round and need a
+#     fresh row on the new code: q54 (quantized verify pre-filter),
+#     q122 (oracle split-parity fix), plus q104/q118 covering the
+#     shared dedup-funnel/index lineage;
+#   * THIRTY-TWO r5-era refreshes (events q30-q37, text q40-q49,
+#     similarity q50-q53/q55/q57-q59, generation/mapping q62/q65-q67,
+#     conditional-agg q23/q25) — oldest-first rotation. The 18 r5 rows
+#     left out (q70-q79, q82, q92, q94-q97, q101, q102) rotate in next
+#     round; each leaves an in-window cousin on the same module
+#     (q70-q78→q04-q26 relational core, q92→q34-adjacent salted events
+#     path via q37, q95/q101→q104/q118/q122 funnel, q96/q102→q122).
 DRIVER_WINDOW = [
-    # relational core — last driver row r3/r4. Eleven of the original
-    # 41-stale set (q04, q06, q07, q09, q11, q16-q18, q21, q26, q80)
-    # yield
-    # their slots to the q112–q119/q122 operators born this session:
-    # never-driver-
-    #   checked code outranks refreshing an r3/r4-green row, and each
-    # displaced query leaves an in-window cousin on the same code path
-    # (q06→q01 pushdown scan, q16/q26→q25-r5/q19 distinct-aggs,
-    # q17/q18→q19 set-ops module, q21→q08 prefix-group stats,
-    # q80→q96/q114 deterministic sampling).
-    "q01_pricing_summary", "q02_top_revenue_orders",
-    "q03_regional_revenue",
-    "q05_customers_without_orders",
-    "q08_parts_by_type",
-    "q10_rollup_orders",
-    "q12_top_orders_per_customer",
-    "q13_running_total", "q14_order_gap_days",
-    "q15_top_parts_by_price",
-    "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
-    "q22_monthly_sales",
-    "q24_price_percentiles",
-    "q27_price_bucket_range_join", "q28_trailing_30d_spend",
-    "q29_price_analytics",
-    # similarity stragglers — last driver row r3/r4
-    "q54_cosine_near_dups", "q56_kmeans",
-    # generation / mapping tier — last driver row r3/r4
-    "q60_gen_meta_summary", "q61_gen_corpus_stats",
-    "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
-    # sampling / pivot — last driver row r3/r4
-    "q81_pivot_status",
-    # flagship scans, redaction, validation/media — last row r3/r4
-    "q90_flagship_sit_scan", "q91_sit_issue_list",
-    "q93_redact_documents", "q98_validation_failures",
-    "q99_redact_generated", "q100_media_features",
-    # anchor: q103 (new LP convergence probe) consumes the shared
-    # funnel lineage (shingles → LSH candidates → LP), so it covers the
-    # round-6 funnel-sharing change for the whole q46/q58/q95/q101
-    # group; q61 (above, stale-rotation) covers the corpus-texture
-    # change in plans/generate.py
-    "q103_lp_convergence",
-    # new operators this session — new code needs driver rows most:
-    # q104–q108 displaced the r5-green continuity anchors q32/q36/q58/
-    # q95/q102, and q109–q111 (added late in the session) displaced the
-    # r5-green anchors q46/q62/q101, whose code paths are covered by
-    # q103 + pytest + the full-registry local parity artifact
-    "q104_ngram_jaccard_join", "q105_decontaminate",
-    "q106_repetition_signals", "q107_quantized_knn",
-    "q108_click_error_interval", "q109_perplexity_proxy",
-    "q110_embedding_outliers", "q111_adaptive_quality",
-    "q112_sequence_packing", "q113_domain_mixture",
-    "q114_stratified_sample", "q115_packed_shards",
-    "q116_length_curriculum", "q117_cms_heavy_hitters",
-    "q118_incremental_dedup", "q119_token_shards",
-    # the capstone funnel (q122) takes q11's slot (q10 keeps the
-    # rollup/cube path in-window); the densify op (q123) takes q07's
-    # (q03/q08/q19 keep the broadcast-dim + group-agg class)
-    "q122_pipeline_funnel", "q123_dense_hourly",
-    # q124 takes q09's slot (q02 keeps the ranked-top-k join-agg class)
-    "q124_session_sequences",
+    # never driver-checked (born r6, post-window)
+    "q120_temperature_mixture", "q121_source_divergence",
+    "q125_fuzzy_prefix_dedup",
+    # r3/r4-stale relational core
+    "q04_priority_with_returns", "q06_forecast_revenue",
+    "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
+    "q11_cube_lineitem", "q16_distinct_segments",
+    "q17_nations_intersect", "q18_nations_except",
+    "q21_brand_prefix_stats", "q26_exact_distinct_customers",
+    "q80_deterministic_sample",
+    # r6 anchors on round-7-changed code paths
+    "q54_cosine_near_dups", "q104_ngram_jaccard_join",
+    "q118_incremental_dedup", "q122_pipeline_funnel",
+    # r5-era refresh: events / streaming batch twins
+    "q30_tumbling_hourly", "q31_sliding_hourly", "q32_user_sessions",
+    "q33_json_prop_stats", "q34_asof_click_error",
+    "q35_first_event_per_user_type", "q36_hourly_top_event",
+    "q37_conversion_funnel",
+    # r5-era refresh: text analysis
+    "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
+    "q43_fingerprints", "q44_trigram_stats", "q45_exact_dedup",
+    "q46_minhash_near_dups", "q47_pairwise_jaccard_sample",
+    "q48_simhash_buckets", "q49_bpe_token_stats",
+    # r5-era refresh: similarity / sketches
+    "q50_knn_bruteforce", "q51_label_centroids", "q52_norm_stats",
+    "q53_ann_bucket_stats", "q55_ivf_ann", "q57_bloom_membership",
+    "q58_dup_clusters", "q59_token_entropy",
+    # r5-era refresh: generation / mapping / conditional aggs
+    "q62_gen_validation_report", "q65_distinct_tcs_histogram",
+    "q66_winnowing_fingerprints", "q67_tfidf_top_terms",
+    "q23_conditional_agg", "q25_approx_distinct_customers",
 ]
 
 

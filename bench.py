@@ -1,6 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round 7 — fixes BENCH_r06's ``parsed: null``): the
+driver captures only the LAST ~2 kB of stdout, so the FINAL line must be
+a SHORT JSON headline that always fits:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {<slowest 10>}, "n_queries": 53, "sf": 0.1, ...}
+
+The full per-query detail (every timing + extras + errors) is printed
+on an EARLIER line and also written to ``BENCH_DETAIL.json`` next to
+this file, so nothing is lost — it's just not in the tail-fragile spot.
 
 Each query is forced end-to-end with a noop-format write (full compute,
 no driver collect bottleneck).
@@ -296,19 +306,49 @@ def main() -> None:
         errors["_normalized_extras"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "extras": extras,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "extras": extras,
+        **({"errors": errors} if errors else {}),
+    }
+    # Full detail: an early stdout line (safe to truncate) + a file the
+    # round artifacts can snapshot (BENCH_LOCAL_r{N}.json copies it).
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the headline line below is the contract
+
+    # FINAL line = short headline the driver's ~2 kB tail capture can
+    # always parse (r6's 53-query one-liner overflowed it and the gate
+    # recorded parsed:null). Keep a bounded "queries" dict — slowest 10
+    # — so the key the driver expects is present without unbounded size.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "sf": sf,
+        "docs_per_sec": extras.get("gen_render_docs_per_sec"),
+        "stream_events_per_sec": extras.get("stream_events_per_sec"),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(headline)
+    if len(line) > 1500:  # belt-and-braces: never outgrow the tail capture
+        headline.pop("queries", None)
+        line = json.dumps(headline)
+    print(line)
     spark.stop()
 
 

@@ -5,8 +5,9 @@ stratified subsets).
 
 North-star extensions (BASELINE.json "large-scale training-data
 pipeline"); the reference has no assembly stage at all — its output is
-one pandas frame per run (modules/output_writer.py) — so these are
-engine capabilities, not parity items.
+one pandas frame per run (modules/content_generator.py writes the
+corpus, modules/postprocessor.py writes mapping_meta.csv via pandas
+to_csv) — so these are engine capabilities, not parity items.
 
 Everything is pure column expressions + the two-phase global-cumsum
 helper (functions/ranking.py): no Python UDFs, no single-partition
@@ -457,19 +458,20 @@ _Q119_ORACLE = f"""
 # the mixture's per-source count of e-survivors (q111's two-pass
 # broadcast-threshold pattern). All counters are integers — no float
 # knife edges anywhere in the gate.
-def q122_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sketches import _lp_labels
-    from .textops import DECON_BENCH_SOURCE, _tokens, distinct_ngrams
+def _funnel_base(train: DataFrame) -> DataFrame:
+    """Per-doc funnel signals, recomputable on any slice of documents
+    (the batch capstone AND each streaming micro-batch build exactly
+    this frame): token count, distinct-ratio, normalized-text hash,
+    and the s1 quality flag."""
+    from .textops import _tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     norm_h = F.md5(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     )
-    base = train.select(
+    return train.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
@@ -477,14 +479,73 @@ def q122_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_h.alias("h"),
     ).withColumn("s1", (F.col("n_tokens") >= 25) & (F.col("dr") >= 0.32))
 
-    keepers = (
-        base.filter("s1").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    )
-    near_drops = (
+
+def _funnel_near_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _nd) — non-canonical members of the LSH near-dup
+    clusters (the shared label-propagation funnel state)."""
+    from .sketches import _lp_labels
+
+    return (
         _lp_labels(spark, sf_dir)
         .filter(F.col("node") != F.col("label"))
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("_nd"))
     )
+
+
+def _funnel_bench_grams(docs: DataFrame) -> DataFrame:
+    """The held-out benchmark source's distinct word 4-grams (q105's
+    contamination reference set)."""
+    from .textops import DECON_BENCH_SOURCE, distinct_ngrams
+
+    return (
+        distinct_ngrams(docs)
+        .filter(F.col("source") == DECON_BENCH_SOURCE)
+        .select("g")
+        .distinct()
+    )
+
+
+def _funnel_split_cols(df: DataFrame, cnt: DataFrame, mn: DataFrame) -> DataFrame:
+    """Attach the mixture accept flag (s5, temperature test against the
+    per-source rate table) and the deterministic 80/10/10 split column.
+    ``df`` must carry (doc_id, source, s4); ``cnt``/``mn`` are the
+    (source, n_s) counts and the 1-row global min — identical whether
+    they were just aggregated (batch) or read back from the persisted
+    state (stream)."""
+    u16 = F.expr(
+        expand_u16(hash_u16("CAST(doc_id AS STRING)", "funnel"), "spark")
+    ).cast("long")
+    bucket = F.expr(
+        expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "spark")
+    )
+    return (
+        df.join(F.broadcast(cnt), "source", "left")
+        .crossJoin(F.broadcast(mn))
+        .withColumn(
+            "s5",
+            F.col("s4")
+            & (u16 * u16 * F.col("n_s") < F.lit(65536 * 65536) * F.col("_mn")),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket % 10 < 8, "train")
+            .when(bucket % 10 == 8, "val")
+            .otherwise("test"),
+        )
+    )
+
+
+def q122_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import DECON_BENCH_SOURCE, distinct_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    base = _funnel_base(train)
+
+    keepers = (
+        base.filter("s1").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    near_drops = _funnel_near_drops(spark, sf_dir)
     grams = distinct_ngrams(docs)
     bench = (
         grams.filter(F.col("source") == DECON_BENCH_SOURCE)
@@ -517,27 +578,7 @@ def q122_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_s")
     )
     mn = cnt.agg(F.min("n_s").alias("_mn"))
-    u16 = F.expr(
-        expand_u16(hash_u16("CAST(doc_id AS STRING)", "funnel"), "spark")
-    ).cast("long")
-    bucket = F.expr(
-        expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "spark")
-    )
-    final = (
-        flagged.join(F.broadcast(cnt), "source", "left")
-        .crossJoin(F.broadcast(mn))
-        .withColumn(
-            "s5",
-            F.col("s4")
-            & (u16 * u16 * F.col("n_s") < F.lit(65536 * 65536) * F.col("_mn")),
-        )
-        .withColumn(
-            "split",
-            F.when(bucket % 10 < 8, "train")
-            .when(bucket % 10 == 8, "val")
-            .otherwise("test"),
-        )
-    )
+    final = _funnel_split_cols(flagged, cnt, mn)
 
     def _cnt(flag):
         return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
@@ -652,13 +693,128 @@ def _q122_oracle() -> str:
         UNION ALL SELECT 'e_decontaminated', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s4
         UNION ALL SELECT 'f_mixture', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s5
         UNION ALL
-        SELECT 'g_' || (CASE WHEN {bucket} % 10 < 8 THEN 'train'
-                             WHEN {bucket} % 10 = 8 THEN 'val'
-                             ELSE 'test' END),
-               count(*), CAST(sum(n_tokens) AS BIGINT)
-        FROM s5 GROUP BY 1
+        -- every split row unconditionally (ADVICE r6): the Spark side
+        -- stack()s zero-filled g_test/g_train/g_val rows even when a
+        -- split bucket is empty, so the oracle must too — a bare
+        -- GROUP BY would drop empty splits and hash-mismatch
+        SELECT 'g_' || sp.split, COALESCE(g.n_docs, 0),
+               COALESCE(g.n_tokens, 0)
+        FROM (VALUES ('test'), ('train'), ('val')) sp(split)
+        LEFT JOIN (
+          SELECT (CASE WHEN {bucket} % 10 < 8 THEN 'train'
+                       WHEN {bucket} % 10 = 8 THEN 'val'
+                       ELSE 'test' END) AS split,
+                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM s5 GROUP BY 1
+        ) g ON g.split = sp.split
       ) ORDER BY stage
     """
+
+
+# --- Streaming-ingest support for the capstone: the funnel's DECISION
+# STATE (exact-dedup keepers, near-dup drop list, benchmark gram set,
+# mixture rate table) is built ONCE batch-side and persisted; each
+# arriving micro-batch recomputes only its own per-doc signals and
+# applies the state via broadcast-able joins. This is the q118
+# persisted-band-index pattern lifted to the whole pipeline — the
+# 100 TB ingestion story: no global recompute per batch, exactly-once
+# landing via the foreachBatch sink (streaming/jobs.py).
+def write_funnel_state(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the capstone funnel's decision tables as parquet:
+    ``{path}/keepers`` (h → canonical doc_id), ``{path}/near_drops``
+    (LSH cluster non-canonicals), ``{path}/bench`` (benchmark
+    4-grams), ``{path}/rates`` (per-source s4-survivor counts with the
+    global min attached — the mixture test's inputs)."""
+    from .textops import DECON_BENCH_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+    base = _funnel_base(train)
+    keepers = (
+        base.filter("s1").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    keepers.write.mode("overwrite").parquet(f"{path}/keepers")
+    near_drops = _funnel_near_drops(spark, sf_dir)
+    near_drops.write.mode("overwrite").parquet(f"{path}/near_drops")
+    bench = _funnel_bench_grams(docs)
+    bench.write.mode("overwrite").parquet(f"{path}/bench")
+    # rates need the s4 survivors — replay the flag joins on the
+    # just-written state so the stream's rate table is EXACTLY the
+    # batch capstone's (same inputs, same expressions)
+    flags = _funnel_apply_flags(
+        base,
+        spark.read.parquet(f"{path}/keepers"),
+        spark.read.parquet(f"{path}/near_drops"),
+        spark.read.parquet(f"{path}/bench"),
+        train,
+    )
+    cnt = flags.filter("s4").groupBy("source").agg(F.count("*").alias("n_s"))
+    mn = cnt.agg(F.min("n_s").alias("_mn"))
+    cnt.crossJoin(F.broadcast(mn)).write.mode("overwrite").parquet(
+        f"{path}/rates"
+    )
+
+
+def _funnel_apply_flags(
+    base: DataFrame,
+    keepers: DataFrame,
+    near_drops: DataFrame,
+    bench: DataFrame,
+    docs_slice: DataFrame,
+) -> DataFrame:
+    """The s1→s4 flag chain over ``base``, with every decision input
+    passed in as a table (persisted or freshly built — same plan).
+    ``docs_slice`` supplies the text for the contamination grams of
+    exactly the docs in ``base``."""
+    from .textops import distinct_ngrams
+
+    cont = (
+        distinct_ngrams(docs_slice)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_ct", F.lit(True))
+    )
+    return (
+        base.join(keepers, "h", "left")
+        .join(near_drops, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .withColumn("s2", F.col("s1") & (F.col("doc_id") == F.col("keep_id")))
+        .withColumn("s3", F.col("s2") & F.col("_nd").isNull())
+        .withColumn("s4", F.col("s3") & F.col("_ct").isNull())
+        .select("doc_id", "source", "n_tokens", "s1", "s2", "s3", "s4")
+    )
+
+
+def funnel_apply_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame
+) -> DataFrame:
+    """Run one micro-batch of documents through the full funnel against
+    the persisted decision state: recompute the batch's own per-doc
+    signals and grams, join the state tables, keep the s5 mixture
+    survivors with their split assignment. Per-doc outcomes are
+    IDENTICAL to the batch capstone's — every cross-doc decision
+    (keeper choice, near-dup clusters, rate table) comes from the
+    state, so batch boundaries can't change any answer (asserted by
+    test_pipeline_funnel_stream_equals_batch)."""
+    from .textops import DECON_BENCH_SOURCE
+
+    train = batch_df.filter(F.col("source") != DECON_BENCH_SOURCE)
+    flags = _funnel_apply_flags(
+        _funnel_base(train),
+        spark.read.parquet(f"{state_dir}/keepers"),
+        spark.read.parquet(f"{state_dir}/near_drops"),
+        spark.read.parquet(f"{state_dir}/bench"),
+        train,
+    )
+    rates = spark.read.parquet(f"{state_dir}/rates")
+    cnt = rates.select("source", "n_s")
+    mn = rates.select("_mn").distinct()
+    return (
+        _funnel_split_cols(flags, cnt, mn)
+        .filter("s5")
+        .select("doc_id", "source", "n_tokens", "split")
+    )
 
 
 QUERIES = {

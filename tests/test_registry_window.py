@@ -14,21 +14,15 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-6 window: the r3/r4-stale set
-# minus eleven (q04/q06/q07/q09/q11/q16/q17/q18/q21/q26/q80 — displaced by this
-# session's newborn operators, each leaving an in-window cousin on the
-# same code path), q103 as the shared-LP-funnel anchor (its lineage
-# covers the round-6 funnel-sharing change for q46/q58/q95/q101 too),
-# and the NINETEEN operators new this round (q104–q119, q122-q124)
-# code needs driver rows most, outranking refreshes of green rows.
+# Queries that MUST occupy the round-7 window (VERDICT r6 Next #2):
+# the three never-driver-checked queries (q120/q121/q125), the eleven
+# r3/r4-stale relational queries displaced in r6, and the four anchors
+# whose code paths change this round (q54 pre-filter, q122 oracle fix,
+# q104/q118 funnel lineage).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [*range(1, 4), 5, 8, 10,             # relational
-                          *range(12, 16),
-                          19, 20, 22, 24, *range(27, 30),
-                          54, 56, 60, 61, 63, 64, 81,
-                          90, 91, 93, 98, 99, 100,            # 34 stale
-                          103,                                # funnel anchor
-                          *range(104, 120), *range(122, 125)] # new ops
+    f"q{i:02d}" for i in [120, 121, 125,                      # never checked
+                          4, 6, 7, 9, 11, 16, 17, 18, 21, 26, 80,  # r3/r4
+                          54, 104, 118, 122]                  # changed paths
 ]
 
 

@@ -40,3 +40,61 @@ def test_kmeans_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q56_kmeans(spark, sf_dir).collect()))
     b = sorted(map(tuple, q56_kmeans(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_cosine_dup_arrow_matches_fold(spark, sf_dir):
+    """The Arrow per-bucket matmul verify (default tier) must produce
+    exactly the pairs + rounded cosines of the expression-only fold
+    tier — the recall-safety proof for the in-UDF pre-filter margin
+    (a dropped knife-edge pair would show up here as a set diff)."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine_near_dup_pairs,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    fast = set(map(tuple, cosine_near_dup_pairs(emb, arrow=True).collect()))
+    fold = set(map(tuple, cosine_near_dup_pairs(emb, arrow=False).collect()))
+    assert fast == fold
+    assert len(fast) > 0  # a vacuous empty-vs-empty pass proves nothing
+
+
+def test_cosine_dup_prefilter_margin_is_conservative():
+    """The Arrow kernel's pre-filter must keep every pair whose raw
+    cosine rounds UP to the threshold at scale 4 (threshold - 4e-5
+    does) and may drop pairs that round below (threshold - 2e-4 does)
+    — the margin guarantee, tested on the kernel directly so LSH
+    bucket recall can't mask a dropped knife-edge pair."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        COSINE_DUP_THRESHOLD as T,
+        _bucket_cosine_pairs_fn,
+    )
+
+    def vec_at_cos(c):  # unit vector at angle acos(c) from e0
+        return np.array([c, math.sqrt(1.0 - c * c)] + [0.0] * 62)
+
+    vecs = [
+        np.array([1.0] + [0.0] * 63),
+        vec_at_cos(T - 4e-5),   # rounds UP to T -> must survive
+        vec_at_cos(T - 2e-4),   # rounds below T -> outside the margin
+        vec_at_cos(T + 1e-3),   # comfortably above -> must survive
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2, 3], "v": vecs,
+         "nrm": [float(np.linalg.norm(v)) for v in vecs]}
+    )
+    got = {
+        (int(r.vec_a), int(r.vec_b))
+        for r in _bucket_cosine_pairs_fn(T)(pdf).itertuples()
+    }
+    assert (0, 1) in got, got
+    assert (0, 3) in got, got
+    assert (0, 2) not in got, got

@@ -245,3 +245,42 @@ def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
     assert n2 == 0
     rows_after_second = spark.read.option("basePath", out).parquet(out).count()
     assert rows_after_second == rows_after_first
+
+
+def test_pipeline_funnel_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming capstone (q122's twin): funnel survivors landed by
+    the foreachBatch sink must reproduce the batch capstone's final
+    split accounting exactly — per-split doc counts AND token sums —
+    because every cross-doc decision comes from the persisted state,
+    not the batch slicing."""
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        q122_pipeline_funnel,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        pipeline_funnel_stream,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "funnel")
+    n = pipeline_funnel_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = {
+        r.split: (r.n_docs, r.n_tokens)
+        for r in spark.read.option("basePath", out).parquet(out)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    want = {
+        r.stage.removeprefix("g_"): (r.n_docs, r.n_tokens)
+        for r in q122_pipeline_funnel(spark, sf_dir).collect()
+        if r.stage.startswith("g_")
+    }
+    # empty splits appear as zero rows in the batch reckoning and as
+    # no rows in the sink — compare on the non-empty ones, and assert
+    # nothing non-empty is missing from either side
+    assert got == {k: v for k, v in want.items() if v[0] > 0}
+    assert sum(v[0] for v in got.values()) == sum(v[0] for v in want.values())
