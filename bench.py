@@ -260,6 +260,27 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # UNTIMED warm-up over representative code shapes (hash agg + join,
+    # window, regex scan, HOF fold): whole-stage codegen JIT is the
+    # dominant first-run cost (measured: q01 3.2s cold -> 0.75s on the
+    # third same-session run) and min-of-2 alone leaves the first tier
+    # paying it — the r6 "relational core 1.2-1.7x slower than r5"
+    # regression was exactly this artifact, amplified by the round's
+    # larger import/class graph (VERDICT r6 What's-wrong #2). ~10s.
+    for warm in (
+        "q01_pricing_summary",      # scan + hash agg
+        "q02_top_revenue_orders",   # join + top-k
+        "q13_running_total",        # window
+        "q44_trigram_stats",        # explode + regex/text
+    ):
+        if warm in registry:
+            try:
+                registry[warm](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — warm-up must never kill bench
+                pass
+
     times, errors = time_queries(spark, registry, names, sf_dir)
 
     try:
