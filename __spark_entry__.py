@@ -65,13 +65,20 @@ DRIVER_WINDOW = [
     "q33_json_prop_stats", "q34_asof_click_error",
     "q35_first_event_per_user_type", "q36_hourly_top_event",
     "q37_conversion_funnel",
+    # born THIS round (never driver-checked code outranks refreshes;
+    # the r6 ADVICE asked for this rule to be applied explicitly):
+    # q126 DSIR importance weights, q127 cross-source leakage matrix.
+    # They take the slots of q47 (bounded exact-Jaccard baseline —
+    # q46 keeps the LSH+verify path in-window) and q52 (norm stats —
+    # q50/q53/q55 keep the embedding-agg class in-window).
+    "q126_dsir_weights", "q127_leakage_matrix",
     # r5-era refresh: text analysis
     "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
     "q43_fingerprints", "q44_trigram_stats", "q45_exact_dedup",
-    "q46_minhash_near_dups", "q47_pairwise_jaccard_sample",
+    "q46_minhash_near_dups",
     "q48_simhash_buckets", "q49_bpe_token_stats",
     # r5-era refresh: similarity / sketches
-    "q50_knn_bruteforce", "q51_label_centroids", "q52_norm_stats",
+    "q50_knn_bruteforce", "q51_label_centroids",
     "q53_ann_bucket_stats", "q55_ivf_ann", "q57_bloom_membership",
     "q58_dup_clusters", "q59_token_entropy",
     # r5-era refresh: generation / mapping / conditional aggs

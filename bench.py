@@ -46,6 +46,7 @@ HEADLINE = [
     "q118_incremental_dedup",
     "q125_fuzzy_prefix_dedup",
     "q105_decontaminate",
+    "q126_dsir_weights",
     "q106_repetition_signals",
     "q109_perplexity_proxy",
     "q111_adaptive_quality",
@@ -74,6 +75,7 @@ HEADLINE = [
     "q58_dup_clusters",
     "q101_deduped_corpus",
     "q103_lp_convergence",
+    "q127_leakage_matrix",
     "q96_dataset_split",
     "q97_quality_filter",
     "q102_training_prep",

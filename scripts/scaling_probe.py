@@ -80,6 +80,14 @@ PROBE_100 = [
     # the packing cumsum's range buckets must keep amortizing — a
     # global-sort regression would show here first
     "q112_sequence_packing",
+    # round 7 (VERDICT r6 Next #5): the four 10x-worst queries get a
+    # second decade — each has a plausible super-linear risk one
+    # decade can't rule out (gram-count shuffles q105/q106, interval-
+    # join fan-out q108, salted top-K merge q114)
+    "q105_decontaminate",
+    "q106_repetition_signals",
+    "q108_click_error_interval",
+    "q114_stratified_sample",
 ]
 
 
@@ -243,7 +251,7 @@ def main() -> None:
     t0 = time.perf_counter()
     if not os.path.exists(f"{dst100}/_BUILT"):
         build_scaled(spark, src, dst100, copies=COPIES_2,
-                     scale_tables=("lineitem", "documents"))
+                     scale_tables=("lineitem", "documents", "events"))
         open(f"{dst100}/_BUILT", "w").close()
     build100_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES_2}x corpus in {build100_sec}s -> {dst100}",
@@ -266,10 +274,10 @@ def main() -> None:
         for name in PROBE
     }
 
-    # Second decade: 100x on the headline subset (only lineitem +
-    # documents scale — nothing in PROBE_100 reads scaled orders or
-    # events — the rest symlink at 1x, the realistic "dims don't grow
-    # with facts" shape).
+    # Second decade: 100x on the headline subset (lineitem, documents
+    # and events scale — q108 reads events; nothing in PROBE_100 reads
+    # scaled orders — the rest symlink at 1x, the realistic "dims
+    # don't grow with facts" shape).
     spark = get_spark(app_name="sdp-scaling-100x")
     t_100x = time_queries(spark, dst100, probe=PROBE_100)
     rows100 = {

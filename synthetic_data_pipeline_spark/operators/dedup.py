@@ -573,6 +573,43 @@ def _q125_oracle() -> str:
     """
 
 
+# --- q127: cross-source LEAKAGE MATRIX — which corpus slices
+# near-duplicate into which. The train/test-leakage report a data lead
+# reads before trusting an eval split: every verified near-dup pair
+# (the same shared LSH funnel state as q46) is attributed to its
+# normalized (source_a <= source_b) slice pair; the diagonal shows
+# intra-source duplication load, the off-diagonal shows leakage.
+# Scale shape: reuses the memoized shingle/candidate state; the only
+# new work is two narrow broadcast-able (doc_id, source) joins and a
+# |sources|²-key aggregate — free at any corpus size once the dedup
+# funnel exists.
+def q127_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens, cands = shingle_state(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    jac = token_jaccard(tokens, cands).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    attributed = jac.join(
+        F.broadcast(src.select(F.col("doc_id").alias("doc_a"),
+                               F.col("source").alias("sa"))), "doc_a"
+    ).join(
+        F.broadcast(src.select(F.col("doc_id").alias("doc_b"),
+                               F.col("source").alias("sb"))), "doc_b"
+    )
+    return (
+        attributed.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            eround(1e-9 + F.avg("jaccard"), 4).alias("avg_jaccard"),
+            eround(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -581,6 +618,7 @@ QUERIES = {
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
     "q118_incremental_dedup": q118_incremental_dedup,
     "q125_fuzzy_prefix_dedup": q125_fuzzy_prefix_dedup,
+    "q127_leakage_matrix": q127_leakage_matrix,
 }
 
 _TOKENS_SQL = """
@@ -614,6 +652,11 @@ _JACCARD_SQL = """
     JOIN sizes sb ON sb.doc_id = i.doc_b
   )
 """
+
+# named pieces for q127's oracle (an f-string can't call .format inline
+# on the shared fragments without drowning in brace escapes)
+_SHINGLES_SQL_DOCS = _SHINGLES_SQL.format(src="documents")
+_JACCARD_SQL_BODY = _JACCARD_SQL
 
 ORACLES = {
     "q45_exact_dedup": """
@@ -685,6 +728,41 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
     "q125_fuzzy_prefix_dedup": _q125_oracle(),
+    "q127_leakage_matrix": f"""
+        WITH tokens AS MATERIALIZED ({_SHINGLES_SQL_DOCS}),
+        mins AS (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
+          FROM tokens GROUP BY doc_id
+        ),
+        banded AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+            for b in range(N_HASHES // BAND_ROWS)
+          )}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_SQL_BODY},
+        hits AS (
+          SELECT j.doc_a, j.doc_b, j.jaccard,
+                 da.source AS sa, db.source AS sb
+          FROM jac j
+          JOIN documents da ON da.doc_id = j.doc_a
+          JOIN documents db ON db.doc_id = j.doc_b
+          WHERE j.jaccard >= {JACCARD_THRESHOLD}
+        )
+        SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+               count(*) AS n_dup_pairs,
+               round(1e-9 + avg(jaccard), 4) AS avg_jaccard,
+               round(max(jaccard), 4) AS max_jaccard
+        FROM hits
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """,
     "q118_incremental_dedup": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
         mins AS MATERIALIZED (

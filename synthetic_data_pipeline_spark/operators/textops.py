@@ -942,6 +942,297 @@ _Q121_ORACLE = """
 """
 
 
+# --- q126: DSIR-style importance weights — data selection via
+# importance resampling (Xie et al. 2023, public): score every raw doc
+# by how much its hashed n-gram feature distribution looks like a
+# TARGET domain (here the held-out benchmark source, reusing q105's
+# convention) versus the RAW corpus. Features are word unigrams +
+# bigrams hashed into DSIR_BUCKETS buckets (the md5-derived u16 both
+# engines share); bucket probabilities are Laplace-smoothed; a doc's
+# log-weight is the sum over its grams of ln p_target(b) - ln p_raw(b).
+# Scale shape: the two bucket-count tables are <= DSIR_BUCKETS rows —
+# broadcast; per-doc work is one gram explode + one broadcast join +
+# one per-doc sum (map-side partial). No all-pairs anything, no
+# vocabulary-sized shuffle (the hash trick caps the feature dimension
+# exactly so this survives a 100 TB corpus with an unbounded
+# vocabulary). Output: the DSIR_TOP_K highest-weight raw docs — the
+# resample the method feeds a trainer.
+DSIR_BUCKETS = 512
+DSIR_TOP_K = 200
+
+
+def _dsir_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, g) — word unigrams + bigrams, NOT distinct
+    (DSIR counts repeated grams; contrast distinct_ngrams)."""
+    arr = _tokens(F.col("text"))
+    bi = F.when(
+        F.size("arr") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("arr"), i.cast("int")),
+                F.element_at(F.col("arr"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", "source", arr.alias("arr")).select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("arr"), bi)).alias("g"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    bench_source: str = DECON_BENCH_SOURCE,
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """DSIR scores for a (doc_id, source, text) frame: the ``top_k``
+    raw docs most target-like under the hashed-n-gram importance
+    weights, with ``bench_source`` as the target domain."""
+    from ..functions.xsql import expand_u16, hash_u16
+
+    bucket = (
+        F.expr(expand_u16(hash_u16("g", "dsir"), "spark")) % DSIR_BUCKETS
+    ).alias("b")
+    grams = _dsir_grams(docs).select(
+        "doc_id",
+        "source",
+        bucket,
+        (F.col("source") == bench_source).alias("is_t"),
+    )
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("n_r"),
+    )
+    tot = counts.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    llr = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("n_t") + 1).cast("double"))
+                - F.log((F.col("tot_t") + DSIR_BUCKETS).cast("double"))
+                - F.log((F.col("n_r") + 1).cast("double"))
+                + F.log((F.col("tot_r") + DSIR_BUCKETS).cast("double"))
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        grams.filter(~F.col("is_t"))
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            eround(1e-9 + F.sum("llr"), 4).alias("log_weight"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("log_weight"), F.asc("doc_id")
+    ).limit(top_k)
+
+
+def q126_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+_Q126_ORACLE_TEMPLATE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               arr,
+               CASE WHEN len(arr) >= 2 THEN list_transform(
+                 range(1, len(arr)),
+                 i -> arr[i] || ' ' || arr[i + 1]
+               ) ELSE [] END
+             )) AS g
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, source, ({U16}) % {B} AS b,
+             source = '{BENCH}' AS is_t
+      FROM grams
+    ),
+    counts AS (
+      SELECT b,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS n_r
+      FROM hashed GROUP BY b
+    ),
+    tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM counts),
+    llr AS (
+      SELECT b,
+             ln(CAST(n_t + 1 AS DOUBLE)) - ln(CAST(tot_t + {B} AS DOUBLE))
+             - ln(CAST(n_r + 1 AS DOUBLE)) + ln(CAST(tot_r + {B} AS DOUBLE))
+               AS llr
+      FROM counts CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT h.doc_id, h.source, count(*) AS n_grams,
+             round(1e-9 + sum(l.llr), 4) AS log_weight
+      FROM hashed h JOIN llr l USING (b)
+      WHERE NOT h.is_t
+      GROUP BY h.doc_id, h.source
+    )
+    SELECT doc_id, source, n_grams, log_weight
+    FROM scored
+    ORDER BY log_weight DESC, doc_id ASC
+    LIMIT {K}
+"""
+
+
+# --- q128: BPE merge induction — learn the first BPE_MERGES merge
+# rules over the corpus (Sennrich et al. 2016, public): words become
+# space-joined character symbols; each round counts adjacent symbol
+# pairs weighted by word frequency, picks the most frequent pair
+# (count desc, pair asc — a total order both engines share), and
+# rewrites every word with the pair merged (boundary-safe padded
+# replace, leftmost-non-overlapping in both engines — greedy exactly
+# like reference BPE). The rounds are UNROLLED (fixed small count, the
+# q58 label-propagation pattern); word-frequency compression first
+# means each round's pair count is one distinct-word-sized aggregate,
+# not a corpus-sized one — at 100 TB the distinct-word table is the
+# classic Zipf-bounded skeleton that BPE training actually runs on.
+BPE_MERGES = 3
+
+
+def _sym_pairs(ws_col):
+    """Adjacent symbol pairs of a space-joined symbol string."""
+    arr = F.split(ws_col, " ")
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(arr, i.cast("int")),
+                F.element_at(arr, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """(merge_rank, pair, n_occurrences) — the first ``n_merges``
+    learned BPE merges for a (text) frame."""
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        # symbolize: every char becomes a space-separated symbol
+        .select(
+            F.concat_ws(
+                " ", F.split(F.regexp_replace("w", "(.)", "$1\x00"), "\x00")
+            ).alias("ws"),
+            "n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts = (
+            words.select(F.explode(_sym_pairs(F.col("ws"))).alias("p"), "n")
+            .groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(1)
+            .select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("p").alias("pair"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rules.append(top)
+        merged = F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("ws"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), merged, F.lit(" ")),
+                    )
+                ).alias("ws"),
+                "n",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("merge_rank")
+
+
+def q128_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_rules(load_table(spark, sf_dir, "documents"))
+
+
+def _q128_oracle() -> str:
+    body = """
+    WITH words0 AS MATERIALIZED (
+      SELECT concat_ws(' ', string_split(regexp_replace(w, '(.)', '\\1\x00', 'g'), '\x00')) AS ws,
+             count(*) AS n
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE len(w) > 0
+      GROUP BY 1
+    )"""
+    sel = []
+    for rank in range(1, BPE_MERGES + 1):
+        prev = f"words{rank - 1}"
+        body += f""",
+    pairs{rank} AS MATERIALIZED (
+      SELECT concat_ws(' ', arr[i], arr[i + 1]) AS p, sum(n) AS cnt
+      FROM (
+        SELECT string_split(ws, ' ') AS arr, n,
+               unnest(range(1, len(string_split(ws, ' ')))) AS i
+        FROM {prev}
+      )
+      GROUP BY 1
+    ),
+    top{rank} AS MATERIALIZED (
+      SELECT {rank} AS merge_rank, p AS pair, cnt AS n_occurrences
+      FROM pairs{rank} ORDER BY cnt DESC, p ASC LIMIT 1
+    ),
+    words{rank} AS MATERIALIZED (
+      SELECT trim(replace(' ' || w.ws || ' ',
+                          ' ' || t.pair || ' ',
+                          ' ' || replace(t.pair, ' ', '') || ' ')) AS ws,
+             w.n
+      FROM {prev} w CROSS JOIN top{rank} t
+    )"""
+        sel.append(
+            f"SELECT merge_rank, pair, CAST(n_occurrences AS BIGINT) "
+            f"AS n_occurrences FROM top{rank}"
+        )
+    return body + "\n" + " UNION ALL ".join(sel) + " ORDER BY merge_rank"
+
+
+def _q126_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    return _Q126_ORACLE_TEMPLATE.format(
+        U16=expand_u16(hash_u16("g", "dsir"), "duckdb"),
+        B=DSIR_BUCKETS,
+        BENCH=DECON_BENCH_SOURCE,
+        K=DSIR_TOP_K,
+    )
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q49_bpe_token_stats": q49_bpe_token_stats,
@@ -960,6 +1251,7 @@ QUERIES = {
     "q109_perplexity_proxy": q109_perplexity_proxy,
     "q111_adaptive_quality": q111_adaptive_quality,
     "q121_source_divergence": q121_source_divergence,
+    "q126_dsir_weights": q126_dsir_weights,
 }
 
 
@@ -1014,6 +1306,7 @@ _Q94_ORACLE = f"""
 
 ORACLES = {
     "q121_source_divergence": _Q121_ORACLE,
+    "q126_dsir_weights": _q126_oracle(),
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -172,17 +172,36 @@ def decode_pgm_stream(buf: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
+try:  # compressed-codec arm: optional, never required for the engine
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - absent in the build container
+    _PILImage = None
+
+
+def _decode_compressed_image(buf: bytes) -> np.ndarray:
+    """PNG/JPEG arm, gated on Pillow (VERDICT r6 Next #8): grayscale
+    uint8 pixels via PIL when importable, the honest rejection
+    otherwise. The pure-numpy PGM/BMP codecs stay the default path —
+    this arm only widens the accepted containers, it never becomes a
+    dependency (test_multimodal exercises it under both outcomes)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "PNG/JPEG decode requires Pillow (absent from this container)"
+        )
+    import io
+
+    return np.asarray(_PILImage.open(io.BytesIO(buf)).convert("L"), dtype=np.uint8)
+
+
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-dispatched image decode. PNG/JPEG are recognized and
-    rejected honestly — decoding them needs Pillow, absent here."""
+    """Magic-dispatched image decode. PNG/JPEG go through the
+    Pillow-gated arm (rejected honestly when Pillow is absent)."""
     if buf[:2] == b"P5":
         return decode_pgm(buf)[0]
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:8] == b"\x89PNG\r\n\x1a\n" or buf[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "PNG/JPEG decode requires Pillow (absent from this container)"
-        )
+        return _decode_compressed_image(buf)
     raise ValueError("unrecognized image container")
 
 

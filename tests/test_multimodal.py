@@ -42,11 +42,24 @@ def test_pgm_header_comments():
     assert (decode_pgm(buf)[0] == img).all()
 
 
-def test_compressed_codecs_rejected_honestly():
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+def test_compressed_codec_arm_gated_on_pillow():
+    """Both outcomes of the Pillow gate: with Pillow importable the
+    PNG/JPEG arm must round-trip real pixels; without it the honest
+    NotImplementedError stays. GIF is never accepted either way."""
+    from synthetic_data_pipeline_spark.sources.multimodal import _PILImage
+
+    if _PILImage is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    else:  # pragma: no cover - Pillow absent in the build container
+        import io
+
+        img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        buf = io.BytesIO()
+        _PILImage.fromarray(img, mode="L").save(buf, format="PNG")
+        assert (decode_image(buf.getvalue()) == img).all()
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 16)
 

@@ -21,6 +21,7 @@ DRIVER_CAP = 50
 # q104/q118 funnel lineage).
 R2_UNCHECKED = [
     f"q{i:02d}" for i in [120, 121, 125,                      # never checked
+                          126, 127,                           # born round 7
                           4, 6, 7, 9, 11, 16, 17, 18, 21, 26, 80,  # r3/r4
                           54, 104, 118, 122]                  # changed paths
 ]

@@ -253,3 +253,41 @@ def test_adaptive_quality_drops_top_decile(spark):
     assert sum(r.n_dropped for r in out) == 2
     thr = {r.ppl_threshold for r in out}
     assert len(thr) == 1, "threshold must be global, not per source"
+
+
+def test_dsir_ranks_target_like_doc_first(spark):
+    """DSIR importance weights (q126's core): a raw doc written in the
+    TARGET domain's vocabulary must outscore raw docs from a disjoint
+    vocabulary — the defining property of importance resampling."""
+    from synthetic_data_pipeline_spark.operators.textops import dsir_weights
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    noise = "zig zag quux corge grault zag zig quux corge grault"
+    rows = (
+        [(i, "bench", target_text) for i in range(5)]
+        + [(100, "raw", target_text)]
+        + [(200 + i, "raw", noise + f" filler{i}") for i in range(6)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = dsir_weights(docs, bench_source="bench", top_k=10).collect()
+    assert out[0].doc_id == 100, [(r.doc_id, r.log_weight) for r in out]
+    assert out[0].log_weight > out[-1].log_weight
+    assert all(r.source != "bench" for r in out)
+
+
+def test_leakage_matrix_partitions_near_dup_pairs(spark, sf_dir):
+    """q127 is an attribution of q46's verified pairs: matrix pair
+    counts must sum to exactly the q46 near-dup pair count, and every
+    (source_a, source_b) key must be normalized (a <= b)."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q46_minhash_near_dups,
+        q127_leakage_matrix,
+    )
+
+    matrix = q127_leakage_matrix(spark, sf_dir).collect()
+    n_q46 = q46_minhash_near_dups(spark, sf_dir).count()
+    assert sum(r.n_dup_pairs for r in matrix) == n_q46
+    assert all(r.source_a <= r.source_b for r in matrix)
+    assert all(0 < r.avg_jaccard <= r.max_jaccard + 1e-9 for r in matrix)
