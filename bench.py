@@ -368,8 +368,17 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline)
-    if len(line) > 1500:  # belt-and-braces: never outgrow the tail capture
-        headline.pop("queries", None)
+    # belt-and-braces: never outgrow the driver's ~2 kB tail capture —
+    # but SHRINK the queries dict rather than dropping it (the driver
+    # parses that key; dropping it would reintroduce the r6
+    # parsed:null failure this headline exists to fix)
+    if len(line) > 1500:
+        headline["queries"] = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:3]
+        )
+        line = json.dumps(headline)
+    if len(line) > 1500:
+        headline["queries"] = {}
         line = json.dumps(headline)
     print(line)
     spark.stop()

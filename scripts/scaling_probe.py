@@ -242,17 +242,37 @@ def main() -> None:
     # as multi-second phantom stalls on late-tier queries otherwise).
     dst100 = os.path.join(repo, ".scaling", "sf100x")
     spark = get_spark(app_name="sdp-scaling-build")
+
+    def _build_if_stale(dst_dir: str, copies: int, scale_tables: tuple):
+        # The sentinel records the BUILD PARAMS, not just existence: a
+        # cached corpus built with a different table set / copy count
+        # (e.g. round 6's lineitem+documents-only 100x) must NOT be
+        # reused — a probe would then time 1x data while the artifact
+        # reports the full tier (round-8 ADVICE).
+        want = f"copies={copies} tables={','.join(sorted(scale_tables))}"
+        sentinel = f"{dst_dir}/_BUILT"
+        have = None
+        if os.path.exists(sentinel):
+            with open(sentinel) as fh:
+                have = fh.read().strip()
+        if have != want:
+            if have is not None:
+                print(f"stale cache at {dst_dir} ({have!r} != {want!r}); "
+                      "rebuilding", file=sys.stderr)
+                import shutil
+                shutil.rmtree(dst_dir)
+            build_scaled(spark, src, dst_dir, copies=copies,
+                         scale_tables=scale_tables)
+            with open(sentinel, "w") as fh:
+                fh.write(want)
+
     t0 = time.perf_counter()
-    if not os.path.exists(f"{dst}/_BUILT"):
-        build_scaled(spark, src, dst)
-        open(f"{dst}/_BUILT", "w").close()
+    _build_if_stale(dst, COPIES,
+                    ("orders", "lineitem", "events", "documents"))
     build_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES}x corpus in {build_sec}s -> {dst}", file=sys.stderr)
     t0 = time.perf_counter()
-    if not os.path.exists(f"{dst100}/_BUILT"):
-        build_scaled(spark, src, dst100, copies=COPIES_2,
-                     scale_tables=("lineitem", "documents", "events"))
-        open(f"{dst100}/_BUILT", "w").close()
+    _build_if_stale(dst100, COPIES_2, ("lineitem", "documents", "events"))
     build100_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES_2}x corpus in {build100_sec}s -> {dst100}",
           file=sys.stderr)

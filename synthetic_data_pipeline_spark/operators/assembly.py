@@ -792,17 +792,32 @@ def funnel_apply_batch(
     """Run one micro-batch of documents through the full funnel against
     the persisted decision state: recompute the batch's own per-doc
     signals and grams, join the state tables, keep the s5 mixture
-    survivors with their split assignment. Per-doc outcomes are
-    IDENTICAL to the batch capstone's — every cross-doc decision
-    (keeper choice, near-dup clusters, rate table) comes from the
-    state, so batch boundaries can't change any answer (asserted by
-    test_pipeline_funnel_stream_equals_batch)."""
+    survivors with their split assignment. For docs seen when the
+    state was built, per-doc outcomes are IDENTICAL to the batch
+    capstone's — every cross-doc decision (keeper choice, near-dup
+    clusters, rate table) comes from the state, so batch boundaries
+    can't change any answer (asserted by
+    test_pipeline_funnel_stream_equals_batch). A GENUINELY NEW doc —
+    one whose exact-hash is absent from the persisted keepers — is
+    admitted as its own keeper (min doc_id per new hash within the
+    batch, so new in-batch duplicates still dedupe to one), rather
+    than silently dropped by a NULL keep_id comparison."""
     from .textops import DECON_BENCH_SOURCE
 
     train = batch_df.filter(F.col("source") != DECON_BENCH_SOURCE)
+    base = _funnel_base(train)
+    persisted = spark.read.parquet(f"{state_dir}/keepers")
+    # hashes born in this batch: elect a batch-local keeper for each
+    # (left_anti on the persisted index — never a scan of old docs)
+    batch_new = (
+        base.filter("s1")
+        .join(persisted.select("h"), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
     flags = _funnel_apply_flags(
-        _funnel_base(train),
-        spark.read.parquet(f"{state_dir}/keepers"),
+        base,
+        persisted.unionByName(batch_new),
         spark.read.parquet(f"{state_dir}/near_drops"),
         spark.read.parquet(f"{state_dir}/bench"),
         train,

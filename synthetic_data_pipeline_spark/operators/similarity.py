@@ -209,6 +209,16 @@ COSINE_DUP_THRESHOLD = 0.4  # 17 verified pairs at sf0.01 — a real check
 # the margin only ever admits extra candidates, never drops one.
 _COS_PREFILTER_MARGIN = 6e-5
 _ARROW_CHUNK = 1024  # rows of the bucket matmul per slab (memory bound)
+# applyInPandas materializes one WHOLE (band, sig) group per task, so
+# the chunked slab alone can't bound a degenerate bucket (round-8
+# ADVICE: many near-identical vectors land in one executor's pandas
+# group). Buckets above this row count are routed to the distributed
+# expression-fold pair join instead — no group materialization, the
+# skewed bucket's k² pairs spread across the cluster. At the cap the
+# in-kernel footprint is ~cap×d×8 bytes for the stacked matrix
+# (d=128 → 32 MB) plus the adaptive slab below.
+_MAX_ARROW_BUCKET = 32768
+_ARROW_SLAB_ELEMS = 8 << 20  # cosine slab budget: chunk×k ≤ 8M doubles
 
 
 def _bucket_cosine_pairs_fn(threshold: float):
@@ -236,8 +246,11 @@ def _bucket_cosine_pairs_fn(threshold: float):
         nr = pdf["nrm"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
         outs = []
-        for s in range(0, k, _ARROW_CHUNK):
-            e = min(s + _ARROW_CHUNK, k)
+        # adaptive slab: chunk×k doubles ≤ _ARROW_SLAB_ELEMS, so the
+        # cosine matrix slab stays ~64 MB even near _MAX_ARROW_BUCKET
+        chunk = max(64, min(_ARROW_CHUNK, _ARROW_SLAB_ELEMS // k))
+        for s in range(0, k, chunk):
+            e = min(s + chunk, k)
             cos = (m[s:e] @ m.T) / np.outer(nr[s:e], nr)
             ii, jj = np.nonzero(cos >= cut)
             keep = (ii + s) < jj  # vec_a < vec_b (ids ascending)
@@ -296,16 +309,57 @@ def cosine_near_dup_pairs(
     )
     if arrow and not exact_max_rows:
         sigs = band_signatures(F.col("v"))
+        # checkpointed: the hyperplane projections are the expensive
+        # part and BOTH the oversized-key count and the verify path
+        # read this frame — compute the signatures once
         buckets = emb_n.select(
             "vec_id", "v", "nrm",
             F.posexplode(F.array(*sigs)).alias("band", "sig"),
+        ).localCheckpoint(eager=False)
+        # oversized-bucket keys: a keys-only count (no vectors move)
+        # whose >cap survivors are the RARE skewed buckets — small by
+        # construction, so broadcasting them keeps the main path to a
+        # single anti-join with no extra vector shuffle
+        oversized = F.broadcast(
+            buckets.groupBy("band", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > _MAX_ARROW_BUCKET)
+            .select("band", "sig")
         )
-        raw = buckets.groupBy("band", "sig").applyInPandas(
-            _bucket_cosine_pairs_fn(threshold),
-            "vec_a long, vec_b long, cos_raw double",
+        raw = (
+            buckets.join(oversized, ["band", "sig"], "left_anti")
+            .groupBy("band", "sig")
+            .applyInPandas(
+                _bucket_cosine_pairs_fn(threshold),
+                "vec_a long, vec_b long, cos_raw double",
+            )
+        )
+        # oversized (skewed) buckets: distributed expression-fold pair
+        # join — k² pairs spread over the cluster instead of one k×d
+        # pandas group per executor (round-8 ADVICE)
+        big = buckets.join(oversized, ["band", "sig"], "left_semi")
+        big_raw = (
+            big.select(
+                "band", "sig", F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"), F.col("nrm").alias("na"),
+            )
+            .join(
+                big.select(
+                    "band", "sig", F.col("vec_id").alias("vec_b"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                ),
+                ["band", "sig"],
+            )
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a", "vec_b",
+                (dot / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+            )
+            .filter(F.col("cos_raw") >= threshold - _COS_PREFILTER_MARGIN)
         )
         return (
-            raw.groupBy("vec_a", "vec_b")
+            raw.unionByName(big_raw)
+            .groupBy("vec_a", "vec_b")
             .agg(F.max("cos_raw").alias("cos_raw"))
             .select(
                 "vec_a", "vec_b",

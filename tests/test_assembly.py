@@ -334,3 +334,45 @@ def test_session_sequences_consistency(spark):
     assert sum(r.n_sessions for r in rows) <= total_sessions
     for r in rows:
         assert r.seq and r.n_sessions > 0
+
+
+def test_funnel_apply_batch_admits_new_docs(spark, tmp_path):
+    """A genuinely new document (hash absent from the persisted
+    keepers) must be admitted as its own keeper — and new in-batch
+    duplicates must still dedupe to the min doc_id — instead of being
+    silently dropped by a NULL keep_id comparison (round-8 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        funnel_apply_batch,
+        write_funnel_state,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    state = str(tmp_path / "state")
+    write_funnel_state(spark, SF_DIR, state)
+    rates = spark.read.parquet(f"{state}/rates").collect()
+    # a doc from the min-rate source ALWAYS passes the s5 mixture test
+    # (u16^2 * mn < 65536^2 * mn for every 16-bit u16), so admission
+    # is deterministic regardless of the doc_id hash
+    mn_source = min(rates, key=lambda r: r.n_s).source
+    words = [f"zq{i}xv" for i in range(40)]  # 40 distinct nonsense toks
+    fresh = " ".join(words)
+    dup = " ".join(reversed(words))
+    docs = load_table(spark, SF_DIR, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    new_rows = [
+        (max_id + 1, fresh, "en", mn_source, len(fresh)),
+        (max_id + 2, dup, "en", mn_source, len(dup)),
+        (max_id + 3, dup, "en", mn_source, len(dup)),
+    ]
+    batch = docs.limit(20).unionByName(
+        spark.createDataFrame(new_rows, schema=docs.schema)
+    )
+    out = funnel_apply_batch(spark, state, batch)
+    got_new = {
+        r.doc_id for r in out.filter(F.col("doc_id") > max_id).collect()
+    }
+    assert max_id + 1 in got_new          # unique new doc admitted
+    assert max_id + 2 in got_new          # first of the new dups kept
+    assert max_id + 3 not in got_new      # second new dup deduped away

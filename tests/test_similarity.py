@@ -98,3 +98,26 @@ def test_cosine_dup_prefilter_margin_is_conservative():
     assert (0, 1) in got, got
     assert (0, 3) in got, got
     assert (0, 2) not in got, got
+
+
+def test_cosine_dup_big_bucket_fallback_matches(spark, sf_dir, monkeypatch):
+    """With the oversized-bucket cap forced to 1, EVERY bucket routes
+    through the distributed pair-join fallback; the result set must be
+    identical to the Arrow-kernel path (round-8 ADVICE: skewed LSH
+    buckets must not OOM one executor's pandas group, and the fallback
+    must not change answers)."""
+    import synthetic_data_pipeline_spark.operators.similarity as sim
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim._as_double("embedding").alias("v")
+    )
+    normal = set(
+        map(tuple, sim.cosine_near_dup_pairs(emb, arrow=True).collect())
+    )
+    monkeypatch.setattr(sim, "_MAX_ARROW_BUCKET", 1)
+    routed = set(
+        map(tuple, sim.cosine_near_dup_pairs(emb, arrow=True).collect())
+    )
+    assert routed == normal
+    assert len(normal) > 0
