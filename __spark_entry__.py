@@ -27,64 +27,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-7 window (VERDICT r6 "Next round" #2). Composition — after this
-# round NO registry query's last driver row is older than r5:
-#   * the THREE queries that have never had a driver row: q120/q121/
-#     q125 (born r6 outside the 50-slot window — the r6 ADVICE called
-#     out exactly this gap);
-#   * the ELEVEN queries whose last driver row is r3/r4 (they yielded
-#     their r6 slots to the newborn operators): q04, q06, q07, q09,
-#     q11, q16-q18, q21, q26, q80;
-#   * FOUR r6 anchors whose code paths change THIS round and need a
-#     fresh row on the new code: q54 (quantized verify pre-filter),
-#     q122 (oracle split-parity fix), plus q104/q118 covering the
-#     shared dedup-funnel/index lineage;
-#   * THIRTY-TWO r5-era refreshes (events q30-q37, text q40-q49,
-#     similarity q50-q53/q55/q57-q59, generation/mapping q62/q65-q67,
-#     conditional-agg q23/q25) — oldest-first rotation. The 18 r5 rows
-#     left out (q70-q79, q82, q92, q94-q97, q101, q102) rotate in next
-#     round; each leaves an in-window cousin on the same module
-#     (q70-q78→q04-q26 relational core, q92→q34-adjacent salted events
-#     path via q37, q95/q101→q104/q118/q122 funnel, q96/q102→q122).
+# Round-8 window (VERDICT r7 "Next round" #2). Composition — after
+# this round NO registry query's last driver row is older than r6:
+#   * the ONE never-driver-checked query: q128 (BPE merge induction,
+#     registered this round — VERDICT r7 #1);
+#   * ALL TWENTY queries whose last driver row is r5 (the rotation
+#     debt VERDICT r7 #3 flagged): q70-q79, q82, q92, q94-q97, q101,
+#     q102, plus q47/q52 (which yielded their r7 slots to the r7
+#     newborns);
+#   * THREE r7 anchors whose code paths change THIS round: q54
+#     (oversized-bucket guard), q104 (PPJoin prefix filtering), q122
+#     (funnel lineage shared with the changed streaming-apply path);
+#   * TWENTY-SIX oldest r6-era refreshes: the relational core
+#     (q01-q03, q05, q08, q10, q12-q15, q19, q20, q22, q24,
+#     q27-q29), the SIT scan tier (q90 — ALSO changing this round
+#     with the pre-guard, q91, q93, q98, q99), and the heaviest
+#     LLM-tier headliners (q105-q107, q116). The 20 r6 rows left out
+#     (q56, q60/q61, q63/q64, q81, q100, q103, q108-q115, q117,
+#     q119, q123, q124) rotate in next round; each leaves an
+#     in-window cousin on the same module.
 DRIVER_WINDOW = [
-    # never driver-checked (born r6, post-window)
-    "q120_temperature_mixture", "q121_source_divergence",
-    "q125_fuzzy_prefix_dedup",
-    # r3/r4-stale relational core
-    "q04_priority_with_returns", "q06_forecast_revenue",
-    "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
-    "q11_cube_lineitem", "q16_distinct_segments",
-    "q17_nations_intersect", "q18_nations_except",
-    "q21_brand_prefix_stats", "q26_exact_distinct_customers",
-    "q80_deterministic_sample",
-    # r6 anchors on round-7-changed code paths
+    # never driver-checked (born this round)
+    "q128_bpe_merges",
+    # r5-stale: relational / pivot tiers
+    "q70_cheapest_supplier_per_nation", "q71_important_parts",
+    "q72_top_revenue_nation", "q73_large_quantity_orders",
+    "q74_disjunctive_revenue", "q75_wealthy_inactive_customers",
+    "q76_grouping_sets", "q77_nation_pair_volume",
+    "q78_brand_revenue_share", "q79_histogram_quantiles",
+    "q82_unpivot_nation_stats",
+    # r5-stale: events / text / funnel tiers
+    "q92_salted_event_stats", "q94_token_chunks",
+    "q95_dedup_retention", "q96_dataset_split", "q97_quality_filter",
+    "q101_deduped_corpus", "q102_training_prep",
+    "q47_pairwise_jaccard_sample", "q52_norm_stats",
+    # r7 anchors on round-8-changed code paths
     "q54_cosine_near_dups", "q104_ngram_jaccard_join",
-    "q118_incremental_dedup", "q122_pipeline_funnel",
-    # r5-era refresh: events / streaming batch twins
-    "q30_tumbling_hourly", "q31_sliding_hourly", "q32_user_sessions",
-    "q33_json_prop_stats", "q34_asof_click_error",
-    "q35_first_event_per_user_type", "q36_hourly_top_event",
-    "q37_conversion_funnel",
-    # born THIS round (never driver-checked code outranks refreshes;
-    # the r6 ADVICE asked for this rule to be applied explicitly):
-    # q126 DSIR importance weights, q127 cross-source leakage matrix.
-    # They take the slots of q47 (bounded exact-Jaccard baseline —
-    # q46 keeps the LSH+verify path in-window) and q52 (norm stats —
-    # q50/q53/q55 keep the embedding-agg class in-window).
-    "q126_dsir_weights", "q127_leakage_matrix",
-    # r5-era refresh: text analysis
-    "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
-    "q43_fingerprints", "q44_trigram_stats", "q45_exact_dedup",
-    "q46_minhash_near_dups",
-    "q48_simhash_buckets", "q49_bpe_token_stats",
-    # r5-era refresh: similarity / sketches
-    "q50_knn_bruteforce", "q51_label_centroids",
-    "q53_ann_bucket_stats", "q55_ivf_ann", "q57_bloom_membership",
-    "q58_dup_clusters", "q59_token_entropy",
-    # r5-era refresh: generation / mapping / conditional aggs
-    "q62_gen_validation_report", "q65_distinct_tcs_histogram",
-    "q66_winnowing_fingerprints", "q67_tfidf_top_terms",
-    "q23_conditional_agg", "q25_approx_distinct_customers",
+    "q122_pipeline_funnel",
+    # r6-era refresh: relational core
+    "q01_pricing_summary", "q02_top_revenue_orders",
+    "q03_regional_revenue", "q05_customers_without_orders",
+    "q08_parts_by_type", "q10_rollup_orders",
+    "q12_top_orders_per_customer", "q13_running_total",
+    "q14_order_gap_days", "q15_top_parts_by_price",
+    "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
+    "q22_monthly_sales", "q24_price_percentiles",
+    "q27_price_bucket_range_join", "q28_trailing_30d_spend",
+    "q29_price_analytics",
+    # r6-era refresh: SIT scan / validation (q90 changes this round)
+    "q90_flagship_sit_scan", "q91_sit_issue_list",
+    "q93_redact_documents", "q98_validation_failures",
+    "q99_redact_generated",
+    # r6-era refresh: heaviest LLM-tier headliners
+    "q105_decontaminate", "q106_repetition_signals",
+    "q107_quantized_knn", "q116_length_curriculum",
 ]
 
 

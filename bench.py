@@ -47,6 +47,7 @@ HEADLINE = [
     "q125_fuzzy_prefix_dedup",
     "q105_decontaminate",
     "q126_dsir_weights",
+    "q128_bpe_merges",
     "q106_repetition_signals",
     "q109_perplexity_proxy",
     "q111_adaptive_quality",

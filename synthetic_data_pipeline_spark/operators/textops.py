@@ -1128,11 +1128,11 @@ def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        # symbolize: every char becomes a space-separated symbol
+        # symbolize: every char becomes a space-separated symbol (a
+        # space after each char, then trim — tokens are \s+-split so
+        # they contain no spaces themselves; same regex in the oracle)
         .select(
-            F.concat_ws(
-                " ", F.split(F.regexp_replace("w", "(.)", "$1\x00"), "\x00")
-            ).alias("ws"),
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("ws"),
             "n",
         )
         .localCheckpoint(eager=False)
@@ -1156,14 +1156,36 @@ def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         )
         rules.append(top)
         merged = F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+        # Boundary-safe replace with DOUBLED separators: " a b " as a
+        # plain pattern consumes the space shared by adjacent
+        # occurrences ("a b a b" would merge only the first pair).
+        # Doubling every separator first gives each occurrence its own
+        # boundary spaces, so plain left-to-right replace merges ALL
+        # leftmost-non-overlapping occurrences — exactly reference
+        # BPE's greedy rewrite ("a a a a" → "aa aa"). Runs after
+        # replacement are ≤2 spaces by construction, so one
+        # double→single collapse restores canonical form. Same
+        # string-function sequence in the DuckDB oracle.
+        padded = F.concat(
+            F.lit(" "),
+            F.replace(F.col("ws"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pat = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
         words = (
             words.crossJoin(F.broadcast(top))
             .select(
                 F.trim(
                     F.replace(
-                        F.concat(F.lit(" "), F.col("ws"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                        F.concat(F.lit(" "), merged, F.lit(" ")),
+                        F.replace(
+                            padded, pat, F.concat(F.lit(" "), merged, F.lit(" "))
+                        ),
+                        F.lit("  "),
+                        F.lit(" "),
                     )
                 ).alias("ws"),
                 "n",
@@ -1183,7 +1205,7 @@ def q128_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q128_oracle() -> str:
     body = """
     WITH words0 AS MATERIALIZED (
-      SELECT concat_ws(' ', string_split(regexp_replace(w, '(.)', '\\1\x00', 'g'), '\x00')) AS ws,
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws,
              count(*) AS n
       FROM (
         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
@@ -1209,9 +1231,11 @@ def _q128_oracle() -> str:
       FROM pairs{rank} ORDER BY cnt DESC, p ASC LIMIT 1
     ),
     words{rank} AS MATERIALIZED (
-      SELECT trim(replace(' ' || w.ws || ' ',
-                          ' ' || t.pair || ' ',
-                          ' ' || replace(t.pair, ' ', '') || ' ')) AS ws,
+      SELECT trim(replace(
+               replace(' ' || replace(w.ws, ' ', '  ') || ' ',
+                       ' ' || replace(t.pair, ' ', '  ') || ' ',
+                       ' ' || replace(t.pair, ' ', '') || ' '),
+               '  ', ' ')) AS ws,
              w.n
       FROM {prev} w CROSS JOIN top{rank} t
     )"""
@@ -1252,6 +1276,7 @@ QUERIES = {
     "q111_adaptive_quality": q111_adaptive_quality,
     "q121_source_divergence": q121_source_divergence,
     "q126_dsir_weights": q126_dsir_weights,
+    "q128_bpe_merges": q128_bpe_merges,
 }
 
 
@@ -1307,6 +1332,7 @@ _Q94_ORACLE = f"""
 ORACLES = {
     "q121_source_divergence": _Q121_ORACLE,
     "q126_dsir_weights": _q126_oracle(),
+    "q128_bpe_merges": _q128_oracle(),
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

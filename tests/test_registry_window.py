@@ -14,16 +14,15 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-7 window (VERDICT r6 Next #2):
-# the three never-driver-checked queries (q120/q121/q125), the eleven
-# r3/r4-stale relational queries displaced in r6, and the four anchors
-# whose code paths change this round (q54 pre-filter, q122 oracle fix,
-# q104/q118 funnel lineage).
+# Queries that MUST occupy the round-8 window (VERDICT r7 Next #2):
+# the newborn q128, ALL twenty r5-stale rows, and the three anchors
+# whose code paths change this round (q54 bucket guard, q104 prefix
+# filtering, q122 funnel lineage).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [120, 121, 125,                      # never checked
-                          126, 127,                           # born round 7
-                          4, 6, 7, 9, 11, 16, 17, 18, 21, 26, 80,  # r3/r4
-                          54, 104, 118, 122]                  # changed paths
+    f"q{i:02d}" for i in [128,                                # born round 8
+                          70, 71, 72, 73, 74, 75, 76, 77, 78, 79,  # r5-stale
+                          82, 92, 94, 95, 96, 97, 101, 102, 47, 52,
+                          54, 104, 122]                       # changed paths
 ]
 
 
@@ -52,4 +51,29 @@ def test_stale_queries_inside_window():
     missing = [p for p in R2_UNCHECKED if p not in prefixes_in_window]
     assert not missing, (
         f"r2-unchecked queries outside the checked window: {missing}"
+    )
+
+
+def test_local_parity_artifact_covers_full_registry():
+    """The full-registry local gate (scripts/driver_sim.py) must be
+    re-run AFTER the last registry change of a round — a newborn query
+    with no row in the newest CORRECTNESS_LOCAL artifact means the
+    artifact predates the registry (VERDICT r7 Next #3)."""
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = {}
+    for fn in os.listdir(repo):
+        m = re.fullmatch(r"CORRECTNESS_LOCAL_r(\d+)\.json", fn)
+        if m:
+            arts[int(m.group(1))] = os.path.join(repo, fn)
+    assert arts, "no CORRECTNESS_LOCAL artifact found — run driver_sim"
+    with open(arts[max(arts)]) as fh:
+        recorded = set(json.load(fh)["queries"])
+    missing = sorted(set(all_queries()) - recorded)
+    assert not missing, (
+        f"registry queries missing from {arts[max(arts)]} — re-run "
+        f"scripts/driver_sim.py after registry changes: {missing}"
     )

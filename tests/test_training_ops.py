@@ -291,3 +291,46 @@ def test_leakage_matrix_partitions_near_dup_pairs(spark, sf_dir):
     assert sum(r.n_dup_pairs for r in matrix) == n_q46
     assert all(r.source_a <= r.source_b for r in matrix)
     assert all(0 < r.avg_jaccard <= r.max_jaccard + 1e-9 for r in matrix)
+
+
+def _bpe_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_merges_planted_corpus(spark):
+    """q128 on a corpus whose first three merges are hand-computable:
+    'banana'×3 + 'bandana'×1 give pair counts  a·n=8, n·a=7, b·a=4 →
+    merge 1 = 'a n'(8); after rewriting, 'an a' and 'b an' tie at 4
+    and the (count desc, pair asc) total order picks 'an a'; then
+    'b an' wins round 3 at 4."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bpe_merge_rules,
+    )
+
+    docs = _bpe_docs(spark, ["banana banana banana", "bandana"])
+    got = [
+        (r.merge_rank, r.pair, r.n_occurrences)
+        for r in bpe_merge_rules(docs, n_merges=3).collect()
+    ]
+    assert got == [(1, "a n", 8), (2, "an a", 4), (3, "b an", 4)]
+
+
+def test_bpe_merge_rewrite_is_greedy_nonoverlapping(spark):
+    """The padded-replace rewrite must merge ALL leftmost-
+    non-overlapping occurrences like reference BPE: 'aaaa' symbolizes
+    to 'a a a a', and merging 'a a' must yield 'aa aa' (both pairs),
+    not 'aa a a' (adjacent occurrence skipped because the shared
+    boundary space was consumed). Round 2's top pair 'aa aa' is only
+    reachable through the correct rewrite."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bpe_merge_rules,
+    )
+
+    docs = _bpe_docs(spark, ["aaaa aaaa"])
+    got = [
+        (r.merge_rank, r.pair, r.n_occurrences)
+        for r in bpe_merge_rules(docs, n_merges=2).collect()
+    ]
+    assert got == [(1, "a a", 6), (2, "aa aa", 2)]
