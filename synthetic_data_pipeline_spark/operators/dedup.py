@@ -230,26 +230,44 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 
 def token_jaccard(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for the given candidate pairs."""
-    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    ta = tokens.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tokens.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    """Exact token-set Jaccard for the given candidate pairs.
+
+    Verify shape (round 8 — the old token-level intersection join cost
+    two full passes over the corpus token table per verify): restrict
+    ``tokens`` to the docs that actually appear in a candidate pair
+    (semi joins — map-side when AQE broadcasts the pair list, a keyed
+    shuffle otherwise), collapse each surviving doc to ONE
+    (sorted-token-array, size) row, and compute each pair's
+    intersection with a single ``array_intersect``. Only candidate
+    docs' tokens ever move for the verify — at 100 TB the corpus
+    token table is scanned once and never shuffled here."""
+    # consumed three times (two semi filters + the final join) and
+    # bounded by construction (it's a candidate list, not a corpus) —
+    # materialize so candidate generation doesn't run per consumer
+    pairs = pairs.localCheckpoint(eager=False)
+    n_inter = F.size(F.array_intersect("ta", "tb"))
+    arr_a = (
+        tokens.join(pairs.select(F.col("doc_a").alias("doc_id")),
+                    "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("token").alias("ta"), F.count("*").alias("na"))
+        .withColumnRenamed("doc_id", "doc_a")
+    )
+    arr_b = (
+        tokens.join(pairs.select(F.col("doc_b").alias("doc_id")),
+                    "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("token").alias("tb"), F.count("*").alias("nb"))
+        .withColumnRenamed("doc_id", "doc_b")
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+        pairs.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             eround(
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                4,
+                n_inter / (F.col("na") + F.col("nb") - n_inter), 4
             ).alias("jaccard"),
         )
     )
@@ -295,53 +313,88 @@ def q47_pairwise_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q104: exact n-gram Jaccard similarity JOIN via a capped inverted
-# index (north star "n-gram Jaccard" dedup tier — the deterministic
-# complement to q46's MinHash approximation). Candidate pairs come from
-# the shingle posting lists themselves: two docs are candidates iff
-# they share at least one *discriminative* shingle, where
-# discriminative means document frequency in [2, DF_CAP]. Two guards
-# keep candidate generation linear at scale:
+# --- q104: exact n-gram Jaccard similarity JOIN via a capped,
+# PREFIX-FILTERED inverted index (north star "n-gram Jaccard" dedup
+# tier — the deterministic complement to q46's MinHash approximation).
+# Candidate pairs come from the shingle posting lists themselves.
+# Three guards keep candidate generation linear at scale:
 #   1. the df cap — a posting list of length f yields O(f²) pairs, so
-#      capping f bounds per-shingle fan-out at DF_CAP² (the classic
+#      capping f at DF_CAP bounds per-shingle fan-out (the classic
 #      stop-word trick from the set-similarity-join literature);
-#   2. a MINIMUM SHARED COUNT (PPJoin's count filter) — the posting
-#      join's output feeds a map-side-combined (doc_a, doc_b) count and
-#      only pairs sharing ≥ MIN_SHARED kept shingles reach the exact-
-#      Jaccard verify. Without it, corpora whose whole df distribution
-#      sits under the cap (small vocabularies: measured 1.12M candidate
-#      pairs from 5k docs at sf0.1, 18s) admit every random 1-shingle
-#      collision; with it the verify set collapses to ~300 pairs (0.5s)
-#      while any pair at Jaccard ≥ t shares ≥ t/(1+t)·(|A|+|B|) ≥ 33
-#      shingles on ≥50-shingle docs — recall loss is only possible for
-#      docs with < MIN_SHARED·(1+t)/t ≈ 15 shingles (~17 tokens).
+#   2. PPJoin PREFIX FILTERING (round 8) — only each doc's
+#      floor(nk/2)+1 rarest kept shingles are indexed (rarity =
+#      (df, token), one global order both engines share). Any pair at
+#      Jaccard >= 0.5 must collide inside these prefixes, so the
+#      posting join runs on ~half the postings (~quarter the fan-out);
+#   3. a MINIMUM SHARED COUNT (PPJoin's count filter) — the posting
+#      join's output feeds a map-side-combined (doc_a, doc_b) count
+#      and only pairs sharing >= MIN_SHARED prefix shingles reach the
+#      exact-Jaccard verify, dropping random near-collisions
+#      (measured at sf0.1 / 5k docs: floor 2 -> 14,583 candidates,
+#      floor 3 -> 761, both with identical 256 verified pairs —
+#      floor 5 loses 4 true pairs; 3 balances recall vs verify cost).
 # Verification is exact full-set Jaccard on survivors (same verify
 # stage as q46). The reference has no dedup at all (/root/reference/
 # modules/validator.py) — this is north-star surface.
 DF_CAP = 20
-MIN_SHARED = 5
+MIN_SHARED = 3
 
 
 def inverted_index_candidates(
     tokens: DataFrame, df_cap: int = DF_CAP, min_shared: int = MIN_SHARED
 ) -> DataFrame:
-    """(doc_a < doc_b) pairs sharing at least ``min_shared`` tokens
-    whose document frequency lies in [2, df_cap] — the capped-posting-
-    list candidate generator with PPJoin-style count filtering (see
-    module constants for the recall bound). The posting join's fan-out
-    goes straight into a partially-aggregated pair count — the only
-    thing shuffled per collision is a (doc_a, doc_b) pair, and pairs
-    below the count floor never reach the verify join."""
-    dfreq = tokens.groupBy("token").agg(F.count("*").alias("df"))
-    kept = tokens.join(
-        dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_cap)).select(
-            "token"
-        ),
-        "token",
+    """(doc_a < doc_b) pairs sharing at least ``min_shared`` PREFIX
+    tokens, where a doc's prefix is its floor(nk/2)+1 RAREST kept
+    shingles (kept = df in [2, df_cap]; rarity order = (df, token), a
+    total order both engines share). PPJoin prefix filtering (VERDICT
+    r7 Next #4): a pair at Jaccard >= t must share a token within the
+    first |x| - ceil(t*|x|) + 1 positions of ANY fixed global token
+    ordering, so only that prefix needs indexing — at t = 0.5 that
+    halves the postings and ~quarters the posting-join fan-out vs
+    indexing every kept token. The count floor then drops random
+    single-collisions before the exact-Jaccard verify. The join's
+    fan-out goes straight into a partially-aggregated pair count —
+    the only thing shuffled per collision is a (doc_a, doc_b) pair."""
+    # kept-with-df in ONE token-keyed shuffle: group the postings,
+    # filter on list size (== df), re-explode — no separate dfreq
+    # aggregate + join-back pass over the corpus tokens. The df cap
+    # bounds every collected list at df_cap entries.
+    kept = (
+        tokens.groupBy("token")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+        .select(
+            "token", F.size("ds").alias("df"),
+            F.explode("ds").alias("doc_id"),
+        )
+    )
+    # prefix via ONE doc-keyed aggregation (sort the doc's kept
+    # shingles by rarity, slice the first half+1) — same result as a
+    # row_number window but a single shuffle + single pass.
+    # Checkpointed: it feeds BOTH sides of the posting self-join, and
+    # un-materialized the whole kept+sort lineage would run twice.
+    prefix = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "token"))).alias("ts")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    "ts",
+                    F.lit(1),
+                    (F.floor(F.size("ts") / 2) + 1).cast("int"),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.token").alias("token"))
+        .localCheckpoint(eager=False)
     )
     return (
-        kept.select(F.col("doc_id").alias("doc_a"), "token")
-        .join(kept.select(F.col("doc_id").alias("doc_b"), "token"), "token")
+        prefix.select(F.col("doc_id").alias("doc_a"), "token")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "token"),
+              "token")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
@@ -711,13 +764,22 @@ ORACLES = {
         WITH tokens AS ({_SHINGLES_SQL.format(src="documents")}),
         dfreq AS (SELECT token, count(*) AS df FROM tokens GROUP BY token),
         kept AS (
-          SELECT t.doc_id, t.token
+          SELECT t.doc_id, t.token, d.df
           FROM tokens t JOIN dfreq d ON d.token = t.token
           WHERE d.df BETWEEN 2 AND {DF_CAP}
         ),
+        prefix AS (
+          SELECT doc_id, token FROM (
+            SELECT doc_id, token,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY df, token) AS rk,
+                   count(*) OVER (PARTITION BY doc_id) AS nk
+            FROM kept
+          ) WHERE rk <= floor(nk / 2) + 1
+        ),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b
+          FROM prefix a JOIN prefix b
             ON a.token = b.token AND a.doc_id < b.doc_id
           GROUP BY 1, 2
           HAVING count(*) >= {MIN_SHARED}

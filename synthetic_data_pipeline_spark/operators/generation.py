@@ -284,14 +284,9 @@ def _validation_sql(cfg: GenConfig, dialect: str) -> str:
     rendered text; TP rows are satisfied when real ≥ instances, FP rows
     are flagged by any real match."""
     d = _DIALECTS[dialect]
-    ph = d["ph"]("x")
-    whens = " ".join(
-        f"WHEN '{sid}' THEN {d['len']}({d['filter']}("
-        f"regexp_extract_all(text, '{d['esc'](regex)}', 0), x -> NOT {ph}))"
-        for sid, _n, regex, _t in SIT_CATALOG
-        if sid in RE2_SAFE_IDS
-    )
-    real = f"(CASE sit_id {whens} ELSE 0 END)"
+    whens = " ".join(_ms_whens(d))
+    filtered = _ms_filtered(d, f"(CASE sit_id {whens} ELSE NULL END)")
+    real = f"coalesce({d['len']}({filtered}), 0)"
     # TC SITs (empty regex) are generated but never scanned — same skip
     # as the reference validator; the Spark q62 path drops them via its
     # inner join against the per-pattern scan branches.
@@ -340,17 +335,28 @@ def q61_gen_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ms_whens(d: dict) -> list[str]:
     """Per-SIT WHEN branches of the scan dispatch: for the row's own
-    sit_id, the non-placeholder matches of that SIT's pattern in the
-    rendered text. One literal regex per branch (both engines require
-    foldable patterns; literals also keep the compiled regex cached in
-    codegen)."""
-    ph = d["ph"]("x")
+    sit_id, the RAW matches of that SIT's pattern in the rendered
+    text. One literal regex per branch (both engines require foldable
+    patterns; literals also keep the compiled regex cached in
+    codegen). The placeholder filter is applied ONCE by the caller
+    (``_ms_filtered``) on the dispatched array — inlining the large
+    placeholder expression per branch made Catalyst PLANNING dominate
+    the scan (same finding as sitscan.sit_scan_frame, round 8)."""
     return [
-        f"WHEN '{sid}' THEN {d['filter']}("
-        f"regexp_extract_all(text, '{d['esc'](rx)}', 0), x -> NOT {ph})"
+        f"WHEN '{sid}' THEN "
+        f"regexp_extract_all(text, '{d['esc'](rx)}', 0)"
         for sid, _n, rx, _t in SIT_CATALOG
         if sid in RE2_SAFE_IDS
     ]
+
+
+def _ms_filtered(d: dict, arr: str) -> str:
+    """Non-placeholder matches of a dispatched match array — the single
+    application point of the placeholder predicate. filter(NULL) is
+    NULL in both dialects, so unmatched sit_ids stay NULL exactly as
+    the bare CASE dispatch left them."""
+    ph = d["ph"]("x")
+    return f"{d['filter']}({arr}, x -> NOT {ph})"
 
 
 # Scanned-pairs table per (Spark application, GenConfig): q62, q91,
@@ -366,9 +372,11 @@ _SCANNED_CACHE_MAX = 3
 
 
 def clear_scanned_pairs_cache() -> None:
-    """Drop memoized scanned-pairs frames (checkpoint blocks are freed
-    when the handles are GC'd) — keeps cold-path probes honest."""
+    """Drop memoized scanned-pairs / rendered-corpus frames (checkpoint
+    blocks are freed when the handles are GC'd) — keeps cold-path
+    probes honest."""
     _SCANNED_CACHE.clear()
+    _RENDERED_CACHE.clear()
 
 
 def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
@@ -433,9 +441,16 @@ def _scanned_pairs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
         .coalesce(_gen_partitions(cfg))
         .localCheckpoint()
     )
-    out = staged.withColumn(
-        "ms", F.coalesce(*[F.col(f"_ms{i}") for i in range(len(chunks))])
-    ).drop(*[f"_ms{i}" for i in range(len(chunks))])
+    # placeholder filter applied ONCE on the coalesced dispatch (the
+    # branches carry raw matches; see _ms_whens)
+    out = staged.selectExpr(
+        "doc_id", "sit_id", "label", "instances", "text",
+        _ms_filtered(
+            d,
+            "coalesce(" + ", ".join(f"_ms{i}" for i in range(len(chunks)))
+            + ")",
+        ) + " AS ms",
+    )
     while len(_SCANNED_CACHE) >= _SCANNED_CACHE_MAX:
         _SCANNED_CACHE.pop(next(iter(_SCANNED_CACHE)))
     _SCANNED_CACHE[key] = out
@@ -481,13 +496,24 @@ def q62_gen_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RENDERED_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
 def _rendered_docs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
     """(doc_id, text) for the generated corpus — same staged-vals path
-    as :func:`_scanned_pairs` (64KB-codegen-safe), no pair join."""
+    as :func:`_scanned_pairs` (64KB-codegen-safe), no pair join.
+    Memoized per (application, config) like the scanned-pairs table:
+    the render CTE's plan is large, and re-analyzing it per consumer
+    (q99 twice per bench round) costs more than the tiny corpus
+    itself."""
+    key = (spark.sparkContext.applicationId, repr(cfg))
+    hit = _RENDERED_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = _DIALECTS["spark"]
     vals = _staged_vals(cfg, spark)
     vals.createOrReplaceTempView("gen_vals_staged")
-    return spark.sql(
+    out = spark.sql(
         expand_u16(
             f"""
             WITH vals AS (SELECT * FROM gen_vals_staged),
@@ -496,7 +522,11 @@ def _rendered_docs(spark: SparkSession, cfg: GenConfig = DEFAULT_CONFIG):
             """,
             "spark",
         )
-    )
+    ).localCheckpoint(eager=False)
+    while len(_RENDERED_CACHE) >= _SCANNED_CACHE_MAX:
+        _RENDERED_CACHE.pop(next(iter(_RENDERED_CACHE)))
+    _RENDERED_CACHE[key] = out
+    return out
 
 
 # q99 runs the alternation form, which costs ~20ms/doc on Java regex
@@ -580,7 +610,7 @@ def _issue_list_sql(cfg: GenConfig, dialect: str) -> str:
       {_rendered_cte(d)},
       pairs AS (
         SELECT v.sit_id, v.doc_id, r.text,
-               (CASE v.sit_id {whens} ELSE NULL END) AS ms
+               {_ms_filtered(d, f"(CASE v.sit_id {whens} ELSE NULL END)")} AS ms
         FROM vals v JOIN rendered r ON v.doc_id = r.doc_id
         WHERE v.sit_id IN ({scan_ids})
       ),
@@ -707,7 +737,7 @@ def _failures_sql(cfg: GenConfig, dialect: str) -> str:
       {_rendered_cte(d)},
       pairs AS (
         SELECT v.doc_id, v.sit_id, v.label, v.instances,
-               (CASE v.sit_id {whens} ELSE NULL END) AS ms
+               {_ms_filtered(d, f"(CASE v.sit_id {whens} ELSE NULL END)")} AS ms
         FROM vals v JOIN rendered r ON v.doc_id = r.doc_id
         WHERE v.sit_id IN ({scan_ids})
       ),

@@ -85,3 +85,84 @@ def test_issue_list_positions_and_excerpts(spark, sf_dir):
         assert pats[r.sit_id].fullmatch(r.match) or pats[r.sit_id].search(
             r.match
         ), f"{r.sit_id}: {r.match!r} not a pattern match"
+
+
+# One hand-built matching example per RE2-safe SIT — used to prove the
+# cheap pre-guards in sitscan._GUARD_KIND never suppress a true match.
+_GUARD_EXAMPLES = {
+    "SIT_CCN": "4123-4567-8901-2345",
+    "SIT_SSN": "123-45-6789",
+    "SIT_IBAN": "DE44500105175407324931",
+    "SIT_IPV4": "192.168.0.1",
+    "SIT_EMAIL": "user@example.com",
+    "SIT_PHONE": "415-555-1234",
+    "SIT_ABA": "021000021",
+    "SIT_PASSPORT": "A12345678",
+    "SIT_DEA": "AB1234567",
+    "SIT_SWIFT": "DEUTDEFF",
+    "SIT_ITIN": "912-78-1234",
+    "SIT_DATE": "2024-01-31",
+    "SIT_PASSPORT_LABELED": "passport no: ABC123456",
+    "SIT_BANK_US": "acct: 1234567890",
+    "SIT_DRIVER_US": "driver license: A1B2C3D4",
+    "SIT_CAN_PHIN": "phin: 712345678",
+    "SIT_AUS_MEDACC": "medical account: 12345678901",
+    "SIT_CAN_DRIVER": "permis no: 12345-67890",
+    "SIT_AUS_DRIVER": "driver licence: AB12CD",
+    "SIT_AZURE_SAS": "sig=abcdefghijkl",
+    "SIT_ICD10": "A12",
+    "SIT_ICD9": "E123.4",
+    "SIT_UK_NINO": "AB123456C",
+    "SIT_BR_CPF": "123.456.789-09",
+    "SIT_BR_RG": "12.345.678-9",
+    "SIT_CAN_SIN": "123-456-789",
+    "SIT_CAN_BANK": "1234567",
+    "SIT_AUS_TFN": "12345678",
+    "SIT_CAN_HEALTH": "412345678",
+    "SIT_FR_INSEE": "1550123456789",
+    "SIT_EU_DEBIT": "6123456789012345",
+    "SIT_CAN_PASSPORT": "AB123456",
+    "SIT_AUS_PASSPORT": "A1234567",
+    "SIT_AUS_BANK": "123456",
+}
+
+_GUARD_PY = {
+    "digit": lambda t: any(c.isdigit() for c in t),
+    "at": lambda t: "@" in t,
+    "sig": lambda t: "sig=" in t,
+    "upper": lambda t: any("A" <= c <= "Z" for c in t),
+}
+
+
+def test_guard_examples_match_and_satisfy_guards():
+    """Every example really matches its pattern (so the corpus below is
+    a live probe of each guard), and satisfies the guard kind the scan
+    gates that pattern behind — a failing guard would have silently
+    zeroed a matching doc."""
+    from synthetic_data_pipeline_spark.operators.sitscan import _GUARD_KIND
+    from synthetic_data_pipeline_spark.plans.catalog import RE2_SAFE_IDS
+
+    by_id = {s: rx for s, _n, rx, _t in SIT_CATALOG}
+    assert set(_GUARD_EXAMPLES) == set(RE2_SAFE_IDS)
+    for sit_id, example in _GUARD_EXAMPLES.items():
+        assert re.search(by_id[sit_id], example), sit_id
+        kind = _GUARD_KIND.get(sit_id, "digit")
+        assert _GUARD_PY[kind](example), (sit_id, kind)
+
+
+def test_guarded_scan_counts_planted_matches(spark):
+    """End-to-end: one planted doc per SIT through the guarded scan —
+    every SIT must report at least one match (the guard can only skip
+    docs that cannot match)."""
+    from synthetic_data_pipeline_spark.operators.sitscan import (
+        sit_scan_frame,
+    )
+
+    rows = [
+        (i, f"lorem ipsum {ex} dolor sit")
+        for i, ex in enumerate(_GUARD_EXAMPLES.values())
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.sit_id: r.total_matches for r in sit_scan_frame(docs).collect()}
+    for sit_id in _GUARD_EXAMPLES:
+        assert got.get(sit_id, 0) >= 1, sit_id
