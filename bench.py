@@ -160,12 +160,60 @@ def _stream_throughput(spark, sf_dir: str) -> dict:
     )
     n_windows = out.count()
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "stream_events": n_events,
         "stream_tumbling_rows": n_windows,
         "stream_drain_sec": round(dt, 3),
         "stream_events_per_sec": round(n_events / dt, 1),
     }
+    out.update(_stream_overhead(spark, sf_dir))
+    return out
+
+
+def _stream_overhead(spark, sf_dir: str) -> dict:
+    """Two-point micro-batch overhead decomposition (VERDICT r7 Next
+    #8): drain the SAME events through the tumbling aggregation twice,
+    once as 8 one-file micro-batches and once as 2 four-file ones
+    (availableNow honors maxFilesPerTrigger). The time delta divided
+    by the batch-count delta isolates the fixed per-micro-batch cost
+    (trigger + state-store commit + sink) from the per-event cost —
+    telling whether the foreachBatch sinks are overhead-bound."""
+    import shutil
+    import tempfile
+
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        normalize_ts,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdps_bench_chunks_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            8
+        ).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        times = {}
+        for k in (1, 4):
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", k)
+                .parquet(tmp)
+            )
+            t0 = time.perf_counter()
+            run_available_now(
+                tumbling_counts(normalize_ts(src)), mode="complete"
+            ).count()
+            times[k] = time.perf_counter() - t0
+        n_batches = {1: 8, 4: 2}
+        overhead = (times[1] - times[4]) / (n_batches[1] - n_batches[4])
+        return {
+            "stream_8batch_sec": round(times[1], 3),
+            "stream_2batch_sec": round(times[4], 3),
+            "stream_batch_overhead_sec": round(overhead, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _funnel_reuse(spark, sf_dir: str) -> dict:

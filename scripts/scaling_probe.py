@@ -88,6 +88,14 @@ PROBE_100 = [
     "q106_repetition_signals",
     "q108_click_error_interval",
     "q114_stratified_sample",
+    # round 8 (VERDICT r7 Next #6): the two heaviest headline queries.
+    # q107's probe×corpus scan is bounded by N_QUERIES probes but the
+    # corpus side is the 100x embeddings table (identical vectors per
+    # copy, strided vec_ids — top-k per probe keeps output bounded, so
+    # unlike q54 the duplicate vectors can't blow up the result);
+    # q126's gram explosion runs over the 100x documents.
+    "q107_quantized_knn",
+    "q126_dsir_weights",
 ]
 
 
@@ -166,6 +174,14 @@ def build_scaled(
             "ts",
             (F.col("user_id") + F.col("copy") * uid_stride).alias("user_id"),
             "event_type", "value", "props",
+        )
+
+    if "embeddings" in scale_tables:
+        emb_src = spark.read.parquet(f"{src}/embeddings.parquet")
+        vid_stride = _stride(emb_src, "vec_id")
+        scaled["embeddings"] = _with_copies(emb_src, copies).select(
+            (F.col("vec_id") + F.col("copy") * vid_stride).alias("vec_id"),
+            *[c for c in emb_src.columns if c != "vec_id"],
         )
 
     if "documents" in scale_tables:
@@ -272,7 +288,8 @@ def main() -> None:
     build_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES}x corpus in {build_sec}s -> {dst}", file=sys.stderr)
     t0 = time.perf_counter()
-    _build_if_stale(dst100, COPIES_2, ("lineitem", "documents", "events"))
+    _build_if_stale(dst100, COPIES_2,
+                    ("lineitem", "documents", "events", "embeddings"))
     build100_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES_2}x corpus in {build100_sec}s -> {dst100}",
           file=sys.stderr)

@@ -598,12 +598,23 @@ def _quantized_recall_tier(dims: DataFrame, levels: int) -> DataFrame:
         "query_id", "neighbor_id", "qcos", "ecos"
     )
     hits = tope.join(topq, ["query_id", "neighbor_id"], "left_semi")
+    # avg over integer-exact units: |qcos-ecos| is a 4-decimal value,
+    # so summing its *10000 integer form makes the mean independent of
+    # float summation ORDER on both engines — a plain avg() of 5
+    # grid-valued errors lands exactly on .xxxx5 half-boundaries,
+    # leaving the eround nudge as the only defense. Same arithmetic in
+    # the oracle's errs CTE.
+    err_units = F.round(
+        F.abs(F.col("qcos") - F.col("ecos")) * 10000
+    ).cast("long")
     per_q = (
         tope.groupBy("query_id")
         .agg(
-            eround(1e-9 + F.avg(F.abs(F.col("qcos") - F.col("ecos"))), 4).alias(
-                "avg_abs_cos_err"
-            )
+            eround(
+                1e-9
+                + F.sum(err_units) / (F.count("*") * F.lit(10000.0)),
+                4,
+            ).alias("avg_abs_cos_err")
         )
         .join(
             hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
@@ -692,7 +703,9 @@ _Q107_ORACLE_TEMPLATE = """
     ),
     errs AS (
       SELECT query_id,
-             round(1e-9 + avg(abs(qcos - ecos)), 4) AS avg_abs_cos_err
+             round(1e-9 + sum(CAST(round(abs(qcos - ecos) * 10000)
+                                   AS BIGINT)) / (count(*) * 10000.0),
+                   4) AS avg_abs_cos_err
       FROM tope GROUP BY query_id
     )
     SELECT e.query_id,

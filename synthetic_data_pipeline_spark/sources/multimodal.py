@@ -205,12 +205,57 @@ def decode_image(buf: bytes) -> np.ndarray:
     raise ValueError("unrecognized image container")
 
 
+try:  # compressed-audio arm: optional, never required for the engine
+    import soundfile as _soundfile
+except ImportError:  # pragma: no cover - absent in the build container
+    _soundfile = None
+
+
+def _decode_compressed_audio(buf: bytes) -> np.ndarray:
+    """FLAC/OGG/MP3 (and beyond-8-bit-PCM WAV) arm, gated on soundfile
+    (VERDICT r7 Next #7) — the audio mirror of the Pillow image arm:
+    decoded samples come back mapped to the same mono uint8 domain the
+    native PCM arm produces, or the honest rejection when the codec
+    library is absent. The pure-stdlib WAV codec stays the default
+    path; this arm only widens the accepted containers."""
+    if _soundfile is None:
+        raise NotImplementedError(
+            "FLAC/OGG/MP3 (and non-8-bit WAV) decode requires soundfile "
+            "(absent from this container)"
+        )
+    import io
+
+    data, _rate = _soundfile.read(io.BytesIO(buf), dtype="float64")
+    if data.ndim > 1:  # downmix to mono, matching the native arm
+        data = data.mean(axis=1)
+    return np.clip(data * 127.5 + 127.5, 0, 255).astype(np.uint8)
+
+
+def decode_audio(buf: bytes) -> np.ndarray:
+    """Magic-dispatched audio decode. 8-bit mono PCM WAV decodes
+    natively; other WAV encodings and FLAC/OGG/MP3 containers go
+    through the soundfile-gated arm."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        try:
+            return decode_wav(buf)
+        except NotImplementedError:
+            # e.g. 16-bit or multi-channel PCM — beyond the native arm
+            return _decode_compressed_audio(buf)
+    if (
+        buf[:4] in (b"fLaC", b"OggS")
+        or buf[:3] == b"ID3"
+        or (len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0)
+    ):
+        return _decode_compressed_audio(buf)
+    raise ValueError("unrecognized audio container")
+
+
 def decode_media(kind: str, payload: bytes) -> np.ndarray:
     """Decode any media payload to a numpy array by kind + magic."""
     if kind == "image":
         return decode_image(payload)
     if kind == "audio":
-        return decode_wav(payload)
+        return decode_audio(payload)
     if kind == "video":
         return decode_pgm_stream(payload)
     raise NotImplementedError(f"unknown media kind: {kind}")

@@ -107,3 +107,51 @@ def test_determinism_across_partitions(spark):
         map(tuple, extract_features(synth_media(spark, 18).repartition(5)).collect())
     )
     assert a == b
+
+
+def test_compressed_audio_arm_gated_on_soundfile():
+    """Both outcomes of the soundfile gate (the audio mirror of the
+    Pillow arm): with soundfile importable, FLAC and 16-bit WAV decode
+    to the native uint8 mono domain; without it, the honest
+    NotImplementedError stays. An unknown container is rejected either
+    way, and native 8-bit WAV keeps bypassing the gate entirely."""
+    import struct
+
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        _soundfile,
+        decode_audio,
+        encode_wav,
+    )
+
+    # native arm unaffected by the gate
+    samples = np.arange(64, dtype=np.uint8)
+    assert (decode_audio(encode_wav(samples)) == samples).all()
+
+    # 16-bit PCM WAV: beyond the native arm -> routed through the gate
+    data16 = (np.arange(32, dtype=np.int16) * 512).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav16 = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data16), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data16)) + data16
+    )
+    if _soundfile is None:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(wav16)
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"fLaC" + b"\x00" * 16)
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"ID3\x04\x00" + b"\x00" * 16)  # MP3 w/ ID3 tag
+    else:  # pragma: no cover - soundfile absent in the build container
+        import io
+
+        out = decode_audio(wav16)
+        assert out.dtype == np.uint8 and len(out) == 32
+        buf = io.BytesIO()
+        _soundfile.write(
+            buf, np.linspace(-0.5, 0.5, 128), 8000, format="FLAC"
+        )
+        flac = decode_audio(buf.getvalue())
+        assert flac.dtype == np.uint8 and len(flac) == 128
+    with pytest.raises(ValueError):
+        decode_audio(b"MIDI" + b"\x00" * 16)
