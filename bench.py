@@ -48,11 +48,13 @@ HEADLINE = [
     "q105_decontaminate",
     "q126_dsir_weights",
     "q128_bpe_merges",
+    "q129_bpe_compression",
     "q106_repetition_signals",
     "q109_perplexity_proxy",
     "q111_adaptive_quality",
     "q50_knn_bruteforce",
     "q54_cosine_near_dups",
+    "q130_semantic_prune",
     "q55_ivf_ann",
     "q107_quantized_knn",
     "q110_embedding_outliers",

@@ -906,8 +906,44 @@ def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> str:
     )
 
 
+# --- q130: SemDeDup-style semantic pruning — the ACTION on q54's
+# verified embedding near-dup pairs (the embedding analogue of
+# q101-over-q46): any vector with a SMALLER-id verified near-dup is
+# dropped (deterministic local-minimum keeper rule, same first-wins
+# shape as q35/q101), and the report aggregates kept/dropped per
+# label. At 100 TB the pair set is the bucket-bounded q54 output and
+# the report is one |labels|-key aggregate — nothing new shuffles.
+def q130_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    pairs = cosine_near_dup_pairs(emb.select("vec_id", "v"))
+    dropped = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    n_dropped = F.sum(F.when(F.col("_d"), 1).otherwise(0))
+    return (
+        emb.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            n_dropped.alias("n_dropped"),
+            F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            eround(
+                1e-9 + n_dropped / F.count("*").cast("double"), 4
+            ).alias("drop_pct"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
+    "q130_semantic_prune": q130_semantic_prune,
     "q54_cosine_near_dups": q54_cosine_near_dups,
     "q55_ivf_ann": q55_ivf_ann,
     "q56_kmeans": q56_kmeans,
@@ -928,6 +964,58 @@ _COSINE_SQL = """
   FROM (SELECT * FROM embeddings WHERE vec_id < {nq}) q
   JOIN embeddings e ON e.vec_id != q.vec_id
 """
+
+# Candidate-generation + verified-pair CTE chain shared by the q54 and
+# q130 oracles (identical hyperplane family, banding, and eround'd
+# cosine verify as the Spark builders).
+_Q54_PAIRS_CTES = f"""
+        WITH weights AS (
+          SELECT p.range AS p, d.range AS d,
+                 CASE WHEN ascii(substr(md5(concat(p.range, ':', d.range)), 32, 1)) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END AS w
+          FROM range(0, {N_HYPERPLANES}) p, range(0, {EMB_DIM}) d
+        ),
+        dims AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        proj AS (
+          SELECT m.vec_id, w.p, round(sum(m.x * w.w), 6) AS proj
+          FROM dims m JOIN weights w ON m.d = w.d
+          GROUP BY m.vec_id, w.p
+        ),
+        bandsigs AS (
+          SELECT vec_id, CAST(p // {N_HYPERPLANES // N_BANDS} AS INTEGER) AS band,
+                 CAST(sum(CASE WHEN proj > 0
+                               THEN power(2, p % {N_HYPERPLANES // N_BANDS})
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id, band
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bandsigs a
+          JOIN bandsigs b ON a.band = b.band AND a.sig = b.sig
+                         AND a.vec_id < b.vec_id
+        ),
+        dup_pairs AS (
+        SELECT c.vec_a, c.vec_b,
+               round(
+                 list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 4) AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_a
+        JOIN embeddings b ON b.vec_id = c.vec_b
+        WHERE round(
+                 list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 4) >= {COSINE_DUP_THRESHOLD}
+        )
+"""
+
 
 ORACLES = {
     "q56_kmeans": _kmeans_oracle_sql(),
@@ -1003,51 +1091,26 @@ ORACLES = {
     # same md5-parity weights, candidates = pairs sharing a band
     # signature, cosine verified on candidates only.
     "q54_cosine_near_dups": f"""
-        WITH weights AS (
-          SELECT p.range AS p, d.range AS d,
-                 CASE WHEN ascii(substr(md5(concat(p.range, ':', d.range)), 32, 1)) % 2 = 0
-                      THEN 1.0 ELSE -1.0 END AS w
-          FROM range(0, {N_HYPERPLANES}) p, range(0, {EMB_DIM}) d
-        ),
-        dims AS (
-          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-                 CAST(unnest(embedding) AS DOUBLE) AS x
-          FROM embeddings
-        ),
-        proj AS (
-          SELECT m.vec_id, w.p, round(sum(m.x * w.w), 6) AS proj
-          FROM dims m JOIN weights w ON m.d = w.d
-          GROUP BY m.vec_id, w.p
-        ),
-        bandsigs AS (
-          SELECT vec_id, CAST(p // {N_HYPERPLANES // N_BANDS} AS INTEGER) AS band,
-                 CAST(sum(CASE WHEN proj > 0
-                               THEN power(2, p % {N_HYPERPLANES // N_BANDS})
-                               ELSE 0 END) AS BIGINT) AS sig
-          FROM proj GROUP BY vec_id, band
-        ),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM bandsigs a
-          JOIN bandsigs b ON a.band = b.band AND a.sig = b.sig
-                         AND a.vec_id < b.vec_id
-        )
-        SELECT c.vec_a, c.vec_b,
-               round(
-                 list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                 4) AS cosine
-        FROM cand c
-        JOIN embeddings a ON a.vec_id = c.vec_a
-        JOIN embeddings b ON b.vec_id = c.vec_b
-        WHERE round(
-                 list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                 4) >= {COSINE_DUP_THRESHOLD}
+        {_Q54_PAIRS_CTES}
+        SELECT vec_a, vec_b, cosine FROM dup_pairs
         ORDER BY vec_a, vec_b
     """,
+    "q130_semantic_prune": f"""
+        {_Q54_PAIRS_CTES},
+        dropped AS (SELECT DISTINCT vec_b AS vec_id FROM dup_pairs)
+        SELECT e.label,
+               count(*) AS n_vecs,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               round(1e-9
+                     + sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 4) AS drop_pct
+        FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+        GROUP BY e.label ORDER BY e.label
+    """,
+
     # q53: weights table = planes × dims with md5-parity signs — the
     # same ±1 family the Spark fold derives per element. 64 dims fixed
     # by the embeddings schema (FIXTURES.md §B).

@@ -1120,9 +1120,15 @@ def _sym_pairs(ws_col):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """(merge_rank, pair, n_occurrences) — the first ``n_merges``
-    learned BPE merges for a (text) frame."""
+def _bpe_stages(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The shared BPE-training lineage: ``(words, rules)`` where
+    ``words[r]`` is the distinct-word symbol table AFTER the first
+    ``r`` merges (words[0] = character symbols) and ``rules[r-1]`` is
+    the 1-row (merge_rank, pair, n_occurrences) frame of merge r.
+    q128 consumes the rules; q129 consumes the per-stage word tables
+    (the compression curve)."""
     words = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
         .filter(F.length("w") > 0)
@@ -1137,6 +1143,7 @@ def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    stages = [words]
     rules = []
     for rank in range(1, n_merges + 1):
         counts = (
@@ -1192,17 +1199,67 @@ def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        stages.append(words)
+    return stages, rules
+
+
+def bpe_merge_rules(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """(merge_rank, pair, n_occurrences) — the first ``n_merges``
+    learned BPE merges for a (text) frame."""
+    _stages, rules = _bpe_stages(docs, n_merges)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.orderBy("merge_rank")
 
 
+def bpe_compression_curve(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """(merges_applied, n_words, total_symbols, avg_symbols_per_word)
+    — the corpus-wide ENCODE side of BPE training: how many symbols
+    the corpus tokenizes to after each successive learned merge
+    (merges_applied = 0 is the character baseline). Each stage's count
+    is one aggregate over the Zipf-bounded distinct-word table —
+    symbols per word = separator count + 1, weighted by word
+    frequency; the corpus is never re-tokenized per stage."""
+    stages, _rules = _bpe_stages(docs, n_merges)
+    outs = []
+    for r, words in enumerate(stages):
+        syms = (
+            F.length("ws") - F.length(F.replace("ws", F.lit(" "), F.lit("")))
+            + 1
+        )
+        outs.append(
+            words.agg(
+                F.lit(r).alias("merges_applied"),
+                F.sum("n").alias("n_words"),
+                F.sum(F.col("n") * syms).alias("total_symbols"),
+                eround(
+                    1e-9
+                    + F.sum(F.col("n") * syms)
+                    / F.sum("n").cast("double"),
+                    4,
+                ).alias("avg_symbols_per_word"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("merges_applied")
+
+
+def q129_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_compression_curve(load_table(spark, sf_dir, "documents"))
+
+
 def q128_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rules(load_table(spark, sf_dir, "documents"))
 
 
-def _q128_oracle() -> str:
+def _bpe_oracle_ctes() -> str:
+    """The words0..wordsN + top1..topN CTE chain shared by the q128
+    (rules) and q129 (compression curve) oracles."""
     body = """
     WITH words0 AS MATERIALIZED (
       SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws,
@@ -1213,7 +1270,6 @@ def _q128_oracle() -> str:
       ) WHERE len(w) > 0
       GROUP BY 1
     )"""
-    sel = []
     for rank in range(1, BPE_MERGES + 1):
         prev = f"words{rank - 1}"
         body += f""",
@@ -1239,11 +1295,40 @@ def _q128_oracle() -> str:
              w.n
       FROM {prev} w CROSS JOIN top{rank} t
     )"""
-        sel.append(
-            f"SELECT merge_rank, pair, CAST(n_occurrences AS BIGINT) "
-            f"AS n_occurrences FROM top{rank}"
-        )
-    return body + "\n" + " UNION ALL ".join(sel) + " ORDER BY merge_rank"
+    return body
+
+
+def _q128_oracle() -> str:
+    sel = [
+        f"SELECT merge_rank, pair, CAST(n_occurrences AS BIGINT) "
+        f"AS n_occurrences FROM top{rank}"
+        for rank in range(1, BPE_MERGES + 1)
+    ]
+    return (
+        _bpe_oracle_ctes()
+        + "\n"
+        + " UNION ALL ".join(sel)
+        + " ORDER BY merge_rank"
+    )
+
+
+def _q129_oracle() -> str:
+    syms = "(length(ws) - length(replace(ws, ' ', '')) + 1)"
+    sel = [
+        f"""SELECT {r} AS merges_applied,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * {syms}) AS BIGINT) AS total_symbols,
+               round(1e-9 + sum(n * {syms}) / CAST(sum(n) AS DOUBLE), 4)
+                 AS avg_symbols_per_word
+        FROM words{r}"""
+        for r in range(0, BPE_MERGES + 1)
+    ]
+    return (
+        _bpe_oracle_ctes()
+        + "\n"
+        + " UNION ALL ".join(sel)
+        + " ORDER BY merges_applied"
+    )
 
 
 def _q126_oracle() -> str:
@@ -1277,6 +1362,7 @@ QUERIES = {
     "q121_source_divergence": q121_source_divergence,
     "q126_dsir_weights": q126_dsir_weights,
     "q128_bpe_merges": q128_bpe_merges,
+    "q129_bpe_compression": q129_bpe_compression,
 }
 
 
@@ -1333,6 +1419,7 @@ ORACLES = {
     "q121_source_divergence": _Q121_ORACLE,
     "q126_dsir_weights": _q126_oracle(),
     "q128_bpe_merges": _q128_oracle(),
+    "q129_bpe_compression": _q129_oracle(),
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -121,3 +121,28 @@ def test_cosine_dup_big_bucket_fallback_matches(spark, sf_dir, monkeypatch):
     )
     assert routed == normal
     assert len(normal) > 0
+
+
+def test_semantic_prune_conserves_and_keeps_minima(spark, sf_dir):
+    """q130: per-label kept+dropped == corpus; the dropped set is
+    exactly the vectors appearing as the LARGER id of some verified
+    near-dup pair (local-minimum keeper rule), so a vector with no
+    smaller-id near-dup is always kept."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine_near_dup_pairs,
+        q130_semantic_prune,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    rows = q130_semantic_prune(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    n_vecs = emb.count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    assert all(r.n_kept + r.n_dropped == r.n_vecs for r in rows)
+    pairs = cosine_near_dup_pairs(emb).collect()
+    want_dropped = {p.vec_b for p in pairs}
+    assert sum(r.n_dropped for r in rows) == len(want_dropped)
+    assert len(want_dropped) > 0  # vacuous pruning proves nothing

@@ -334,3 +334,26 @@ def test_bpe_merge_rewrite_is_greedy_nonoverlapping(spark):
         for r in bpe_merge_rules(docs, n_merges=2).collect()
     ]
     assert got == [(1, "a a", 6), (2, "aa aa", 2)]
+
+
+def test_bpe_compression_curve_planted(spark):
+    """q129 on the hand-computable corpus: 'banana'×3 + 'bandana'
+    tokenize to 25 char symbols; the three learned merges (a·n, an·a,
+    b·an — see test_bpe_merges_planted_corpus) compress the corpus to
+    17, 13, then 9 symbols."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bpe_compression_curve,
+    )
+
+    docs = _bpe_docs(spark, ["banana banana banana", "bandana"])
+    got = [
+        (r.merges_applied, r.n_words, r.total_symbols,
+         r.avg_symbols_per_word)
+        for r in bpe_compression_curve(docs).collect()
+    ]
+    assert got == [
+        (0, 4, 25, 6.25),
+        (1, 4, 17, 4.25),
+        (2, 4, 13, 3.25),
+        (3, 4, 9, 2.25),
+    ]
