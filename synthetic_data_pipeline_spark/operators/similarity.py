@@ -512,38 +512,59 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANT_LEVELS = (255, 15)
 
 
-def _quantized_recall_tier(dims: DataFrame, levels: int) -> DataFrame:
+def q107_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both quantization tiers FUSED into one pass (round 8): the dim
+    stats, reconstructed grids, norms, and probe dots for every level
+    in QUANT_LEVELS ride the same checkpointed frames and the same
+    broadcast joins/aggregations as extra columns, so the corpus-side
+    work (the dim-join fan-out that dominates) happens once instead of
+    once per tier. Per-level rank/report branches share the scored
+    frame; each level's expressions are identical to the per-tier
+    oracle's."""
+    lvls = QUANT_LEVELS
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    ).localCheckpoint(eager=False)
     stats = dims.groupBy("dim").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
-    code = F.floor(
-        (F.col("x") - F.col("mn")) * levels / (F.col("mx") - F.col("mn"))
-        + 0.5
-    )
-    dq = (
-        dims.join(F.broadcast(stats), "dim")
-        .select(
-            "vec_id",
-            "dim",
-            "x",
+
+    def _dqx(levels: int):
+        code = F.floor(
+            (F.col("x") - F.col("mn")) * levels
+            / (F.col("mx") - F.col("mn"))
+            + 0.5
+        )
+        return (
             F.when(
                 F.col("mx") > F.col("mn"),
-                F.col("mn")
-                + code * (F.col("mx") - F.col("mn")) / levels,
+                F.col("mn") + code * (F.col("mx") - F.col("mn")) / levels,
             )
             .otherwise(F.col("x"))
-            .alias("dqx"),
+            .alias(f"dqx{levels}")
         )
+
+    dq = (
+        dims.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", "x", *[_dqx(lv) for lv in lvls])
         .localCheckpoint(eager=False)
     )
     norms = dq.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("dqx") * F.col("dqx"))).alias("qn"),
+        *[
+            F.sqrt(F.sum(F.col(f"dqx{lv}") * F.col(f"dqx{lv}"))).alias(
+                f"qn{lv}"
+            )
+            for lv in lvls
+        ],
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("en"),
     )
     probe = dq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         "dim",
-        F.col("dqx").alias("pq"),
+        *[F.col(f"dqx{lv}").alias(f"pq{lv}") for lv in lvls],
         F.col("x").alias("px"),
     )
     dots = (
@@ -552,7 +573,12 @@ def _quantized_recall_tier(dims: DataFrame, levels: int) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(
-            F.sum(F.col("pq") * F.col("dqx")).alias("qdot"),
+            *[
+                F.sum(F.col(f"pq{lv}") * F.col(f"dqx{lv}")).alias(
+                    f"qdot{lv}"
+                )
+                for lv in lvls
+            ],
             F.sum(F.col("px") * F.col("x")).alias("edot"),
         )
     )
@@ -560,7 +586,7 @@ def _quantized_recall_tier(dims: DataFrame, levels: int) -> DataFrame:
         dots.join(
             norms.select(
                 F.col("vec_id").alias("query_id"),
-                F.col("qn").alias("qna"),
+                *[F.col(f"qn{lv}").alias(f"qna{lv}") for lv in lvls],
                 F.col("en").alias("ena"),
             ),
             "query_id",
@@ -569,80 +595,87 @@ def _quantized_recall_tier(dims: DataFrame, levels: int) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            eround(F.col("qdot") / (F.col("qna") * F.col("qn")), 4).alias(
-                "qcos"
-            ),
+            *[
+                eround(
+                    F.col(f"qdot{lv}")
+                    / (F.col(f"qna{lv}") * F.col(f"qn{lv}")),
+                    4,
+                ).alias(f"qcos{lv}")
+                for lv in lvls
+            ],
             eround(F.col("edot") / (F.col("ena") * F.col("en")), 4).alias(
                 "ecos"
             ),
         )
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("qcos"), F.asc("neighbor_id")
-    )
     we = Window.partitionBy("query_id").orderBy(
         F.desc("ecos"), F.asc("neighbor_id")
     )
     ranked = scored.select(
-        "query_id",
-        "neighbor_id",
-        "qcos",
-        "ecos",
-        F.row_number().over(wq).alias("qrk"),
+        "*",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc(f"qcos{lv}"), F.asc("neighbor_id")
+                )
+            )
+            .alias(f"qrk{lv}")
+            for lv in lvls
+        ],
         F.row_number().over(we).alias("erk"),
-    )
-    topq = ranked.filter(F.col("qrk") <= TOP_K).select(
-        "query_id", "neighbor_id"
-    )
-    tope = ranked.filter(F.col("erk") <= TOP_K).select(
-        "query_id", "neighbor_id", "qcos", "ecos"
-    )
-    hits = tope.join(topq, ["query_id", "neighbor_id"], "left_semi")
-    # avg over integer-exact units: |qcos-ecos| is a 4-decimal value,
-    # so summing its *10000 integer form makes the mean independent of
-    # float summation ORDER on both engines — a plain avg() of 5
-    # grid-valued errors lands exactly on .xxxx5 half-boundaries,
-    # leaving the eround nudge as the only defense. Same arithmetic in
-    # the oracle's errs CTE.
-    err_units = F.round(
-        F.abs(F.col("qcos") - F.col("ecos")) * 10000
-    ).cast("long")
-    per_q = (
-        tope.groupBy("query_id")
-        .agg(
-            eround(
-                1e-9
-                + F.sum(err_units) / (F.count("*") * F.lit(10000.0)),
-                4,
-            ).alias("avg_abs_cos_err")
-        )
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
-            "query_id",
-            "left",
-        )
-    )
-    return per_q.select(
-        F.lit(levels).alias("levels"),
-        "query_id",
-        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-        eround(F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K, 4).alias(
-            "recall"
-        ),
-        "avg_abs_cos_err",
-    )
-
-
-def q107_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    dims = emb.select(
-        "vec_id", F.posexplode("v").alias("dim", "x")
     ).localCheckpoint(eager=False)
-    tiers = [_quantized_recall_tier(dims, lv) for lv in QUANT_LEVELS]
-    out = tiers[0]
-    for t in tiers[1:]:
+
+    outs = []
+    for lv in lvls:
+        topq = ranked.filter(F.col(f"qrk{lv}") <= TOP_K).select(
+            "query_id", "neighbor_id"
+        )
+        tope = ranked.filter(F.col("erk") <= TOP_K).select(
+            "query_id",
+            "neighbor_id",
+            F.col(f"qcos{lv}").alias("qcos"),
+            "ecos",
+        )
+        hits = tope.join(topq, ["query_id", "neighbor_id"], "left_semi")
+        # avg over integer-exact units: |qcos-ecos| is a 4-decimal
+        # value, so summing its *10000 integer form makes the mean
+        # independent of float summation ORDER on both engines — a
+        # plain avg() of 5 grid-valued errors lands exactly on .xxxx5
+        # half-boundaries, leaving the eround nudge as the only
+        # defense. Same arithmetic in the oracle's errs CTE.
+        err_units = F.round(
+            F.abs(F.col("qcos") - F.col("ecos")) * 10000
+        ).cast("long")
+        per_q = (
+            tope.groupBy("query_id")
+            .agg(
+                eround(
+                    1e-9
+                    + F.sum(err_units) / (F.count("*") * F.lit(10000.0)),
+                    4,
+                ).alias("avg_abs_cos_err")
+            )
+            .join(
+                hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+                "query_id",
+                "left",
+            )
+        )
+        outs.append(
+            per_q.select(
+                F.lit(lv).alias("levels"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                eround(
+                    F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K,
+                    4,
+                ).alias("recall"),
+                "avg_abs_cos_err",
+            )
+        )
+    out = outs[0]
+    for t in outs[1:]:
         out = out.unionByName(t)
     return out.orderBy("levels", "query_id")
 

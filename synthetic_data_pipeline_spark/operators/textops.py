@@ -727,12 +727,15 @@ def doc_perplexity(docs: DataFrame) -> DataFrame:
     """(doc_id, source, ppl) — per-doc pseudo-perplexity under the
     corpus-fit bigram model (shared by q109's report and q111's
     adaptive filter)."""
+    # base feeds the bigram explode AND the vocab count; bg feeds the
+    # model counts (c12, c1) AND the scoring pass — materialize each
+    # once instead of re-tokenizing/re-exploding per consumer
     base = docs.select(
         "doc_id", "source", _tokens(F.col("text")).alias("arr")
-    )
+    ).localCheckpoint(eager=False)
     bg = base.select(
         "doc_id", "source", F.explode(_bigram_array()).alias("bg")
-    )
+    ).localCheckpoint(eager=False)
     c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
     c1 = (
         bg.select(F.split("bg", " ").getItem(0).alias("w1"))
@@ -827,7 +830,11 @@ PPL_DROP_QUANTILE = 0.9
 
 
 def q111_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = doc_perplexity(load_table(spark, sf_dir, "documents"))
+    # consumed twice (threshold percentile + the flag pass) and the
+    # per-doc LM scoring is the expensive part — materialize once
+    per_doc = doc_perplexity(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     thr = per_doc.agg(
         F.expr(f"percentile(ppl, {PPL_DROP_QUANTILE})").alias("thr")
     )
@@ -996,12 +1003,15 @@ def dsir_weights(
     bucket = (
         F.expr(expand_u16(hash_u16("g", "dsir"), "spark")) % DSIR_BUCKETS
     ).alias("b")
+    # consumed twice (bucket counts + per-doc scoring) and the gram
+    # explode + md5 bucket hash is the expensive part — materialize
+    # the narrow (doc_id, source, b, is_t) form once
     grams = _dsir_grams(docs).select(
         "doc_id",
         "source",
         bucket,
         (F.col("source") == bench_source).alias("is_t"),
-    )
+    ).localCheckpoint(eager=False)
     counts = grams.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("n_r"),
