@@ -53,6 +53,9 @@ HEADLINE = [
     "q109_perplexity_proxy",
     "q111_adaptive_quality",
     "q50_knn_bruteforce",
+    # q54/q130 share the session-memoized verified cosine-pair table
+    # (similarity.cosine_pairs_state): the first of them to run pays
+    # the bucket-funnel build, the other measures consumer cost
     "q54_cosine_near_dups",
     "q130_semantic_prune",
     "q55_ivf_ann",

@@ -417,11 +417,41 @@ def cosine_near_dup_pairs(
     )
 
 
-def q54_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Verified cosine near-dup pairs per (application, sf_dir): q54
+# reports them and q130 acts on them — one session builds the bucket
+# funnel once (the in-session form of "at 100 TB you'd persist the
+# pair table"; same memo pattern as dedup.shingle_state). Cleared by
+# clear_cosine_pairs_cache (cascaded from sketches.clear_lp_cache so
+# cold probes stay honest).
+_COS_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_cosine_pairs_cache() -> None:
+    from .sketches import _safe_unpersist
+
+    for pairs in _COS_PAIRS_CACHE.values():
+        _safe_unpersist(pairs)
+    _COS_PAIRS_CACHE.clear()
+
+
+def cosine_pairs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COS_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    return cosine_near_dup_pairs(emb)
+    pairs = cosine_near_dup_pairs(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    _COS_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def q54_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs_state(spark, sf_dir)
 
 
 # --- q55: IVF-style ANN — the scale path. Coarse quantizer = per-label
@@ -950,7 +980,7 @@ def q130_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    pairs = cosine_near_dup_pairs(emb.select("vec_id", "v"))
+    pairs = cosine_pairs_state(spark, sf_dir)
     dropped = (
         pairs.select(F.col("vec_b").alias("vec_id"))
         .distinct()

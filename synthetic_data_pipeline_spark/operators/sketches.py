@@ -104,6 +104,9 @@ def clear_lp_cache() -> None:
         _safe_unpersist(labels)
     _LP_CACHE.clear()
     clear_shingle_cache()
+    from .similarity import clear_cosine_pairs_cache
+
+    clear_cosine_pairs_cache()
 
 
 def _lp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
