@@ -45,6 +45,7 @@ HEADLINE = [
     "q104_ngram_jaccard_join",
     "q118_incremental_dedup",
     "q125_fuzzy_prefix_dedup",
+    "q131_duplicated_spans",
     "q105_decontaminate",
     "q126_dsir_weights",
     "q128_bpe_merges",

@@ -663,6 +663,108 @@ def q127_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q131: duplicated-span analysis — the exact-substring-dedup
+# diagnostic (Lee et al. 2021 "Deduplicating Training Data Makes
+# Language Models Better", public): what fraction of each document's
+# SPAN_N-gram positions is part of a run that also appears verbatim
+# in ANOTHER document. Unlike the Jaccard tier this counts every
+# position (not distinct shingles), so it measures how much TEXT is
+# duplicated, not how many docs are similar. Scale shape: the
+# position explode is linear in corpus tokens; cross-doc detection is
+# min(doc)!=max(doc) per gram — a two-value aggregate, NO distinct
+# count and NO pair join, so a ubiquitous gram costs the same as a
+# rare one (skew-proof without a df cap).
+SPAN_N = 20
+
+
+def _span_grams(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, source, g) — every overlapping n-gram position (NOT
+    deduped within a doc; same narrow transform as distinct_shingles)."""
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "source", arr.alias("arr"))
+    grams = F.when(
+        F.size("arr") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("arr"), (i + j).cast("int"))
+                  for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    )
+
+
+def q131_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _span_grams(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    cross_doc = (
+        grams.groupBy("g")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+    )
+    per_doc = (
+        grams.join(cross_doc, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pos").alias("n_positions"),
+            F.sum("n_dup").alias("n_dup_positions"),
+            eround(
+                1e-9 + F.sum("n_dup") / F.sum("n_pos").cast("double"), 4
+            ).alias("dup_share"),
+            F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0)).alias(
+                "n_docs_with_dup"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_Q131_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(1, len(arr) - {SPAN_N - 2}),
+               i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
+             )) AS g
+      FROM base WHERE len(arr) >= {SPAN_N}
+    ),
+    cross_doc AS (
+      SELECT g, min(doc_id) != max(doc_id) AS dup FROM grams GROUP BY g
+    ),
+    per_doc AS (
+      SELECT gr.doc_id, gr.source, count(*) AS n_pos,
+             sum(CASE WHEN c.dup THEN 1 ELSE 0 END) AS n_dup
+      FROM grams gr JOIN cross_doc c ON c.g = gr.g
+      GROUP BY gr.doc_id, gr.source
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_pos) AS BIGINT) AS n_positions,
+           CAST(sum(n_dup) AS BIGINT) AS n_dup_positions,
+           round(1e-9 + sum(n_dup) / CAST(sum(n_pos) AS DOUBLE), 4)
+             AS dup_share,
+           CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_dup
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -672,6 +774,7 @@ QUERIES = {
     "q118_incremental_dedup": q118_incremental_dedup,
     "q125_fuzzy_prefix_dedup": q125_fuzzy_prefix_dedup,
     "q127_leakage_matrix": q127_leakage_matrix,
+    "q131_duplicated_spans": q131_duplicated_spans,
 }
 
 _TOKENS_SQL = """
@@ -790,6 +893,7 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
     "q125_fuzzy_prefix_dedup": _q125_oracle(),
+    "q131_duplicated_spans": _Q131_ORACLE,
     "q127_leakage_matrix": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL_DOCS}),
         mins AS (

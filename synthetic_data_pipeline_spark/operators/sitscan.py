@@ -267,17 +267,41 @@ def redact_chain_df(docs: DataFrame) -> DataFrame:
     for the measured comparison and why). 34 narrow passes, each a
     cheap early-out scan with zero rewrite on match-free rows; still
     one parquet scan, no shuffle, no join — the per-pass cost is CPU
-    over in-memory strings, not extra I/O."""
-    col = F.col("text")
-    for sit_id, _name, regex, _tcs in SIT_CATALOG:
-        if sit_id not in RE2_SAFE_IDS:
-            continue
-        col = F.regexp_replace(col, F.lit(regex), F.lit(f"[{sit_id}]"))
+    over in-memory strings, not extra I/O.
+
+    The corpus is SPLIT on the digit guard (one cheap translate test
+    per doc, evaluated at the scan): docs with no digit run only the
+    three patterns whose mandatory class isn't a digit (email / SAS
+    token / SWIFT), everything else runs the full chain. Digit-anchored
+    patterns are identity on digit-free text, so the union is
+    byte-identical to the plain chain — and on corpora where most docs
+    carry no digits (this one: all of them) 31 of 34 regex passes
+    never run. (A per-pass when(guard, replace(col)).otherwise(col)
+    chain is NOT an option: referencing col twice per level doubles
+    the expression tree 34 times.)"""
+
+    def chain(frame: DataFrame, only_non_digit: bool) -> DataFrame:
+        col = F.col("text")
+        for sit_id, _name, regex, _tcs in SIT_CATALOG:
+            if sit_id not in RE2_SAFE_IDS:
+                continue
+            if only_non_digit and _GUARD_KIND.get(sit_id, "digit") == "digit":
+                continue
+            col = F.regexp_replace(col, F.lit(regex), F.lit(f"[{sit_id}]"))
+        return frame.withColumn("_red", col)
+
+    has_digit = (
+        F.length(F.translate("text", "0123456789", "")) < F.length("text")
+    )
+    both = chain(docs.filter(has_digit), only_non_digit=False).unionByName(
+        chain(docs.filter(~has_digit), only_non_digit=True)
+    )
+    col = F.col("_red")
     n_red = (
         (F.length(col) - F.length(F.replace(col, F.lit("[SIT_"), F.lit(""))))
         / F.lit(5)
     ).cast("long")
-    return docs.select(
+    return both.select(
         "doc_id",
         n_red.alias("n_redactions"),
         F.md5(col.cast("binary")).alias("redacted_md5"),

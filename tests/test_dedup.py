@@ -213,3 +213,42 @@ def test_fuzzy_prefix_planted_dup(spark, sf_dir, tmp_path):
     }
     fuzzy = {(r.doc_a, r.doc_b) for r in rows}
     assert near <= fuzzy or not near
+
+
+def test_duplicated_spans_planted(spark):
+    """q131 on a planted corpus: docs 0 and 1 share an exact 25-token
+    run (every one of its 20-gram positions is cross-doc duplicated),
+    doc 2 is unique — so src_dup reports exactly the shared positions
+    and src_uniq reports zero."""
+    from synthetic_data_pipeline_spark.operators.dedup import _span_grams
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    uniq = " ".join(f"solo{i}" for i in range(30))
+    rows = [
+        (0, f"{shared} tail0a tail0b", "src_dup"),
+        (1, f"head1a head1b {shared}", "src_dup"),
+        (2, uniq, "src_uniq"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    from pyspark.sql import functions as F
+
+    grams = _span_grams(docs)
+    cross = grams.groupBy("g").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+    )
+    per_doc = (
+        grams.join(cross, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    res = {r.doc_id: (r.n_pos, r.n_dup) for r in per_doc.collect()}
+    # doc 0: 27 tokens -> 8 positions; the shared run's 20-grams are
+    # positions 1..6 (those fully inside the 25 shared tokens)
+    assert res[0] == (8, 6)
+    assert res[1] == (8, 6)
+    assert res[2] == (11, 0)
