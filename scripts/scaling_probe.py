@@ -56,6 +56,7 @@ PROBE = [
     "q101_deduped_corpus",        # LP clusters + anti-join materialization
     "q102_training_prep",         # composed filter→dedup→split chain
     "q104_ngram_jaccard_join",    # capped posting-list candidate join
+    "q131_duplicated_spans",      # position-level 20-gram cross-doc agg
     "q105_decontaminate",         # broadcast benchmark-gram semi join
     "q106_repetition_signals",    # two (doc, gram) counting shuffles
     "q108_click_error_interval",  # equi-key interval join
@@ -96,6 +97,9 @@ PROBE_100 = [
     # q126's gram explosion runs over the 100x documents.
     "q107_quantized_knn",
     "q126_dsir_weights",
+    # round 8: the newborn exact-substring diagnostic — its gram
+    # explode is the largest linear term in the dedup tier
+    "q131_duplicated_spans",
 ]
 
 

@@ -699,9 +699,17 @@ def _span_grams(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
 
 
 def q131_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = _span_grams(
-        load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    # grams are read twice (cross-doc agg + flag join-back) but NOT
+    # materialized — the table is corpus-sized and checkpointing
+    # frames of that size measured far slower at the 100x tier than
+    # re-running the explode (same finding as dsir_weights). Hashing
+    # each ~130-char 20-gram to its 32-char md5 before the shuffles
+    # shrinks them 4x; equality grouping on md5 is semantically
+    # identical in both engines (same hash, same deterministic
+    # collisions)
+    grams = _span_grams(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.md5("g").alias("g")
+    )
     cross_doc = (
         grams.groupBy("g")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
@@ -739,10 +747,10 @@ _Q131_ORACLE = f"""
     ),
     grams AS (
       SELECT doc_id, source,
-             unnest(list_transform(
+             md5(unnest(list_transform(
                range(1, len(arr) - {SPAN_N - 2}),
                i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
-             )) AS g
+             ))) AS g
       FROM base WHERE len(arr) >= {SPAN_N}
     ),
     cross_doc AS (

@@ -299,9 +299,9 @@ def cosine_near_dup_pairs(
       (test_cosine_dup_arrow_matches_fold) and for Arrow-less
       deployments."""
     nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    emb_n = emb.select("vec_id", "v", nrm.alias("nrm")).localCheckpoint(
-        eager=False
-    )
+    # not checkpointed: corpus-sized with vectors (see the buckets
+    # note below); the norm fold is cheap to recompute per consumer
+    emb_n = emb.select("vec_id", "v", nrm.alias("nrm"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
@@ -309,13 +309,15 @@ def cosine_near_dup_pairs(
     )
     if arrow and not exact_max_rows:
         sigs = band_signatures(F.col("v"))
-        # checkpointed: the hyperplane projections are the expensive
-        # part and BOTH the oversized-key count and the verify path
-        # read this frame — compute the signatures once
+        # NOT checkpointed despite multiple consumers: the frame is
+        # corpus-sized AND carries the vectors, and materializing
+        # corpus-sized intermediates measured several times slower at
+        # the 100x tier than recomputing the projections (see
+        # dsir_weights / q131) — only bounded frames earn a checkpoint
         buckets = emb_n.select(
             "vec_id", "v", "nrm",
             F.posexplode(F.array(*sigs)).alias("band", "sig"),
-        ).localCheckpoint(eager=False)
+        )
         # oversized-bucket keys: a keys-only count (no vectors move)
         # whose >cap survivors are the RARE skewed buckets — small by
         # construction, so broadcasting them keeps the main path to a

@@ -727,15 +727,17 @@ def doc_perplexity(docs: DataFrame) -> DataFrame:
     """(doc_id, source, ppl) — per-doc pseudo-perplexity under the
     corpus-fit bigram model (shared by q109's report and q111's
     adaptive filter)."""
-    # base feeds the bigram explode AND the vocab count; bg feeds the
-    # model counts (c12, c1) AND the scoring pass — materialize each
-    # once instead of re-tokenizing/re-exploding per consumer
+    # base and bg are each read by several consumers but stay
+    # UNMATERIALIZED: both are corpus-sized, and checkpointing frames
+    # of that size measured slower at the 100x tier than recomputing
+    # the explode (see dsir_weights) — the model-count aggregates are
+    # map-side-combined, so the re-reads are cheap scans
     base = docs.select(
         "doc_id", "source", _tokens(F.col("text")).alias("arr")
-    ).localCheckpoint(eager=False)
+    )
     bg = base.select(
         "doc_id", "source", F.explode(_bigram_array()).alias("bg")
-    ).localCheckpoint(eager=False)
+    )
     c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
     c1 = (
         bg.select(F.split("bg", " ").getItem(0).alias("w1"))
@@ -1003,15 +1005,18 @@ def dsir_weights(
     bucket = (
         F.expr(expand_u16(hash_u16("g", "dsir"), "spark")) % DSIR_BUCKETS
     ).alias("b")
-    # consumed twice (bucket counts + per-doc scoring) and the gram
-    # explode + md5 bucket hash is the expensive part — materialize
-    # the narrow (doc_id, source, b, is_t) form once
+    # consumed twice (bucket counts + per-doc scoring) but NOT
+    # materialized: the gram table is corpus-sized, and checkpointing
+    # it measured 3.6x SLOWER at the 100x tier (block-manager churn
+    # dwarfs the saved re-explode) — recompute-twice is the scale-safe
+    # shape for corpus-sized intermediates; only bounded frames earn a
+    # checkpoint (see doc_perplexity's per-doc scores)
     grams = _dsir_grams(docs).select(
         "doc_id",
         "source",
         bucket,
         (F.col("source") == bench_source).alias("is_t"),
-    ).localCheckpoint(eager=False)
+    )
     counts = grams.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("n_r"),
