@@ -29,10 +29,10 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 
 # Round-8 window (VERDICT r7 "Next round" #2). Composition — after
 # this round NO registry query's last driver row is older than r6:
-#   * the FOUR never-driver-checked queries born this round: q128
+#   * the FIVE never-driver-checked queries born this round: q128
 #     (BPE merge induction — VERDICT r7 #1), q129 (BPE compression
 #     curve), q130 (SemDeDup-style semantic prune), q131 (duplicated
-#     -span analysis);
+#     -span analysis), q132 (incremental span contamination);
 #   * ALL TWENTY queries whose last driver row is r5 (the rotation
 #     debt VERDICT r7 #3 flagged): q70-q79, q82, q92, q94-q97, q101,
 #     q102, plus q47/q52 (which yielded their r7 slots to the r7
@@ -40,22 +40,22 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #   * THREE r7 anchors whose code paths change THIS round: q54
 #     (oversized-bucket guard), q104 (PPJoin prefix filtering), q122
 #     (funnel lineage shared with the changed streaming-apply path);
-#   * TWENTY-THREE oldest r6-era refreshes: the relational core
-#     (q01-q03, q05, q08, q10, q12-q15, q19, q22, q27, q29),
+#   * TWENTY-TWO oldest r6-era refreshes: the relational core
+#     (q01-q03, q05, q08, q10, q12-q15, q22, q27, q29),
 #     the SIT scan tier (q90 — ALSO changing this round with the
 #     pre-guard, q91, q93, q98, q99), and the heaviest LLM-tier
-#     headliners (q105-q107, q116). The 23 r6 rows left out (q20,
-#     q24, q28, q56, q60/q61, q63/q64, q81, q100, q103, q108-q115, q117,
+#     headliners (q105-q107, q116). The 24 r6 rows left out (q19,
+#     q20, q24, q28, q56, q60/q61, q63/q64, q81, q100, q103, q108-q115, q117,
 #     q119, q123, q124) rotate in next round; each leaves an
 #     in-window cousin on the same module.
 DRIVER_WINDOW = [
     # never driver-checked (born this round): q128 BPE merges, q129
     # BPE compression curve, q130 semantic prune, q131 duplicated
-    # spans — they take the slots of q24/q28/q20 (percentile,
-    # trailing-window and EXISTS cousins q22/q27/q29/q79/q04/q05
-    # stay in-window)
+    # spans, q132 incremental span contamination — they take the
+    # slots of q24/q28/q20/q19 (percentile, trailing-window, EXISTS
+    # and group-count cousins q22/q27/q29/q79/q05/q08 stay in-window)
     "q128_bpe_merges", "q129_bpe_compression", "q130_semantic_prune",
-    "q131_duplicated_spans",
+    "q131_duplicated_spans", "q132_incremental_spans",
     # r5-stale: relational / pivot tiers
     "q70_cheapest_supplier_per_nation", "q71_important_parts",
     "q72_top_revenue_nation", "q73_large_quantity_orders",
@@ -77,7 +77,6 @@ DRIVER_WINDOW = [
     "q08_parts_by_type", "q10_rollup_orders",
     "q12_top_orders_per_customer", "q13_running_total",
     "q14_order_gap_days", "q15_top_parts_by_price",
-    "q19_entity_counts_by_nation",
     "q22_monthly_sales",
     "q27_price_bucket_range_join",
     "q29_price_analytics",

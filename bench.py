@@ -46,6 +46,7 @@ HEADLINE = [
     "q118_incremental_dedup",
     "q125_fuzzy_prefix_dedup",
     "q131_duplicated_spans",
+    "q132_incremental_spans",
     "q105_decontaminate",
     "q126_dsir_weights",
     "q128_bpe_merges",

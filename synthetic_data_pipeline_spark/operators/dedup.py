@@ -773,6 +773,77 @@ _Q131_ORACLE = f"""
 """
 
 
+# --- q132: INCREMENTAL span contamination — q131's diagnostic at
+# ingest time (the q118 pattern): an incoming batch's 20-gram
+# positions are checked against the INDEXED corpus's distinct-gram
+# table, never old×old. At 100 TB the index is a persisted md5-gram
+# table (here derived in-query from the same deterministic
+# doc_id % INGEST_MOD split as q118 so the oracle replays the
+# identical scenario); per-ingest work is the batch's own gram
+# explode + one equi-join against the index. The per-doc dup_share
+# is the admission gate a pipeline would threshold on.
+def q132_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_grams = _span_grams(
+        docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    ).select("doc_id", "source", F.md5("g").alias("g"))
+    index = (
+        _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
+        .select(F.md5("g").alias("g"))
+        .distinct()
+    )
+    flagged = new_grams.join(index.withColumn("_hit", F.lit(True)), "g",
+                             "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_dup"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_pos",
+        "n_dup",
+        eround(
+            1e-9 + F.col("n_dup") / F.col("n_pos").cast("double"), 4
+        ).alias("dup_share"),
+    ).orderBy("doc_id")
+
+
+_Q132_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             md5(unnest(list_transform(
+               range(1, len(arr) - {{SPAN}}),
+               i -> array_to_string(arr[i:i + {{SPAN1}}], ' ')
+             ))) AS g
+      FROM base WHERE len(arr) >= {{SPANN}}
+    ),
+    idx AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {{MOD}} != 0
+    ),
+    flagged AS (
+      SELECT n.doc_id, n.source,
+             CASE WHEN i.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM grams n LEFT JOIN idx i ON i.g = n.g
+      WHERE n.doc_id % {{MOD}} = 0
+    ),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS n_pos, sum(hit) AS n_dup
+      FROM flagged GROUP BY doc_id, source
+    )
+    SELECT doc_id, source,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           round(1e-9 + n_dup / CAST(n_pos AS DOUBLE), 4) AS dup_share
+    FROM per_doc ORDER BY doc_id
+""".format(SPAN=SPAN_N - 2, SPAN1=SPAN_N - 1, SPANN=SPAN_N, MOD=INGEST_MOD)
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -783,6 +854,7 @@ QUERIES = {
     "q125_fuzzy_prefix_dedup": q125_fuzzy_prefix_dedup,
     "q127_leakage_matrix": q127_leakage_matrix,
     "q131_duplicated_spans": q131_duplicated_spans,
+    "q132_incremental_spans": q132_incremental_spans,
 }
 
 _TOKENS_SQL = """
@@ -902,6 +974,7 @@ ORACLES = {
     """,
     "q125_fuzzy_prefix_dedup": _q125_oracle(),
     "q131_duplicated_spans": _Q131_ORACLE,
+    "q132_incremental_spans": _Q132_ORACLE,
     "q127_leakage_matrix": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL_DOCS}),
         mins AS (

@@ -252,3 +252,51 @@ def test_duplicated_spans_planted(spark):
     assert res[0] == (8, 6)
     assert res[1] == (8, 6)
     assert res[2] == (11, 0)
+
+
+def test_incremental_spans_checks_only_new_vs_index(spark):
+    """q132 semantics on a planted corpus: an incoming doc (id % 20
+    == 0) sharing a 25-token run with an INDEXED doc is flagged; an
+    incoming doc sharing a run only with ANOTHER INCOMING doc is not
+    (new-vs-new is q131's batch job, not the ingest gate); and only
+    incoming docs appear in the output."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        INGEST_MOD,
+        SPAN_N,
+        _span_grams,
+    )
+
+    shared_idx = " ".join(f"idx{i}" for i in range(25))
+    shared_new = " ".join(f"new{i}" for i in range(25))
+    rows = [
+        (1, f"{shared_idx} filler1a filler1b", "s"),       # indexed
+        (0, f"{shared_idx} tail0a tail0b", "s"),           # incoming, dup
+        (20, f"{shared_new} tail20a tail20b", "s"),        # incoming
+        (40, f"head40a head40b {shared_new}", "s"),        # incoming
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    new_grams = _span_grams(
+        docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    ).select("doc_id", F.md5("g").alias("g"))
+    index = (
+        _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
+        .select(F.md5("g").alias("g"))
+        .distinct()
+    )
+    flagged = (
+        new_grams.join(index.withColumn("_hit", F.lit(True)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    res = {r.doc_id: (r.n_pos, r.n_dup) for r in flagged.collect()}
+    assert set(res) == {0, 20, 40}          # only incoming docs
+    assert res[0] == (8, 6)                  # 6 of 8 positions indexed
+    assert res[20] == (8, 0)                 # new-vs-new NOT flagged
+    assert res[40] == (8, 0)

@@ -19,7 +19,7 @@ DRIVER_CAP = 50
 # whose code paths change this round (q54 bucket guard, q104 prefix
 # filtering, q122 funnel lineage).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [128, 129, 130, 131,                      # born round 8
+    f"q{i:02d}" for i in [128, 129, 130, 131, 132,                      # born round 8
                           70, 71, 72, 73, 74, 75, 76, 77, 78, 79,  # r5-stale
                           82, 92, 94, 95, 96, 97, 101, 102, 47, 52,
                           54, 104, 122]                       # changed paths
