@@ -844,6 +844,53 @@ _Q132_ORACLE = f"""
 """.format(SPAN=SPAN_N - 2, SPAN1=SPAN_N - 1, SPANN=SPAN_N, MOD=INGEST_MOD)
 
 
+# Streaming-ingest support for the span gate (q132's twin): the
+# distinct-gram index is built ONCE batch-side and persisted; each
+# arriving micro-batch explodes only its own grams and equi-joins the
+# index — the write_funnel_state / funnel_apply_batch pattern.
+def write_span_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the indexed corpus's distinct md5-gram table as parquet
+    (the doc_id % INGEST_MOD != 0 slice, same deterministic split as
+    q118/q132 so the stream twin replays the identical scenario)."""
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
+        .select(F.md5("g").alias("g"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def span_gate_batch(
+    spark: SparkSession, index_path: str, batch_df: DataFrame
+) -> DataFrame:
+    """One micro-batch through the ingest gate: the batch's own grams
+    vs the persisted index. Per-doc outcomes are IDENTICAL to q132's
+    for the same docs — the index is state, so batch boundaries can't
+    change any answer (asserted by
+    test_incremental_spans_stream_equals_batch)."""
+    index = spark.read.parquet(index_path)
+    flagged = (
+        _span_grams(batch_df)
+        .select("doc_id", "source", F.md5("g").alias("g"))
+        .join(index.withColumn("_hit", F.lit(True)), "g", "left")
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_pos"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_dup"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_pos",
+        "n_dup",
+        eround(
+            1e-9 + F.col("n_dup") / F.col("n_pos").cast("double"), 4
+        ).alias("dup_share"),
+    )
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,

@@ -278,6 +278,40 @@ def pipeline_funnel_stream(
     )
 
 
+def incremental_spans_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q132's ingest gate: incoming documents
+    (doc_id % INGEST_MOD == 0, the same deterministic split) arrive as
+    a stream and each micro-batch's 20-gram positions are checked
+    against the PERSISTED distinct-gram index written once batch-side
+    (dedup.write_span_index). Per-batch work is the batch's own gram
+    explode + one equi-join against the index — never old×old — and
+    the foreachBatch parquet sink lands exactly-once. Per-doc rows
+    equal q132's (test_incremental_spans_stream_equals_batch).
+    Returns the number of micro-batches."""
+    from ..operators import dedup
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_span_index_")
+    dedup.write_span_index(spark, sf_dir, index_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % dedup.INGEST_MOD == 0
+    )
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return dedup.span_gate_batch(spark, index_dir, batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

@@ -284,3 +284,30 @@ def test_pipeline_funnel_stream_equals_batch(spark, sf_dir, tmp_path):
     # nothing non-empty is missing from either side
     assert got == {k: v for k, v in want.items() if v[0] > 0}
     assert sum(v[0] for v in got.values()) == sum(v[0] for v in want.values())
+
+
+def test_incremental_spans_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q132 streaming twin: per-doc (n_pos, n_dup, dup_share) rows
+    landed by the foreachBatch sink must equal the batch query's rows
+    exactly — the gram index is persisted state, so batch boundaries
+    can't change any answer."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q132_incremental_spans,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        incremental_spans_stream,
+    )
+
+    out = str(tmp_path / "gate")
+    n = incremental_spans_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = {
+        r.doc_id: (r.source, r.n_pos, r.n_dup, r.dup_share)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.n_pos, r.n_dup, r.dup_share)
+        for r in q132_incremental_spans(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
