@@ -57,7 +57,10 @@ HEADLINE = [
     "q50_knn_bruteforce",
     # q54/q130 share the session-memoized verified cosine-pair table
     # (similarity.cosine_pairs_state): the first of them to run pays
-    # the bucket-funnel build, the other measures consumer cost
+    # the bucket-funnel build, the other measures consumer cost — BUT
+    # min-of-2 timing means BOTH headline numbers below are warm-memo
+    # consumer costs; the funnel build itself is recorded in
+    # extras.cosine_pairs_cold_sec (see _cosine_pairs_reuse)
     "q54_cosine_near_dups",
     "q130_semantic_prune",
     "q55_ivf_ann",
@@ -173,11 +176,11 @@ def _stream_throughput(spark, sf_dir: str) -> dict:
         "stream_drain_sec": round(dt, 3),
         "stream_events_per_sec": round(n_events / dt, 1),
     }
-    out.update(_stream_overhead(spark, sf_dir))
+    out.update(_stream_overhead(spark, sf_dir, n_events=n_events))
     return out
 
 
-def _stream_overhead(spark, sf_dir: str) -> dict:
+def _stream_overhead(spark, sf_dir: str, n_events: int = 0) -> dict:
     """Two-point micro-batch overhead decomposition (VERDICT r7 Next
     #8): drain the SAME events through the tumbling aggregation twice,
     once as 8 one-file micro-batches and once as 2 four-file ones
@@ -185,6 +188,8 @@ def _stream_overhead(spark, sf_dir: str) -> dict:
     by the batch-count delta isolates the fixed per-micro-batch cost
     (trigger + state-store commit + sink) from the per-event cost —
     telling whether the foreachBatch sinks are overhead-bound."""
+    import glob
+    import math
     import shutil
     import tempfile
 
@@ -199,6 +204,12 @@ def _stream_overhead(spark, sf_dir: str) -> dict:
         spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
             8
         ).write.mode("overwrite").parquet(tmp)
+        # Count the part files actually written — an empty partition on
+        # a small events table writes fewer than 8, and assuming 8 would
+        # silently mislabel the per-micro-batch decomposition (round-8
+        # ADVICE). availableNow with maxFilesPerTrigger=k drains
+        # ceil(n_files / k) micro-batches.
+        n_files = len(glob.glob(f"{tmp}/part-*"))
         schema = spark.read.parquet(tmp).schema
         times = {}
         for k in (1, 4):
@@ -212,15 +223,79 @@ def _stream_overhead(spark, sf_dir: str) -> dict:
                 tumbling_counts(normalize_ts(src)), mode="complete"
             ).count()
             times[k] = time.perf_counter() - t0
-        n_batches = {1: 8, 4: 2}
-        overhead = (times[1] - times[4]) / (n_batches[1] - n_batches[4])
-        return {
-            "stream_8batch_sec": round(times[1], 3),
-            "stream_2batch_sec": round(times[4], 3),
-            "stream_batch_overhead_sec": round(overhead, 3),
+        n_batches = {k: math.ceil(n_files / k) for k in (1, 4)}
+        raw = (times[1] - times[4]) / max(1, n_batches[1] - n_batches[4])
+        out = {
+            "stream_manybatch_sec": round(times[1], 3),
+            "stream_fewbatch_sec": round(times[4], 3),
+            "stream_n_batches": [n_batches[1], n_batches[4]],
+            # VM-load noise can make the many-batch drain FASTER than
+            # the few-batch one; a negative per-batch overhead is
+            # meaningless, so clamp it and flag the reading instead of
+            # emitting a number a reader would machine-adjust against
+            "stream_batch_overhead_sec": round(max(0.0, raw), 3),
         }
+        if raw < 0:
+            out["stream_batch_overhead_noisy"] = True
+        # trigger-sizing ceiling (VERDICT r8 Next #7): events/s at the
+        # two trigger sizes — the few-batch rate is what the sink can
+        # do when the fixed per-micro-batch cost is amortized, i.e.
+        # the throughput ceiling trigger tuning can buy
+        if n_events:
+            out["stream_eps_manybatch"] = round(n_events / times[1], 1)
+            out["stream_eps_fewbatch"] = round(n_events / times[4], 1)
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _calibration(spark, sf_dir: str) -> dict:
+    """Machine-drift calibration probe (VERDICT r8 Next #2): min-of-3
+    of a FIXED pure-engine reference op — lineitem count + one
+    canonical hash-agg — whose code never changes round-over-round.
+    Recorded as ``calibration_sec`` so per-query deltas between rounds
+    can be machine-normalized: round 8 burned review effort on ~10
+    phantom 1.4–2x 'regressions' on untouched modules that were really
+    a ~20% slower VM. To machine-adjust: multiply the other round's
+    per-query times by (this_calibration / other_calibration)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*")
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return {"calibration_sec": round(best, 3)}
+
+
+def _cosine_pairs_reuse(spark, sf_dir: str) -> dict:
+    """Cold vs warm cost of the shared verified cosine-pair table
+    (similarity.cosine_pairs_state): q54/q130's headline times read the
+    session memo, so without this extra the ~1.3 s LSH-bucket funnel
+    build appears in NO artifact number (VERDICT r8 Next #3). Cold =
+    q54 with a cleared cache (pays the hyperplane-LSH banding + Arrow
+    verify); warm = q130 on the memoized pair table."""
+    from synthetic_data_pipeline_spark.operators import similarity
+
+    similarity.clear_cosine_pairs_cache()
+    t0 = time.perf_counter()
+    similarity.q54_cosine_near_dups(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    similarity.q130_semantic_prune(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    warm = time.perf_counter() - t0
+    return {
+        "cosine_pairs_cold_sec": round(cold, 3),
+        "cosine_pairs_warm_sec": round(warm, 3),
+        "cosine_pairs_reuse_x": round(cold / warm, 1),
+    }
 
 
 def _funnel_reuse(spark, sf_dir: str) -> dict:
@@ -358,6 +433,16 @@ def main() -> None:
         errors["_funnel_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
 
     try:
+        extras.update(_cosine_pairs_reuse(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_cosine_pairs_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_calibration(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_calibration"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
         extras.update(_gen_scan_reuse(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_gen_scan_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
@@ -421,6 +506,9 @@ def main() -> None:
         "sf": sf,
         "docs_per_sec": extras.get("gen_render_docs_per_sec"),
         "stream_events_per_sec": extras.get("stream_events_per_sec"),
+        # fixed-op drift probe: divide another round's value by this
+        # one to machine-normalize per-query deltas (_calibration)
+        "calibration_sec": extras.get("calibration_sec"),
         "detail_file": "BENCH_DETAIL.json",
     }
     line = json.dumps(headline)

@@ -801,23 +801,40 @@ def funnel_apply_batch(
     one whose exact-hash is absent from the persisted keepers — is
     admitted as its own keeper (min doc_id per new hash within the
     batch, so new in-batch duplicates still dedupe to one), rather
-    than silently dropped by a NULL keep_id comparison."""
+    than silently dropped by a NULL keep_id comparison; the elected
+    keepers are then APPENDED to ``{state_dir}/keepers`` so the SAME
+    novel content arriving in a later micro-batch dedupes against the
+    first batch's keeper instead of being admitted twice (round-8
+    ADVICE: without the write-back, batch boundaries changed answers
+    for never-indexed content). The append is retry-safe: a replayed
+    batch's left_anti finds its own hashes already indexed, elects
+    nothing new, and the flag join reads back the identical keeper
+    rows the first attempt wrote."""
     from .textops import DECON_BENCH_SOURCE
 
     train = batch_df.filter(F.col("source") != DECON_BENCH_SOURCE)
     base = _funnel_base(train)
     persisted = spark.read.parquet(f"{state_dir}/keepers")
     # hashes born in this batch: elect a batch-local keeper for each
-    # (left_anti on the persisted index — never a scan of old docs)
-    batch_new = (
+    # (left_anti on the persisted index — never a scan of old docs),
+    # staged to a scratch dir first so the append never reads the
+    # directory it is writing to
+    pending = f"{state_dir}/_keepers_pending"
+    (
         base.filter("s1")
         .join(persisted.select("h"), "h", "left_anti")
         .groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"))
+        .write.mode("overwrite")
+        .parquet(pending)
+    )
+    spark.read.parquet(pending).write.mode("append").parquet(
+        f"{state_dir}/keepers"
     )
     flags = _funnel_apply_flags(
         base,
-        persisted.unionByName(batch_new),
+        # fresh read AFTER the append: includes this batch's electees
+        spark.read.parquet(f"{state_dir}/keepers"),
         spark.read.parquet(f"{state_dir}/near_drops"),
         spark.read.parquet(f"{state_dir}/bench"),
         train,

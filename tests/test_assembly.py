@@ -376,3 +376,15 @@ def test_funnel_apply_batch_admits_new_docs(spark, tmp_path):
     assert max_id + 1 in got_new          # unique new doc admitted
     assert max_id + 2 in got_new          # first of the new dups kept
     assert max_id + 3 not in got_new      # second new dup deduped away
+    # round-9 (round-8 ADVICE): the elected keepers are written back,
+    # so the SAME novel content arriving in a LATER micro-batch must
+    # dedupe against batch 1's keeper instead of being admitted twice
+    batch2 = spark.createDataFrame(
+        [
+            (max_id + 4, fresh, "en", mn_source, len(fresh)),
+            (max_id + 5, dup, "en", mn_source, len(dup)),
+        ],
+        schema=docs.schema,
+    )
+    out2 = funnel_apply_batch(spark, state, batch2)
+    assert out2.filter(F.col("doc_id") > max_id + 3).count() == 0
