@@ -14,6 +14,11 @@ index — no driver loop):
 - events: event_id and user_id get per-copy strides — 10x users with
   the same per-user session structure, so sessionization work scales
   linearly by construction.
+- embeddings: vec_id stride + a per-copy isometry (cyclic dimension
+  shift, sign-flipped once shifts exhaust) — within-copy cosines are
+  preserved exactly, cross-copy vectors land in different LSH buckets,
+  so the cosine near-dup tier scales out instead of turning into a
+  degenerate all-twins corpus.
 - documents: doc_id stride + a per-copy bijective letter substitution
   (rotations of 'etaoinshrd', 10 distinct) — WITHIN a copy every
   pairwise shingle-Jaccard is preserved (bijections rename shingles
@@ -57,6 +62,14 @@ PROBE = [
     "q102_training_prep",         # composed filter→dedup→split chain
     "q104_ngram_jaccard_join",    # capped posting-list candidate join
     "q131_duplicated_spans",      # position-level 20-gram cross-doc agg
+    "q132_incremental_spans",     # batch grams x persisted span index
+    # round 9 (VERDICT r8 Next #4): the newborns never probed past 1x.
+    # q129's BPE_MERGES+1 chained aggregates over the distinct-word
+    # table are the compounding risk; q130 needs the isometry-scaled
+    # embeddings above (its cosine-pair funnel is cleared per run by
+    # the clear_lp_cache cascade, so it times a cold build)
+    "q129_bpe_compression",       # stage-chained aggs over distinct words
+    "q130_semantic_prune",        # cosine-pair funnel + keeper election
     "q105_decontaminate",         # broadcast benchmark-gram semi join
     "q106_repetition_signals",    # two (doc, gram) counting shuffles
     "q108_click_error_interval",  # equi-key interval join
@@ -90,16 +103,23 @@ PROBE_100 = [
     "q108_click_error_interval",
     "q114_stratified_sample",
     # round 8 (VERDICT r7 Next #6): the two heaviest headline queries.
-    # q107's probe×corpus scan is bounded by N_QUERIES probes but the
-    # corpus side is the 100x embeddings table (identical vectors per
-    # copy, strided vec_ids — top-k per probe keeps output bounded, so
-    # unlike q54 the duplicate vectors can't blow up the result);
-    # q126's gram explosion runs over the 100x documents.
+    # q107's probe×corpus scan is bounded by N_QUERIES probes against
+    # the 100x embeddings table (since round 9 the copies are
+    # per-copy isometries, not verbatim twins — top-k per probe keeps
+    # the output bounded either way); q126's gram explosion runs over
+    # the 100x documents.
     "q107_quantized_knn",
     "q126_dsir_weights",
     # round 8: the newborn exact-substring diagnostic — its gram
     # explode is the largest linear term in the dedup tier
     "q131_duplicated_spans",
+    # round 9 (VERDICT r8 Next #4): q129's merge-stage chain is
+    # BPE_MERGES+1 aggregates whose inputs all derive from the
+    # Zipf-bounded distinct-word table — two decades verify the chain
+    # doesn't compound; q132's distinct-gram index build is
+    # corpus-sized and worth one 100x row
+    "q129_bpe_compression",
+    "q132_incremental_spans",
 ]
 
 
@@ -181,11 +201,32 @@ def build_scaled(
         )
 
     if "embeddings" in scale_tables:
+        # Per-copy cyclic DIMENSION shift (+ a global sign flip once the
+        # 64 distinct shifts are exhausted): both are isometries, so
+        # WITHIN a copy every pairwise cosine is preserved exactly,
+        # while ACROSS copies vectors land in different LSH buckets —
+        # the embedding-space analogue of the documents' bijective
+        # letter substitution. Naively striding vec_id alone would make
+        # every vector a copies-way exact twin and the cosine-pair
+        # tier would measure a degenerate all-dups corpus, not
+        # scale-out (q130 joined this probe in round 9).
         emb_src = spark.read.parquet(f"{src}/embeddings.parquet")
         vid_stride = _stride(emb_src, "vec_id")
+        dim = len(emb_src.select("embedding").first()[0])
+        shift = (F.col("copy") % dim).cast("int")
+        sign = F.when(
+            ((F.col("copy") / dim).cast("long") % 2) == 1, F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+        shifted = F.concat(
+            F.slice(F.col("embedding"), shift + F.lit(1), F.lit(dim) - shift),
+            F.slice(F.col("embedding"), F.lit(1), shift),
+        )
         scaled["embeddings"] = _with_copies(emb_src, copies).select(
             (F.col("vec_id") + F.col("copy") * vid_stride).alias("vec_id"),
-            *[c for c in emb_src.columns if c != "vec_id"],
+            F.transform(shifted, lambda x: (x * sign).cast("float")).alias(
+                "embedding"
+            ),
+            "label",
         )
 
     if "documents" in scale_tables:
@@ -270,6 +311,11 @@ def main() -> None:
         # reused — a probe would then time 1x data while the artifact
         # reports the full tier (round-8 ADVICE).
         want = f"copies={copies} tables={','.join(sorted(scale_tables))}"
+        if "embeddings" in scale_tables:
+            # transform version: round 9 switched embedding copies from
+            # verbatim twins to per-copy isometries — a cache built
+            # before that must not be reused
+            want += " embv2"
         sentinel = f"{dst_dir}/_BUILT"
         have = None
         if os.path.exists(sentinel):
@@ -288,7 +334,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     _build_if_stale(dst, COPIES,
-                    ("orders", "lineitem", "events", "documents"))
+                    ("orders", "lineitem", "events", "documents",
+                     "embeddings"))
     build_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES}x corpus in {build_sec}s -> {dst}", file=sys.stderr)
     t0 = time.perf_counter()
@@ -342,6 +389,22 @@ def main() -> None:
         "max_per_row_ratio_100x": max(
             r["per_row_ratio_100x"] for r in rows100.values()
         ),
+        # VERDICT r8 Next #6 — measured by scripts/span_key_ab.py (two
+        # interleaved min-of-N sessions at the 10x tier, 2026-08-14):
+        # the 16-byte unhex(md5) binary gram key does NOT pay on
+        # local[32] — min 3.565 s (hex string) vs 3.653 s (binary),
+        # i.e. a wash within noise; the halved shuffle bytes are offset
+        # by the extra unhex + binary-compare CPU while shuffles stay
+        # memory-local. Kept the hex string (the c60da73 pattern:
+        # reverted-with-numbers); on a network-shuffle cluster the
+        # binary key is worth re-measuring with the same script.
+        "span_key_ab": {
+            "md5_hex_str_min_sec": 3.565,
+            "unhex_md5_bin_min_sec": 3.653,
+            "decision": "keep md5 hex string (wash within VM noise; "
+                        "re-measure on network shuffle)",
+            "script": "scripts/span_key_ab.py",
+        },
         "note": (
             "per_row_ratio = t_10x / (10 * t_1x); <=1 means per-row cost "
             "flat-or-better at 10x (fixed overheads amortize), the linear-"
