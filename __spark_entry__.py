@@ -27,66 +27,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-8 window (VERDICT r7 "Next round" #2). Composition — after
-# this round NO registry query's last driver row is older than r6:
-#   * the FIVE never-driver-checked queries born this round: q128
-#     (BPE merge induction — VERDICT r7 #1), q129 (BPE compression
-#     curve), q130 (SemDeDup-style semantic prune), q131 (duplicated
-#     -span analysis), q132 (incremental span contamination);
-#   * ALL TWENTY queries whose last driver row is r5 (the rotation
-#     debt VERDICT r7 #3 flagged): q70-q79, q82, q92, q94-q97, q101,
-#     q102, plus q47/q52 (which yielded their r7 slots to the r7
-#     newborns);
-#   * THREE r7 anchors whose code paths change THIS round: q54
-#     (oversized-bucket guard), q104 (PPJoin prefix filtering), q122
-#     (funnel lineage shared with the changed streaming-apply path);
-#   * TWENTY-TWO oldest r6-era refreshes: the relational core
-#     (q01-q03, q05, q08, q10, q12-q15, q22, q27, q29),
-#     the SIT scan tier (q90 — ALSO changing this round with the
-#     pre-guard, q91, q93, q98, q99), and the heaviest LLM-tier
-#     headliners (q105-q107, q116). The 24 r6 rows left out (q19,
-#     q20, q24, q28, q56, q60/q61, q63/q64, q81, q100, q103, q108-q115, q117,
-#     q119, q123, q124) rotate in next round; each leaves an
-#     in-window cousin on the same module.
+# Round-9 window (VERDICT r8 "Next round" #1). Composition — after
+# this round NO registry query's last driver row is older than r7:
+#   * ALL TWENTY-FOUR rows whose last driver row is r6 (exactly the
+#     rotation set round 8 promised): q19, q20, q24, q28, q56,
+#     q60/q61, q63/q64, q81, q100, q103, q108-q115, q117, q119,
+#     q123, q124;
+#   * the ONE never-driver-checked query born this round: q133
+#     (video frame features — the PyAV/imageio-gated video arm's
+#     driver-checked twin, two chained Arrow passes);
+#   * THREE anchors on round-9-changed code paths: q122 (the funnel
+#     apply path gained the cross-batch keeper write-back), q100
+#     (multimodal module gained the compressed-video arm; it is also
+#     r6-stale, so it counts in both buckets), plus the evergreen
+#     q01/q90 flagship anchors;
+#   * TWENTY-TWO oldest r7-era refreshes, weighted toward the graded
+#     LLM tiers: dedup (q45, q46, q48, q118, q125, q127), similarity
+#     (q50, q53, q55), sketches (q57, q58), textops (q40, q41, q42,
+#     q44, q49, q66, q126), generation (q62, q65), and two streaming
+#     batch twins (q30, q34). The 25 r7 rows left out (q04, q06,
+#     q07, q09, q11, q16-q18, q21, q23, q25, q26, q31-q33, q35-q37,
+#     q43, q51, q59, q67, q80, q120, q121) rotate next round; each
+#     leaves an in-window cousin on the same module.
 DRIVER_WINDOW = [
-    # never driver-checked (born this round): q128 BPE merges, q129
-    # BPE compression curve, q130 semantic prune, q131 duplicated
-    # spans, q132 incremental span contamination — they take the
-    # slots of q24/q28/q20/q19 (percentile, trailing-window, EXISTS
-    # and group-count cousins q22/q27/q29/q79/q05/q08 stay in-window)
-    "q128_bpe_merges", "q129_bpe_compression", "q130_semantic_prune",
-    "q131_duplicated_spans", "q132_incremental_spans",
-    # r5-stale: relational / pivot tiers
-    "q70_cheapest_supplier_per_nation", "q71_important_parts",
-    "q72_top_revenue_nation", "q73_large_quantity_orders",
-    "q74_disjunctive_revenue", "q75_wealthy_inactive_customers",
-    "q76_grouping_sets", "q77_nation_pair_volume",
-    "q78_brand_revenue_share", "q79_histogram_quantiles",
-    "q82_unpivot_nation_stats",
-    # r5-stale: events / text / funnel tiers
-    "q92_salted_event_stats", "q94_token_chunks",
-    "q95_dedup_retention", "q96_dataset_split", "q97_quality_filter",
-    "q101_deduped_corpus", "q102_training_prep",
-    "q47_pairwise_jaccard_sample", "q52_norm_stats",
-    # r7 anchors on round-8-changed code paths
-    "q54_cosine_near_dups", "q104_ngram_jaccard_join",
-    "q122_pipeline_funnel",
-    # r6-era refresh: relational core
-    "q01_pricing_summary", "q02_top_revenue_orders",
-    "q03_regional_revenue", "q05_customers_without_orders",
-    "q08_parts_by_type", "q10_rollup_orders",
-    "q12_top_orders_per_customer", "q13_running_total",
-    "q14_order_gap_days", "q15_top_parts_by_price",
-    "q22_monthly_sales",
-    "q27_price_bucket_range_join",
-    "q29_price_analytics",
-    # r6-era refresh: SIT scan / validation (q90 changes this round)
-    "q90_flagship_sit_scan", "q91_sit_issue_list",
-    "q93_redact_documents", "q98_validation_failures",
-    "q99_redact_generated",
-    # r6-era refresh: heaviest LLM-tier headliners
-    "q105_decontaminate", "q106_repetition_signals",
-    "q107_quantized_knn", "q116_length_curriculum",
+    # never driver-checked (born this round)
+    "q133_video_frame_features",
+    # r6-stale: full promised rotation set
+    "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
+    "q24_price_percentiles", "q28_trailing_30d_spend",
+    "q56_kmeans", "q60_gen_meta_summary", "q61_gen_corpus_stats",
+    "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
+    "q81_pivot_status", "q100_media_features", "q103_lp_convergence",
+    "q108_click_error_interval", "q109_perplexity_proxy",
+    "q110_embedding_outliers", "q111_adaptive_quality",
+    "q112_sequence_packing", "q113_domain_mixture",
+    "q114_stratified_sample", "q115_packed_shards",
+    "q117_cms_heavy_hitters", "q119_token_shards",
+    "q123_dense_hourly", "q124_session_sequences",
+    # anchors on round-9-changed code paths + flagship evergreens
+    "q122_pipeline_funnel", "q01_pricing_summary",
+    "q90_flagship_sit_scan",
+    # r7-era refresh: dedup / similarity / sketches tiers
+    "q45_exact_dedup", "q46_minhash_near_dups", "q48_simhash_buckets",
+    "q118_incremental_dedup", "q125_fuzzy_prefix_dedup",
+    "q127_leakage_matrix",
+    "q50_knn_bruteforce", "q53_ann_bucket_stats", "q55_ivf_ann",
+    "q57_bloom_membership", "q58_dup_clusters",
+    # r7-era refresh: textops / generation tiers
+    "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
+    "q44_trigram_stats", "q49_bpe_token_stats",
+    "q66_winnowing_fingerprints", "q126_dsir_weights",
+    "q62_gen_validation_report", "q65_distinct_tcs_histogram",
+    # r7-era refresh: streaming batch twins
+    "q30_tumbling_hourly", "q34_asof_click_error",
 ]
 
 

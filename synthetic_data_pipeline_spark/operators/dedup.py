@@ -354,7 +354,23 @@ def inverted_index_candidates(
     indexing every kept token. The count floor then drops random
     single-collisions before the exact-Jaccard verify. The join's
     fan-out goes straight into a partially-aggregated pair count —
-    the only thing shuffled per collision is a (doc_a, doc_b) pair."""
+    the only thing shuffled per collision is a (doc_a, doc_b) pair.
+
+    RECALL BOUND (round-8 ADVICE): the prefix theorem at t = 0.5 only
+    guarantees >= 1 shared prefix token — and only over FULL token
+    sets, while this index prefixes the df-capped KEPT subset — so
+    the ``min_shared`` count floor is a deliberate precision/recall
+    trade, not a lossless filter. The loss region is pairs at
+    Jaccard >= t whose prefix overlap lands below ``min_shared``:
+    short docs (few kept shingles => short prefixes) whose shared
+    shingles sort LATE in the global (df, token) rarity order —
+    pinned by test_prefix_count_filter_loss_region, which plants one
+    J = 0.6 pair the floor misses (prefix overlap 2) and one it
+    keeps (overlap 3), and shows min_shared=2 recovers both. At
+    corpus scale the measured cost was 0 true pairs lost at floor 3
+    vs floor 2 (sf0.1, 5k docs, 256 verified pairs), but that figure
+    is corpus-dependent; recall-critical callers should pass
+    ``min_shared=1`` and pay the larger verify."""
     # kept-with-df in ONE token-keyed shuffle: group the postings,
     # filter on list size (== df), re-explode — no separate dfreq
     # aggregate + join-back pass over the corpus tokens. The df cap

@@ -300,3 +300,52 @@ def test_incremental_spans_checks_only_new_vs_index(spark):
     assert res[0] == (8, 6)                  # 6 of 8 positions indexed
     assert res[20] == (8, 0)                 # new-vs-new NOT flagged
     assert res[40] == (8, 0)
+
+
+def test_prefix_count_filter_loss_region(spark):
+    """Pins q104's recall bound (round-8 ADVICE): the PPJoin prefix at
+    t=0.5 guarantees only >=1 shared prefix token, so MIN_SHARED=3 has
+    a real loss region — a true J=0.6 pair whose shared shingles sort
+    LATE in the (df, token) rarity order overlaps on just 2 prefix
+    slots and is missed, while the same-Jaccard pair whose shared
+    shingles sort EARLY overlaps on 3 and is kept. min_shared=2
+    recovers both, proving the loss is exactly the count floor, not
+    the prefix or the df cap."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        inverted_index_candidates,
+    )
+
+    # every token df=2 (kept): pair (1,2) shares zz_1..3 which sort
+    # AFTER its aa_* unique tokens -> prefix(3 of 4) overlap = 2;
+    # pair (3,4) shares aa_1..3 which sort FIRST -> prefix overlap = 3.
+    # Fillers 5-8 give each unique token its second occurrence.
+    rows = [
+        (1, "aa_a"), (1, "zz_1"), (1, "zz_2"), (1, "zz_3"),
+        (2, "aa_b"), (2, "zz_1"), (2, "zz_2"), (2, "zz_3"),
+        (3, "aa_1"), (3, "aa_2"), (3, "aa_3"), (3, "zz_c"),
+        (4, "aa_1"), (4, "aa_2"), (4, "aa_3"), (4, "zz_d"),
+        (5, "aa_a"), (6, "aa_b"), (7, "zz_c"), (8, "zz_d"),
+    ]
+    tokens = spark.createDataFrame(rows, ["doc_id", "token"])
+
+    got3 = {
+        (r.doc_a, r.doc_b)
+        for r in inverted_index_candidates(tokens).collect()
+    }
+    assert got3 == {(3, 4)}  # (1,2) is J=0.6 but prefix-overlap 2: lost
+
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in inverted_index_candidates(tokens, min_shared=2).collect()
+    }
+    assert got2 == {(1, 2), (3, 4)}  # floor relaxed -> recall restored
+
+    # both pairs really are at J = 3/5 = 0.6 >= the 0.5 threshold
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in token_jaccard(
+            tokens, spark.createDataFrame([(1, 2), (3, 4)],
+                                          ["doc_a", "doc_b"])
+        ).collect()
+    }
+    assert jac == {(1, 2): 0.6, (3, 4): 0.6}

@@ -155,3 +155,51 @@ def test_compressed_audio_arm_gated_on_soundfile():
         assert flac.dtype == np.uint8 and len(flac) == 128
     with pytest.raises(ValueError):
         decode_audio(b"MIDI" + b"\x00" * 16)
+
+
+def test_compressed_video_arm_gated_on_pyav_imageio():
+    """Both outcomes of the video gate (the video mirror of the
+    soundfile arm, VERDICT r8 Next #8): with PyAV (or imageio)
+    importable, MP4/WebM/AVI containers decode to the same
+    (n_frames, h, w) uint8 stack the native PGM-stream arm produces;
+    without either, the honest NotImplementedError stays. Native
+    PGM streams keep bypassing the gate entirely, and an unknown
+    container is rejected either way."""
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        _imageio,
+        _pyav,
+        decode_video,
+        encode_pgm_stream,
+    )
+
+    # native arm unaffected by the gate
+    frames = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    assert (decode_video(encode_pgm_stream(frames)) == frames).all()
+
+    mp4_magic = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    mkv_magic = b"\x1a\x45\xdf\xa3" + b"\x00" * 16
+    avi_magic = b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 16
+    if _pyav is None and _imageio is None:
+        for stub in (mp4_magic, mkv_magic, avi_magic):
+            with pytest.raises(NotImplementedError, match="PyAV or imageio"):
+                decode_video(stub)
+    else:  # pragma: no cover - codec libs absent in the build container
+        import io
+
+        buf = io.BytesIO()
+        if _pyav is not None:
+            with _pyav.open(buf, "w", format="mp4") as container:
+                stream = container.add_stream("mpeg4", rate=5)
+                stream.width, stream.height = 16, 16
+                stream.pix_fmt = "yuv420p"
+                for k in range(3):
+                    img = np.full((16, 16), 40 * k, dtype=np.uint8)
+                    frame = _pyav.VideoFrame.from_ndarray(img, format="gray")
+                    for pkt in stream.encode(frame):
+                        container.mux(pkt)
+                for pkt in stream.encode():
+                    container.mux(pkt)
+        vid = decode_video(buf.getvalue())
+        assert vid.dtype == np.uint8 and vid.ndim == 3 and vid.shape[0] == 3
+    with pytest.raises(ValueError):
+        decode_video(b"MIDI" + b"\x00" * 16)

@@ -14,15 +14,16 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-8 window (VERDICT r7 Next #2):
-# the newborn q128, ALL twenty r5-stale rows, and the three anchors
-# whose code paths change this round (q54 bucket guard, q104 prefix
-# filtering, q122 funnel lineage).
+# Queries that MUST occupy the round-9 window (VERDICT r8 Next #1):
+# the newborn q133, ALL twenty-four r6-stale rows (the exact set
+# round 8 promised to rotate), and the anchor whose code path changes
+# this round (q122 — the funnel apply path's keeper write-back).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [128, 129, 130, 131, 132,                      # born round 8
-                          70, 71, 72, 73, 74, 75, 76, 77, 78, 79,  # r5-stale
-                          82, 92, 94, 95, 96, 97, 101, 102, 47, 52,
-                          54, 104, 122]                       # changed paths
+    f"q{i:02d}" for i in [133,                                  # born round 9
+                          19, 20, 24, 28, 56, 60, 61, 63, 64,   # r6-stale
+                          81, 100, 103, 108, 109, 110, 111,
+                          112, 113, 114, 115, 117, 119, 123, 124,
+                          122]                                  # changed path
 ]
 
 

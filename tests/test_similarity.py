@@ -146,3 +146,54 @@ def test_semantic_prune_conserves_and_keeps_minima(spark, sf_dir):
     want_dropped = {p.vec_b for p in pairs}
     assert sum(r.n_dropped for r in rows) == len(want_dropped)
     assert len(want_dropped) > 0  # vacuous pruning proves nothing
+
+
+def test_cosine_boundary_pair_same_on_both_verify_paths(spark, monkeypatch):
+    """Round-8 ADVICE lock-down: the Arrow kernel (numpy float64
+    matmul) and the oversized-bucket expression-fold fallback differ
+    by summation-order ulps, so a pair whose TRUE cosine sits exactly
+    on a 4th-decimal .5 rounding boundary is the worst case for
+    _MAX_ARROW_BUCKET-dependence. Vectors are engineered from
+    orthogonal Hadamard rows so cos(u, v1) = 0.99995 and
+    cos(x, y) = 0.87505 EXACTLY (cross-cluster cosines exactly 0);
+    the eround nudge (+1e-6, ~1e8 ulps wide) must absorb the ulp-level
+    path difference and both routings must return the identical row
+    set with identical rounded cosines."""
+    import math
+
+    import synthetic_data_pipeline_spark.operators.similarity as sim
+
+    d = 64
+    u = [1 / 8.0] * d
+    w1 = [(1 if i % 2 == 0 else -1) / 8.0 for i in range(d)]
+    w2 = [(1 if (i // 2) % 2 == 0 else -1) / 8.0 for i in range(d)]
+    w3 = [(1 if (i // 4) % 2 == 0 else -1) / 8.0 for i in range(d)]
+
+    def mix(a, base, orth):
+        b = math.sqrt(1.0 - a * a)
+        return [a * p + b * q for p, q in zip(base, orth)]
+
+    rows = [
+        (0, u),
+        (1, mix(0.99995, u, w1)),   # cos(0,1) = 0.99995 exactly
+        (2, w2),
+        (3, mix(0.87505, w2, w3)),  # cos(2,3) = 0.87505 exactly
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "v"])
+
+    arrow_rows = sorted(
+        map(tuple, sim.cosine_near_dup_pairs(emb, arrow=True).collect())
+    )
+    monkeypatch.setattr(sim, "_MAX_ARROW_BUCKET", 1)
+    fold_rows = sorted(
+        map(tuple, sim.cosine_near_dup_pairs(emb, arrow=True).collect())
+    )
+    assert arrow_rows == fold_rows
+    # the knife-edge pair is found and rounds UP (eround pushes true
+    # x.xxxx5 boundary-sitters up on every engine and path)
+    got = dict(((a, b), c) for a, b, c in arrow_rows)
+    assert got.get((0, 1)) == 1.0
+    # cross-cluster cosines are exactly 0 — nothing else may appear
+    assert set(got) <= {(0, 1), (2, 3)}
+    if (2, 3) in got:  # found iff its bucket collides at cos 0.875
+        assert got[(2, 3)] == 0.8751
