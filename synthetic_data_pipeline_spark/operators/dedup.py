@@ -907,6 +907,116 @@ def span_gate_batch(
     )
 
 
+# --- q134: LONGEST duplicated span per document — the length
+# diagnostic q131's share metric can't express (Lee et al.'s
+# exact-substring dedup acts on runs >= a length threshold, so the
+# decision input is "how LONG are the duplicated runs", not "how many
+# positions are duplicated"). Consecutive duplicated gram positions
+# collapse to runs via the classic pos - row_number() gaps-and-islands
+# grouping; a run of L consecutive SPAN_N-gram positions covers
+# L + SPAN_N - 1 words of verbatim duplicated text. Scale shape: the
+# gram explode and min!=max cross-doc aggregate are q131's (linear,
+# skew-proof); the only addition is a per-DOC window over the (small)
+# duplicated-position subset — partitioned by doc_id, never global.
+def q134_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "source", arr.alias("arr")).filter(
+        F.size("arr") >= SPAN_N
+    )
+    # 1-based gram positions, same gram construction as _span_grams
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr") - (SPAN_N - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("arr"), (i + j).cast("int"))
+                              for j in range(SPAN_N)],
+                        )
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", "source", F.col("pg.pos").alias("pos"),
+             F.col("pg.g").alias("g"))
+    cross_doc = grams.groupBy("g").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+    )
+    flagged = (
+        grams.join(cross_doc, "g")
+        .filter("dup")
+        .select("doc_id", "source", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    per_run = runs.groupBy("doc_id", "source", "grp").agg(
+        (F.count("*") + F.lit(SPAN_N - 1)).alias("span_words")
+    )
+    per_doc = per_run.groupBy("doc_id", "source").agg(
+        F.max("span_words").alias("longest")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_with_dup"),
+            F.max("longest").alias("max_span_words"),
+            eround(1e-9 + F.avg("longest"), 4).alias("avg_longest_span"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q134_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(range(1, len(arr) - {SPAN_N - 2})) AS pos,
+             md5(unnest(list_transform(
+               range(1, len(arr) - {SPAN_N - 2}),
+               i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
+             ))) AS g
+      FROM base WHERE len(arr) >= {SPAN_N}
+    ),
+    cross_doc AS (
+      SELECT g, min(doc_id) != max(doc_id) AS dup FROM grams GROUP BY g
+    ),
+    flagged AS (
+      SELECT gr.doc_id, gr.source, gr.pos
+      FROM grams gr JOIN cross_doc c ON c.g = gr.g WHERE c.dup
+    ),
+    runs AS (
+      SELECT doc_id, source,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM flagged
+    ),
+    per_run AS (
+      SELECT doc_id, source, grp, count(*) + {SPAN_N - 1} AS span_words
+      FROM runs GROUP BY doc_id, source, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, source, max(span_words) AS longest
+      FROM per_run GROUP BY doc_id, source
+    )
+    SELECT source, count(*) AS n_docs_with_dup,
+           CAST(max(longest) AS BIGINT) AS max_span_words,
+           round(1e-9 + avg(longest), 4) AS avg_longest_span
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -918,6 +1028,7 @@ QUERIES = {
     "q127_leakage_matrix": q127_leakage_matrix,
     "q131_duplicated_spans": q131_duplicated_spans,
     "q132_incremental_spans": q132_incremental_spans,
+    "q134_longest_dup_span": q134_longest_dup_span,
 }
 
 _TOKENS_SQL = """
@@ -1038,6 +1149,7 @@ ORACLES = {
     "q125_fuzzy_prefix_dedup": _q125_oracle(),
     "q131_duplicated_spans": _Q131_ORACLE,
     "q132_incremental_spans": _Q132_ORACLE,
+    "q134_longest_dup_span": _Q134_ORACLE,
     "q127_leakage_matrix": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL_DOCS}),
         mins AS (

@@ -349,3 +349,38 @@ def test_prefix_count_filter_loss_region(spark):
         ).collect()
     }
     assert jac == {(1, 2): 0.6, (3, 4): 0.6}
+
+
+def test_longest_dup_span_planted(spark, tmp_path):
+    """q134 on a planted corpus: docs 0/1 share one 25-token run
+    (longest span = exactly those 25 words), docs 3/4 share TWO
+    disjoint runs of 22 and 30 tokens separated by unique middles —
+    the gaps-and-islands grouping must keep the runs apart and report
+    30, not 52. A fully unique doc never reaches the output."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q134_longest_dup_span,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(25))
+    shared_a = " ".join(f"a{i}" for i in range(22))
+    shared_b = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (0, f"{shared} tail0a tail0b", "en", "src_dup", 0),
+        (1, f"head1a head1b {shared}", "en", "src_dup", 0),
+        (2, " ".join(f"solo{i}" for i in range(30)), "en", "src_uniq", 0),
+        (3, f"{shared_a} m3a m3b m3c m3d m3e {shared_b}", "en", "src_two", 0),
+        (4, f"{shared_a} m4a m4b m4c m4d m4e {shared_b}", "en", "src_two", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: (r.n_docs_with_dup, r.max_span_words, r.avg_longest_span)
+        for r in q134_longest_dup_span(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "src_dup": (2, 25, 25.0),   # the shared run, nothing more
+        "src_two": (2, 30, 30.0),   # longest of the two runs, not 52
+    }
