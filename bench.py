@@ -47,6 +47,7 @@ HEADLINE = [
     "q125_fuzzy_prefix_dedup",
     "q131_duplicated_spans",
     "q132_incremental_spans",
+    "q134_longest_dup_span",
     "q105_decontaminate",
     "q126_dsir_weights",
     "q128_bpe_merges",

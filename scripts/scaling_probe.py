@@ -63,6 +63,7 @@ PROBE = [
     "q104_ngram_jaccard_join",    # capped posting-list candidate join
     "q131_duplicated_spans",      # position-level 20-gram cross-doc agg
     "q132_incremental_spans",     # batch grams x persisted span index
+    "q134_longest_dup_span",      # per-doc window over dup positions
     # round 9 (VERDICT r8 Next #4): the newborns never probed past 1x.
     # q129's BPE_MERGES+1 chained aggregates over the distinct-word
     # table are the compounding risk; q130 needs the isometry-scaled
@@ -120,6 +121,10 @@ PROBE_100 = [
     # corpus-sized and worth one 100x row
     "q129_bpe_compression",
     "q132_incremental_spans",
+    # round 9: the longest-span newborn — its per-doc window runs over
+    # the duplicated-position subset; the 100x row verifies the window
+    # input stays a small fraction of the gram table
+    "q134_longest_dup_span",
 ]
 
 
