@@ -125,6 +125,11 @@ PROBE_100 = [
     # the duplicated-position subset; the 100x row verifies the window
     # input stays a small fraction of the gram table
     "q134_longest_dup_span",
+    # round 9: the cosine tier at two decades — the isometry-scaled
+    # embeddings keep per-copy near-dup structure constant, so the
+    # hyperplane-LSH bucket funnel + Arrow verify should scale with
+    # corpus size, not pair count
+    "q130_semantic_prune",
 ]
 
 

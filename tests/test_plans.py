@@ -181,3 +181,18 @@ def test_q93_q94_stay_narrow(spark):
         # only the output sort's rangepartitioning — no hash shuffle
         assert "hashpartitioning" not in p, p
         assert p.count("- Exchange") <= 1, p
+
+
+def test_q134_window_is_doc_partitioned(spark):
+    """q134's run-length window must partition by doc_id — a
+    'No Partition Defined' global window over the duplicated positions
+    would serialize the whole diagnostic through one task at scale."""
+    from synthetic_data_pipeline_spark.operators import dedup
+
+    p = plan(dedup.q134_longest_dup_span(spark, SF_DIR))
+    assert "row_number" in p.lower()
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window", p):
+        seg = p[m.start(): m.start() + 500]
+        assert "doc_id" in seg, seg
