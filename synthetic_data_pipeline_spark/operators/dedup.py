@@ -947,14 +947,17 @@ def q134_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pg"),
     ).select("doc_id", "source", F.col("pg.pos").alias("pos"),
              F.col("pg.g").alias("g"))
-    cross_doc = grams.groupBy("g").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
-    )
-    flagged = (
-        grams.join(cross_doc, "g")
+    # unlike q131 (which needs the non-dup counts too), only the
+    # DUPLICATED grams matter here — pre-filtering the cross-doc agg
+    # to its dup subset shrinks the join-back's build side to the
+    # (typically small) duplicated-gram set before any row moves
+    dup_grams = (
+        grams.groupBy("g")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
         .filter("dup")
-        .select("doc_id", "source", "pos")
+        .select("g")
     )
+    flagged = grams.join(dup_grams, "g").select("doc_id", "source", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
     per_run = runs.groupBy("doc_id", "source", "grp").agg(
@@ -989,12 +992,12 @@ _Q134_ORACLE = f"""
              ))) AS g
       FROM base WHERE len(arr) >= {SPAN_N}
     ),
-    cross_doc AS (
-      SELECT g, min(doc_id) != max(doc_id) AS dup FROM grams GROUP BY g
+    dup_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) != max(doc_id)
     ),
     flagged AS (
       SELECT gr.doc_id, gr.source, gr.pos
-      FROM grams gr JOIN cross_doc c ON c.g = gr.g WHERE c.dup
+      FROM grams gr JOIN dup_grams c ON c.g = gr.g
     ),
     runs AS (
       SELECT doc_id, source,
