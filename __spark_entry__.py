@@ -33,11 +33,12 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     rotation set round 8 promised): q19, q20, q24, q28, q56,
 #     q60/q61, q63/q64, q81, q100, q103, q108-q115, q117, q119,
 #     q123, q124;
-#   * the TWO never-driver-checked queries born this round: q133
+#   * the THREE never-driver-checked queries born this round: q133
 #     (video frame features — the PyAV/imageio-gated video arm's
-#     driver-checked twin, two chained Arrow passes) and q134
-#     (longest duplicated span — gaps-and-islands run lengths over
-#     q131's position grams);
+#     driver-checked twin, two chained Arrow passes), q134 (longest
+#     duplicated span — gaps-and-islands run lengths over q131's
+#     position grams) and q135 (incremental longest-span ingest gate
+#     with a persisted-index streaming twin);
 #   * THREE anchors on round-9-changed code paths: q122 (the funnel
 #     apply path gained the cross-batch keeper write-back), q100
 #     (multimodal module gained the compressed-video arm; it is also
@@ -45,15 +46,16 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q01/q90 flagship anchors;
 #   * TWENTY-TWO oldest r7-era refreshes, weighted toward the graded
 #     LLM tiers: dedup (q45, q46, q48, q118, q125, q127), similarity
-#     (q50, q53, q55), sketches (q57, q58), textops (q40, q41, q42,
+#     (q50, q53, q55), sketches (q58), textops (q40, q41, q42,
 #     q44, q49, q66, q126), generation (q62, q65), and the as-of
-#     streaming batch twin (q34). The 26 r7 rows left out (q04, q06,
+#     streaming batch twin (q34). The 27 r7 rows left out (q04, q06,
 #     q07, q09, q11, q16-q18, q21, q23, q25, q26, q30-q33, q35-q37,
-#     q43, q51, q59, q67, q80, q120, q121) rotate next round; each
-#     leaves an in-window cousin on the same module.
+#     q43, q51, q57, q59, q67, q80, q120, q121) rotate next round;
+#     each leaves an in-window cousin on the same module.
 DRIVER_WINDOW = [
     # never driver-checked (born this round)
     "q133_video_frame_features", "q134_longest_dup_span",
+    "q135_incremental_span_gate",
     # r6-stale: full promised rotation set
     "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
     "q24_price_percentiles", "q28_trailing_30d_spend",
@@ -74,7 +76,7 @@ DRIVER_WINDOW = [
     "q118_incremental_dedup", "q125_fuzzy_prefix_dedup",
     "q127_leakage_matrix",
     "q50_knn_bruteforce", "q53_ann_bucket_stats", "q55_ivf_ann",
-    "q57_bloom_membership", "q58_dup_clusters",
+    "q58_dup_clusters",
     # r7-era refresh: textops / generation tiers
     "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
     "q44_trigram_stats", "q49_bpe_token_stats",

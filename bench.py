@@ -48,6 +48,7 @@ HEADLINE = [
     "q131_duplicated_spans",
     "q132_incremental_spans",
     "q134_longest_dup_span",
+    "q135_incremental_span_gate",
     "q105_decontaminate",
     "q126_dsir_weights",
     "q128_bpe_merges",

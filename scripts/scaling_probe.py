@@ -64,6 +64,7 @@ PROBE = [
     "q131_duplicated_spans",      # position-level 20-gram cross-doc agg
     "q132_incremental_spans",     # batch grams x persisted span index
     "q134_longest_dup_span",      # per-doc window over dup positions
+    "q135_incremental_span_gate", # new grams semi-join span index + runs
     # round 9 (VERDICT r8 Next #4): the newborns never probed past 1x.
     # q129's BPE_MERGES+1 chained aggregates over the distinct-word
     # table are the compounding risk; q130 needs the isometry-scaled

@@ -878,6 +878,21 @@ def write_span_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
+def span_gate_batch_longest(
+    spark: SparkSession, index_path: str, batch_df: DataFrame
+) -> DataFrame:
+    """One micro-batch through the LONGEST-SPAN gate (q135's streaming
+    twin, same persisted distinct-gram index as span_gate_batch): the
+    batch's positional grams semi-join the index, runs collapse via
+    the gaps-and-islands window, and each doc comes back with its
+    longest verbatim overlap + the admit verdict. Per-doc outcomes are
+    IDENTICAL to q135's for the same docs (asserted by
+    test_incremental_span_gate_stream_equals_batch)."""
+    return _longest_gate(
+        _span_grams_pos(batch_df), spark.read.parquet(index_path)
+    )
+
+
 def span_gate_batch(
     spark: SparkSession, index_path: str, batch_df: DataFrame
 ) -> DataFrame:
@@ -918,28 +933,27 @@ def span_gate_batch(
 # gram explode and min!=max cross-doc aggregate are q131's (linear,
 # skew-proof); the only addition is a per-DOC window over the (small)
 # duplicated-position subset — partitioned by doc_id, never global.
-def q134_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
+def _span_grams_pos(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, source, pos, g) — every overlapping n-gram with its
+    1-based position (the positional twin of :func:`_span_grams`;
+    grams md5-hashed before any shuffle, same as the q131 tier)."""
     arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = docs.select("doc_id", "source", arr.alias("arr")).filter(
-        F.size("arr") >= SPAN_N
+        F.size("arr") >= n
     )
-    # 1-based gram positions, same gram construction as _span_grams
-    grams = base.select(
+    return base.select(
         "doc_id",
         "source",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("arr") - (SPAN_N - 1)),
+                F.sequence(F.lit(1), F.size("arr") - (n - 1)),
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.md5(
                         F.concat_ws(
                             " ",
                             *[F.element_at(F.col("arr"), (i + j).cast("int"))
-                              for j in range(SPAN_N)],
+                              for j in range(n)],
                         )
                     ).alias("g"),
                 ),
@@ -947,6 +961,12 @@ def q134_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pg"),
     ).select("doc_id", "source", F.col("pg.pos").alias("pos"),
              F.col("pg.g").alias("g"))
+
+
+def q134_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    grams = _span_grams_pos(load_table(spark, sf_dir, "documents"))
     # unlike q131 (which needs the non-dup counts too), only the
     # DUPLICATED grams matter here — pre-filtering the cross-doc agg
     # to its dup subset shrinks the join-back's build side to the
@@ -1020,6 +1040,115 @@ _Q134_ORACLE = f"""
 """
 
 
+# --- q135: incremental LONGEST-SPAN ingest gate — q134's length
+# diagnostic at ingest time (completing the symmetry q131↔q132 /
+# q134↔q135): an incoming doc's longest run of positions whose grams
+# already exist in the indexed corpus is the quantity exact-substring
+# admission policies threshold on (a doc sharing 40+ verbatim words
+# with the corpus is boilerplate/contamination even when its overall
+# dup_share is low). Per-ingest work is the batch's own positional
+# gram explode + one semi-join against the distinct-gram index —
+# never old×old — plus a doc_id-partitioned window over the (small)
+# hit subset.
+SPAN_GATE_MAX_WORDS = 2 * SPAN_N  # admit iff longest run < 40 words
+
+
+def _longest_gate(new_grams: DataFrame, index: DataFrame) -> DataFrame:
+    """Core of the longest-span gate: positional grams of the NEW docs
+    semi-join the distinct-gram ``index``, hit runs collapse via the
+    doc_id-partitioned gaps-and-islands window, and every doc comes
+    back with (n_pos, n_dup, longest_span_words, admit)."""
+    from pyspark.sql import Window
+
+    totals = new_grams.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_pos")
+    )
+    hits = new_grams.join(index, "g", "semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_run = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg((F.count("*") + F.lit(SPAN_N - 1)).alias("span_words"))
+    )
+    per_doc = per_run.groupBy("doc_id").agg(
+        F.max("span_words").alias("longest"),
+        F.sum(F.col("span_words") - F.lit(SPAN_N - 1)).alias("n_dup"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_pos",
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        F.coalesce("longest", F.lit(0)).alias("longest_span_words"),
+        (F.coalesce("longest", F.lit(0)) < SPAN_GATE_MAX_WORDS).alias(
+            "admit"
+        ),
+    )
+
+
+def q135_incremental_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_grams = _span_grams_pos(
+        docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    )
+    index = (
+        _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
+        .select(F.md5("g").alias("g"))
+        .distinct()
+    )
+    return _longest_gate(new_grams, index).orderBy("doc_id")
+
+
+_Q135_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(range(1, len(arr) - {SPAN_N - 2})) AS pos,
+             md5(unnest(list_transform(
+               range(1, len(arr) - {SPAN_N - 2}),
+               i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
+             ))) AS g
+      FROM base WHERE len(arr) >= {SPAN_N}
+    ),
+    idx AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {INGEST_MOD} != 0
+    ),
+    totals AS (
+      SELECT doc_id, source, count(*) AS n_pos FROM grams
+      WHERE doc_id % {INGEST_MOD} = 0 GROUP BY doc_id, source
+    ),
+    hits AS (
+      SELECT gr.doc_id, gr.pos FROM grams gr JOIN idx USING (g)
+      WHERE gr.doc_id % {INGEST_MOD} = 0
+    ),
+    per_run AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    ),
+    run_agg AS (
+      SELECT doc_id, grp, count(*) + {SPAN_N - 1} AS span_words
+      FROM per_run GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, max(span_words) AS longest,
+             sum(span_words - {SPAN_N - 1}) AS n_dup
+      FROM run_agg GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.source, CAST(t.n_pos AS BIGINT) AS n_pos,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_span_words,
+           COALESCE(p.longest, 0) < {SPAN_GATE_MAX_WORDS} AS admit
+    FROM totals t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -1032,6 +1161,7 @@ QUERIES = {
     "q131_duplicated_spans": q131_duplicated_spans,
     "q132_incremental_spans": q132_incremental_spans,
     "q134_longest_dup_span": q134_longest_dup_span,
+    "q135_incremental_span_gate": q135_incremental_span_gate,
 }
 
 _TOKENS_SQL = """
@@ -1153,6 +1283,7 @@ ORACLES = {
     "q131_duplicated_spans": _Q131_ORACLE,
     "q132_incremental_spans": _Q132_ORACLE,
     "q134_longest_dup_span": _Q134_ORACLE,
+    "q135_incremental_span_gate": _Q135_ORACLE,
     "q127_leakage_matrix": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL_DOCS}),
         mins AS (

@@ -312,6 +312,39 @@ def incremental_spans_stream(
     )
 
 
+def incremental_span_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q135's longest-span admission gate: incoming
+    documents (same deterministic doc_id % INGEST_MOD split) arrive as
+    a stream; each micro-batch's positional grams semi-join the
+    PERSISTED distinct-gram index (dedup.write_span_index — shared
+    with the q132 twin) and every doc lands with its longest verbatim
+    overlap + admit verdict. Per-doc rows equal q135's
+    (test_incremental_span_gate_stream_equals_batch). Returns the
+    number of micro-batches."""
+    from ..operators import dedup
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_span_index_")
+    dedup.write_span_index(spark, sf_dir, index_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % dedup.INGEST_MOD == 0
+    )
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return dedup.span_gate_batch_longest(spark, index_dir, batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

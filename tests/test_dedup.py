@@ -384,3 +384,42 @@ def test_longest_dup_span_planted(spark, tmp_path):
         "src_dup": (2, 25, 25.0),   # the shared run, nothing more
         "src_two": (2, 30, 30.0),   # longest of the two runs, not 52
     }
+
+
+def test_incremental_span_gate_planted(spark, tmp_path):
+    """q135 on a planted corpus: incoming doc 0 shares a 45-word run
+    with indexed doc 1 (longest 45 >= the 40-word gate: rejected),
+    incoming doc 20 shares a 25-word run with indexed doc 3 (admitted),
+    incoming doc 40 is novel (longest 0, admitted) — the gate joins
+    only the INDEXED side, so novel content never flags against other
+    incoming docs."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        SPAN_GATE_MAX_WORDS,
+        q135_incremental_span_gate,
+    )
+
+    long_run = " ".join(f"L{i}" for i in range(45))
+    short_run = " ".join(f"s{i}" for i in range(25))
+    novel = " ".join(f"n{i}" for i in range(30))
+    rows = [
+        (0, f"pre0a pre0b {long_run}", "en", "src", 0),      # incoming
+        (20, f"{short_run} tail20a tail20b", "en", "src", 0),  # incoming
+        (40, novel, "en", "src", 0),                          # incoming
+        (1, f"{long_run} idxtail1", "en", "src", 0),          # indexed
+        (3, f"idxhead3 {short_run}", "en", "src", 0),         # indexed
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.longest_span_words, r.admit)
+        for r in q135_incremental_span_gate(spark, str(tmp_path)).collect()
+    }
+    assert SPAN_GATE_MAX_WORDS == 40
+    assert got == {
+        0: (45, False),   # 45 verbatim words with the index: rejected
+        20: (25, True),   # short overlap: admitted
+        40: (0, True),    # novel: admitted
+    }

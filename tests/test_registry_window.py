@@ -19,7 +19,7 @@ DRIVER_CAP = 50
 # round 8 promised to rotate), and the anchor whose code path changes
 # this round (q122 — the funnel apply path's keeper write-back).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [133, 134,                             # born round 9
+    f"q{i:02d}" for i in [133, 134, 135,                        # born round 9
                           19, 20, 24, 28, 56, 60, 61, 63, 64,   # r6-stale
                           81, 100, 103, 108, 109, 110, 111,
                           112, 113, 114, 115, 117, 119, 123, 124,

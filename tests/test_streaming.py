@@ -311,3 +311,30 @@ def test_incremental_spans_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_incremental_span_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q135 streaming twin: per-doc longest-span + admit rows
+    landed by the foreachBatch sink must equal the batch query's rows
+    exactly — the distinct-gram index is persisted state and runs are
+    computed per doc, so batch boundaries can't change any answer."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q135_incremental_span_gate,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        incremental_span_gate_stream,
+    )
+
+    out = str(tmp_path / "gate")
+    n = incremental_span_gate_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = {
+        r.doc_id: (r.source, r.n_pos, r.n_dup, r.longest_span_words, r.admit)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.n_pos, r.n_dup, r.longest_span_words, r.admit)
+        for r in q135_incremental_span_gate(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
