@@ -55,6 +55,7 @@ SHOWCASE = [
     ("q131_duplicated_spans", "span diagnostic: position grams, min!=max two-value cross-doc agg, no pair join"),
     ("q133_video_frame_features", "video frames: explode-shaped sampler chained into a second mapInPandas decode"),
     ("q134_longest_dup_span", "longest dup span: doc_id-partitioned window over the duplicated-position subset only"),
+    ("q135_incremental_span_gate", "ingest gate: new-side positional grams semi-join the distinct-gram index, no old-x-old work"),
 ]
 
 
