@@ -715,28 +715,45 @@ def _span_grams(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
 
 
 def q131_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # grams are read twice (cross-doc agg + flag join-back) but NOT
-    # materialized — the table is corpus-sized and checkpointing
-    # frames of that size measured far slower at the 100x tier than
-    # re-running the explode (same finding as dsir_weights). Hashing
-    # each ~130-char 20-gram to its 32-char md5 before the shuffles
-    # shrinks them 4x; equality grouping on md5 is semantically
-    # identical in both engines (same hash, same deterministic
-    # collisions)
+    # grams are read three times (cross-doc agg, per-doc totals, semi
+    # probe) but NOT materialized — the table is corpus-sized and
+    # checkpointing frames of that size measured far slower at the
+    # 100x tier than re-running the explode (same finding as
+    # dsir_weights). Hashing each ~130-char 20-gram to its 32-char md5
+    # before the shuffles shrinks them 4x; equality grouping on md5 is
+    # semantically identical in both engines.
+    #
+    # Round-9 shape (interleaved A/B at three tiers): per-doc totals
+    # come from a direct doc-keyed agg and only the DUPLICATED-gram
+    # subset drives a semi join — the old full join-back re-shuffled
+    # every gram row against the cross-doc table, while the dup subset
+    # is small enough for AQE to broadcast, so the probe side never
+    # shuffles. Measured (min-of-N, same session, identical results):
+    # sf0.1 3.11->3.39s (third scan costs ~9% at toy scale), 10x
+    # 4.17->3.37s (-19%), 100x 38.3->16.8s (-56%) — the scale tier
+    # wins decisively, which is the tier this query exists for.
     grams = _span_grams(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.md5("g").alias("g")
     )
-    cross_doc = (
+    dup_grams = (
         grams.groupBy("g")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+        .filter("dup")
+        .select("g")
     )
-    per_doc = (
-        grams.join(cross_doc, "g")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("n_pos"),
-            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
-        )
+    totals = grams.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_pos")
+    )
+    hits = (
+        grams.join(dup_grams, "g", "semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    per_doc = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_pos",
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
     )
     return (
         per_doc.groupBy("source")
@@ -769,14 +786,20 @@ _Q131_ORACLE = f"""
              ))) AS g
       FROM base WHERE len(arr) >= {SPAN_N}
     ),
-    cross_doc AS (
-      SELECT g, min(doc_id) != max(doc_id) AS dup FROM grams GROUP BY g
+    dup_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) != max(doc_id)
+    ),
+    totals AS (
+      SELECT doc_id, source, count(*) AS n_pos
+      FROM grams GROUP BY doc_id, source
+    ),
+    hits AS (
+      SELECT gr.doc_id, count(*) AS n_dup
+      FROM grams gr JOIN dup_grams USING (g) GROUP BY gr.doc_id
     ),
     per_doc AS (
-      SELECT gr.doc_id, gr.source, count(*) AS n_pos,
-             sum(CASE WHEN c.dup THEN 1 ELSE 0 END) AS n_dup
-      FROM grams gr JOIN cross_doc c ON c.g = gr.g
-      GROUP BY gr.doc_id, gr.source
+      SELECT t.doc_id, t.source, t.n_pos, COALESCE(h.n_dup, 0) AS n_dup
+      FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
     )
     SELECT source, count(*) AS n_docs,
            CAST(sum(n_pos) AS BIGINT) AS n_positions,
