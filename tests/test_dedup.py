@@ -423,3 +423,52 @@ def test_incremental_span_gate_planted(spark, tmp_path):
         20: (25, True),   # short overlap: admitted
         40: (0, True),    # novel: admitted
     }
+
+
+def test_islands_run_lengths_random_property(spark):
+    """Property check for the gaps-and-islands core shared by q134/q135:
+    on 30 random hit-position sets, the Spark pos-row_number grouping
+    must reproduce a pure-Python run-length scan's (longest, total)
+    per doc exactly — including adjacent-run boundaries and singleton
+    runs, the cases a planted example can miss."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import SPAN_N
+
+    rng = random.Random(20260814)
+    rows, want = [], {}
+    for doc in range(30):
+        n = rng.randint(1, 40)
+        positions = sorted(rng.sample(range(1, 120), n))
+        rows += [(doc, p) for p in positions]
+        # pure-Python reference: run lengths of consecutive positions
+        runs, cur = [], 1
+        for a, b in zip(positions, positions[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[doc] = (
+            max(runs) + SPAN_N - 1,              # longest span_words
+            sum(r + SPAN_N - 1 for r in runs),   # sum of span_words
+        )
+    hits = spark.createDataFrame(rows, "doc_id long, pos int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_run = (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg((F.count("*") + F.lit(SPAN_N - 1)).alias("span_words"))
+    )
+    got = {
+        r.doc_id: (r.longest, r.total)
+        for r in per_run.groupBy("doc_id")
+        .agg(F.max("span_words").alias("longest"),
+             F.sum("span_words").alias("total"))
+        .collect()
+    }
+    assert got == want
