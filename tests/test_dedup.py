@@ -472,3 +472,32 @@ def test_islands_run_lengths_random_property(spark):
         .collect()
     }
     assert got == want
+
+
+def test_span_tier_degenerate_corpora(spark, tmp_path):
+    """Edge cases the sf corpora never produce: an EMPTY documents
+    table and a corpus where every doc is SHORTER than SPAN_N words
+    must yield empty results from the whole span tier (q131/q134/q135)
+    — not a planning error from aggregating an empty frame, and not a
+    phantom row from the left joins."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q131_duplicated_spans,
+        q134_longest_dup_span,
+        q135_incremental_span_gate,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars int")
+    for name, rows in (
+        ("empty", []),
+        ("short", [(0, "too short", "en", "src", 9),
+                   (20, "also tiny", "en", "src", 9),
+                   (1, "below the gram width", "en", "src", 20)]),
+    ):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        assert q131_duplicated_spans(spark, d).count() == 0, name
+        assert q134_longest_dup_span(spark, d).count() == 0, name
+        assert q135_incremental_span_gate(spark, d).count() == 0, name
