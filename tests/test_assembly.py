@@ -388,3 +388,33 @@ def test_funnel_apply_batch_admits_new_docs(spark, tmp_path):
     )
     out2 = funnel_apply_batch(spark, state, batch2)
     assert out2.filter(F.col("doc_id") > max_id + 3).count() == 0
+
+
+def test_funnel_apply_batch_retry_idempotent(spark, tmp_path):
+    """The keeper write-back must be retry-safe (foreachBatch replays a
+    batch after a crash): applying the SAME batch twice yields the
+    identical admitted set — the replay's left_anti finds its own
+    hashes already indexed, elects nothing new, and reads back the
+    first attempt's keeper rows instead of double-admitting."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        funnel_apply_batch,
+        write_funnel_state,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    state = str(tmp_path / "state")
+    write_funnel_state(spark, SF_DIR, state)
+    docs = load_table(spark, SF_DIR, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    novel = " ".join(f"rq{i}zz" for i in range(40))
+    batch = docs.limit(10).unionByName(
+        spark.createDataFrame(
+            [(max_id + 1, novel, "en", "web", len(novel))],
+            schema=docs.schema,
+        )
+    )
+    first = sorted(map(tuple, funnel_apply_batch(spark, state, batch).collect()))
+    replay = sorted(map(tuple, funnel_apply_batch(spark, state, batch).collect()))
+    assert replay == first
