@@ -129,8 +129,10 @@ PROBE_100 = [
     # round 9: the cosine tier at two decades — the isometry-scaled
     # embeddings keep per-copy near-dup structure constant, so the
     # hyperplane-LSH bucket funnel + Arrow verify should scale with
-    # corpus size, not pair count
+    # corpus size, not pair count; q55 rides along as the stated
+    # 100 TB path (measured 10x cheaper per row at 100x in r9)
     "q130_semantic_prune",
+    "q55_ivf_ann",
 ]
 
 
