@@ -276,3 +276,87 @@ def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def run_log_lines(rendered: DataFrame) -> DataFrame:
+    """S16 run-log sink, Spark-first (reference: postprocessor.py's
+    ``logging.basicConfig(filename=output/postprocess.log)`` with one
+    ``Processed doc_id N: docx=... pdf=... eml=...`` INFO line per doc
+    at postprocessor.py:193 and WARNING lines for rows missing an
+    input at :122-133). On a cluster, executor-side ``logging`` calls
+    land in N scattered executor logs — the reason earlier rounds
+    delegated this row to the Spark event log. The Spark-native
+    equivalent produces the per-doc events AS DATA: one log-line row
+    per rendered document, derived from the rendition frame itself, so
+    the "log" is an ordinary distributed text dataset (write it with
+    ``write_run_log``, join it, filter WARNs, aggregate error rates —
+    none of which a flat file supports). Severity mirrors the
+    reference: INFO for a doc whose requested renditions all
+    materialized, WARNING when one is missing. Deterministic by
+    design: no wall-clock timestamp inside the rows (the reference's
+    asctime prefix is run metadata, not doc data — ``write_run_log``
+    stamps it once in the header)."""
+    n_or_null = [
+        F.when(F.col(c).isNotNull(), F.length(c)).alias(f"{c}_bytes")
+        for c in ("docx", "pdf", "eml")
+    ]
+    base = rendered.select("doc_id", "format", "text", *n_or_null)
+    wants = {
+        "docx": F.col("format") == "docx",
+        "pdf": F.col("format") == "pdf",
+        "eml": F.col("format").isin("email", "email_with_attachment"),
+    }
+    missing = F.concat_ws(
+        ",",
+        *[
+            F.when(wants[c] & F.col(f"{c}_bytes").isNull(), F.lit(c))
+            for c in ("docx", "pdf", "eml")
+        ],
+    )
+    return base.select(
+        "doc_id",
+        F.when(missing != "", F.lit("WARNING"))
+        .otherwise(F.lit("INFO"))
+        .alias("level"),
+        F.concat(
+            F.when(missing != "", F.concat(F.lit("missing="), missing, F.lit(" ")))
+            .otherwise(F.lit("")),
+            F.lit("Processed doc_id "),
+            F.col("doc_id").cast("string"),
+            F.lit(": format="),
+            F.col("format"),
+            F.lit(" chars="),
+            F.length("text").cast("string"),
+            F.lit(" docx="),
+            F.coalesce(F.col("docx_bytes").cast("string"), F.lit("-")),
+            F.lit(" pdf="),
+            F.coalesce(F.col("pdf_bytes").cast("string"), F.lit("-")),
+            F.lit(" eml="),
+            F.coalesce(F.col("eml_bytes").cast("string"), F.lit("-")),
+        ).alias("message"),
+    )
+
+
+def write_run_log(rendered: DataFrame, out_dir: str) -> int:
+    """Materialize the S16 run log: per-doc lines as a partitioned
+    text dataset under ``{out_dir}/lines`` (scale-safe — no
+    single-file coalesce bottleneck) plus a driver-written
+    ``{out_dir}/HEADER`` carrying the started/finished lines the
+    reference logs at postprocessor.py:197,233 (the only place a
+    wall-clock timestamp appears). Returns the number of per-doc
+    lines written."""
+    import datetime
+
+    lines = run_log_lines(rendered).select(
+        F.concat_ws(" ", "level", "message").alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{out_dir}/lines")
+    n = lines.count()
+    started = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/HEADER", "w") as fh:
+        fh.write(
+            f"{started} INFO Postprocessor started.\n"
+            f"{started} INFO Postprocessor finished: {n} documents.\n"
+        )
+    return n

@@ -145,3 +145,45 @@ def test_xlsx_reads_shared_strings_and_sparse_refs():
         ["plain", "", "42"],
         ["", "rich"],
     ]
+
+
+def test_run_log_sink(spark, tmp_path):
+    """S16: the run log is per-doc log lines AS DATA — INFO for docs
+    whose requested renditions materialized, WARNING naming the
+    missing ones (reference postprocessor.py:122-133,193 semantics) —
+    written as a partitioned text dataset plus a driver HEADER with
+    the started/finished lines."""
+    from synthetic_data_pipeline_spark.sources.renditions import (
+        run_log_lines,
+        write_run_log,
+    )
+
+    rows = [
+        (1, "docx", "hello world", b"\x50\x4b", None, None),   # ok
+        (2, "pdf", "text two", None, None, None),               # pdf MISSING
+        (3, "txt", "plain", None, None, None),                  # nothing wanted
+        (4, "email", "body", None, None, "From: a@b\n\nbody"),  # ok
+    ]
+    rendered = spark.createDataFrame(
+        rows,
+        "doc_id long, format string, text string, docx binary, "
+        "pdf binary, eml string",
+    )
+    lines = {r.doc_id: (r.level, r.message) for r in run_log_lines(rendered).collect()}
+    assert lines[1][0] == "INFO" and "docx=2" in lines[1][1]
+    assert lines[2][0] == "WARNING" and "missing=pdf" in lines[2][1]
+    assert lines[3][0] == "INFO" and "docx=- pdf=- eml=-" in lines[3][1]
+    assert lines[4][0] == "INFO" and lines[4][1].endswith(
+        "eml=" + str(len("From: a@b\n\nbody"))
+    )
+
+    out = str(tmp_path / "runlog")
+    n = write_run_log(rendered, out)
+    assert n == 4
+    back = spark.read.text(f"{out}/lines").collect()
+    assert len(back) == 4
+    assert any(v.value.startswith("WARNING missing=pdf") for v in back)
+    with open(f"{out}/HEADER") as fh:
+        hdr = fh.read()
+    assert "Postprocessor started." in hdr
+    assert "finished: 4 documents." in hdr
