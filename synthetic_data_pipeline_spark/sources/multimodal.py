@@ -284,6 +284,10 @@ def _decode_compressed_video(buf: bytes) -> np.ndarray:
         return np.stack(frames)
     if _imageio is not None:
         rgb = np.asarray(_imageio.imread(buf, index=None))  # (n, h, w[, c])
+        if rgb.ndim == 3 and rgb.shape[-1] in (3, 4):
+            rgb = rgb[np.newaxis]  # single RGB frame, not a gray stack
+        elif rgb.ndim == 2:
+            rgb = rgb[np.newaxis]  # single gray frame
         if rgb.ndim == 4:  # luma downmix, matching PyAV's gray format
             rgb = (
                 rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
