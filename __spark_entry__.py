@@ -44,14 +44,17 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     (multimodal module gained the compressed-video arm; it is also
 #     r6-stale, so it counts in both buckets), plus the evergreen
 #     q01/q90 flagship anchors;
-#   * TWENTY-TWO oldest r7-era refreshes, weighted toward the graded
+#   * FIVE queries born MID-round-9 (q136-q140: the tokenizer apply
+#     pair, hard-negative mining, star-contraction components, the
+#     waterfill allocator) — never driver-checked, so they claim
+#     slots immediately;
+#   * SEVENTEEN oldest r7-era refreshes, weighted toward the graded
 #     LLM tiers: dedup (q45, q46, q48, q118, q125, q127), similarity
-#     (q50, q53, q55), sketches (q58), textops (q40, q41, q42,
-#     q44, q49, q66, q126), generation (q62, q65), and the as-of
-#     streaming batch twin (q34). The 27 r7 rows left out (q04, q06,
-#     q07, q09, q11, q16-q18, q21, q23, q25, q26, q30-q33, q35-q37,
-#     q43, q51, q57, q59, q67, q80, q120, q121) rotate next round;
-#     each leaves an in-window cousin on the same module.
+#     (q50, q53, q55), sketches (q58), textops (q49, q66, q126),
+#     generation (q62, q65). The r7 rows left out (q04, q06, q07,
+#     q09, q11, q16-q18, q21, q23, q25, q26, q30-q37, q40-q44, q51,
+#     q57, q59, q67, q80, q120, q121) rotate next round; each
+#     leaves an in-window cousin on the same module.
 DRIVER_WINDOW = [
     # never driver-checked (born this round)
     "q133_video_frame_features", "q134_longest_dup_span",
@@ -78,12 +81,18 @@ DRIVER_WINDOW = [
     "q50_knn_bruteforce", "q53_ann_bucket_stats", "q55_ivf_ann",
     "q58_dup_clusters",
     # r7-era refresh: textops / generation tiers
-    "q40_token_stats", "q41_lang_id", "q42_quality_by_source",
-    "q44_trigram_stats", "q49_bpe_token_stats",
+    "q49_bpe_token_stats",
     "q66_winnowing_fingerprints", "q126_dsir_weights",
     "q62_gen_validation_report", "q65_distinct_tcs_histogram",
-    # r7-era refresh: streaming batch twin
-    "q34_asof_click_error",
+    # born mid-round-9: the tokenizer APPLY pair (q136 vocab export,
+    # q137 encoded docs), hard-negative mining (q138), star-
+    # contraction connected components (q139) and the token-budget
+    # waterfill (q140). They take the slots of the r7-refresh fillers
+    # q40-q42, q44 and q34 — those stay r7-fresh and rotate next
+    # round with the rest of the r7 cohort.
+    "q136_bpe_vocab", "q137_bpe_encode",
+    "q138_hard_negatives", "q139_cc_star_clusters",
+    "q140_token_budget_waterfill",
 ]
 
 

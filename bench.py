@@ -53,10 +53,16 @@ HEADLINE = [
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",
+    # tokenizer APPLY pair: q136 rides q128/q129's merge lineage
+    # (vocab export); q137 re-tokenizes the corpus once and equi-joins
+    # the Zipf-bounded word map — the only corpus-sized encode stage
+    "q136_bpe_vocab",
+    "q137_bpe_encode",
     "q106_repetition_signals",
     "q109_perplexity_proxy",
     "q111_adaptive_quality",
     "q50_knn_bruteforce",
+    "q138_hard_negatives",
     # q54/q130 share the session-memoized verified cosine-pair table
     # (similarity.cosine_pairs_state): the first of them to run pays
     # the bucket-funnel build, the other measures consumer cost — BUT
@@ -102,6 +108,7 @@ HEADLINE = [
     "q117_cms_heavy_hitters",
     "q119_token_shards",
     "q120_temperature_mixture",
+    "q140_token_budget_waterfill",
     "q121_source_divergence",
     # capstone: the whole prep pipeline in one lineage (reads the
     # memoized LP funnel like q58/q95/q101/q103)

@@ -56,6 +56,9 @@ SHOWCASE = [
     ("q133_video_frame_features", "video frames: explode-shaped sampler chained into a second mapInPandas decode"),
     ("q134_longest_dup_span", "longest dup span: doc_id-partitioned window over the duplicated-position subset only"),
     ("q135_incremental_span_gate", "ingest gate: new-side positional grams semi-join the distinct-gram index, no old-x-old work"),
+    ("q137_bpe_encode", "tokenizer encode: corpus tokenized once, Zipf-bounded word map equi-join, vocab broadcast"),
+    ("q138_hard_negatives", "hard negatives: bounded anchors broadcast, label inequality inside the join, one corpus scan"),
+    ("q140_token_budget_waterfill", "waterfill: one per-source agg, |sources|²-row triangle join for the level, window-free"),
 ]
 
 

@@ -71,6 +71,13 @@ PROBE = [
     # embeddings above (its cosine-pair funnel is cleared per run by
     # the clear_lp_cache cascade, so it times a cold build)
     "q129_bpe_compression",       # stage-chained aggs over distinct words
+    # round 9 newborn: the tokenizer ENCODE — corpus tokens equi-join
+    # the Zipf-bounded word map (q136's vocab rides q129's probed
+    # lineage; the encode join is the one new corpus-sized stage)
+    "q137_bpe_encode",
+    # round 9 newborn: star-contraction CC — verifies the round count
+    # stays logarithmic when the candidate graph grows 10x
+    "q139_cc_star_clusters",
     "q130_semantic_prune",        # cosine-pair funnel + keeper election
     "q105_decontaminate",         # broadcast benchmark-gram semi join
     "q106_repetition_signals",    # two (doc, gram) counting shuffles

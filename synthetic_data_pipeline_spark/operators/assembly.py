@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ranking import global_cumsum
+from ..functions.rounding import eround
 from ..functions.xsql import expand_u16, hash_u16
 from ..sources.tables import load_table
 
@@ -243,6 +244,138 @@ def _q120_oracle() -> str:
         FROM c LEFT JOIN k USING (source)
         ORDER BY source
     """
+
+
+# --- q140: token-budget waterfill — allocate a global token budget
+# B = ⌊WF_BUDGET_FRAC · total⌋ across sources so that no source
+# exceeds its natural size and the remainder is split evenly (the
+# classic waterfilling level: sources smaller than the water level L
+# are taken whole / "saturated", the rest contribute exactly ⌊L⌋).
+# This is the budgeted companion to q113 (flatten) and q120
+# (temperature): those fix RATIOS, this fixes the TOTAL.
+#
+# Scale shape: one per-source token aggregate over the corpus (the
+# only corpus-sized stage), then the level computation runs on the
+# |sources|-row table — a triangle self-join (b strictly before a in
+# (n, source) order) instead of a window, so the module's
+# no-single-partition-window rule holds even here; |sources|² is a
+# domain-bounded constant, not data-scaled.
+WF_BUDGET_FRAC = 0.5
+
+
+def token_budget_waterfill(
+    c: DataFrame, budget_frac: float = WF_BUDGET_FRAC
+) -> DataFrame:
+    """Waterfill a (source, n) per-source token-count frame; see
+    q140_token_budget_waterfill."""
+    tot = c.agg(
+        F.sum("n").alias("_tot"), F.count("*").alias("_k")
+    )
+    b = c.select(F.col("source").alias("b_source"), F.col("n").alias("b_n"))
+    pre = (
+        c.join(
+            b,
+            (F.col("b_n") < F.col("n"))
+            | ((F.col("b_n") == F.col("n")) & (F.col("b_source") < F.col("source"))),
+            "left",
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.coalesce(F.sum("b_n"), F.lit(0).cast("long")).alias("prefix"),
+            F.count("b_source").alias("rank0"),
+        )
+    )
+    x = (
+        pre.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.floor(F.col("_tot") * F.lit(budget_frac)).cast("long"),
+        )
+        # saturated ⟺ taking this source whole still fits even if every
+        # not-smaller source were capped at this source's size
+        .withColumn(
+            "sat",
+            F.col("prefix") + (F.col("_k") - F.col("rank0")) * F.col("n")
+            <= F.col("budget"),
+        )
+    )
+    g = x.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("sat"), F.col("n"))), F.lit(0).cast("long")
+        ).alias("sat_sum"),
+        F.sum(F.when(F.col("sat"), 1).otherwise(0)).alias("sat_k"),
+    )
+    y = x.crossJoin(F.broadcast(g))
+    level_alloc = F.floor(
+        (F.col("budget") - F.col("sat_sum"))
+        / F.greatest(F.col("_k") - F.col("sat_k"), F.lit(1))
+        + F.lit(1e-9)
+    ).cast("long")
+    alloc = F.when(F.col("sat"), F.col("n")).otherwise(level_alloc)
+    return y.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        alloc.alias("allocated_tokens"),
+        F.col("sat").cast("long").alias("saturated"),
+        eround(alloc / F.col("n").cast("double"), 4).alias("fill_pct"),
+    ).orderBy("source")
+
+
+def q140_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("nt")
+    )
+    return token_budget_waterfill(
+        docs.groupBy("source").agg(F.sum("nt").alias("n"))
+    )
+
+
+_Q140_ORACLE = f"""
+    WITH c AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS k FROM c),
+    p AS (
+      SELECT a.source, a.n,
+             CAST(COALESCE(sum(b.n), 0) AS BIGINT) AS prefix,
+             CAST(count(b.source) AS BIGINT) AS rank0
+      FROM c a LEFT JOIN c b
+        ON b.n < a.n OR (b.n = a.n AND b.source < a.source)
+      GROUP BY a.source, a.n
+    ),
+    x AS (
+      SELECT p.*, CAST(floor(t.tot * {WF_BUDGET_FRAC}) AS BIGINT) AS budget,
+             t.k,
+             (p.prefix + (t.k - p.rank0) * p.n
+              <= CAST(floor(t.tot * {WF_BUDGET_FRAC}) AS BIGINT)) AS sat
+      FROM p CROSS JOIN t
+    ),
+    g AS (
+      SELECT CAST(COALESCE(sum(CASE WHEN sat THEN n END), 0) AS BIGINT)
+               AS sat_sum,
+             CAST(COALESCE(sum(CASE WHEN sat THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS sat_k
+      FROM x
+    ),
+    a AS (
+      SELECT x.source, x.n, x.sat,
+             CASE WHEN x.sat THEN x.n
+                  ELSE CAST(floor(
+                         (x.budget - g.sat_sum)
+                         / greatest(x.k - g.sat_k, 1) + 1e-9) AS BIGINT)
+             END AS alloc
+      FROM x CROSS JOIN g
+    )
+    SELECT source, n AS n_tokens, alloc AS allocated_tokens,
+           CAST(sat AS BIGINT) AS saturated,
+           round(alloc / CAST(n AS DOUBLE), 4) AS fill_pct
+    FROM a ORDER BY source
+"""
 
 
 # --- q114: stratified sample — the K hash-smallest documents of every
@@ -858,6 +991,7 @@ QUERIES = {
     "q119_token_shards": q119_token_shards,
     "q120_temperature_mixture": q120_temperature_mixture,
     "q122_pipeline_funnel": q122_pipeline_funnel,
+    "q140_token_budget_waterfill": q140_token_budget_waterfill,
 }
 
 ORACLES = {
@@ -869,4 +1003,5 @@ ORACLES = {
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),
     "q115_packed_shards": _Q115_ORACLE,
+    "q140_token_budget_waterfill": _Q140_ORACLE,
 }

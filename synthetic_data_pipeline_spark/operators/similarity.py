@@ -77,6 +77,62 @@ def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q138: hard-negative mining for contrastive training — for each
+# anchor vector, the top-k most-similar vectors with a DIFFERENT
+# label (the "hard negatives" an embedding-training job pairs with
+# each anchor). Same broadcast-anchor scan shape as q50: anchors are
+# bounded (N_QUERIES), the corpus is scanned once, and the label
+# inequality is part of the join condition so same-label rows never
+# reach the ranker. For unbounded anchor sets the IVF probe path
+# (q55) is the stated scale route — restrict its candidate lists by
+# label before ranking.
+HARD_NEG_K = 3
+
+
+def hard_negative_pairs(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = HARD_NEG_K
+) -> DataFrame:
+    """(query_id, anchor_label, neighbor_id, neighbor_label, cosine,
+    rk) for a (vec_id, label, embedding) frame."""
+    base = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb_n = base.select("vec_id", "label", "v", nrm.alias("nrm"))
+    anchors = emb_n.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(emb_n, F.col("label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            eround(dot / (F.col("qnrm") * F.col("nrm")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("query_id", "rk")
+    )
+
+
+def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negative_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 # --- q51: per-label centroids — element-wise mean via posexplode, the
 # distributed layout for any vector aggregate (dim becomes a key, so the
 # shuffle is (labels × dims) rows regardless of corpus size).
@@ -1017,6 +1073,7 @@ QUERIES = {
     "q53_ann_bucket_stats": q53_ann_bucket_stats,
     "q107_quantized_knn": q107_quantized_knn,
     "q110_embedding_outliers": q110_embedding_outliers,
+    "q138_hard_negatives": q138_hard_negatives,
 }
 
 _COSINE_SQL = """
@@ -1100,6 +1157,32 @@ ORACLES = {
         )
         SELECT query_id, neighbor_id, cosine, rk
         FROM ranked WHERE rk <= {TOP_K}
+        ORDER BY query_id, rk
+    """,
+    "q138_hard_negatives": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, q.label AS anchor_label,
+                 e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                 round(
+                   list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS cosine
+          FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+          JOIN embeddings e ON e.label != q.label
+        ),
+        ranked AS (
+          SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                 ) AS INTEGER) AS rk
+          FROM scored
+        )
+        SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine, rk
+        FROM ranked WHERE rk <= {HARD_NEG_K}
         ORDER BY query_id, rk
     """,
     "q55_ivf_ann": f"""

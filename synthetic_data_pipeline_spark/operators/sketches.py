@@ -385,6 +385,123 @@ def _lp_convergence_oracle() -> str:
     """
 
 
+# --- q139: exact connected components via alternating large-star /
+# small-star (Kiveris et al. 2014, "Connected Components in MapReduce
+# and Beyond") — the principled 100 TB path for the dup-cluster graph.
+# The fixed-round LP unroll (q58/q95/q101) is cheaper per round and
+# its convergence is *certified* per-corpus by q103's probe, but a
+# pathological dup-chain longer than LP_ITERS hops would under-merge;
+# star contraction converges to the true components in O(log²) rounds
+# regardless of diameter, with a driver-side stability check (two
+# 1-row aggregates per round) instead of a fixed unroll. On every
+# corpus where q103 reports n_changed = 0 the two labelings are
+# IDENTICAL — q139 therefore shares q58's oracle, and the pytest
+# equivalence test pins label-level agreement, not just histograms.
+CC_MAX_ROUNDS = 12
+
+
+def cc_star_labels(pairs: DataFrame) -> DataFrame:
+    """(node, label) exact connected components of an undirected
+    (doc_a, doc_b) edge frame; label = min doc_id of the component
+    (the same canonical-keeper convention as the LP funnel).
+
+    Each round is two grouped aggregations + two joins over the
+    current edge set (never the corpus): large-star hangs every
+    larger-id neighbor off the neighborhood minimum, small-star
+    contracts the smaller-id neighbors. High-degree hubs cost one
+    grouped min each — no neighbor list is ever collected."""
+    e = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _checksum(df: DataFrame):
+        # bit_xor, not sum: orderless, collision-safe over DISTINCT
+        # rows, and cannot overflow under ANSI mode
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias(
+                "h"
+            ),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(CC_MAX_ROUNDS):
+        # large-star over the symmetric neighborhood: every neighbor
+        # v > u re-attaches to m(u) = min(N(u) ∪ {u})
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        big_m = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(big_m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = (
+            large.filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # small-star over larger-endpoint-directed edges: u's smaller
+        # neighbors (and u itself) re-attach to m(u) = min of them
+        small_m = e1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e1.join(small_m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(
+                small_m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        e = (
+            small.filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cs = _checksum(e)
+        if cs == prev:
+            break
+        prev = cs
+    # at the fixed point the edge set is a star forest: every non-root
+    # points at its component's min id, roots label themselves
+    lbl = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    return lbl.union(roots)
+
+
+def q139_cc_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58's cluster-size histogram computed by star contraction
+    instead of the fixed-round LP unroll (shares the memoized LSH
+    candidate-pair graph; see cc_star_labels)."""
+    from .dedup import shingle_state
+
+    _, pairs = shingle_state(spark, sf_dir)
+    labels = cc_star_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q59_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's token distribution, aggregated per
     language — low-entropy documents are the repetitive/low-quality
@@ -545,6 +662,7 @@ QUERIES = {
     "q95_dedup_retention": q95_dedup_retention,
     "q101_deduped_corpus": q101_deduped_corpus,
     "q103_lp_convergence": q103_lp_convergence,
+    "q139_cc_star_clusters": q139_cc_star_clusters,
 }
 
 
@@ -555,6 +673,11 @@ def _oracles() -> dict[str, str]:
         "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
         "q117_cms_heavy_hitters": _cms_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
+        # star contraction converges to the exact components; on any
+        # corpus where the LP unroll also converged (q103 n_changed=0
+        # — certified at every tested SF) the labelings are identical,
+        # so the LP-unroll SQL IS the star algorithm's oracle
+        "q139_cc_star_clusters": _dup_clusters_oracle(),
         "q95_dedup_retention": _dedup_retention_oracle(),
         "q101_deduped_corpus": _deduped_corpus_oracle(),
         "q103_lp_convergence": _lp_convergence_oracle(),

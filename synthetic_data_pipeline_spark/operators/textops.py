@@ -1272,6 +1272,114 @@ def q128_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rules(load_table(spark, sf_dir, "documents"))
 
 
+# --- q136/q137: the tokenizer APPLY side. q128 trains the merges and
+# q129 reports the corpus-wide compression curve; these two produce
+# the artifacts a downstream training job actually consumes — the
+# vocabulary export (q136, the vocab.json equivalent) and encoded
+# token-id sequences for documents (q137). Reference parity: the
+# reference has no tokenizer at all (its content_generator.py works on
+# whole words); this is a north-star LLM-pipeline extension.
+
+ENC_DOC_MOD = 20  # deterministic encode sample: doc_id % 20 == 0
+
+
+def _bpe_vocab_from(final_words: DataFrame) -> DataFrame:
+    """(token_id, symbol, n_occurrences) from the post-merge
+    distinct-word symbol table. token_id ranks by (corpus frequency
+    desc, symbol asc) — GPT-style frequency-ordered ids. The global
+    ``row_number`` window runs over a VOCAB-BOUNDED frame (|symbols|
+    <= |charset| + n_merges, i.e. tens of rows regardless of corpus
+    size), so the single-partition window the repo bans on corpus-
+    sized inputs is safe by construction here."""
+    vocab = (
+        final_words.select(
+            F.explode(F.split("ws", " ")).alias("symbol"), "n"
+        )
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+    return vocab.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "symbol",
+        "n_occurrences",
+    )
+
+
+def bpe_vocab(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The trained tokenizer's vocabulary table — the artifact the
+    encode side ships to a training job."""
+    stages, _rules = _bpe_stages(docs, n_merges)
+    return _bpe_vocab_from(stages[-1]).orderBy("token_id")
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    doc_mod: int = ENC_DOC_MOD,
+) -> DataFrame:
+    """(doc_id, n_tokens, token_ids) — documents encoded with the
+    learned merges, as space-joined token-id sequences (the training-
+    input materialization of the q128 tokenizer).
+
+    Shape at scale: the corpus is tokenized ONCE (posexplode of
+    whitespace tokens); each word equi-joins the Zipf-bounded distinct-
+    word symbol table (the original word is recoverable from the
+    merged symbol string — merges only delete separators, so
+    ``replace(ws, ' ', '') = w`` — no extra key column threads through
+    the merge rewrites); symbols then broadcast-join the vocab for
+    ids. The per-doc ``collect_list`` is bounded by document length
+    (the same by-construction bound as q115's packed shards). The
+    deterministic ``doc_id % doc_mod`` sample bounds output rows, not
+    work shape — dropping the filter is the full-corpus encode."""
+    stages, _rules = _bpe_stages(docs, n_merges)
+    final_words = stages[-1]
+    vocab = _bpe_vocab_from(final_words)
+    wordmap = final_words.select(
+        F.replace(F.col("ws"), F.lit(" "), F.lit("")).alias("w"), "ws"
+    )
+    sample = docs.filter((F.col("doc_id") % doc_mod) == 0)
+    toks = sample.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("wpos", "w")
+    ).filter(F.length("w") > 0)
+    syms = toks.join(wordmap, "w").select(
+        "doc_id",
+        "wpos",
+        F.posexplode(F.split("ws", " ")).alias("spos", "symbol"),
+    )
+    ids = syms.join(F.broadcast(vocab.select("token_id", "symbol")), "symbol")
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("wpos"),
+                                F.col("spos"),
+                                F.col("token_id"),
+                            )
+                        )
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q136_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_vocab(load_table(spark, sf_dir, "documents"))
+
+
+def q137_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_docs(load_table(spark, sf_dir, "documents"))
+
+
 def _bpe_oracle_ctes() -> str:
     """The words0..wordsN + top1..topN CTE chain shared by the q128
     (rules) and q129 (compression curve) oracles."""
@@ -1346,6 +1454,64 @@ def _q129_oracle() -> str:
     )
 
 
+_VOCAB_CTE = f""",
+    vocab AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol ASC)
+                  AS BIGINT) AS token_id,
+             symbol, n_occurrences
+      FROM (
+        SELECT s AS symbol, CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(string_split(ws, ' ')) AS s, n
+              FROM words{BPE_MERGES})
+        GROUP BY 1
+      )
+    )"""
+
+
+def _q136_oracle() -> str:
+    return (
+        _bpe_oracle_ctes()
+        + _VOCAB_CTE
+        + "\n    SELECT token_id, symbol, n_occurrences FROM vocab"
+        + " ORDER BY token_id"
+    )
+
+
+def _q137_oracle() -> str:
+    return (
+        _bpe_oracle_ctes()
+        + _VOCAB_CTE
+        + f""",
+    wordmap AS (SELECT replace(ws, ' ', '') AS w, ws
+                FROM words{BPE_MERGES}),
+    toks AS (
+      SELECT doc_id, i AS wpos, arr[i] AS w
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS arr,
+               unnest(range(1,
+                 len(regexp_split_to_array(lower(trim(text)), '\\s+')) + 1))
+                 AS i
+        FROM documents WHERE doc_id % {ENC_DOC_MOD} = 0
+      ) WHERE len(arr[i]) > 0
+    ),
+    syms AS (
+      SELECT doc_id, wpos, j AS spos, sarr[j] AS symbol
+      FROM (
+        SELECT t.doc_id, t.wpos, string_split(m.ws, ' ') AS sarr,
+               unnest(range(1, len(string_split(m.ws, ' ')) + 1)) AS j
+        FROM toks t JOIN wordmap m ON t.w = m.w
+      )
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(v.token_id AS VARCHAR), ' '
+                      ORDER BY s.wpos, s.spos) AS token_ids
+    FROM syms s JOIN vocab v ON s.symbol = v.symbol
+    GROUP BY s.doc_id ORDER BY s.doc_id"""
+    )
+
+
 def _q126_oracle() -> str:
     from ..functions.xsql import expand_u16, hash_u16
 
@@ -1378,6 +1544,8 @@ QUERIES = {
     "q126_dsir_weights": q126_dsir_weights,
     "q128_bpe_merges": q128_bpe_merges,
     "q129_bpe_compression": q129_bpe_compression,
+    "q136_bpe_vocab": q136_bpe_vocab,
+    "q137_bpe_encode": q137_bpe_encode,
 }
 
 
@@ -1435,6 +1603,8 @@ ORACLES = {
     "q126_dsir_weights": _q126_oracle(),
     "q128_bpe_merges": _q128_oracle(),
     "q129_bpe_compression": _q129_oracle(),
+    "q136_bpe_vocab": _q136_oracle(),
+    "q137_bpe_encode": _q137_oracle(),
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -418,3 +418,54 @@ def test_funnel_apply_batch_retry_idempotent(spark, tmp_path):
     first = sorted(map(tuple, funnel_apply_batch(spark, state, batch).collect()))
     replay = sorted(map(tuple, funnel_apply_batch(spark, state, batch).collect()))
     assert replay == first
+
+
+def test_waterfill_planted_level(spark):
+    """Hand-computable waterfill: counts 10/20/100/100, budget
+    ⌊0.5·230⌋ = 115 → 10 and 20 saturate (10+20+2·100 > 115 only
+    for the two big sources), level L = (115−30)/2 = 42.5 → the two
+    unsaturated sources each get ⌊L⌋ = 42."""
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        token_budget_waterfill,
+    )
+
+    c = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100), ("d", 100)],
+        "source string, n long",
+    )
+    got = {
+        r.source: (r.n_tokens, r.allocated_tokens, r.saturated)
+        for r in token_budget_waterfill(c).collect()
+    }
+    assert got == {
+        "a": (10, 10, 1),
+        "b": (20, 20, 1),
+        "c": (100, 42, 0),
+        "d": (100, 42, 0),
+    }
+
+
+def test_waterfill_properties_sf(spark, sf_dir):
+    """Invariants on real data: saturated sources are taken whole,
+    all unsaturated sources share one level allocation strictly below
+    their own size, and the total lands within |sources| tokens of
+    the budget (floor slack), never above it."""
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        WF_BUDGET_FRAC,
+        q140_token_budget_waterfill,
+    )
+
+    rows = q140_token_budget_waterfill(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = int(total * WF_BUDGET_FRAC)
+    allocated = sum(r.allocated_tokens for r in rows)
+    assert allocated <= budget
+    assert allocated > budget - len(rows) - 1
+    unsat_allocs = set()
+    for r in rows:
+        if r.saturated:
+            assert r.allocated_tokens == r.n_tokens
+        else:
+            assert r.allocated_tokens < r.n_tokens
+            unsat_allocs.add(r.allocated_tokens)
+    assert len(unsat_allocs) <= 1

@@ -501,3 +501,38 @@ def test_span_tier_degenerate_corpora(spark, tmp_path):
         assert q131_duplicated_spans(spark, d).count() == 0, name
         assert q134_longest_dup_span(spark, d).count() == 0, name
         assert q135_incremental_span_gate(spark, d).count() == 0, name
+
+
+def test_cc_star_matches_lp_labels(spark, sf_dir):
+    """Star-contraction components must agree with the LP unroll at
+    the LABEL level (not just histogram shape) on the real LSH
+    candidate graph — q103 certifies the unroll converged here, and
+    both conventions pick min-doc-id as the canonical label."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        _lp_labels,
+        cc_star_labels,
+    )
+    from synthetic_data_pipeline_spark.operators.dedup import shingle_state
+
+    _, pairs = shingle_state(spark, sf_dir)
+    star = sorted(map(tuple, cc_star_labels(pairs).collect()))
+    lp = sorted(map(tuple, _lp_labels(spark, sf_dir).collect()))
+    assert star == lp
+
+
+def test_cc_star_long_chain_beyond_unroll(spark):
+    """The case the fixed unroll CANNOT solve: a path graph longer
+    than LP_ITERS hops. Star contraction must still collapse it to a
+    single component labeled by the minimum node id."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        LP_ITERS,
+        cc_star_labels,
+    )
+
+    n = (2 ** LP_ITERS) * 4  # far beyond what LP_ITERS min-rounds span
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    labels = cc_star_labels(chain).collect()
+    assert len(labels) == n + 1
+    assert {r.label for r in labels} == {0}

@@ -197,3 +197,32 @@ def test_cosine_boundary_pair_same_on_both_verify_paths(spark, monkeypatch):
     assert set(got) <= {(0, 1), (2, 3)}
     if (2, 3) in got:  # found iff its bucket collides at cos 0.875
         assert got[(2, 3)] == 0.8751
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Planted 2-D corpus: anchor (1,0) label A has a SAME-label
+    vector at cosine .995 and cross-label vectors at .9139 and 0.
+    Hard-negative mining must skip the same-label near-twin and rank
+    the cross-label vectors by cosine."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    rows = [
+        (0, "A", [1.0, 0.0]),     # anchor
+        (1, "A", [0.995, 0.1]),   # same-label near-twin — excluded
+        (2, "B", [0.9, 0.4]),     # hard negative, cos ≈ 0.9138
+        (3, "B", [0.0, 1.0]),     # easy negative, cos 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = [
+        (r.query_id, r.anchor_label, r.neighbor_id, r.neighbor_label,
+         r.cosine, r.rk)
+        for r in hard_negative_pairs(emb, n_queries=1, k=2).collect()
+    ]
+    assert got == [
+        (0, "A", 2, "B", 0.9138, 1),
+        (0, "A", 3, "B", 0.0, 2),
+    ]

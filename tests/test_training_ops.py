@@ -357,3 +357,72 @@ def test_bpe_compression_curve_planted(spark):
         (2, 4, 13, 3.25),
         (3, 4, 9, 2.25),
     ]
+
+
+def test_bpe_vocab_planted(spark):
+    """q136 on the hand-computable corpus: after the three merges
+    (a·n, an·a, b·an), banana = 'ban ana' (×3 words) and bandana =
+    'ban d ana', so symbol totals are ana=4, ban=4, d=1 and the
+    (count desc, symbol asc) ranking assigns ids 1, 2, 3."""
+    from synthetic_data_pipeline_spark.operators.textops import bpe_vocab
+
+    docs = _bpe_docs(spark, ["banana banana banana", "bandana"])
+    got = [
+        (r.token_id, r.symbol, r.n_occurrences)
+        for r in bpe_vocab(docs).collect()
+    ]
+    assert got == [(1, "ana", 4), (2, "ban", 4), (3, "d", 1)]
+
+
+def test_bpe_encode_planted(spark):
+    """q137 with doc_mod=1 on the planted corpus: banana encodes to
+    'ban ana' = ids '2 1' per word; bandana to 'ban d ana' = '2 3 1'.
+    Symbol order inside and across words must be preserved."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bpe_encode_docs,
+    )
+
+    docs = _bpe_docs(spark, ["banana banana banana", "bandana"])
+    got = {
+        r.doc_id: (r.n_tokens, r.token_ids)
+        for r in bpe_encode_docs(docs, doc_mod=1).collect()
+    }
+    assert got == {0: (6, "2 1 2 1 2 1"), 1: (3, "2 3 1")}
+
+
+def test_bpe_encode_roundtrip_sf(spark, sf_dir):
+    """Decode(encode(doc)) recovers every sampled document's exact
+    character stream: mapping token ids back to vocab symbols and
+    concatenating (word boundaries vanish — merges only ever delete
+    separators) must equal the doc's whitespace-stripped lowercase
+    text. Lossless-encode property on real data, not a planted toy."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bpe_encode_docs,
+        bpe_vocab,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    id2sym = {
+        r.token_id: r.symbol for r in bpe_vocab(docs).collect()
+    }
+    encoded = bpe_encode_docs(docs).collect()
+    assert encoded, "sample must be non-empty"
+    expected = {
+        r.doc_id: r.flat
+        for r in docs.filter((F.col("doc_id") % 20) == 0)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.lower(F.trim("text")), r"\s+", ""
+            ).alias("flat"),
+        )
+        .collect()
+    }
+    for row in encoded:
+        decoded = "".join(
+            id2sym[int(t)] for t in row.token_ids.split(" ")
+        )
+        assert decoded == expected[row.doc_id], row.doc_id
