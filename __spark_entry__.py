@@ -44,17 +44,21 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     (multimodal module gained the compressed-video arm; it is also
 #     r6-stale, so it counts in both buckets), plus the evergreen
 #     q01/q90 flagship anchors;
-#   * FIVE queries born MID-round-9 (q136-q140: the tokenizer apply
+#   * ELEVEN queries born MID-round-9 (q136-q140: the tokenizer apply
 #     pair, hard-negative mining, star-contraction components, the
-#     waterfill allocator) — never driver-checked, so they claim
-#     slots immediately;
-#   * SEVENTEEN oldest r7-era refreshes, weighted toward the graded
-#     LLM tiers: dedup (q45, q46, q48, q118, q125, q127), similarity
-#     (q50, q53, q55), sketches (q58), textops (q49, q66, q126),
-#     generation (q62, q65). The r7 rows left out (q04, q06, q07,
-#     q09, q11, q16-q18, q21, q23, q25, q26, q30-q37, q40-q44, q51,
-#     q57, q59, q67, q80, q120, q121) rotate next round; each
-#     leaves an in-window cousin on the same module.
+#     waterfill allocator; q141-q146: tokenizer fertility, the
+#     centroid similarity matrix, corpus distinct-n diversity,
+#     quality-based cluster representatives, the cluster-aware
+#     leakage-free split, A-ES weighted sampling) — never
+#     driver-checked, so they claim slots immediately;
+#   * the oldest r7-era refreshes, weighted toward the graded
+#     LLM tiers: dedup (q46, q118, q125, q127), similarity (q55),
+#     sketches (q58), textops (q66, q126), generation (q62). The
+#     r7 rows left out (q04, q06, q07, q09, q11, q16-q18, q21,
+#     q23, q25, q26, q30-q37, q40-q45, q48-q51, q53, q57, q59,
+#     q65, q67, q80, q120, q121 — q45/q48/q49/q50/q53/q65 ceded
+#     their seats to the q141-q146 newborns) rotate next round;
+#     each leaves an in-window cousin on the same module.
 DRIVER_WINDOW = [
     # never driver-checked (born this round)
     "q133_video_frame_features", "q134_longest_dup_span",
@@ -75,15 +79,14 @@ DRIVER_WINDOW = [
     "q122_pipeline_funnel", "q01_pricing_summary",
     "q90_flagship_sit_scan",
     # r7-era refresh: dedup / similarity / sketches tiers
-    "q45_exact_dedup", "q46_minhash_near_dups", "q48_simhash_buckets",
+    "q46_minhash_near_dups",
     "q118_incremental_dedup", "q125_fuzzy_prefix_dedup",
     "q127_leakage_matrix",
-    "q50_knn_bruteforce", "q53_ann_bucket_stats", "q55_ivf_ann",
+    "q55_ivf_ann",
     "q58_dup_clusters",
     # r7-era refresh: textops / generation tiers
-    "q49_bpe_token_stats",
     "q66_winnowing_fingerprints", "q126_dsir_weights",
-    "q62_gen_validation_report", "q65_distinct_tcs_histogram",
+    "q62_gen_validation_report",
     # born mid-round-9: the tokenizer APPLY pair (q136 vocab export,
     # q137 encoded docs), hard-negative mining (q138), star-
     # contraction connected components (q139) and the token-budget
@@ -93,6 +96,24 @@ DRIVER_WINDOW = [
     "q136_bpe_vocab", "q137_bpe_encode",
     "q138_hard_negatives", "q139_cc_star_clusters",
     "q140_token_budget_waterfill",
+    # born late-round-9: tokenizer fertility by language (q141, the
+    # multilingual fairness audit riding q128's merge lineage), the
+    # label-centroid similarity matrix (q142) and corpus-level
+    # distinct-n diversity (q143). They displace the r7-refresh
+    # fillers q45, q53 and q65 — those stay r7-fresh and rotate with
+    # the r7 cohort next round.
+    "q141_tokenizer_fertility", "q142_centroid_similarity",
+    "q143_corpus_diversity",
+    # quality-based cluster representative selection (q144, the
+    # keep-the-best-copy dedup policy over the LP funnel's clusters)
+    # and the cluster-aware leakage-free split (q145); they displace
+    # the r7-refresh fillers q48 and q49 (q46 anchors the dedup tier,
+    # q128/q136/q137/q141 cover the BPE tier).
+    "q144_cluster_representatives",
+    "q145_cluster_aware_split",
+    # deterministic A-ES weighted sampling (q146); displaces the
+    # r7-refresh filler q50 (q55 IVF + q138 anchor the similarity tier).
+    "q146_weighted_sample",
 ]
 
 

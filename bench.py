@@ -58,7 +58,11 @@ HEADLINE = [
     # the Zipf-bounded word map — the only corpus-sized encode stage
     "q136_bpe_vocab",
     "q137_bpe_encode",
+    # q141 rides the same merge lineage; its marginal cost is one
+    # (lang, word) hash agg over the corpus
+    "q141_tokenizer_fertility",
     "q106_repetition_signals",
+    "q143_corpus_diversity",
     "q109_perplexity_proxy",
     "q111_adaptive_quality",
     "q50_knn_bruteforce",
@@ -74,6 +78,7 @@ HEADLINE = [
     "q55_ivf_ann",
     "q107_quantized_knn",
     "q110_embedding_outliers",
+    "q142_centroid_similarity",
     "q108_click_error_interval",
     "q123_dense_hourly",
     "q124_session_sequences",
@@ -92,8 +97,16 @@ HEADLINE = [
     # (edges, labels) state, so their numbers measure the consumer
     # cost, not a funnel rebuild (extras carry the cold-build time)
     "q58_dup_clusters",
+    # q139 recomputes q58's histogram by star contraction over the
+    # same memoized pair graph — its number is the iteration cost
+    "q139_cc_star_clusters",
     "q101_deduped_corpus",
     "q103_lp_convergence",
+    # q144/q145 consume the same memoized labels; marginal costs are
+    # the corpus quality projection + cluster-bounded argmax joins
+    # (q144) and a narrow hash-split map + 3-key agg (q145)
+    "q144_cluster_representatives",
+    "q145_cluster_aware_split",
     "q127_leakage_matrix",
     "q96_dataset_split",
     "q97_quality_filter",
@@ -103,6 +116,7 @@ HEADLINE = [
     "q112_sequence_packing",
     "q113_domain_mixture",
     "q114_stratified_sample",
+    "q146_weighted_sample",
     "q115_packed_shards",
     "q116_length_curriculum",
     "q117_cms_heavy_hitters",

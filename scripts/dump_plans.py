@@ -59,6 +59,12 @@ SHOWCASE = [
     ("q137_bpe_encode", "tokenizer encode: corpus tokenized once, Zipf-bounded word map equi-join, vocab broadcast"),
     ("q138_hard_negatives", "hard negatives: bounded anchors broadcast, label inequality inside the join, one corpus scan"),
     ("q140_token_budget_waterfill", "waterfill: one per-source agg, |sources|²-row triangle join for the level, window-free"),
+    ("q141_tokenizer_fertility", "fertility audit: one (lang, word) hash agg over the corpus, vocab-bounded wordmap join"),
+    ("q142_centroid_similarity", "centroid matrix: one (label, dim) mean agg, broadcast self-join over the bounded centroid table"),
+    ("q143_corpus_diversity", "distinct-n diversity: two-level count-distinct (gram agg → per-source agg), window-free"),
+    ("q144_cluster_representatives", "best-copy keeper: corpus quality projection once, cluster-bounded max-then-min-id argmax joins"),
+    ("q145_cluster_aware_split", "leakage-free split: bounded label table joined once, narrow hash map, 3-key agg"),
+    ("q146_weighted_sample", "A-ES weighted sample: salted partial top-K + merge, no per-stratum window"),
 ]
 
 

@@ -437,6 +437,99 @@ def _q114_oracle() -> str:
     """
 
 
+# --- q146: deterministic weighted sampling WITHOUT replacement per
+# source (Efraimidis-Spirakis A-ES, key = u^(1/w) selected by max —
+# computed in the monotone log domain ln(u)/w). The uniform u comes
+# from the same counter-mode md5 both engines share, so the "random"
+# draw is reproducible across engines, re-runs and partitionings; keys
+# are eround-ed to 6dp before ranking (ties fall to doc_id) so a
+# cross-engine libm ulp on ln() can never flip a rank. Selection uses
+# q114's salted partial-top-K + merge shape — no per-stratum window
+# over corpus-sized groups.
+WSAMPLE_K = 8
+
+
+def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Top-k A-ES weighted sample per source; weight = n_chars (token-
+    budget-proportional inclusion — the mixture-construction policy
+    that favors long documents without excluding short ones).
+
+    ``docs``: (doc_id, source, n_chars). Returns (source, rk, doc_id,
+    weight)."""
+    u16 = F.expr(
+        expand_u16(hash_u16("CAST(doc_id AS STRING)", "wsample"), "spark")
+    )
+    base = docs.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        u16.alias("h"),
+    )
+    u = (F.col("h") + F.lit(0.5)) / F.lit(65536.0)
+    key = eround(F.log(u) / F.col("weight").cast("double"), 6)
+    keyed = base.select(
+        "source", "doc_id", "weight", (-key).alias("nk")
+    )
+    partial = keyed.groupBy(
+        "source", F.pmod("doc_id", F.lit(STRATA_SALT)).alias("_salt")
+    ).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("nk", "doc_id", "weight"))),
+            1,
+            k,
+        ).alias("top")
+    )
+    merged = partial.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, k
+        ).alias("top")
+    )
+    return (
+        merged.select("source", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("long").alias("rk"),
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.weight").alias("weight"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+def q146_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+    )
+
+
+def _q146_oracle() -> str:
+    u16 = expand_u16(hash_u16("CAST(doc_id AS STRING)", "wsample"), "duckdb")
+    return f"""
+        WITH t AS (
+          SELECT source, doc_id, n_chars AS weight,
+                 ({u16} + 0.5) / 65536.0 AS u
+          FROM documents WHERE n_chars > 0
+        ),
+        kd AS (
+          SELECT source, doc_id, weight,
+                 round(ln(u) / CAST(weight AS DOUBLE), 6) AS key
+          FROM t
+        ),
+        r AS (
+          SELECT source, doc_id, weight,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY key DESC, doc_id
+                 ) AS rk
+          FROM kd
+        )
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, weight
+        FROM r WHERE rk <= {WSAMPLE_K}
+        ORDER BY source, rk
+    """
+
+
 # --- q116: length-curriculum phases — split the corpus into 4 ordered
 # training phases by document length (the classic short→long
 # curriculum). Ordering key is INTEGER (n_tokens, doc_id), so the
@@ -986,6 +1079,7 @@ QUERIES = {
     "q112_sequence_packing": q112_sequence_packing,
     "q113_domain_mixture": q113_domain_mixture,
     "q114_stratified_sample": q114_stratified_sample,
+    "q146_weighted_sample": q146_weighted_sample,
     "q115_packed_shards": q115_packed_shards,
     "q116_length_curriculum": q116_length_curriculum,
     "q119_token_shards": q119_token_shards,
@@ -1002,6 +1096,7 @@ ORACLES = {
     "q112_sequence_packing": _Q112_ORACLE,
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),
+    "q146_weighted_sample": _q146_oracle(),
     "q115_packed_shards": _Q115_ORACLE,
     "q140_token_budget_waterfill": _Q140_ORACLE,
 }

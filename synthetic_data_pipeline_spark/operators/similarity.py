@@ -913,6 +913,72 @@ _Q110_ORACLE = f"""
 """
 
 
+def centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Label-centroid similarity matrix: cosine and L2 distance between
+    the mean embedding of every label pair — the dataset-cartography
+    audit that flags near-collapsed class pairs (cosine → 1) before a
+    contrastive / classification run wastes compute on them.
+
+    Shape at scale: the corpus-sized frame hits exactly ONE hash
+    aggregate — (label, dim) running means with map-side combine; the
+    centroid table is |labels| x dim rows, so the label x label self-
+    join is a broadcast over a frame that CANNOT grow with the corpus.
+    Complements q110 (within-label outliers) and q121 (token-level
+    source divergence) with the between-label embedding view.
+    Reference parity: none (reference has no embedding ops);
+    north-star LLM-pipeline extension. ``emb``: (label, v: array<double>).
+    """
+    dims = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    dot = F.sum(F.col("ca") * F.col("cb"))
+    na = F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+    nb = F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+    return (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            eround(F.lit(1e-9) + dot / (na * nb), 4).alias("cosine"),
+            eround(
+                F.lit(1e-9)
+                + F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)),
+                4,
+            ).alias("l2_dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def q142_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double("embedding").alias("v")
+    )
+    return centroid_similarity(emb)
+
+
+_Q142_ORACLE = """
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(1e-9 + sum(a.c * b.c)
+                 / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4)
+             AS cosine,
+           round(1e-9 + sqrt(sum((a.c - b.c) * (a.c - b.c))), 4) AS l2_dist
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- q56: iterative k-means (3 fixed iterations, deterministic init).
 # The FIXED iteration count makes it SQL-expressible after all: the
 # oracle below unrolls the three assign→recompute rounds as CTE stages
@@ -1073,6 +1139,7 @@ QUERIES = {
     "q53_ann_bucket_stats": q53_ann_bucket_stats,
     "q107_quantized_knn": q107_quantized_knn,
     "q110_embedding_outliers": q110_embedding_outliers,
+    "q142_centroid_similarity": q142_centroid_similarity,
     "q138_hard_negatives": q138_hard_negatives,
 }
 
@@ -1142,6 +1209,7 @@ _Q54_PAIRS_CTES = f"""
 ORACLES = {
     "q56_kmeans": _kmeans_oracle_sql(),
     "q110_embedding_outliers": _Q110_ORACLE,
+    "q142_centroid_similarity": _Q142_ORACLE,
     "q107_quantized_knn": " UNION ALL ".join(
         _Q107_ORACLE_TEMPLATE.format(L=lv, NQ=N_QUERIES, K=TOP_K)
         for lv in QUANT_LEVELS

@@ -308,6 +308,206 @@ def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_summary(docs, q95_dedup_retention(spark, sf_dir))
 
 
+def cluster_representatives(
+    docs: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Quality-based cluster representative selection: within each
+    near-dup cluster keep the member with the MOST DISTINCT TOKENS
+    (length x diversity, and integer-exact in both engines so the
+    argmax is deterministic), tie-broken by min doc_id — the
+    production dedup policy (keep the best copy), reported against the
+    min-id policy q95/q101 apply (keep the first copy). Per keeper
+    source: cluster count, how many keepers CHANGED vs min-id, and the
+    average quality gained by choosing quality over arrival order.
+
+    Shape at scale: the corpus is touched once (doc_id, source,
+    distinct-token count projection); every later frame is bounded by
+    the candidate-graph membership, and the argmax is the two-pass
+    max-then-min-id pattern — no window, no max_by nondeterminism.
+
+    ``labels``: (node, label) as produced by the LP funnel."""
+    from .textops import _tokens
+
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(_tokens(F.col("text")))).alias("q"),
+    )
+    m = q.join(labels.withColumnRenamed("node", "doc_id"), "doc_id")
+    agg = m.groupBy("label").agg(
+        F.max("q").alias("mq"), F.min("doc_id").alias("minid")
+    )
+    keeper = (
+        m.join(agg.select("label", "mq"), "label")
+        .filter(F.col("q") == F.col("mq"))
+        .groupBy("label")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    kq = m.select(
+        "label",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("q").alias("q_keeper"),
+        "source",
+    )
+    mn = m.select(
+        "label",
+        F.col("doc_id").alias("minid"),
+        F.col("q").alias("q_minid"),
+    )
+    rep = (
+        keeper.join(agg, "label")
+        .join(kq, ["label", "keeper_id"])
+        .join(mn, ["label", "minid"])
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("keeper_id") != F.col("minid"), 1).otherwise(0)
+            ).alias("n_upgrades"),
+            eround(
+                F.lit(1e-9) + F.avg(F.col("q_keeper") - F.col("q_minid")), 4
+            ).alias("avg_quality_gain"),
+            eround(F.lit(1e-9) + F.avg("q_keeper"), 4).alias(
+                "avg_keeper_quality"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q144_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return cluster_representatives(
+        load_table(spark, sf_dir, "documents"), _lp_labels(spark, sf_dir)
+    )
+
+
+def _cluster_representatives_oracle() -> str:
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body},
+      qual AS (
+        SELECT doc_id, source,
+               len(list_distinct(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'))) AS q
+        FROM documents
+      ),
+      m AS (
+        SELECT lb.label, qu.doc_id, qu.q, qu.source
+        FROM {final} lb JOIN qual qu ON qu.doc_id = lb.node
+      ),
+      agg AS (
+        SELECT label, max(q) AS mq, min(doc_id) AS minid
+        FROM m GROUP BY label
+      ),
+      keeper AS (
+        SELECT m.label, min(m.doc_id) AS keeper_id
+        FROM m JOIN agg USING (label) WHERE m.q = agg.mq GROUP BY m.label
+      ),
+      rep AS (
+        SELECT kq.source, (k.keeper_id != a.minid) AS upgraded,
+               kq.q AS q_keeper, mn.q AS q_minid
+        FROM keeper k
+        JOIN agg a USING (label)
+        JOIN m kq ON kq.label = k.label AND kq.doc_id = k.keeper_id
+        JOIN m mn ON mn.label = k.label AND mn.doc_id = a.minid
+      )
+      SELECT source, count(*) AS n_clusters,
+             CAST(sum(CASE WHEN upgraded THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_upgrades,
+             round(1e-9 + avg(q_keeper - q_minid), 4) AS avg_quality_gain,
+             round(1e-9 + avg(q_keeper), 4) AS avg_keeper_quality
+      FROM rep GROUP BY source ORDER BY source
+    """
+
+
+def cluster_aware_split(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leakage-free train/val/test split: the split key is the doc's
+    near-dup CLUSTER label (its own doc_id when unclustered), hashed
+    with q96's counter-mode md5 mechanism — so near-duplicates can
+    never straddle a split boundary. q96 hashes doc_id directly, which
+    puts ~1-(0.8²+0.1²+0.1²) of every 2-doc dup cluster across splits:
+    exactly the train→test leakage q127 measures. Per split: doc
+    count, docs that belong to a cluster, and distinct clusters (a
+    cluster appears in EXACTLY one split by construction — pinned by
+    test, not just asserted).
+
+    Shape at scale: corpus left-joins the candidate-graph-bounded
+    label table (AQE broadcasts it at sane dup rates — q101's
+    reasoning), then a narrow map + one 3-key aggregate; the distinct
+    count is bounded by cluster count per split."""
+    return (
+        cluster_split_assignments(docs, labels)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("clustered"), 1).otherwise(0)).alias(
+                "n_clustered_docs"
+            ),
+            F.count_distinct(
+                F.when(F.col("clustered"), F.col("gkey"))
+            ).alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def cluster_split_assignments(
+    docs: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """(doc_id, clustered, gkey, split) — the per-doc assignment
+    cluster_aware_split aggregates; exposed so tests can pin the
+    leakage-freedom invariant (one split per gkey) at doc level."""
+    from ..functions.xsql import expand_u16, hash_u16
+
+    g = docs.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+    keyed = g.select(
+        "doc_id",
+        F.col("label").isNotNull().alias("clustered"),
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("gkey"),
+    )
+    bucket = expand_u16(hash_u16("CAST(gkey AS STRING)", "csplit"), "spark")
+    split = (
+        f"(CASE WHEN {bucket} % 10 < 8 THEN 'train' "
+        f"WHEN {bucket} % 10 = 8 THEN 'val' ELSE 'test' END)"
+    )
+    return keyed.selectExpr(
+        "doc_id", "clustered", "gkey", f"{split} AS split"
+    )
+
+
+def q145_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_aware_split(
+        load_table(spark, sf_dir, "documents"), _lp_labels(spark, sf_dir)
+    )
+
+
+def _cluster_aware_split_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    body, final = _lp_with_body()
+    bucket = expand_u16(hash_u16("CAST(gkey AS STRING)", "csplit"), "duckdb")
+    return f"""
+      WITH {body},
+      keyed AS (
+        SELECT (lb.label IS NOT NULL) AS clustered,
+               coalesce(lb.label, d.doc_id) AS gkey
+        FROM documents d LEFT JOIN {final} lb ON lb.node = d.doc_id
+      )
+      SELECT (CASE WHEN {bucket} % 10 < 8 THEN 'train'
+                   WHEN {bucket} % 10 = 8 THEN 'val' ELSE 'test' END)
+               AS split,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered_docs,
+             count(DISTINCT CASE WHEN clustered THEN gkey END) AS n_clusters
+      FROM keyed GROUP BY 1 ORDER BY split
+    """
+
+
 def write_retention(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Materialize the retention list as a parquet table — the
     cross-JOB form of the in-session funnel memo. At 100 TB the LSH
@@ -661,6 +861,8 @@ QUERIES = {
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
     "q101_deduped_corpus": q101_deduped_corpus,
+    "q144_cluster_representatives": q144_cluster_representatives,
+    "q145_cluster_aware_split": q145_cluster_aware_split,
     "q103_lp_convergence": q103_lp_convergence,
     "q139_cc_star_clusters": q139_cc_star_clusters,
 }
@@ -680,6 +882,8 @@ def _oracles() -> dict[str, str]:
         "q139_cc_star_clusters": _dup_clusters_oracle(),
         "q95_dedup_retention": _dedup_retention_oracle(),
         "q101_deduped_corpus": _deduped_corpus_oracle(),
+        "q144_cluster_representatives": _cluster_representatives_oracle(),
+        "q145_cluster_aware_split": _cluster_aware_split_oracle(),
         "q103_lp_convergence": _lp_convergence_oracle(),
         "q59_token_entropy": """
             WITH toks AS (

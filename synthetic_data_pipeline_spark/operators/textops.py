@@ -1380,6 +1380,58 @@ def q137_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_docs(load_table(spark, sf_dir, "documents"))
 
 
+def tokenizer_fertility(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Tokenizer fertility by language: BPE tokens per whitespace word
+    and characters per BPE token, per ``lang`` — the standard
+    multilingual-tokenizer fairness audit (a high-fertility language
+    pays more sequence length for the same text).
+
+    Shape at scale: the corpus-sized token stream hits exactly ONE
+    hash aggregate — (lang, word) counts with map-side combine — and
+    every later frame is vocabulary-bounded: the per-word symbol
+    count comes from the Zipf-bounded distinct-word table the merge
+    stages already produce (q128's lineage), and the (lang, word)
+    count table joins it at |langs| x |vocab| rows. No corpus-sized
+    join, no window. Reference parity: none (the reference has no
+    tokenizer); north-star LLM-pipeline extension alongside q136/q137.
+    """
+    stages, _rules = _bpe_stages(docs, n_merges)
+    wordmap = stages[-1].select(
+        F.replace(F.col("ws"), F.lit(" "), F.lit("")).alias("w"),
+        F.size(F.split("ws", " ")).alias("n_syms"),
+    )
+    lwc = (
+        docs.select("lang", F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    toks = F.sum(F.col("cnt") * F.col("n_syms"))
+    return (
+        lwc.join(wordmap, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            toks.alias("n_tokens"),
+            eround(
+                F.lit(1e-9) + toks / F.sum("cnt").cast("double"), 4
+            ).alias("fertility"),
+            eround(
+                F.lit(1e-9)
+                + F.sum(F.col("cnt") * F.length("w")) / toks.cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q141_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def _bpe_oracle_ctes() -> str:
     """The words0..wordsN + top1..topN CTE chain shared by the q128
     (rules) and q129 (compression curve) oracles."""
@@ -1512,6 +1564,142 @@ def _q137_oracle() -> str:
     )
 
 
+def corpus_diversity(docs: DataFrame) -> DataFrame:
+    """Corpus-level lexical diversity per source: distinct/total ratios
+    for unigrams AND bigrams across the whole source (the distinct-n
+    diversity metric) — the cross-doc complement of q106's within-doc
+    repetition signals. A source whose corpus-wide type-token ratio
+    collapses is template-generated even when each individual document
+    looks diverse.
+
+    Shape at scale: two corpus-sized explodes, each absorbed by ONE
+    (source, gram) hash aggregate with map-side combine, then a
+    second |sources| x |vocab|-bounded aggregate — the two-level
+    count-distinct pattern, never ``countDistinct`` over a skewed
+    corpus column. Reference parity: none; LLM-pipeline extension."""
+    base = docs.select("source", _tokens(F.col("text")).alias("arr"))
+    uni = (
+        base.select("source", F.explode("arr").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ustats = uni.groupBy("source").agg(
+        F.count("*").alias("distinct_unigrams"),
+        F.sum("cnt").alias("n_unigrams"),
+    )
+    bi = (
+        base.select("source", F.explode(_bigram_array("arr")).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bstats = bi.groupBy("source").agg(
+        F.count("*").alias("distinct_bigrams"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        nd.join(ustats, "source")
+        .join(bstats, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unigrams",
+            "distinct_unigrams",
+            eround(
+                F.lit(1e-9)
+                + F.col("distinct_unigrams")
+                / F.col("n_unigrams").cast("double"),
+                4,
+            ).alias("ttr_corpus"),
+            "n_bigrams",
+            "distinct_bigrams",
+            eround(
+                F.lit(1e-9)
+                + F.col("distinct_bigrams")
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ).alias("distinct2"),
+        )
+        .orderBy("source")
+    )
+
+
+def q143_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_diversity(load_table(spark, sf_dir, "documents"))
+
+
+_Q143_ORACLE = """
+    WITH base AS (
+      SELECT source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    uni AS (
+      SELECT source, w, count(*) AS cnt
+      FROM (SELECT source, unnest(arr) AS w FROM base)
+      WHERE len(w) > 0 GROUP BY 1, 2
+    ),
+    ustats AS (
+      SELECT source, count(*) AS distinct_unigrams,
+             CAST(sum(cnt) AS BIGINT) AS n_unigrams
+      FROM uni GROUP BY 1
+    ),
+    bi AS (
+      SELECT source, g, count(*) AS cnt
+      FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> concat_ws(' ', arr[i], arr[i+1]))) AS g
+        FROM base WHERE len(arr) >= 2
+      ) GROUP BY 1, 2
+    ),
+    bstats AS (
+      SELECT source, count(*) AS distinct_bigrams,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      FROM bi GROUP BY 1
+    ),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT source, n_docs, n_unigrams, distinct_unigrams,
+           round(1e-9 + distinct_unigrams / CAST(n_unigrams AS DOUBLE), 4)
+             AS ttr_corpus,
+           n_bigrams, distinct_bigrams,
+           round(1e-9 + distinct_bigrams / CAST(n_bigrams AS DOUBLE), 4)
+             AS distinct2
+    FROM nd JOIN ustats USING (source) JOIN bstats USING (source)
+    ORDER BY source
+"""
+
+
+def _q141_oracle() -> str:
+    return (
+        _bpe_oracle_ctes()
+        + f""",
+    wordmap AS (SELECT replace(ws, ' ', '') AS w,
+                       len(string_split(ws, ' ')) AS n_syms
+                FROM words{BPE_MERGES}),
+    lwc AS (
+      SELECT lang, w, count(*) AS cnt
+      FROM (
+        SELECT lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE len(w) > 0
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_syms) AS BIGINT) AS n_tokens,
+           round(1e-9 + sum(cnt * n_syms) / CAST(sum(cnt) AS DOUBLE), 4)
+             AS fertility,
+           round(1e-9 + sum(cnt * length(w))
+                 / CAST(sum(cnt * n_syms) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM lwc JOIN wordmap USING (w)
+    GROUP BY lang ORDER BY lang"""
+    )
+
+
 def _q126_oracle() -> str:
     from ..functions.xsql import expand_u16, hash_u16
 
@@ -1546,6 +1734,8 @@ QUERIES = {
     "q129_bpe_compression": q129_bpe_compression,
     "q136_bpe_vocab": q136_bpe_vocab,
     "q137_bpe_encode": q137_bpe_encode,
+    "q141_tokenizer_fertility": q141_tokenizer_fertility,
+    "q143_corpus_diversity": q143_corpus_diversity,
 }
 
 
@@ -1605,6 +1795,8 @@ ORACLES = {
     "q129_bpe_compression": _q129_oracle(),
     "q136_bpe_vocab": _q136_oracle(),
     "q137_bpe_encode": _q137_oracle(),
+    "q141_tokenizer_fertility": _q141_oracle(),
+    "q143_corpus_diversity": _Q143_ORACLE,
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -196,3 +196,29 @@ def test_q134_window_is_doc_partitioned(spark):
     for m in re.finditer(r"\(\d+\) Window", p):
         seg = p[m.start(): m.start() + 500]
         assert "doc_id" in seg, seg
+
+
+def test_q142_centroid_join_broadcasts(spark):
+    """q142's label x label self-join runs over the |labels| x dim
+    centroid table — it must broadcast (a shuffle join there would
+    mean Catalyst sees a corpus-sized side), and the corpus-sized
+    explode must be absorbed by partial+final hash aggregation."""
+    from synthetic_data_pipeline_spark.operators import similarity
+
+    p = plan(similarity.q142_centroid_similarity(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_q141_q143_no_windows_no_smj(spark):
+    """The fertility and diversity audits are pure hash-agg pipelines:
+    no window anywhere, and the only joins are over vocab-bounded
+    frames (fertility's word map; diversity joins |sources|-keyed
+    aggregates) — a global window or corpus SMJ is a scale regression."""
+    from synthetic_data_pipeline_spark.operators import textops
+
+    p1 = plan(textops.q141_tokenizer_fertility(spark, SF_DIR))
+    assert "Window" not in p1, p1
+    p2 = plan(textops.q143_corpus_diversity(spark, SF_DIR))
+    assert "Window" not in p2, p2

@@ -426,3 +426,215 @@ def test_bpe_encode_roundtrip_sf(spark, sf_dir):
             id2sym[int(t)] for t in row.token_ids.split(" ")
         )
         assert decoded == expected[row.doc_id], row.doc_id
+
+
+def test_tokenizer_fertility_directional(spark):
+    """A language whose whole corpus is one heavily-repeated 4-char
+    word compresses to ~1 symbol/word after 3 merges, while a language
+    of unmergeable all-distinct rare words stays at 4 symbols/word —
+    fertility must rank them accordingly, and the token/word/char
+    accounting identities must hold exactly."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        tokenizer_fertility,
+    )
+
+    rows = [(i, "zzzz zzzz zzzz zzzz zzzz", "aa") for i in range(6)]
+    rows += [(100, "wxyq kjfd mbtv", "bb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    # merges: z z -> zz, zz zz -> zzzz (dominant pair at every stage)
+    assert got["aa"].n_words == 30 and got["aa"].n_tokens == 30
+    assert abs(got["aa"].fertility - 1.0) < 1e-3
+    # merges 1+2 are spent on the dominant z-pairs; merge 3 falls to
+    # the alphabetically-first count-1 pair 'b t', so 'mbtv' encodes as
+    # 3 symbols and the other two rare words stay at 4: 4+4+3 = 11
+    assert got["bb"].n_words == 3 and got["bb"].n_tokens == 11
+    assert abs(got["bb"].fertility - round(11 / 3, 4)) < 1e-3
+    assert got["aa"].fertility < got["bb"].fertility
+    # chars/token identity: aa 4 chars per 1 token, bb 12 chars/11 toks
+    assert abs(got["aa"].chars_per_token - 4.0) < 1e-3
+    assert abs(got["bb"].chars_per_token - round(12 / 11, 4)) < 1e-3
+
+
+def test_centroid_similarity_planted(spark):
+    """Three labels with hand-picked centroids: 0 -> (1,0), 1 -> (0,1),
+    2 -> (1,0) via averaging (2,0) and (0,0). Cosine must be 0 for the
+    orthogonal pairs and 1 for the collapsed pair; l2 confirms which
+    pair is literally identical."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [2.0, 0.0]),
+        (2, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "label int, v array<double>")
+    got = {
+        (r.label_a, r.label_b): (r.cosine, r.l2_dist)
+        for r in centroid_similarity(emb).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert abs(got[(0, 1)][0] - 0.0) < 1e-3
+    assert abs(got[(0, 2)][0] - 1.0) < 1e-3
+    assert abs(got[(1, 2)][0] - 0.0) < 1e-3
+    assert abs(got[(0, 2)][1] - 0.0) < 1e-3  # collapsed pair: l2 == 0
+
+
+def test_corpus_diversity_hand_computed(spark):
+    """Template source (10 identical 'a b a b' docs) vs diverse source
+    (every word unique): corpus-level TTR and distinct-2 are exact
+    hand-computable fractions, and the diverse source maxes out both."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        corpus_diversity,
+    )
+
+    rows = [(i, "a b a b", "tmpl") for i in range(10)]
+    rows += [(100 + i, f"w{4 * i} w{4 * i + 1} w{4 * i + 2} w{4 * i + 3}",
+              "div") for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {r.source: r for r in corpus_diversity(docs).collect()}
+    t = got["tmpl"]
+    assert (t.n_docs, t.n_unigrams, t.distinct_unigrams) == (10, 40, 2)
+    assert abs(t.ttr_corpus - 0.05) < 1e-3
+    # per doc bigrams: 'a b', 'b a', 'a b' -> 30 total, 2 distinct
+    assert (t.n_bigrams, t.distinct_bigrams) == (30, 2)
+    assert abs(t.distinct2 - round(2 / 30, 4)) < 1e-3
+    d = got["div"]
+    assert d.distinct_unigrams == d.n_unigrams == 20
+    assert abs(d.ttr_corpus - 1.0) < 1e-3 and abs(d.distinct2 - 1.0) < 1e-3
+    assert d.ttr_corpus > t.ttr_corpus and d.distinct2 > t.distinct2
+
+
+def test_cluster_representatives_planted(spark):
+    """Hand-built clusters: in cluster 1 the HIGHEST-distinct-token
+    member (doc 3) must replace the min-id keeper (doc 1) and the gain
+    is exact; in cluster 10 both members tie on quality so the min-id
+    member keeps its seat and the gain is zero."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "s1"),            # q=2
+            (2, "a b c", "s1"),              # q=3
+            (3, "a b c d e", "s2"),          # q=5  <- quality keeper
+            (10, "x y z", "s3"),             # q=3  <- min-id tie keeper
+            (11, "p q r", "s3"),             # q=3
+            (99, "unclustered text here", "s4"),  # not in any cluster
+        ],
+        "doc_id long, text string, source string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, label long",
+    )
+    got = {r.source: r for r in cluster_representatives(docs, labels).collect()}
+    assert set(got) == {"s2", "s3"}  # grouped by KEEPER source; s4 absent
+    s2 = got["s2"]
+    assert (s2.n_clusters, s2.n_upgrades) == (1, 1)
+    assert abs(s2.avg_quality_gain - 3.0) < 1e-3  # q 5 vs min-id q 2
+    assert abs(s2.avg_keeper_quality - 5.0) < 1e-3
+    s3 = got["s3"]
+    assert (s3.n_clusters, s3.n_upgrades) == (1, 0)
+    assert abs(s3.avg_quality_gain - 0.0) < 1e-3
+
+
+def test_cluster_aware_split_no_straddling(spark, sf_dir):
+    """The leakage-freedom invariant on real data: every near-dup
+    cluster's members land in EXACTLY one split (q96's doc-hash split
+    provably straddles some cluster on the same corpus — that contrast
+    is the operator's reason to exist)."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        _lp_labels,
+        cluster_split_assignments,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _lp_labels(spark, sf_dir)
+    asg = cluster_split_assignments(docs, labels)
+    straddling = (
+        asg.filter("clustered")
+        .groupBy("gkey")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert straddling == 0
+    # contrast: doc-hash split DOES straddle at least one cluster here
+    from synthetic_data_pipeline_spark.functions.xsql import (
+        expand_u16,
+        hash_u16,
+    )
+
+    bucket = expand_u16(hash_u16("CAST(doc_id AS STRING)", "split"), "spark")
+    doc_split = asg.selectExpr(
+        "gkey", "clustered", f"({bucket} % 10) AS b"
+    )
+    doc_straddling = (
+        doc_split.filter("clustered")
+        .groupBy("gkey")
+        .agg(F.count_distinct(
+            F.when(F.col("b") < 8, "train")
+            .when(F.col("b") == 8, "val")
+            .otherwise("test")
+        ).alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert doc_straddling > 0
+
+
+def test_cluster_aware_split_conservation(spark, sf_dir):
+    """Split sizes conserve the corpus and every clustered doc is
+    counted: sum(n_docs) == |documents|, sum(n_clustered_docs) ==
+    |label table|."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        _lp_labels,
+        q145_cluster_aware_split,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    rows = q145_cluster_aware_split(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_labeled = _lp_labels(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_clustered_docs for r in rows) == n_labeled
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """A-ES selection replicated in pure Python (same md5 counter-mode
+    u, same ln(u)/w key, same 6dp rounding + doc_id tiebreak) must pick
+    the same ranked docs — and a doc with overwhelming weight must
+    outrank every light doc (its key sits ~w x closer to zero)."""
+    import hashlib
+    import math
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        weighted_sample,
+    )
+
+    rows = [(i, "s", 50 + 7 * i) for i in range(1, 30)]
+    rows.append((99, "s", 10_000_000))  # overwhelming weight
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}:wsample".encode()).hexdigest()[:4], 16)
+        u = (h + 0.5) / 65536.0
+        x = math.log(u) / float(w)
+        return round(x + 1e-6 + abs(x) * 1e-12, 6)  # the eround formula
+
+    want = sorted(rows, key=lambda r: (-key(r[0], r[2]), r[0]))[:8]
+    got = [
+        (r.doc_id, r.weight)
+        for r in weighted_sample(docs).orderBy("rk").collect()
+    ]
+    assert got == [(d, w) for d, _, w in want]
+    assert got[0][0] == 99  # the heavy doc wins rank 1
