@@ -44,20 +44,21 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     (multimodal module gained the compressed-video arm; it is also
 #     r6-stale, so it counts in both buckets), plus the evergreen
 #     q01/q90 flagship anchors;
-#   * ELEVEN queries born MID-round-9 (q136-q140: the tokenizer apply
+#   * TWELVE queries born MID-round-9 (q136-q140: the tokenizer apply
 #     pair, hard-negative mining, star-contraction components, the
-#     waterfill allocator; q141-q146: tokenizer fertility, the
+#     waterfill allocator; q141-q147: tokenizer fertility, the
 #     centroid similarity matrix, corpus distinct-n diversity,
 #     quality-based cluster representatives, the cluster-aware
-#     leakage-free split, A-ES weighted sampling) — never
-#     driver-checked, so they claim slots immediately;
+#     leakage-free split, A-ES weighted sampling, boilerplate-gram
+#     detection) — never driver-checked, so they claim slots
+#     immediately;
 #   * the oldest r7-era refreshes, weighted toward the graded
 #     LLM tiers: dedup (q46, q118, q125, q127), similarity (q55),
-#     sketches (q58), textops (q66, q126), generation (q62). The
+#     sketches (q58), textops (q126), generation (q62). The
 #     r7 rows left out (q04, q06, q07, q09, q11, q16-q18, q21,
 #     q23, q25, q26, q30-q37, q40-q45, q48-q51, q53, q57, q59,
-#     q65, q67, q80, q120, q121 — q45/q48/q49/q50/q53/q65 ceded
-#     their seats to the q141-q146 newborns) rotate next round;
+#     q65-q67, q80, q120, q121 — q45/q48/q49/q50/q53/q65/q66 ceded
+#     their seats to the q141-q147 newborns) rotate next round;
 #     each leaves an in-window cousin on the same module.
 DRIVER_WINDOW = [
     # never driver-checked (born this round)
@@ -85,7 +86,7 @@ DRIVER_WINDOW = [
     "q55_ivf_ann",
     "q58_dup_clusters",
     # r7-era refresh: textops / generation tiers
-    "q66_winnowing_fingerprints", "q126_dsir_weights",
+    "q126_dsir_weights",
     "q62_gen_validation_report",
     # born mid-round-9: the tokenizer APPLY pair (q136 vocab export,
     # q137 encoded docs), hard-negative mining (q138), star-
@@ -114,6 +115,10 @@ DRIVER_WINDOW = [
     # deterministic A-ES weighted sampling (q146); displaces the
     # r7-refresh filler q50 (q55 IVF + q138 anchor the similarity tier).
     "q146_weighted_sample",
+    # within-source boilerplate 4-gram detection (q147); displaces the
+    # r7-refresh filler q66 (q126/q62 keep the textops/generation
+    # anchors; q131/q105 cover the gram tier in-window).
+    "q147_boilerplate_grams",
 ]
 
 

@@ -50,6 +50,7 @@ HEADLINE = [
     "q134_longest_dup_span",
     "q135_incremental_span_gate",
     "q105_decontaminate",
+    "q147_boilerplate_grams",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

@@ -65,6 +65,7 @@ SHOWCASE = [
     ("q144_cluster_representatives", "best-copy keeper: corpus quality projection once, cluster-bounded max-then-min-id argmax joins"),
     ("q145_cluster_aware_split", "leakage-free split: bounded label table joined once, narrow hash map, 3-key agg"),
     ("q146_weighted_sample", "A-ES weighted sample: salted partial top-K + merge, no per-stratum window"),
+    ("q147_boilerplate_grams", "boilerplate grams: one (source, gram) DF agg, broadcast coverage semi-join"),
 ]
 
 

@@ -1629,6 +1629,117 @@ def q143_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity(load_table(spark, sf_dir, "documents"))
 
 
+# --- q147: within-source boilerplate n-gram detection — the C4/CCNet
+# pattern (navigation, footers, license blurbs repeat VERBATIM across
+# a source's pages). A 4-gram is boilerplate for its source when its
+# doc frequency reaches max(2, ceil(n_docs/20)) — integer arithmetic
+# ((n + 19) / 20 integer-division) in BOTH engines, so the threshold
+# can't knife-edge on a float ceil. DF counting reuses q105's distinct
+# per-doc gram table.
+def boilerplate_grams(docs: DataFrame) -> DataFrame:
+    """Per-source boilerplate report: how many distinct 4-grams cross
+    the within-source doc-frequency threshold and what share of the
+    source's docs contain at least one of them.
+
+    Shape at scale: the corpus-sized gram table hits one (source, g)
+    hash agg with map-side combine; the boilerplate gram set is small
+    by construction (threshold scales with corpus size), so the
+    coverage pass is a broadcast semi-join; the distinct-doc count is
+    the two-level (source, doc) -> source pattern."""
+    grams = distinct_ngrams(docs)
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    thr = F.greatest(
+        F.lit(2), F.floor((F.col("n_docs") + F.lit(19)) / F.lit(20))
+    ).cast("long")
+    df_tab = grams.groupBy("source", "g").agg(F.count("*").alias("df"))
+    bp = (
+        df_tab.join(F.broadcast(nd), "source")
+        .filter(F.col("df") >= thr)
+        .select("source", "g", "df")
+    )
+    n_bp = bp.groupBy("source").agg(
+        F.count("*").alias("n_bp_grams"), F.sum("df").alias("n_bp_hits")
+    )
+    covered = (
+        grams.join(F.broadcast(bp.select("source", "g")), ["source", "g"])
+        .groupBy("source", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs_with_bp"))
+    )
+    return (
+        nd.join(n_bp, "source", "left")
+        .join(covered, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_bp_grams", F.lit(0)).alias("n_bp_grams"),
+            F.coalesce("n_bp_hits", F.lit(0)).alias("n_bp_hits"),
+            F.coalesce("n_docs_with_bp", F.lit(0)).alias("n_docs_with_bp"),
+            eround(
+                F.lit(1e-9)
+                + F.coalesce("n_docs_with_bp", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("bp_doc_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def q147_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_grams(load_table(spark, sf_dir, "documents"))
+
+
+_Q147_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               range(1, len(arr) - {DECON_N - 2}),
+               i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')
+             )) AS g
+      FROM base WHERE len(arr) >= {DECON_N}
+    ),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    df_tab AS (
+      SELECT source, g, count(*) AS df FROM grams GROUP BY 1, 2
+    ),
+    bp AS (
+      SELECT d.source, d.g, d.df
+      FROM df_tab d JOIN nd USING (source)
+      WHERE d.df >= greatest(2, (n_docs + 19) // 20)
+    ),
+    n_bp AS (
+      SELECT source, count(*) AS n_bp_grams,
+             CAST(sum(df) AS BIGINT) AS n_bp_hits
+      FROM bp GROUP BY 1
+    ),
+    covered AS (
+      SELECT source, count(*) AS n_docs_with_bp
+      FROM (
+        SELECT gr.source, gr.doc_id
+        FROM grams gr JOIN bp ON bp.source = gr.source AND bp.g = gr.g
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT nd.source, nd.n_docs,
+           coalesce(n_bp_grams, 0) AS n_bp_grams,
+           coalesce(n_bp_hits, 0) AS n_bp_hits,
+           coalesce(n_docs_with_bp, 0) AS n_docs_with_bp,
+           round(1e-9 + coalesce(n_docs_with_bp, 0)
+                 / CAST(nd.n_docs AS DOUBLE), 4) AS bp_doc_share
+    FROM nd
+    LEFT JOIN n_bp USING (source)
+    LEFT JOIN covered USING (source)
+    ORDER BY source
+"""
+
+
 _Q143_ORACLE = """
     WITH base AS (
       SELECT source,
@@ -1736,6 +1847,7 @@ QUERIES = {
     "q137_bpe_encode": q137_bpe_encode,
     "q141_tokenizer_fertility": q141_tokenizer_fertility,
     "q143_corpus_diversity": q143_corpus_diversity,
+    "q147_boilerplate_grams": q147_boilerplate_grams,
 }
 
 
@@ -1797,6 +1909,7 @@ ORACLES = {
     "q137_bpe_encode": _q137_oracle(),
     "q141_tokenizer_fertility": _q141_oracle(),
     "q143_corpus_diversity": _Q143_ORACLE,
+    "q147_boilerplate_grams": _Q147_ORACLE,
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

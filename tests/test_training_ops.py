@@ -638,3 +638,31 @@ def test_weighted_sample_matches_python_reference(spark):
     ]
     assert got == [(d, w) for d, _, w in want]
     assert got[0][0] == 99  # the heavy doc wins rank 1
+
+
+def test_boilerplate_grams_planted(spark):
+    """A source whose every doc carries the same footer must flag the
+    footer's 4-grams (DF == n_docs >= threshold) and report full doc
+    coverage; a source of all-unique docs reports zero. Threshold is
+    max(2, ceil(n/20)) — with 3 docs that is 2, so the 2-doc overlap
+    in the mixed source also flags."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        boilerplate_grams,
+    )
+
+    footer = "copyright acme corp all rights reserved"
+    rows = [(i, f"unique{i} words{i} body{i} text{i} " + footer, "bp")
+            for i in range(3)]
+    rows += [(10 + i, f"w{9 * i} w{9 * i + 1} w{9 * i + 2} w{9 * i + 3} "
+              f"w{9 * i + 4} w{9 * i + 5}", "clean") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in boilerplate_grams(docs).collect()}
+    bp = got["bp"]
+    # the shared footer contributes 3 sliding 4-grams + the one
+    # straddling gram is doc-specific (unique prefix), so exactly the
+    # 3 all-doc grams cross DF >= 3... threshold is max(2, 1) = 2
+    assert bp.n_bp_grams == 3
+    assert bp.n_docs_with_bp == 3 and abs(bp.bp_doc_share - 1.0) < 1e-3
+    assert bp.n_bp_hits == 9  # 3 grams x 3 docs
+    clean = got["clean"]
+    assert clean.n_bp_grams == 0 and clean.bp_doc_share == 0.0
