@@ -66,6 +66,7 @@ SHOWCASE = [
     ("q145_cluster_aware_split", "leakage-free split: bounded label table joined once, narrow hash map, 3-key agg"),
     ("q146_weighted_sample", "A-ES weighted sample: salted partial top-K + merge, no per-stratum window"),
     ("q147_boilerplate_grams", "boilerplate grams: one (source, gram) DF agg, broadcast coverage semi-join"),
+    ("q148_image_phash_dups", "perceptual image dedup: one Arrow decode+hash pass, JVM hash-group join"),
 ]
 
 

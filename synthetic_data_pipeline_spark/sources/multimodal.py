@@ -572,11 +572,117 @@ def _video_frame_features_sql() -> str:
     """
 
 
+# --- q148: perceptual-hash image dedup. dHash (difference hash): the
+# image is nearest-sampled onto a 9x8 grid and each of the 8x8
+# horizontal gradient signs becomes one bit — invariant to the
+# CONTAINER (PGM vs BMP carry the same pixels) and to any monotone
+# per-pixel brightness map, which is exactly the near-dup class a
+# byte-level hash (q43) misses. The dedup corpus is every synthetic
+# image plus a container-swapped twin (same pixels, different bytes):
+# the hash-group join must pair each original with its twin and
+# nothing else. Pure indexing + strict > comparisons, so the Spark
+# mapInPandas path and the driver-side golden numpy agree bit-for-bit.
+_PHASH_TWIN_OFFSET = 1000
+
+
+def dhash64(arr: np.ndarray) -> str:
+    """64-bit difference hash of a 2-D uint8 image, as 16 hex chars."""
+    h, w = arr.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = arr[np.ix_(rows, cols)].astype(np.int16)
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+def _phash_corpus(spark: SparkSession, n: int = _Q100_N) -> DataFrame:
+    """Image rows of the synthetic corpus plus container-swapped twins
+    (PGM<->BMP re-encode of the SAME pixels, media_id + offset)."""
+    rows = []
+    for i in range(n):
+        kind, arr, payload, meta = _media_row(i)
+        if kind != "image":
+            continue
+        rows.append((i, kind, payload, meta))
+        swapped = (
+            encode_bmp(arr) if (i // 3) % 2 == 0 else encode_pgm(arr)
+        )
+        rows.append((i + _PHASH_TWIN_OFFSET, kind, swapped, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every image row via mapInPandas — the
+    Arrow-batched decode+hash pass of a perceptual dedup pipeline."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                (mid, dhash64(decode_media(kind, payload)))
+                for mid, kind, payload in zip(
+                    pdf["media_id"].to_numpy(),
+                    pdf["kind"].to_numpy(),
+                    pdf["payload"].to_numpy(),
+                )
+                if kind == "image"
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.mapInPandas(_batches, "media_id long, phash string")
+
+
+def q148_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dup groups of the twin-seeded corpus: hash in one
+    Arrow pass, then a JVM-side (phash) group — every group must be an
+    (original, container-swapped twin) pair. The oracle re-derives
+    each phash with driver-side numpy (no Spark/Arrow in the loop) and
+    groups in SQL, so a green row proves the decode round-trip, the
+    bit math, AND the grouping. (``sf_dir`` unused: self-contained.)"""
+    hashed = image_phash(_phash_corpus(spark))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("media_id").alias("id_a"),
+            F.max("media_id").alias("id_b"),
+        )
+        .filter(F.col("n_items") >= 2)
+        .orderBy("phash")
+    )
+
+
+def _image_phash_dups_sql() -> str:
+    rows = []
+    for i in range(_Q100_N):
+        kind, arr, _payload, _meta = _media_row(i)
+        if kind != "image":
+            continue
+        ph = dhash64(arr)
+        rows.append(f"({i}, '{ph}')")
+        rows.append(f"({i + _PHASH_TWIN_OFFSET}, '{ph}')")
+    values = ",\n      ".join(rows)
+    return f"""
+      SELECT phash, count(*) AS n_items,
+             CAST(min(media_id) AS BIGINT) AS id_a,
+             CAST(max(media_id) AS BIGINT) AS id_b
+      FROM (VALUES
+      {values}
+      ) AS t(media_id, phash)
+      GROUP BY phash HAVING count(*) >= 2
+      ORDER BY phash
+    """
+
+
 QUERIES = {
     "q100_media_features": q100_media_features,
     "q133_video_frame_features": q133_video_frame_features,
+    "q148_image_phash_dups": q148_image_phash_dups,
 }
 ORACLES = {
     "q100_media_features": _media_features_sql(),
     "q133_video_frame_features": _video_frame_features_sql(),
+    "q148_image_phash_dups": _image_phash_dups_sql(),
 }

@@ -232,3 +232,42 @@ def test_q133_deterministic_and_matches_direct_decode(spark):
             assert abs(got[3] - round(flat.mean() + 1e-6, 6)) < 1e-4
             checked += 1
     assert checked >= 6
+
+
+def test_dhash_container_and_brightness_invariant():
+    """dHash must be invariant to the container (PGM vs BMP carry the
+    same pixels) and to a non-saturating brightness shift (gradient
+    SIGNS are unchanged by +c), yet flip when a real edge is reversed —
+    the exact near-dup class a byte hash misses."""
+    import numpy as np
+
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        decode_media,
+        dhash64,
+        encode_bmp,
+        encode_pgm,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 200, (12, 16), dtype=np.uint8)  # headroom <= 199
+    h = dhash64(arr)
+    assert dhash64(decode_media("image", encode_pgm(arr))) == h
+    assert dhash64(decode_media("image", encode_bmp(arr))) == h
+    assert dhash64((arr + 50).astype(np.uint8)) == h  # no wraparound
+    flipped = arr.copy()
+    flipped[:, : 8] = 255  # force every left-half gradient sign
+    assert dhash64(flipped) != h
+
+
+def test_image_phash_groups_only_twins(spark):
+    """On the twin-seeded corpus every dup group is exactly an
+    (original, container-swapped twin) pair — no cross-image collision
+    and no missed twin."""
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        q148_image_phash_dups,
+    )
+
+    rows = q148_image_phash_dups(spark, "unused").collect()
+    assert len(rows) == 20  # 60-row corpus -> 20 images
+    for r in rows:
+        assert r.n_items == 2 and r.id_b - r.id_a == 1000
