@@ -508,6 +508,13 @@ def _cluster_aware_split_oracle() -> str:
     """
 
 
+def write_label_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the LP cluster labels as a parquet table — the
+    cross-JOB index the streaming split router joins against (same
+    persisted-state pattern as write_retention / write_span_index)."""
+    _lp_labels(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+
 def write_retention(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Materialize the retention list as a parquet table — the
     cross-JOB form of the in-session funnel memo. At 100 TB the LSH

@@ -345,6 +345,37 @@ def incremental_span_gate_stream(
     )
 
 
+def cluster_split_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q145's cluster-aware split: incoming documents
+    are routed to train/val/test AT INGEST by a native STREAM-STATIC
+    left join against the persisted LP label index
+    (sketches.write_label_index) — no foreachBatch batch-semantics
+    escape needed, because the assignment is a narrow map after the
+    join. Leakage-freedom carries over verbatim: the split key is the
+    cluster label, so a doc arriving in ANY micro-batch lands in the
+    same split as every near-dup already indexed. Per-doc rows equal
+    the batch assignment (test_cluster_split_stream_equals_batch).
+    Returns the number of micro-batches."""
+    from ..operators import sketches
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_label_index_")
+    sketches.write_label_index(spark, sf_dir, index_dir)
+    labels = spark.read.parquet(index_dir)
+
+    incoming = stream_documents(spark, sf_dir)
+    asg = sketches.cluster_split_assignments(incoming, labels)
+    return run_foreach_batch_parquet(
+        asg, out_dir, checkpoint_dir=checkpoint_dir
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

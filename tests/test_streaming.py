@@ -338,3 +338,34 @@ def test_incremental_span_gate_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_cluster_split_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q145 streaming twin: per-doc split assignments landed by the
+    stream-static label join must equal the batch assignment exactly —
+    the split key is the persisted cluster label (or the doc's own id),
+    so batch boundaries cannot move any document across splits."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        _lp_labels,
+        cluster_split_assignments,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        cluster_split_stream,
+    )
+
+    out = str(tmp_path / "split")
+    n = cluster_split_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = {
+        r.doc_id: (r.clustered, r.gkey, r.split)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.clustered, r.gkey, r.split)
+        for r in cluster_split_assignments(
+            load_table(spark, sf_dir, "documents"), _lp_labels(spark, sf_dir)
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
