@@ -85,3 +85,58 @@ def test_is_placeholder_dialects_agree(spark):
     assert got["0000 0000 0000 0000"] and got["999.999.999.999"]
     assert got["xxx"] and got["REDACTED_7"] and got["a sample value"]
     assert not got["4111 1111 1111 1111"] and not got["123-45-6789"]
+
+def test_text_audit_ops_match_duckdb_on_random_corpora(spark):
+    """Randomized-corpus parity for the round-9 text audits (fertility
+    q141, corpus diversity q143, boilerplate q147): seeded random docs
+    with duplicate texts, shared footers, messy whitespace, mixed case
+    and empty strings must hash-match the DuckDB oracles — the same
+    comparison the driver gate runs, on corpora it never generates."""
+    import pandas as pd
+
+    from synthetic_data_pipeline_spark.functions.rounding import (
+        apply_sql_eround,
+    )
+    from synthetic_data_pipeline_spark.operators import textops
+
+    rng = random.Random(20260815)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "zz", "Yy", "q1"]
+
+    def make_corpus(n_docs: int) -> pd.DataFrame:
+        rows = []
+        footer = "ff gg hh ii"
+        for i in range(n_docs):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 9))]
+            text = " ".join(words)
+            if i % 3 == 0:
+                text = text + "  " + footer  # shared verbatim run
+            if i % 7 == 0:
+                text = "\t" + text.upper() + "  "  # case + whitespace mess
+            if i % 11 == 0:
+                text = ""  # empty doc
+            rows.append(
+                (i, text, rng.choice(["en", "de"]),
+                 rng.choice(["s1", "s2", "s3"]),
+                 len(text))
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
+    from scripts.driver_sim import canon
+
+    cases = [
+        (textops.tokenizer_fertility, textops._q141_oracle()),
+        (textops.corpus_diversity, textops._Q143_ORACLE),
+        (textops.boilerplate_grams, textops._Q147_ORACLE),
+    ]
+    for trial in range(3):
+        pdf = make_corpus(12 + 10 * trial)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        docs = spark.createDataFrame(pdf)
+        for fn, oracle in cases:
+            got = fn(docs).toPandas()
+            want = con.execute(apply_sql_eround(oracle)).df()
+            assert sorted(got.columns) == sorted(want.columns), fn.__name__
+            assert canon(got) == canon(want), (fn.__name__, trial)
