@@ -65,6 +65,7 @@ HEADLINE = [
     "q106_repetition_signals",
     "q143_corpus_diversity",
     "q109_perplexity_proxy",
+    "q149_bigram_lm_export",
     "q111_adaptive_quality",
     "q50_knn_bruteforce",
     "q138_hard_negatives",

@@ -816,6 +816,98 @@ _Q109_ORACLE = f"""
 """
 
 
+# --- q149: the bigram LM's TRAIN-side artifact — the smoothed
+# probability table q109/q111 score against, exported like q136
+# exports the tokenizer vocabulary. Top-K by (count desc, bigram asc)
+# via ranked_topk (TakeOrderedAndProject, no single-partition window
+# over the vocab-sized model table).
+LM_TOP_K = 50
+
+
+def bigram_lm_export(docs: DataFrame, k: int = LM_TOP_K) -> DataFrame:
+    """(rk, bigram, c12, c1, p_smooth) for the corpus's top-k bigrams:
+    c12 = bigram count, c1 = first-word count, p_smooth = the same
+    add-k conditional probability doc_perplexity scores with — so a
+    downstream job can reproduce every q109 score from this table plus
+    the vocab size (exported in the v column).
+
+    Shape at scale: the corpus explodes once into the two model
+    aggregates doc_perplexity already uses (map-side combined); the
+    top-k runs over the VOCAB-bounded c12 table."""
+    from .relational import ranked_topk
+
+    base = docs.select(_tokens(F.col("text")).alias("arr"))
+    bg = base.select(F.explode(_bigram_array()).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = base.select(F.explode("arr").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    top = ranked_topk(c12, [F.desc("c12"), F.asc("bg")], k)
+    p = (F.col("c12") + F.lit(PPL_SMOOTH_K)) / (
+        F.col("c1") + F.lit(PPL_SMOOTH_K) * F.col("v")
+    )
+    return (
+        top.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            F.col("bg").alias("bigram"),
+            "c12",
+            "c1",
+            "v",
+            eround(F.lit(1e-9) + p, 6).alias("p_smooth"),
+        )
+        .orderBy("rk")
+    )
+
+
+def q149_bigram_lm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_export(load_table(spark, sf_dir, "documents"))
+
+
+_Q149_ORACLE = f"""
+    WITH base AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(arr)),
+                                   i -> concat_ws(' ', arr[i], arr[i+1])))
+               AS bg
+      FROM base WHERE len(arr) >= 2
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+      FROM bg GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(arr) AS t FROM base)
+    ),
+    top AS (
+      SELECT bg, c12,
+             row_number() OVER (ORDER BY c12 DESC, bg ASC) AS rk
+      FROM c12
+    )
+    SELECT CAST(t.rk AS BIGINT) AS rk, t.bg AS bigram, t.c12, c.c1,
+           CAST(vocab.v AS BIGINT) AS v,
+           round(1e-9 + (t.c12 + {PPL_SMOOTH_K})
+                 / (c.c1 + {PPL_SMOOTH_K} * vocab.v), 6) AS p_smooth
+    FROM top t
+    JOIN c1 c ON c.w1 = string_split(t.bg, ' ')[1]
+    CROSS JOIN vocab
+    WHERE t.rk <= {LM_TOP_K}
+    ORDER BY rk
+"""
+
+
 # --- q111: ADAPTIVE quality filter — the cutoff comes from the data
 # (90th-percentile ppl over the corpus), not a hand-tuned constant, so
 # the same job drops "the most improbable 10%" of any corpus it runs
@@ -1848,6 +1940,7 @@ QUERIES = {
     "q141_tokenizer_fertility": q141_tokenizer_fertility,
     "q143_corpus_diversity": q143_corpus_diversity,
     "q147_boilerplate_grams": q147_boilerplate_grams,
+    "q149_bigram_lm_export": q149_bigram_lm_export,
 }
 
 
@@ -1910,6 +2003,7 @@ ORACLES = {
     "q141_tokenizer_fertility": _q141_oracle(),
     "q143_corpus_diversity": _Q143_ORACLE,
     "q147_boilerplate_grams": _Q147_ORACLE,
+    "q149_bigram_lm_export": _Q149_ORACLE,
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -666,3 +666,30 @@ def test_boilerplate_grams_planted(spark):
     assert bp.n_bp_hits == 9  # 3 grams x 3 docs
     clean = got["clean"]
     assert clean.n_bp_grams == 0 and clean.bp_doc_share == 0.0
+
+
+def test_bigram_lm_export_reproduces_ppl(spark):
+    """The exported LM table is SUFFICIENT: recomputing each doc's
+    pseudo-perplexity from the (bigram -> p_smooth) artifact alone
+    must reproduce doc_perplexity's score — the property that makes
+    q149 a real train-side artifact rather than a report."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bigram_lm_export,
+        doc_perplexity,
+    )
+
+    rows = [
+        (0, "s", "aa bb aa bb cc"),
+        (1, "s", "aa bb cc dd ee"),
+        (2, "s", "cc cc cc aa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    p = {r.bigram: r.p_smooth for r in bigram_lm_export(docs, k=100).collect()}
+    want = {r.doc_id: r.ppl for r in doc_perplexity(docs).collect()}
+    for doc_id, _s, text in rows:
+        toks = text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ppl = math.exp(-sum(math.log(p[b]) for b in bgs) / len(bgs))
+        assert abs(ppl - want[doc_id]) < 1e-3, doc_id
