@@ -44,23 +44,24 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     (multimodal module gained the compressed-video arm; it is also
 #     r6-stale, so it counts in both buckets), plus the evergreen
 #     q01/q90 flagship anchors;
-#   * FOURTEEN queries born MID-round-9 (q136-q140: the tokenizer
+#   * FIFTEEN queries born MID-round-9 (q136-q140: the tokenizer
 #     apply pair, hard-negative mining, star-contraction components,
-#     the waterfill allocator; q141-q149: tokenizer fertility, the
+#     the waterfill allocator; q141-q150: tokenizer fertility, the
 #     centroid similarity matrix, corpus distinct-n diversity,
 #     quality-based cluster representatives, the cluster-aware
 #     leakage-free split, A-ES weighted sampling, boilerplate-gram
 #     detection, perceptual-hash image dedup, the bigram-LM artifact
-#     export) — never driver-checked, so they claim slots
-#     immediately;
+#     export, the pack-vs-pad audit) — never driver-checked, so they
+#     claim slots immediately;
 #   * the oldest r7-era refreshes, weighted toward the graded
-#     LLM tiers: dedup (q46, q118, q127), similarity (q55),
-#     textops (q126), generation (q62). The r7 rows left out (q04,
-#     q06, q07, q09, q11, q16-q18, q21, q23, q25, q26, q30-q37,
-#     q40-q45, q48-q51, q53, q57-q59, q65-q67, q80, q120, q121,
-#     q125 — q45/q48/q49/q50/q53/q58/q65/q66/q125 ceded their seats
-#     to the q141-q149 newborns; q58's histogram semantics stay
-#     checked via the in-window q139, which shares its oracle)
+#     LLM tiers: dedup (q46, q127), similarity (q55), textops
+#     (q126), generation (q62). The r7 rows left out (q04, q06,
+#     q07, q09, q11, q16-q18, q21, q23, q25, q26, q30-q37, q40-q45,
+#     q48-q51, q53, q57-q59, q65-q67, q80, q118, q120, q121, q125 —
+#     q45/q48/q49/q50/q53/q58/q65/q66/q118/q125 ceded their seats
+#     to the q141-q150 newborns; q58's histogram stays checked via
+#     the in-window q139 which shares its oracle, q118's
+#     incremental-ingest pattern via the in-window q132/q135)
 #     rotate next round; each leaves an in-window cousin on the same
 #     module.
 DRIVER_WINDOW = [
@@ -84,7 +85,6 @@ DRIVER_WINDOW = [
     "q90_flagship_sit_scan",
     # r7-era refresh: dedup / similarity / sketches tiers
     "q46_minhash_near_dups",
-    "q118_incremental_dedup",
     "q127_leakage_matrix",
     "q55_ivf_ann",
     # r7-era refresh: textops / generation tiers
@@ -126,9 +126,13 @@ DRIVER_WINDOW = [
     # shares q58's oracle, so the histogram semantics stay checked.
     "q148_image_phash_dups",
     # bigram-LM artifact export (q149, the train side of q109/q111);
-    # displaces the r7-refresh filler q125 (q46/q118/q127 keep the
-    # dedup tier anchored).
+    # displaces the r7-refresh filler q125 (q46/q127 keep the dedup
+    # tier anchored).
     "q149_bigram_lm_export",
+    # pack-vs-pad decision audit (q150); displaces the r7-refresh
+    # filler q118 — the incremental-ingest pattern stays checked via
+    # the in-window q132/q135.
+    "q150_padding_audit",
 ]
 
 

@@ -117,6 +117,7 @@ HEADLINE = [
     # dataset-assembly tier: two-phase cumsum packing, packed-shard
     # materialization, mixture balancing, salted stratified top-K
     "q112_sequence_packing",
+    "q150_padding_audit",
     "q113_domain_mixture",
     "q114_stratified_sample",
     "q146_weighted_sample",

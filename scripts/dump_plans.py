@@ -68,6 +68,7 @@ SHOWCASE = [
     ("q147_boilerplate_grams", "boilerplate grams: one (source, gram) DF agg, broadcast coverage semi-join"),
     ("q148_image_phash_dups", "perceptual image dedup: one Arrow decode+hash pass, JVM hash-group join"),
     ("q149_bigram_lm_export", "LM export: two map-side-combined model aggs, TakeOrdered top-K over the vocab table"),
+    ("q150_padding_audit", "pack-vs-pad audit: one narrow map, one |sources|-key agg"),
 ]
 
 

@@ -142,6 +142,88 @@ _Q115_ORACLE = f"""
 """
 
 
+# --- q150: the pack-vs-pad decision audit. Before choosing a packing
+# strategy a training job needs the cost of the naive alternative at a
+# fixed context length L: how much text truncation throws away and how
+# much compute one-doc-per-sequence padding wastes, per source — and
+# the speedup dense packing (q112/q115/q119) buys back. Token counts
+# use _doc_tokens' literal-space convention.
+SEQ_LEN = 512
+
+
+def q150_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source at context length SEQ_LEN: docs truncated, share of
+    tokens lost to truncation, share of the padded batch wasted on pad
+    tokens, and the sequence-count speedup from packing the kept
+    tokens densely instead (ceil division — integer-exact in both
+    engines). ONE narrow map + one |sources|-key aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    L = F.lit(SEQ_LEN)
+    per_doc = docs.select(
+        "source",
+        n_tok.alias("n_tokens"),
+        F.least(n_tok, L).alias("kept"),
+        F.greatest(n_tok - L, F.lit(0)).alias("lost"),
+    )
+    kept = F.sum("kept")
+    packed_seqs = F.floor((kept + F.lit(SEQ_LEN - 1)) / L)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("n_tokens") > L, 1).otherwise(0)).alias(
+                "n_truncated"
+            ),
+            eround(
+                F.lit(1e-9)
+                + F.sum("lost") / F.sum("n_tokens").cast("double"),
+                4,
+            ).alias("trunc_token_share"),
+            eround(
+                F.lit(1e-9)
+                + (F.count("*") * L - kept).cast("double")
+                / (F.count("*") * L),
+                4,
+            ).alias("pad_waste_share"),
+            packed_seqs.cast("long").alias("packed_seqs"),
+            eround(
+                F.lit(1e-9) + F.count("*") / packed_seqs.cast("double"), 4
+            ).alias("packing_speedup"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q150_ORACLE = f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             least(CAST(len(string_split(text, ' ')) AS BIGINT),
+                   {SEQ_LEN}) AS kept,
+             greatest(CAST(len(string_split(text, ' ')) AS BIGINT)
+                      - {SEQ_LEN}, 0) AS lost
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_tokens > {SEQ_LEN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           round(1e-9 + sum(lost) / CAST(sum(n_tokens) AS DOUBLE), 4)
+             AS trunc_token_share,
+           round(1e-9 + (count(*) * {SEQ_LEN} - sum(kept))
+                 / CAST(count(*) * {SEQ_LEN} AS DOUBLE), 4)
+             AS pad_waste_share,
+           CAST((sum(kept) + {SEQ_LEN - 1}) // {SEQ_LEN} AS BIGINT)
+             AS packed_seqs,
+           round(1e-9 + count(*)
+                 / CAST((sum(kept) + {SEQ_LEN - 1}) // {SEQ_LEN} AS DOUBLE),
+                 4) AS packing_speedup
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # --- q113: domain-mixture balancing — deterministically downsample
 # every source to the smallest source's size (uniform target mixture).
 # The accept test is INTEGER-exact in both engines:
@@ -1080,6 +1162,7 @@ QUERIES = {
     "q113_domain_mixture": q113_domain_mixture,
     "q114_stratified_sample": q114_stratified_sample,
     "q146_weighted_sample": q146_weighted_sample,
+    "q150_padding_audit": q150_padding_audit,
     "q115_packed_shards": q115_packed_shards,
     "q116_length_curriculum": q116_length_curriculum,
     "q119_token_shards": q119_token_shards,
@@ -1097,6 +1180,7 @@ ORACLES = {
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),
     "q146_weighted_sample": _q146_oracle(),
+    "q150_padding_audit": _Q150_ORACLE,
     "q115_packed_shards": _Q115_ORACLE,
     "q140_token_budget_waterfill": _Q140_ORACLE,
 }

@@ -469,3 +469,34 @@ def test_waterfill_properties_sf(spark, sf_dir):
             assert r.allocated_tokens < r.n_tokens
             unsat_allocs.add(r.allocated_tokens)
     assert len(unsat_allocs) <= 1
+
+
+def test_padding_audit_hand_computed(spark, monkeypatch):
+    """q150 on a crafted corpus: one source with a 600-token doc (88
+    tokens truncated at L=512) and one with four 10-token docs (4x
+    packing speedup) — every output column is hand-computable."""
+    from synthetic_data_pipeline_spark.operators import assembly
+    from synthetic_data_pipeline_spark.sources import tables
+
+    rows = [
+        (0, " ".join(["w"] * 600), "t"),
+        (1, " ".join(["w"] * 100), "t"),
+    ] + [(10 + i, " ".join(["w"] * 10), "s") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs.createOrReplaceTempView("_pad_docs")
+    monkeypatch.setattr(
+        assembly, "load_table",
+        lambda sp, sf, name: sp.table("_pad_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.source: r for r in
+           assembly.q150_padding_audit(spark, "unused").collect()}
+    t = got["t"]
+    assert (t.n_docs, t.n_tokens, t.n_truncated) == (2, 700, 1)
+    assert abs(t.trunc_token_share - round(88 / 700, 4)) < 1e-3
+    # kept = 512 + 100 = 612; padded batch = 2*512
+    assert abs(t.pad_waste_share - round(412 / 1024, 4)) < 1e-3
+    assert t.packed_seqs == 2 and abs(t.packing_speedup - 1.0) < 1e-3
+    s = got["s"]
+    assert (s.n_docs, s.n_truncated, s.packed_seqs) == (4, 0, 1)
+    assert abs(s.packing_speedup - 4.0) < 1e-3
