@@ -140,3 +140,73 @@ def test_text_audit_ops_match_duckdb_on_random_corpora(spark):
             want = con.execute(apply_sql_eround(oracle)).df()
             assert sorted(got.columns) == sorted(want.columns), fn.__name__
             assert canon(got) == canon(want), (fn.__name__, trial)
+
+
+def test_lp_funnel_tier_matches_duckdb_on_random_corpus(spark, tmp_path):
+    """Randomized-corpus parity for the LP-funnel consumers (retention
+    q95, histogram q58, best-copy keepers q144, leakage-free split
+    q145): a seeded corpus with PLANTED near-dup clusters (2-4 members,
+    one word mutated between members) written as a throwaway sf_dir
+    must hash-match the full MinHash->LSH->label-propagation CTE chain
+    in DuckDB — the deepest shared lineage in the engine, exercised on
+    a corpus the driver never generates."""
+    import pandas as pd
+
+    from synthetic_data_pipeline_spark.functions.rounding import (
+        apply_sql_eround,
+    )
+    from synthetic_data_pipeline_spark.operators import sketches
+    from scripts.driver_sim import canon
+
+    rng = random.Random(99_2026)
+    vocab = [f"w{i}" for i in range(400)]
+    rows, doc_id = [], 0
+    for cluster in range(6):
+        base = [rng.choice(vocab) for _ in range(30)]
+        for member in range(rng.randint(2, 4)):
+            words = list(base)
+            if member:  # mutate one word per non-first member
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            text = " ".join(words)
+            rows.append((doc_id, text, "en",
+                         rng.choice(["s1", "s2"]), len(text)))
+            doc_id += 1
+    for _ in range(10):  # singleton background docs
+        text = " ".join(rng.choice(vocab) for _ in range(25))
+        rows.append((doc_id, text, "en", rng.choice(["s1", "s2"]),
+                     len(text)))
+        doc_id += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    sf_dir = str(tmp_path / "rand_sf")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    oracles = {
+        "q95": sketches._dedup_retention_oracle(),
+        "q58": sketches._dup_clusters_oracle(),
+        "q144": sketches._cluster_representatives_oracle(),
+        "q145": sketches._cluster_aware_split_oracle(),
+    }
+    builders = {
+        "q95": sketches.q95_dedup_retention,
+        "q58": sketches.q58_dup_clusters,
+        "q144": sketches.q144_cluster_representatives,
+        "q145": sketches.q145_cluster_aware_split,
+    }
+    n_retained = None
+    for key in oracles:
+        got = builders[key](spark, sf_dir).toPandas()
+        want = con.execute(apply_sql_eround(oracles[key])).df()
+        assert sorted(got.columns) == sorted(want.columns), key
+        assert canon(got) == canon(want), key
+        if key == "q95":
+            n_retained = len(got)
+    # the planted clusters must actually exercise the funnel: every
+    # cluster drops (size-1) members, so at least 6 retention rows
+    assert n_retained >= 6
