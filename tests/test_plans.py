@@ -222,3 +222,24 @@ def test_q141_q143_no_windows_no_smj(spark):
     assert "Window" not in p1, p1
     p2 = plan(textops.q143_corpus_diversity(spark, SF_DIR))
     assert "Window" not in p2, p2
+
+
+def test_q144_q145_no_window_no_cartesian(spark):
+    """The LP-consumer newborns: no window anywhere (the q144 argmax is
+    the two-pass max-then-min-id shape, the q145 split a narrow hash
+    map) and no cartesian product. Joins between the cluster-bounded
+    intermediates may plan as SMJ pre-execution (sizes unknown until
+    the aggregates run) — AQE converts them at runtime, the same
+    no-forced-hint stance q101 documents — so SMJ absence is NOT
+    asserted; at least one broadcast join must still appear (the
+    statistically-known label/agg side)."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    for fn in (
+        sketches.q144_cluster_representatives,
+        sketches.q145_cluster_aware_split,
+    ):
+        p = plan(fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, fn.__name__
+        assert "Window" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
