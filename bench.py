@@ -84,6 +84,7 @@ HEADLINE = [
     "q108_click_error_interval",
     "q123_dense_hourly",
     "q124_session_sequences",
+    "q151_bot_signals",
     # q62/q91 share the session-memoized scanned-pairs table
     # (generation._scanned_pairs): their headline numbers measure the
     # consumer agg/issue-list cost; extras carry the cold build time

@@ -69,6 +69,7 @@ SHOWCASE = [
     ("q148_image_phash_dups", "perceptual image dedup: one Arrow decode+hash pass, JVM hash-group join"),
     ("q149_bigram_lm_export", "LM export: two map-side-combined model aggs, TakeOrdered top-K over the vocab table"),
     ("q150_padding_audit", "pack-vs-pad audit: one narrow map, one |sources|-key agg"),
+    ("q151_bot_signals", "bot signals: user-partitioned lag window, two hash aggs, TakeOrdered top-K"),
 ]
 
 

@@ -469,7 +469,106 @@ _Q123_ORACLE = """
 """
 
 
+# --- q151: behavioral regularity / bot signals. Scripted traffic is
+# REGULAR: near-constant inter-arrival gaps (low coefficient of
+# variation) and a collapsed event-type distribution (low entropy) —
+# the standard abuse filter before behavioral logs become training
+# data. Gaps are integer microseconds (unix_micros / epoch_us in the
+# two engines) so the per-user moments see identical inputs; the
+# ranking key is eround-ed before the sort so a stddev ulp can't flip
+# a rank, and the top-K runs through ranked_topk (TakeOrdered, no
+# global window).
+BOT_MIN_EVENTS = 10
+BOT_TOP_K = 20
+
+
+def q151_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOT_TOP_K most-regular users (gap CV ascending): per user,
+    event count, inter-arrival coefficient of variation, and event-type
+    entropy. Per-user windows partition on user_id (bounded groups);
+    everything else is two hash aggregates and a bounded top-k."""
+    from .relational import ranked_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gstats = gaps.groupBy("user_id").agg(
+        F.avg("gap_us").alias("mu"),
+        F.stddev_samp("gap_us").alias("sd"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tn = tc.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    p = F.col("c") / F.col("n_events")
+    ent = (
+        tc.join(tn, "user_id")
+        .groupBy("user_id", "n_events")
+        .agg((-F.sum(p * F.log(p))).alias("entropy"))
+    )
+    m = (
+        ent.join(gstats, "user_id")
+        .filter(
+            (F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("mu") > 0)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            eround(F.col("sd") / F.col("mu"), 6).alias("gap_cv"),
+            eround(F.lit(1e-9) + F.col("entropy"), 4).alias(
+                "type_entropy"
+            ),
+        )
+    )
+    return ranked_topk(
+        m, [F.asc("gap_cv"), F.asc("user_id")], BOT_TOP_K
+    ).select("rk", "user_id", "n_events", "gap_cv", "type_entropy")
+
+
+_Q151_ORACLE = f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ),
+    gstats AS (
+      SELECT user_id, avg(gap_us) AS mu, stddev_samp(gap_us) AS sd
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    ),
+    tc AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tn AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events
+           FROM tc GROUP BY 1),
+    ent AS (
+      SELECT tc.user_id, tn.n_events,
+             -sum((tc.c / CAST(tn.n_events AS DOUBLE))
+                  * ln(tc.c / CAST(tn.n_events AS DOUBLE))) AS entropy
+      FROM tc JOIN tn USING (user_id) GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT e.user_id, e.n_events,
+             round(g.sd / g.mu, 6) AS gap_cv,
+             round(1e-9 + e.entropy, 4) AS type_entropy
+      FROM ent e JOIN gstats g USING (user_id)
+      WHERE e.n_events >= {BOT_MIN_EVENTS} AND g.mu > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY gap_cv ASC, user_id ASC) AS rk
+      FROM m
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, user_id, n_events, gap_cv,
+           type_entropy
+    FROM r WHERE rk <= {BOT_TOP_K} ORDER BY rk
+"""
+
+
 QUERIES = {
+    "q151_bot_signals": q151_bot_signals,
     "q123_dense_hourly": q123_dense_hourly,
     "q124_session_sequences": q124_session_sequences,
     "q30_tumbling_hourly": q30_tumbling_hourly,
@@ -485,6 +584,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q151_bot_signals": _Q151_ORACLE,
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

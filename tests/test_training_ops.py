@@ -693,3 +693,46 @@ def test_bigram_lm_export_reproduces_ppl(spark):
         bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         ppl = math.exp(-sum(math.log(p[b]) for b in bgs) / len(bgs))
         assert abs(ppl - want[doc_id]) < 1e-3, doc_id
+
+
+def test_bot_signals_metronome_ranks_first(spark, monkeypatch):
+    """A metronome bot (one event type, exactly-60s gaps -> CV 0,
+    entropy 0) must outrank organic users with jittered gaps and mixed
+    types; users under the event floor never appear."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(15):  # the bot: user 1
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), 1, "ping", 1.0,
+                     "{}"))
+        eid += 1
+    jitter = [37, 11, 93, 55, 8, 71, 29, 64, 17, 45, 82, 23, 58, 90]
+    acc = 0
+    for i, j in enumerate(jitter):  # organic: user 2, irregular + mixed
+        acc += j
+        rows.append((eid, t0 + dt.timedelta(seconds=acc), 2,
+                     ["click", "view", "error"][i % 3], 1.0, "{}"))
+        eid += 1
+    rows.append((eid, t0, 3, "click", 1.0, "{}"))  # under the floor
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_bot_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_bot_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = ev_mod.q151_bot_signals(spark, "unused").collect()
+    assert [r.user_id for r in got] == [1, 2]  # user 3 under the floor
+    bot, organic = got[0], got[1]
+    assert bot.rk == 1 and abs(bot.gap_cv) < 1e-4
+    assert abs(bot.type_entropy) < 1e-3
+    assert organic.gap_cv > 0.3 and organic.type_entropy > 0.9
