@@ -45,6 +45,7 @@ HEADLINE = [
     "q104_ngram_jaccard_join",
     "q118_incremental_dedup",
     "q125_fuzzy_prefix_dedup",
+    "q152_simhash_hamming_join",
     "q131_duplicated_spans",
     "q132_incremental_spans",
     "q134_longest_dup_span",

@@ -70,6 +70,7 @@ SHOWCASE = [
     ("q149_bigram_lm_export", "LM export: two map-side-combined model aggs, TakeOrdered top-K over the vocab table"),
     ("q150_padding_audit", "pack-vs-pad audit: one narrow map, one |sources|-key agg"),
     ("q151_bot_signals", "bot signals: user-partitioned lag window, two hash aggs, TakeOrdered top-K"),
+    ("q152_simhash_hamming_join", "simhash radius join: banded candidates via posexplode self-join, bit_count verify"),
 ]
 
 

