@@ -134,10 +134,11 @@ DRIVER_WINDOW = [
     # the in-window q132/q135.
     "q150_padding_audit",
 ]
-# q151 (behavioral bot signals) and q152 (Manku-style SimHash
-# Hamming-radius join), born after the 50 slots were spoken for,
-# deliberately stay OUT of the round-9 window rather than thin the
-# five remaining r7-refresh anchors (q46, q127, q55, q126, q62)
+# q151 (behavioral bot signals), q152 (Manku-style SimHash
+# Hamming-radius join) and q153 (image thumbnails — the resize member
+# of the multimodal quartet), born after the 50 slots were spoken
+# for, deliberately stay OUT of the round-9 window rather than thin
+# the five remaining r7-refresh anchors (q46, q127, q55, q126, q62)
 # further; they are covered by the full-registry local gate this
 # round and claim driver slots first thing in round 10.
 

@@ -105,6 +105,7 @@ HEADLINE = [
     # same memoized pair graph — its number is the iteration cost
     "q139_cc_star_clusters",
     "q148_image_phash_dups",
+    "q153_image_thumbnails",
     "q101_deduped_corpus",
     "q103_lp_convergence",
     # q144/q145 consume the same memoized labels; marginal costs are

@@ -676,13 +676,107 @@ def _image_phash_dups_sql() -> str:
     """
 
 
+# --- q153: image resize (nearest-neighbor thumbnail) — the remaining
+# member of the decode / feature-extract / resize / frame-sample
+# multimodal quartet. Pure index-gather resampling (the same
+# (arange(t)*S)//t grid dhash64 uses), re-encoded as PGM so the thumb
+# is itself a decodable artifact; deterministic, so the golden oracle
+# re-derives every thumbnail's md5 with driver-side numpy.
+THUMB_W, THUMB_H = 8, 6
+
+
+def resize_nearest(arr: np.ndarray, tw: int = THUMB_W,
+                   th: int = THUMB_H) -> np.ndarray:
+    """Nearest-neighbor resample of a 2-D uint8 image to (th, tw)."""
+    h, w = arr.shape
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return arr[np.ix_(rows, cols)]
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """(media_id, thumb_w, thumb_h, n_bytes, thumb) — PGM-encoded
+    nearest-neighbor thumbnails of every image row, via the same
+    Arrow decode boundary as the other multimodal passes."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                if kind != "image":
+                    continue
+                thumb = encode_pgm(
+                    resize_nearest(decode_media(kind, payload))
+                )
+                out.append((mid, THUMB_W, THUMB_H, len(thumb), thumb))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "thumb_w", "thumb_h", "n_bytes",
+                         "thumb"],
+            )
+
+    return media.mapInPandas(
+        _batches,
+        "media_id long, thumb_w int, thumb_h int, n_bytes long, "
+        "thumb binary",
+    )
+
+
+def q153_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail every image in the deterministic corpus and emit a
+    hash-checkable row per thumb (md5 of the encoded bytes — the
+    binary itself stays out of the compare frame). The oracle
+    re-derives each md5 with driver-side numpy + the same PGM encoder,
+    no Spark/Arrow in the loop. (``sf_dir`` unused: self-contained.)"""
+    thumbs = resize_images(synth_media(spark, _Q100_N))
+    return thumbs.select(
+        "media_id",
+        "thumb_w",
+        "thumb_h",
+        "n_bytes",
+        F.md5("thumb").alias("thumb_md5"),
+    ).orderBy("media_id")
+
+
+def _image_thumbnails_sql() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(_Q100_N):
+        kind, arr, _payload, _meta = _media_row(i)
+        if kind != "image":
+            continue
+        thumb = encode_pgm(resize_nearest(arr))
+        rows.append(
+            f"({i}, {THUMB_W}, {THUMB_H}, {len(thumb)}, "
+            f"'{hashlib.md5(thumb).hexdigest()}')"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(thumb_w AS INT) AS thumb_w,
+             CAST(thumb_h AS INT) AS thumb_h,
+             CAST(n_bytes AS BIGINT) AS n_bytes, thumb_md5
+      FROM (VALUES
+      {values}
+      ) AS t(media_id, thumb_w, thumb_h, n_bytes, thumb_md5)
+      ORDER BY media_id
+    """
+
+
 QUERIES = {
     "q100_media_features": q100_media_features,
     "q133_video_frame_features": q133_video_frame_features,
     "q148_image_phash_dups": q148_image_phash_dups,
+    "q153_image_thumbnails": q153_image_thumbnails,
 }
 ORACLES = {
     "q100_media_features": _media_features_sql(),
     "q133_video_frame_features": _video_frame_features_sql(),
     "q148_image_phash_dups": _image_phash_dups_sql(),
+    "q153_image_thumbnails": _image_thumbnails_sql(),
 }

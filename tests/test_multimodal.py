@@ -271,3 +271,25 @@ def test_image_phash_groups_only_twins(spark):
     assert len(rows) == 20  # 60-row corpus -> 20 images
     for r in rows:
         assert r.n_items == 2 and r.id_b - r.id_a == 1000
+
+
+def test_resize_nearest_properties():
+    """Nearest-neighbor resize: exact 2x decimation picks the even
+    rows/cols (the index-grid contract), output dtype/shape pinned,
+    and a constant image stays constant at any target size."""
+    import numpy as np
+
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        decode_media,
+        encode_pgm,
+        resize_nearest,
+    )
+
+    arr = np.arange(16 * 12, dtype=np.uint8).reshape(12, 16)
+    thumb = resize_nearest(arr, tw=8, th=6)
+    assert thumb.shape == (6, 8) and thumb.dtype == np.uint8
+    assert (thumb == arr[::2, ::2]).all()  # exact decimation grid
+    flat = np.full((12, 16), 7, dtype=np.uint8)
+    assert (resize_nearest(flat, 5, 3) == 7).all()
+    # the emitted thumb is itself a decodable PGM artifact
+    assert (decode_media("image", encode_pgm(thumb)) == thumb).all()
