@@ -210,3 +210,60 @@ def test_lp_funnel_tier_matches_duckdb_on_random_corpus(spark, tmp_path):
     # the planted clusters must actually exercise the funnel: every
     # cluster drops (size-1) members, so at least 6 retention rows
     assert n_retained >= 6
+
+
+def test_bot_signals_match_duckdb_on_random_events(spark):
+    """Randomized events parity for q151: random timestamps (including
+    same-microsecond ties broken by event_id), skewed type mixes and
+    users straddling the event floor must hash-match the DuckDB oracle
+    — the stddev/entropy float surfaces are the riskiest cross-engine
+    arithmetic among the round-9 newborns."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from synthetic_data_pipeline_spark.functions.rounding import (
+        apply_sql_eround,
+    )
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+    from scripts.driver_sim import canon
+
+    rng = random.Random(151_2026)
+    t0 = dt.datetime(2025, 6, 1)
+    for trial in range(2):
+        rows, eid = [], 0
+        for user in range(12):
+            n = rng.randint(5, 40)  # some users under the floor of 10
+            acc = 0
+            for _ in range(n):
+                acc += rng.choice([0, 1, 60, 60, 3600, 7])  # incl. ties
+                rows.append(
+                    (eid, t0 + dt.timedelta(seconds=acc,
+                                            microseconds=rng.randint(0, 5)),
+                     user,
+                     rng.choice(["click", "view", "view", "error"]),
+                     1.0, "{}")
+                )
+                eid += 1
+        pdf = pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type", "value", "props"])
+        con = duckdb.connect()
+        con.register("events", pdf)
+        df = spark.createDataFrame(pdf)
+        df.createOrReplaceTempView("_rand_events")
+        orig = ev_mod.load_table
+        ev_mod.load_table = (
+            lambda sp, sf, name: sp.table("_rand_events")
+            if name == "events" else tables.load_table(sp, sf, name)
+        )
+        try:
+            got = ev_mod.q151_bot_signals(spark, "unused").toPandas()
+        finally:
+            ev_mod.load_table = orig
+        want = con.execute(
+            apply_sql_eround(ev_mod._Q151_ORACLE)
+        ).df()
+        assert sorted(got.columns) == sorted(want.columns)
+        assert canon(got) == canon(want), trial
+        assert len(got) > 0
