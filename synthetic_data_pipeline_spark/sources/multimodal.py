@@ -676,69 +676,39 @@ def _image_phash_dups_sql() -> str:
     """
 
 
-# --- q153: image resize (nearest-neighbor thumbnail) — the remaining
-# member of the decode / feature-extract / resize / frame-sample
-# multimodal quartet. Pure index-gather resampling (the same
-# (arange(t)*S)//t grid dhash64 uses), re-encoded as PGM so the thumb
-# is itself a decodable artifact; deterministic, so the golden oracle
-# re-derives every thumbnail's md5 with driver-side numpy.
+# --- q153: image resize PROMOTED to a driver-checkable query. The
+# resize kernel itself (resize_images above, the nearest-neighbor
+# index-grid resample) predates this query and was pytest-only; q153
+# gives it the same hash-compared golden oracle the other multimodal
+# passes have. resize_nearest is the driver-side twin of the kernel's
+# grid math, used by the oracle and the property test.
 THUMB_W, THUMB_H = 8, 6
 
 
 def resize_nearest(arr: np.ndarray, tw: int = THUMB_W,
                    th: int = THUMB_H) -> np.ndarray:
-    """Nearest-neighbor resample of a 2-D uint8 image to (th, tw)."""
+    """Nearest-neighbor resample of a 2-D uint8 image to (th, tw) —
+    the same (arange(t) * S) // t index grid resize_images applies."""
     h, w = arr.shape
     rows = (np.arange(th) * h) // th
     cols = (np.arange(tw) * w) // tw
     return arr[np.ix_(rows, cols)]
 
 
-def resize_images(media: DataFrame) -> DataFrame:
-    """(media_id, thumb_w, thumb_h, n_bytes, thumb) — PGM-encoded
-    nearest-neighbor thumbnails of every image row, via the same
-    Arrow decode boundary as the other multimodal passes."""
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = []
-            for mid, kind, payload in zip(
-                pdf["media_id"].to_numpy(),
-                pdf["kind"].to_numpy(),
-                pdf["payload"].to_numpy(),
-            ):
-                if kind != "image":
-                    continue
-                thumb = encode_pgm(
-                    resize_nearest(decode_media(kind, payload))
-                )
-                out.append((mid, THUMB_W, THUMB_H, len(thumb), thumb))
-            yield pd.DataFrame(
-                out,
-                columns=["media_id", "thumb_w", "thumb_h", "n_bytes",
-                         "thumb"],
-            )
-
-    return media.mapInPandas(
-        _batches,
-        "media_id long, thumb_w int, thumb_h int, n_bytes long, "
-        "thumb binary",
-    )
-
-
 def q153_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail every image in the deterministic corpus and emit a
-    hash-checkable row per thumb (md5 of the encoded bytes — the
-    binary itself stays out of the compare frame). The oracle
-    re-derives each md5 with driver-side numpy + the same PGM encoder,
-    no Spark/Arrow in the loop. (``sf_dir`` unused: self-contained.)"""
-    thumbs = resize_images(synth_media(spark, _Q100_N))
+    """Thumbnail every image in the deterministic corpus via the
+    resize_images kernel and emit a hash-checkable row per thumb (md5
+    of the encoded bytes — the binary itself stays out of the compare
+    frame). The oracle re-derives each md5 with driver-side numpy +
+    the same PGM encoder, no Spark/Arrow in the loop. (``sf_dir``
+    unused: self-contained.)"""
+    thumbs = resize_images(synth_media(spark, _Q100_N), THUMB_W, THUMB_H)
     return thumbs.select(
         "media_id",
-        "thumb_w",
-        "thumb_h",
-        "n_bytes",
-        F.md5("thumb").alias("thumb_md5"),
+        F.col("width").alias("thumb_w"),
+        F.col("height").alias("thumb_h"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("thumb_md5"),
     ).orderBy("media_id")
 
 
