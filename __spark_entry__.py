@@ -135,12 +135,13 @@ DRIVER_WINDOW = [
     "q150_padding_audit",
 ]
 # q151 (behavioral bot signals), q152 (Manku-style SimHash
-# Hamming-radius join) and q153 (image thumbnails — the resize member
-# of the multimodal quartet), born after the 50 slots were spoken
-# for, deliberately stay OUT of the round-9 window rather than thin
-# the five remaining r7-refresh anchors (q46, q127, q55, q126, q62)
-# further; they are covered by the full-registry local gate this
-# round and claim driver slots first thing in round 10.
+# Hamming-radius join), q153 (image thumbnails — the resize member
+# of the multimodal quartet) and q154 (audio RMS/zero-crossing
+# screen), born after the 50 slots were spoken for, deliberately stay
+# OUT of the round-9 window rather than thin the five remaining
+# r7-refresh anchors (q46, q127, q55, q126, q62) further; they are
+# covered by the full-registry local gate this round and claim driver
+# slots first thing in round 10.
 
 
 def _windowed(entries: dict, strict: bool = True) -> dict:

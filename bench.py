@@ -106,6 +106,7 @@ HEADLINE = [
     "q139_cc_star_clusters",
     "q148_image_phash_dups",
     "q153_image_thumbnails",
+    "q154_audio_features",
     "q101_deduped_corpus",
     "q103_lp_convergence",
     # q144/q145 consume the same memoized labels; marginal costs are

@@ -72,6 +72,7 @@ SHOWCASE = [
     ("q151_bot_signals", "bot signals: user-partitioned lag window, two hash aggs, TakeOrdered top-K"),
     ("q152_simhash_hamming_join", "simhash radius join: banded candidates via posexplode self-join, bit_count verify"),
     ("q153_image_thumbnails", "thumbnails: one Arrow decode+resize pass, narrow md5 projection"),
+    ("q154_audio_features", "audio screen: one Arrow decode+featurize pass, no shuffle"),
 ]
 
 

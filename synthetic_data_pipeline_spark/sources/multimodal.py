@@ -738,15 +738,106 @@ def _image_thumbnails_sql() -> str:
     """
 
 
+# --- q154: audio-specific features — RMS level and zero-crossing rate
+# over the centered 8-bit samples, the classic silence/noisiness
+# screen an audio-corpus filter runs before transcription. Parallels
+# q133 (the video-specific pass): one Arrow decode+featurize batch,
+# golden driver-side numpy oracle.
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, n_samples, rms, zcr) per audio row. Samples center
+    at -128 (unsigned 8-bit WAV); zcr counts strict sign changes over
+    adjacent samples (zeros inherit the previous sign by np.sign
+    product < 0), normalized by n_samples - 1."""
+
+    def _feat(x: np.ndarray) -> tuple:
+        c = x.astype(np.float64) - 128.0
+        rms = float(np.sqrt(np.mean(c * c)))
+        s = np.sign(c)
+        # propagate the previous nonzero sign through exact zeros so a
+        # zero crossing is counted once, not twice — vectorized
+        # forward-fill (the golden oracle derives the same values with
+        # an explicit loop, keeping the two implementations independent)
+        n = len(s)
+        idx = np.maximum.accumulate(np.where(s != 0, np.arange(n), 0))
+        s = s[idx]
+        zcr = float(np.mean(s[1:] * s[:-1] < 0)) if n > 1 else 0.0
+        return rms, zcr
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"].to_numpy(),
+            ):
+                if kind != "audio":
+                    continue
+                x = decode_media(kind, payload).reshape(-1)
+                rms, zcr = _feat(x)
+                out.append((mid, int(x.size), rms, zcr))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "rms", "zcr"]
+            )
+
+    return media.mapInPandas(
+        _batches, "media_id long, n_samples long, rms double, zcr double"
+    )
+
+
+def q154_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio screen over the deterministic corpus, eround-ed for the
+    hash compare. (``sf_dir`` unused: self-contained.)"""
+    feats = audio_features(synth_media(spark, _Q100_N))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        eround(F.col("rms"), _SCALE).alias("rms_v"),
+        eround(F.col("zcr"), _SCALE).alias("zcr_v"),
+    ).orderBy("media_id")
+
+
+def _audio_features_sql() -> str:
+    def er(x: float) -> float:
+        return round(x + 1e-6 + abs(x) * 1e-12, _SCALE)
+
+    rows = []
+    for i in range(_Q100_N):
+        kind, arr, _payload, _meta = _media_row(i)
+        if kind != "audio":
+            continue
+        c = arr.astype(np.float64) - 128.0
+        rms = float(np.sqrt(np.mean(c * c)))
+        s = np.sign(c)
+        for j in range(1, len(s)):
+            if s[j] == 0:
+                s[j] = s[j - 1]
+        zcr = float(np.mean(s[1:] * s[:-1] < 0))
+        rows.append(f"({i}, {arr.size}, {er(rms)!r}, {er(zcr)!r})")
+    values = ",\n      ".join(rows)
+    return f"""
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(n_samples AS BIGINT) AS n_samples,
+             CAST(rms_v AS DOUBLE) AS rms_v,
+             CAST(zcr_v AS DOUBLE) AS zcr_v
+      FROM (VALUES
+      {values}
+      ) AS t(media_id, n_samples, rms_v, zcr_v)
+      ORDER BY media_id
+    """
+
+
 QUERIES = {
     "q100_media_features": q100_media_features,
     "q133_video_frame_features": q133_video_frame_features,
     "q148_image_phash_dups": q148_image_phash_dups,
     "q153_image_thumbnails": q153_image_thumbnails,
+    "q154_audio_features": q154_audio_features,
 }
 ORACLES = {
     "q100_media_features": _media_features_sql(),
     "q133_video_frame_features": _video_frame_features_sql(),
     "q148_image_phash_dups": _image_phash_dups_sql(),
     "q153_image_thumbnails": _image_thumbnails_sql(),
+    "q154_audio_features": _audio_features_sql(),
 }

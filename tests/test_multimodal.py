@@ -293,3 +293,34 @@ def test_resize_nearest_properties():
     assert (resize_nearest(flat, 5, 3) == 7).all()
     # the emitted thumb is itself a decodable PGM artifact
     assert (decode_media("image", encode_pgm(thumb)) == thumb).all()
+
+
+def test_audio_features_planted(spark):
+    """Hand-computable audio rows through the real WAV container: a
+    constant-silence clip (all 128 -> rms 0, zcr 0), a full-swing
+    square wave (rms 128... actually |c| in {-128, 127} alternating ->
+    zcr 1), and a zero-threading ramp where the exact-128 sample must
+    NOT double-count a crossing."""
+    import numpy as np
+
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+
+    silence = np.full(100, 128, dtype=np.uint8)
+    square = np.tile([0, 255], 50).astype(np.uint8)       # alternates sign
+    ramp = np.array([0, 128, 255, 128, 0], dtype=np.uint8)  # zeros thread
+    rows = [
+        (0, "audio", encode_wav(silence), (0, 0, 100, 0)),
+        (1, "audio", encode_wav(square), (0, 0, 100, 0)),
+        (2, "audio", encode_wav(ramp), (0, 0, 5, 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_features(media).collect()}
+    assert got[0].rms == 0.0 and got[0].zcr == 0.0
+    assert abs(got[1].zcr - 1.0) < 1e-9  # every adjacent pair crosses
+    # ramp signs: -,0->-,+,0->+,- : crossings at (1..2) and (3..4) = 2/4
+    assert abs(got[2].zcr - 0.5) < 1e-9
+    assert got[2].n_samples == 5
