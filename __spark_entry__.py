@@ -27,6 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
+# Round-10 window (VERDICT r9 "Next round" #1). Composition — after
+# this round NO registry query's last driver row is older than r8:
+#   * the FOUR round-9 newborns that missed the r9 window (q151
+#     behavioral bot signals, q152 SimHash Hamming-radius join, q153
+#     image thumbnails, q154 audio RMS/ZCR) — local-gate green in r9,
+#     claiming driver slots first as promised;
+#   * the TWO round-10 newborns: q155 (boilerplate REMOVAL — the
+#     C4/CCNet clean-text materialization, the action analog of q147)
+#     and q156 (its per-source accounting);
+#   * ALL FORTY-TWO r7-stale rows (exactly the set r9's VERDICT
+#     enumerated): q04, q06, q07, q09, q11, q16–q18, q21, q23, q25,
+#     q26, q30–q37, q40–q45, q48–q51, q53, q57–q59, q65–q67, q80,
+#     q118, q120, q121, q125;
+#   * TWO anchors on round-10-changed code paths: q130 (semantic
+#     prune — A/B'd over IVF candidates this round) and q147 (the
+#     detector whose gram set q155 now shares via
+#     _boilerplate_gram_set). q152, also a changed path (band-width
+#     parameterization), is already in as a newborn. The q01/q90
+#     evergreens sit this round out — both are r9-fresh.
+# 4 + 2 + 42 + 2 = 50 exactly.
+#
+# --- Round-9 window rationale kept for the audit trail:
 # Round-9 window (VERDICT r8 "Next round" #1). Composition — after
 # this round NO registry query's last driver row is older than r7:
 #   * ALL TWENTY-FOUR rows whose last driver row is r6 (exactly the
@@ -65,85 +87,36 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     rotate next round; each leaves an in-window cousin on the same
 #     module.
 DRIVER_WINDOW = [
-    # never driver-checked (born this round)
-    "q133_video_frame_features", "q134_longest_dup_span",
-    "q135_incremental_span_gate",
-    # r6-stale: full promised rotation set
-    "q19_entity_counts_by_nation", "q20_exists_heavy_orders",
-    "q24_price_percentiles", "q28_trailing_30d_spend",
-    "q56_kmeans", "q60_gen_meta_summary", "q61_gen_corpus_stats",
-    "q63_mapping_pack_roundtrip", "q64_mapping_upsert",
-    "q81_pivot_status", "q100_media_features", "q103_lp_convergence",
-    "q108_click_error_interval", "q109_perplexity_proxy",
-    "q110_embedding_outliers", "q111_adaptive_quality",
-    "q112_sequence_packing", "q113_domain_mixture",
-    "q114_stratified_sample", "q115_packed_shards",
-    "q117_cms_heavy_hitters", "q119_token_shards",
-    "q123_dense_hourly", "q124_session_sequences",
-    # anchors on round-9-changed code paths + flagship evergreens
-    "q122_pipeline_funnel", "q01_pricing_summary",
-    "q90_flagship_sit_scan",
-    # r7-era refresh: dedup / similarity / sketches tiers
-    "q46_minhash_near_dups",
-    "q127_leakage_matrix",
-    "q55_ivf_ann",
-    # r7-era refresh: textops / generation tiers
-    "q126_dsir_weights",
-    "q62_gen_validation_report",
-    # born mid-round-9: the tokenizer APPLY pair (q136 vocab export,
-    # q137 encoded docs), hard-negative mining (q138), star-
-    # contraction connected components (q139) and the token-budget
-    # waterfill (q140). They take the slots of the r7-refresh fillers
-    # q40-q42, q44 and q34 — those stay r7-fresh and rotate next
-    # round with the rest of the r7 cohort.
-    "q136_bpe_vocab", "q137_bpe_encode",
-    "q138_hard_negatives", "q139_cc_star_clusters",
-    "q140_token_budget_waterfill",
-    # born late-round-9: tokenizer fertility by language (q141, the
-    # multilingual fairness audit riding q128's merge lineage), the
-    # label-centroid similarity matrix (q142) and corpus-level
-    # distinct-n diversity (q143). They displace the r7-refresh
-    # fillers q45, q53 and q65 — those stay r7-fresh and rotate with
-    # the r7 cohort next round.
-    "q141_tokenizer_fertility", "q142_centroid_similarity",
-    "q143_corpus_diversity",
-    # quality-based cluster representative selection (q144, the
-    # keep-the-best-copy dedup policy over the LP funnel's clusters)
-    # and the cluster-aware leakage-free split (q145); they displace
-    # the r7-refresh fillers q48 and q49 (q46 anchors the dedup tier,
-    # q128/q136/q137/q141 cover the BPE tier).
-    "q144_cluster_representatives",
-    "q145_cluster_aware_split",
-    # deterministic A-ES weighted sampling (q146); displaces the
-    # r7-refresh filler q50 (q55 IVF + q138 anchor the similarity tier).
-    "q146_weighted_sample",
-    # within-source boilerplate 4-gram detection (q147); displaces the
-    # r7-refresh filler q66 (q126/q62 keep the textops/generation
-    # anchors; q131/q105 cover the gram tier in-window).
-    "q147_boilerplate_grams",
-    # perceptual-hash image dedup (q148, container-swapped twins);
-    # displaces the r7-refresh filler q58 — q139 is in-window and
-    # shares q58's oracle, so the histogram semantics stay checked.
-    "q148_image_phash_dups",
-    # bigram-LM artifact export (q149, the train side of q109/q111);
-    # displaces the r7-refresh filler q125 (q46/q127 keep the dedup
-    # tier anchored).
-    "q149_bigram_lm_export",
-    # pack-vs-pad decision audit (q150); displaces the r7-refresh
-    # filler q118 — the incremental-ingest pattern stays checked via
-    # the in-window q132/q135.
-    "q150_padding_audit",
+    # never driver-checked: round-9 newborns first (the r9 promise) …
+    "q151_bot_signals", "q152_simhash_hamming_join",
+    "q153_image_thumbnails", "q154_audio_features",
+    # … then the round-10 newborns (boilerplate-removal action + stats)
+    "q155_boilerplate_clean", "q156_boilerplate_clean_stats",
+    # all 42 r7-stale rows (VERDICT r9 Next #1, verbatim)
+    "q04_priority_with_returns", "q06_forecast_revenue",
+    "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
+    "q11_cube_lineitem", "q16_distinct_segments",
+    "q17_nations_intersect", "q18_nations_except",
+    "q21_brand_prefix_stats", "q23_conditional_agg",
+    "q25_approx_distinct_customers", "q26_exact_distinct_customers",
+    "q30_tumbling_hourly", "q31_sliding_hourly",
+    "q32_user_sessions", "q33_json_prop_stats",
+    "q34_asof_click_error", "q35_first_event_per_user_type",
+    "q36_hourly_top_event", "q37_conversion_funnel",
+    "q40_token_stats", "q41_lang_id",
+    "q42_quality_by_source", "q43_fingerprints",
+    "q44_trigram_stats", "q45_exact_dedup",
+    "q48_simhash_buckets", "q49_bpe_token_stats",
+    "q50_knn_bruteforce", "q51_label_centroids",
+    "q53_ann_bucket_stats", "q57_bloom_membership",
+    "q58_dup_clusters", "q59_token_entropy",
+    "q65_distinct_tcs_histogram", "q66_winnowing_fingerprints",
+    "q67_tfidf_top_terms", "q80_deterministic_sample",
+    "q118_incremental_dedup", "q120_temperature_mixture",
+    "q121_source_divergence", "q125_fuzzy_prefix_dedup",
+    # anchors on round-10-changed code paths
+    "q130_semantic_prune", "q147_boilerplate_grams",
 ]
-# q151 (behavioral bot signals), q152 (Manku-style SimHash
-# Hamming-radius join), q153 (image thumbnails — the resize member
-# of the multimodal quartet) and q154 (audio RMS/zero-crossing
-# screen), born after the 50 slots were spoken for, deliberately stay
-# OUT of the round-9 window rather than thin the five remaining
-# r7-refresh anchors (q46, q127, q55, q126, q62) further; they are
-# covered by the full-registry local gate this round and claim driver
-# slots first thing in round 10.
-
-
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]
     if strict and missing:

@@ -255,19 +255,28 @@ def _stream_overhead(spark, sf_dir: str, n_events: int = 0) -> dict:
             ).count()
             times[k] = time.perf_counter() - t0
         n_batches = {k: math.ceil(n_files / k) for k in (1, 4)}
-        raw = (times[1] - times[4]) / max(1, n_batches[1] - n_batches[4])
         out = {
             "stream_manybatch_sec": round(times[1], 3),
             "stream_fewbatch_sec": round(times[4], 3),
             "stream_n_batches": [n_batches[1], n_batches[4]],
+        }
+        dn = n_batches[1] - n_batches[4]
+        if dn == 0:
+            # so few part files that both trigger sizes drained the
+            # same number of micro-batches — the decomposition has no
+            # signal, and dividing by a clamped 1 would dress the raw
+            # time difference up as a per-batch cost (ADVICE r9)
+            out["stream_batch_overhead_sec"] = None
+            out["stream_batch_overhead_undefined"] = True
+        else:
+            raw = (times[1] - times[4]) / dn
             # VM-load noise can make the many-batch drain FASTER than
             # the few-batch one; a negative per-batch overhead is
             # meaningless, so clamp it and flag the reading instead of
             # emitting a number a reader would machine-adjust against
-            "stream_batch_overhead_sec": round(max(0.0, raw), 3),
-        }
-        if raw < 0:
-            out["stream_batch_overhead_noisy"] = True
+            out["stream_batch_overhead_sec"] = round(max(0.0, raw), 3)
+            if raw < 0:
+                out["stream_batch_overhead_noisy"] = True
         # trigger-sizing ceiling (VERDICT r8 Next #7): events/s at the
         # two trigger sizes — the few-batch rate is what the sink can
         # do when the fixed per-micro-batch cost is amortized, i.e.

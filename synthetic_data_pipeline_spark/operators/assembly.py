@@ -1117,28 +1117,61 @@ def funnel_apply_batch(
     for never-indexed content). The append is retry-safe: a replayed
     batch's left_anti finds its own hashes already indexed, elects
     nothing new, and the flag join reads back the identical keeper
-    rows the first attempt wrote."""
+    rows the first attempt wrote.
+
+    SINGLE WRITER ONLY: the elect-then-append protocol assumes one
+    applier per ``state_dir`` (exactly what Structured Streaming's
+    sequential ``foreachBatch`` guarantees). Two concurrent appliers
+    could both left_anti-miss the same novel hash and both append a
+    keeper for it, double-admitting. For local paths a lock file
+    enforces this (a second concurrent applier raises); for remote
+    URIs the assumption is documented here and the deployment must
+    serialize appliers (as foreachBatch does)."""
+    import os
+    import shutil
+
     from .textops import DECON_BENCH_SOURCE
 
     train = batch_df.filter(F.col("source") != DECON_BENCH_SOURCE)
     base = _funnel_base(train)
-    persisted = spark.read.parquet(f"{state_dir}/keepers")
-    # hashes born in this batch: elect a batch-local keeper for each
-    # (left_anti on the persisted index — never a scan of old docs),
-    # staged to a scratch dir first so the append never reads the
-    # directory it is writing to
-    pending = f"{state_dir}/_keepers_pending"
-    (
-        base.filter("s1")
-        .join(persisted.select("h"), "h", "left_anti")
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("keep_id"))
-        .write.mode("overwrite")
-        .parquet(pending)
-    )
-    spark.read.parquet(pending).write.mode("append").parquet(
-        f"{state_dir}/keepers"
-    )
+    local_state = "://" not in state_dir
+    lock_fd = None
+    if local_state:
+        lock_path = os.path.join(state_dir, "_keepers.lock")
+        try:
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"funnel_apply_batch: {lock_path} exists — another applier "
+                "holds this state_dir (or a previous run died mid-batch; "
+                "delete the lock after verifying no applier is running)"
+            ) from None
+    try:
+        persisted = spark.read.parquet(f"{state_dir}/keepers")
+        # hashes born in this batch: elect a batch-local keeper for
+        # each (left_anti on the persisted index — never a scan of old
+        # docs), staged to a scratch dir first so the append never
+        # reads the directory it is writing to
+        pending = f"{state_dir}/_keepers_pending"
+        (
+            base.filter("s1")
+            .join(persisted.select("h"), "h", "left_anti")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep_id"))
+            .write.mode("overwrite")
+            .parquet(pending)
+        )
+        spark.read.parquet(pending).write.mode("append").parquet(
+            f"{state_dir}/keepers"
+        )
+        if local_state:
+            # scratch served its purpose; leaving it behind would look
+            # like state to a reader listing the dir (ADVICE r9)
+            shutil.rmtree(pending, ignore_errors=True)
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
+            os.unlink(lock_path)
     flags = _funnel_apply_flags(
         base,
         # fresh read AFTER the append: includes this batch's electees

@@ -639,6 +639,7 @@ def cc_star_labels(pairs: DataFrame) -> DataFrame:
         return (row["n"], row["h"])
 
     prev = None
+    converged = False
     for _ in range(CC_MAX_ROUNDS):
         # large-star over the symmetric neighborhood: every neighbor
         # v > u re-attaches to m(u) = min(N(u) ∪ {u})
@@ -680,8 +681,19 @@ def cc_star_labels(pairs: DataFrame) -> DataFrame:
         )
         cs = _checksum(e)
         if cs == prev:
+            converged = True
             break
         prev = cs
+    if not converged:
+        # the trailing star-forest read below is only valid at a fixed
+        # point; falling out of the round budget silently would emit
+        # duplicate (node, label) rows or non-min labels (ADVICE r9)
+        raise RuntimeError(
+            f"cc_star_labels: edge set not stable after {CC_MAX_ROUNDS} "
+            "rounds — raise CC_MAX_ROUNDS (star contraction needs "
+            "O(log^2 n) rounds; 12 covers any corpus this engine has "
+            "seen, so non-convergence signals a degenerate input)"
+        )
     # at the fixed point the edge set is a star forest: every non-root
     # points at its component's min id, roots label themselves
     lbl = e.select(F.col("u").alias("node"), F.col("v").alias("label"))

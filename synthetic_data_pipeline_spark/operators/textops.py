@@ -1740,15 +1740,7 @@ def boilerplate_grams(docs: DataFrame) -> DataFrame:
     the two-level (source, doc) -> source pattern."""
     grams = distinct_ngrams(docs)
     nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    thr = F.greatest(
-        F.lit(2), F.floor((F.col("n_docs") + F.lit(19)) / F.lit(20))
-    ).cast("long")
-    df_tab = grams.groupBy("source", "g").agg(F.count("*").alias("df"))
-    bp = (
-        df_tab.join(F.broadcast(nd), "source")
-        .filter(F.col("df") >= thr)
-        .select("source", "g", "df")
-    )
+    bp = _boilerplate_gram_set(docs, with_df=True)
     n_bp = bp.groupBy("source").agg(
         F.count("*").alias("n_bp_grams"), F.sum("df").alias("n_bp_hits")
     )
@@ -1781,6 +1773,240 @@ def boilerplate_grams(docs: DataFrame) -> DataFrame:
 
 def q147_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_grams(load_table(spark, sf_dir, "documents"))
+
+
+def _boilerplate_gram_set(docs: DataFrame, with_df: bool = False) -> DataFrame:
+    """(source, g[, df]) — the within-source boilerplate 4-grams, the
+    threshold being df >= max(2, ceil(n_docs/20)) in integer
+    arithmetic. Shared by the detector (q147) and the cleaner
+    (q155/q156) so the two can never disagree about what counts as
+    boilerplate."""
+    grams = distinct_ngrams(docs)
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    thr = F.greatest(
+        F.lit(2), F.floor((F.col("n_docs") + F.lit(19)) / F.lit(20))
+    ).cast("long")
+    out = (
+        grams.groupBy("source", "g")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(nd), "source")
+        .filter(F.col("df") >= thr)
+    )
+    cols = ["source", "g", "df"] if with_df else ["source", "g"]
+    return out.select(*cols)
+
+
+# --- q155/q156: boilerplate REMOVAL — the action analog of q147 (the
+# C4/CCNet clean-text materialization; same detect→act pairing as
+# q101-over-q46 and the redaction in sitscan). A token position is
+# stripped when it lies inside ANY occurrence of a flagged
+# within-source boilerplate 4-gram; the surviving tokens are re-joined
+# into the cleaned text. Reference analog: validator.py's find-bad-
+# content tier (/root/reference/modules/validator.py:42-357) detects;
+# this materializes the corrected corpus.
+#
+# Scale shape: the positional-gram explode is linear in corpus tokens
+# (same narrow transform as q131's _span_grams); the boilerplate gram
+# set is SMALL BY CONSTRUCTION (its doc-frequency threshold scales
+# with corpus size), so flagging is a broadcast hash join; covered
+# positions collapse to ONE row per touched doc (a sorted position
+# array), and the rewrite is a doc_id equi-join of that small frame
+# back to the corpus followed by a pure higher-order-function filter —
+# no Python UDF, no window, no corpus-sized shuffle carrying text.
+def boilerplate_clean(docs: DataFrame) -> DataFrame:
+    """Per-TOUCHED-doc materialization: (doc_id, source, tokens_before,
+    tokens_removed, clean_text) for every document containing at least
+    one flagged boilerplate gram; untouched docs pass through a real
+    pipeline unchanged so they are omitted here."""
+    bp = _boilerplate_gram_set(docs)
+    arr = _tokens(F.col("text"))
+    base = docs.select("doc_id", "source", arr.alias("arr"))
+    pos_grams = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.when(
+                F.size("arr") >= DECON_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - (DECON_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("arr"), (i + j).cast("int"))
+                            for j in range(DECON_N)
+                        ],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "g"
+    )
+    covered = (
+        pos_grams.join(F.broadcast(bp), ["source", "g"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (DECON_N - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("cpos")).alias("cov"))
+    )
+    return (
+        base.join(covered, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size("arr").cast("long").alias("tokens_before"),
+            F.size("cov").cast("long").alias("tokens_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "arr",
+                    lambda x, i: ~F.array_contains(
+                        F.col("cov"), (i + 1).cast("int")
+                    ),
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q155_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_clean(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_clean_stats(docs: DataFrame) -> DataFrame:
+    """Per-source accounting for the q155 strip: docs_touched,
+    tokens_total, tokens_removed, removed_share — the number a pipeline
+    owner reads before shipping the cleaned corpus."""
+    arr = _tokens(F.col("text"))
+    totals = (
+        docs.select("source", F.size(arr).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+    )
+    touched = boilerplate_clean(docs).groupBy("source").agg(
+        F.count("*").alias("docs_touched"),
+        F.sum("tokens_removed").alias("tokens_removed"),
+    )
+    return (
+        totals.join(touched, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("docs_touched", F.lit(0)).alias("docs_touched"),
+            "tokens_total",
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            eround(
+                F.lit(1e-9)
+                + F.coalesce("tokens_removed", F.lit(0)).cast("double")
+                / F.col("tokens_total"),
+                4,
+            ).alias("removed_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def q156_boilerplate_clean_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return boilerplate_clean_stats(load_table(spark, sf_dir, "documents"))
+
+
+_BP_CLEAN_CTES = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               range(1, len(arr) - {DECON_N - 2}),
+               i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')
+             )) AS g
+      FROM base WHERE len(arr) >= {DECON_N}
+    ),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    bp AS (
+      SELECT d.source, d.g
+      FROM (SELECT source, g, count(*) AS df FROM grams GROUP BY 1, 2) d
+      JOIN nd USING (source)
+      WHERE d.df >= greatest(2, (n_docs + 19) // 20)
+    ),
+    pgrams AS (
+      SELECT doc_id, source,
+             unnest(range(1, len(arr) - {DECON_N - 2})) AS pos,
+             unnest(list_transform(
+               range(1, len(arr) - {DECON_N - 2}),
+               i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')
+             )) AS g
+      FROM base WHERE len(arr) >= {DECON_N}
+    ),
+    covered AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list(
+               range(pos, pos + {DECON_N})
+             )))) AS cov
+      FROM (
+        SELECT p.doc_id, p.pos
+        FROM pgrams p JOIN bp ON bp.source = p.source AND bp.g = p.g
+      ) GROUP BY doc_id
+    )
+"""
+
+_Q155_ORACLE = (
+    _BP_CLEAN_CTES
+    + """
+    SELECT b.doc_id, b.source,
+           CAST(len(b.arr) AS BIGINT) AS tokens_before,
+           CAST(len(c.cov) AS BIGINT) AS tokens_removed,
+           coalesce(array_to_string(
+             list_filter(
+               list_transform(
+                 range(1, len(b.arr) + 1),
+                 i -> CASE WHEN list_contains(c.cov, i) THEN NULL
+                           ELSE b.arr[i] END
+               ),
+               x -> x IS NOT NULL
+             ), ' '), '') AS clean_text
+    FROM base b JOIN covered c USING (doc_id)
+    ORDER BY doc_id
+"""
+)
+
+_Q156_ORACLE = (
+    _BP_CLEAN_CTES
+    + """,
+    totals AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(arr)) AS BIGINT) AS tokens_total
+      FROM base GROUP BY source
+    ),
+    touched AS (
+      SELECT b.source, count(*) AS docs_touched,
+             CAST(sum(len(c.cov)) AS BIGINT) AS tokens_removed
+      FROM base b JOIN covered c USING (doc_id)
+      GROUP BY b.source
+    )
+    SELECT t.source, t.n_docs,
+           coalesce(docs_touched, 0) AS docs_touched,
+           tokens_total,
+           coalesce(tokens_removed, 0) AS tokens_removed,
+           round(1e-9 + coalesce(tokens_removed, 0)
+                 / CAST(tokens_total AS DOUBLE), 4) AS removed_share
+    FROM totals t
+    LEFT JOIN touched USING (source)
+    ORDER BY source
+"""
+)
 
 
 _Q147_ORACLE = f"""
@@ -1941,6 +2167,8 @@ QUERIES = {
     "q143_corpus_diversity": q143_corpus_diversity,
     "q147_boilerplate_grams": q147_boilerplate_grams,
     "q149_bigram_lm_export": q149_bigram_lm_export,
+    "q155_boilerplate_clean": q155_boilerplate_clean,
+    "q156_boilerplate_clean_stats": q156_boilerplate_clean_stats,
 }
 
 
@@ -2004,6 +2232,8 @@ ORACLES = {
     "q143_corpus_diversity": _Q143_ORACLE,
     "q147_boilerplate_grams": _Q147_ORACLE,
     "q149_bigram_lm_export": _Q149_ORACLE,
+    "q155_boilerplate_clean": _Q155_ORACLE,
+    "q156_boilerplate_clean_stats": _Q156_ORACLE,
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

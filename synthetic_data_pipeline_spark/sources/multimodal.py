@@ -284,8 +284,23 @@ def _decode_compressed_video(buf: bytes) -> np.ndarray:
         return np.stack(frames)
     if _imageio is not None:
         rgb = np.asarray(_imageio.imread(buf, index=None))  # (n, h, w[, c])
-        if rgb.ndim == 3 and rgb.shape[-1] in (3, 4):
-            rgb = rgb[np.newaxis]  # single RGB frame, not a gray stack
+        if rgb.ndim == 3:
+            # ambiguous: (n, h, w) gray stack vs (h, w, 3|4) single RGB
+            # frame — a gray stack whose frame WIDTH is 3 or 4 would
+            # match a channel-count test (ADVICE r9), so ask the
+            # reader's metadata instead of guessing from the shape
+            single_rgb = rgb.shape[-1] in (3, 4)
+            try:
+                n_img = getattr(
+                    _imageio.improps(buf, index=None), "n_images", None
+                )
+                if n_img is not None:
+                    # authoritative: >1 images ⇒ axis 0 is frames
+                    single_rgb = single_rgb and n_img == 1
+            except Exception:
+                pass  # metadata unavailable: keep the channel heuristic
+            if single_rgb:
+                rgb = rgb[np.newaxis]  # one RGB frame
         elif rgb.ndim == 2:
             rgb = rgb[np.newaxis]  # single gray frame
         if rgb.ndim == 4:  # luma downmix, matching PyAV's gray format

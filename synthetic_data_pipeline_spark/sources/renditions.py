@@ -350,13 +350,18 @@ def write_run_log(rendered: DataFrame, out_dir: str) -> int:
     lines = run_log_lines(rendered).select(
         F.concat_ws(" ", "level", "message").alias("value")
     )
-    lines.write.mode("overwrite").text(f"{out_dir}/lines")
-    n = lines.count()
+    # start stamp BEFORE the write, finish stamp after (ADVICE r9 —
+    # one post-write timestamp made 'started' a lie); the count comes
+    # from the WRITTEN dataset, not a second pass over the lineage
     started = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    lines.write.mode("overwrite").text(f"{out_dir}/lines")
+    spark = rendered.sparkSession
+    n = spark.read.text(f"{out_dir}/lines").count()
+    finished = datetime.datetime.now(datetime.timezone.utc).isoformat()
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/HEADER", "w") as fh:
         fh.write(
             f"{started} INFO Postprocessor started.\n"
-            f"{started} INFO Postprocessor finished: {n} documents.\n"
+            f"{finished} INFO Postprocessor finished: {n} documents.\n"
         )
     return n

@@ -129,6 +129,8 @@ def test_text_audit_ops_match_duckdb_on_random_corpora(spark):
         (textops.tokenizer_fertility, textops._q141_oracle()),
         (textops.corpus_diversity, textops._Q143_ORACLE),
         (textops.boilerplate_grams, textops._Q147_ORACLE),
+        (textops.boilerplate_clean, textops._Q155_ORACLE),
+        (textops.boilerplate_clean_stats, textops._Q156_ORACLE),
     ]
     for trial in range(3):
         pdf = make_corpus(12 + 10 * trial)

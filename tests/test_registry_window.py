@@ -14,16 +14,21 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-9 window (VERDICT r8 Next #1):
-# the newborn q133, ALL twenty-four r6-stale rows (the exact set
-# round 8 promised to rotate), and the anchor whose code path changes
-# this round (q122 — the funnel apply path's keeper write-back).
+# Queries that MUST occupy the round-10 window (VERDICT r9 Next #1):
+# the four round-9 newborns that missed the r9 window (q151–q154),
+# the round-10 newborns (q155/q156), ALL forty-two r7-stale rows
+# (the exact set round 9 promised to rotate), and the anchors whose
+# code paths change this round (q130 IVF A/B, q147 shared gram set).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [133, 134, 135,                        # born round 9
-                          19, 20, 24, 28, 56, 60, 61, 63, 64,   # r6-stale
-                          81, 100, 103, 108, 109, 110, 111,
-                          112, 113, 114, 115, 117, 119, 123, 124,
-                          122]                                  # changed path
+    f"q{i:02d}" for i in [151, 152, 153, 154,              # born round 9
+                          155, 156,                        # born round 10
+                          4, 6, 7, 9, 11, 16, 17, 18, 21,  # r7-stale
+                          23, 25, 26, 30, 31, 32, 33, 34,
+                          35, 36, 37, 40, 41, 42, 43, 44,
+                          45, 48, 49, 50, 51, 53, 57, 58,
+                          59, 65, 66, 67, 80, 118, 120,
+                          121, 125,
+                          130, 147]                        # changed paths
 ]
 
 

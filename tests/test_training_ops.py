@@ -668,6 +668,44 @@ def test_boilerplate_grams_planted(spark):
     assert clean.n_bp_grams == 0 and clean.bp_doc_share == 0.0
 
 
+def test_boilerplate_clean_strips_footer_keeps_organic(spark):
+    """The q155 ACTION: a planted shared footer must vanish from every
+    touched doc's clean_text while the organic prefix survives
+    verbatim; an all-unique source must not appear in the per-doc
+    output at all, and the q156 accounting must reconcile exactly."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        boilerplate_clean,
+        boilerplate_clean_stats,
+    )
+
+    footer = "copyright acme corp all rights reserved"
+    prefixes = [f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(3)]
+    rows = [(i, f"{prefixes[i]} {footer}", "bp") for i in range(3)]
+    rows += [(10 + i, f"w{9 * i} w{9 * i + 1} w{9 * i + 2} w{9 * i + 3} "
+              f"w{9 * i + 4} w{9 * i + 5}", "clean") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    cleaned = {r.doc_id: r for r in boilerplate_clean(docs).collect()}
+    # only the footer source's docs are touched
+    assert set(cleaned) == {0, 1, 2}
+    for i in range(3):
+        r = cleaned[i]
+        # the whole 6-token footer is covered by its three 4-grams;
+        # the organic 4-token prefix survives verbatim
+        assert r.clean_text == prefixes[i]
+        assert r.tokens_before == 10 and r.tokens_removed == 6
+        assert footer.split()[0] not in r.clean_text
+
+    stats = {r.source: r for r in boilerplate_clean_stats(docs).collect()}
+    bp = stats["bp"]
+    assert bp.docs_touched == 3 and bp.tokens_removed == 18
+    assert bp.tokens_total == 30
+    assert abs(bp.removed_share - 0.6) < 1e-3
+    clean = stats["clean"]
+    assert clean.docs_touched == 0 and clean.tokens_removed == 0
+    assert clean.removed_share == 0.0
+
+
 def test_bigram_lm_export_reproduces_ppl(spark):
     """The exported LM table is SUFFICIENT: recomputing each doc's
     pseudo-perplexity from the (bigram -> p_smooth) artifact alone
