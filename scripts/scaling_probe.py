@@ -86,6 +86,20 @@ PROBE = [
     "q114_stratified_sample",     # salted per-stratum top-K (no window)
     "q117_cms_heavy_hitters",     # fixed-width sketch agg + broadcast probe
     "q122_pipeline_funnel",       # capstone: funnel + decon + mixture, one reckoning
+    # round 10 (VERDICT r9 Next #2): the boilerplate-removal action —
+    # its positional-gram explode + covered-position rewrite is the
+    # newest corpus-linear term; the stats twin rides the same lineage
+    "q155_boilerplate_clean",
+    "q156_boilerplate_clean_stats",
+    # round 10 (VERDICT r9 Next #3/#7): the media tier joins the
+    # standard tiers — the scaled dirs carry a _MEDIA_N sentinel
+    # (media_n_for), so the Arrow decode passes run over 10x items
+    "q100_media_features",
+    "q148_image_phash_dups",
+    "q153_image_thumbnails",
+    "q154_audio_features",
+    # round 10: fresh q152 rows in the SAME artifact as its band A/B
+    "q152_simhash_hamming_join",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -140,7 +154,18 @@ PROBE_100 = [
     # 100 TB path (measured 10x cheaper per row at 100x in r9)
     "q130_semantic_prune",
     "q55_ivf_ann",
+    # round 10: the removal action's gram explode at two decades (same
+    # risk class as q131/q132); the media pair at 100x (6000 items)
+    # probes whether the Arrow decode pass ever becomes executor-bound
+    "q155_boilerplate_clean",
+    "q100_media_features",
+    "q148_image_phash_dups",
+    "q152_simhash_hamming_join",
 ]
+# Media corpus sizes for the scaled tiers (media_n_for sentinel): the
+# 1x base dir is read-only testdata with no sentinel, so 1x stays 60.
+MEDIA_N_10X = 600
+MEDIA_N_100X = 6000
 
 
 def _with_copies(df: DataFrame, copies: int = COPIES) -> DataFrame:
@@ -302,6 +327,87 @@ def time_queries(
     return out
 
 
+def simham_band_ab(spark: SparkSession, sf_dir: str) -> dict:
+    """q152 band-width A/B (VERDICT r9 Next #4): the default 60-bit /
+    4-band signature (15-bit bands) against a 40-bit / 4-band one
+    (10-bit bands). The collision math says chance candidates scale
+    ~bands·C(n,2)/2^band_bits, so the 10-bit arm should carry ~2⁵ =
+    32× the chance-candidate volume — this measures that curve (and
+    its runtime cost) so the knob is sized from data, not derivation,
+    before a multi-billion-doc corpus needs it."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_hamming_pairs,
+        simhash_sig,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    out = {}
+    docs = load_table(spark, sf_dir, "documents")
+    for bits, bands in ((60, 4), (40, 4)):
+        t0 = time.perf_counter()
+        sig = simhash_sig(docs, bits).localCheckpoint(eager=False)
+        n_cand = simhash_band_candidates(sig, bits, bands).count()
+        n_pairs = simhash_hamming_pairs(sig, bits, bands).count()
+        out[f"bits{bits}_bands{bands}"] = {
+            "band_bits": bits // bands,
+            "sec": round(time.perf_counter() - t0, 3),
+            "candidates": n_cand,
+            "verified_pairs": n_pairs,
+        }
+    return out
+
+
+def q130_ivf_ab(spark: SparkSession, sf_dir: str, run_verify: bool) -> dict:
+    """q130 candidate-generator A/B (VERDICT r9 Next #6): the
+    hyperplane-LSH pair funnel (current) vs q55's IVF coarse-quantizer
+    lists (label centroids, multi-probe). With ``run_verify=False``
+    only the linear assignment runs and the within-list candidate
+    volume is COMPUTED from list occupancies (Σ C(occ,2)) — used at
+    the 100x tier where the fixed-k IVF arm's verify is provably
+    quadratic and running it would burn hours demonstrating
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_ivf,
+        ivf_list_assignments,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    out = {}
+    t0 = time.perf_counter()
+    out["lsh_pairs"] = cosine_near_dup_pairs(
+        emb.select("vec_id", "v")
+    ).count()
+    out["lsh_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    occ = (
+        ivf_list_assignments(emb)
+        .groupBy("sig")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand"))
+        .first()
+    )
+    out["ivf_assign_sec"] = round(time.perf_counter() - t0, 3)
+    out["ivf_candidates"] = int(occ["cand"])
+    if run_verify:
+        t0 = time.perf_counter()
+        out["ivf_pairs"] = cosine_near_dup_pairs_ivf(emb).count()
+        out["ivf_sec"] = round(time.perf_counter() - t0, 3)
+    else:
+        out["ivf_verify"] = (
+            "not run: fixed-k lists make the verify quadratic "
+            "(candidates above); see note_q130_ivf_ab"
+        )
+    return out
+
+
 def main() -> None:
     from synthetic_data_pipeline_spark.session import get_spark
 
@@ -364,6 +470,12 @@ def main() -> None:
     build100_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES_2}x corpus in {build100_sec}s -> {dst100}",
           file=sys.stderr)
+    # media tier joins the standard tiers (VERDICT r9 Next #3/#7): the
+    # scaled dirs carry a media_n_for sentinel; the read-only 1x base
+    # stays at the default 60
+    for d, n in ((dst, MEDIA_N_10X), (dst100, MEDIA_N_100X)):
+        with open(os.path.join(d, "_MEDIA_N"), "w") as fh:
+            fh.write(str(n))
     spark.stop()
 
     spark = get_spark(app_name="sdp-scaling-1x")
@@ -399,6 +511,23 @@ def main() -> None:
         for name in PROBE_100
     }
 
+    spark.stop()
+
+    # A/B extras (round 10): q152 band widths and q130's candidate
+    # generator, each tier on a fresh session like the main rows
+    ab = {}
+    spark = get_spark(app_name="sdp-scaling-ab-1x")
+    ab["simham_band_ab_1x"] = simham_band_ab(spark, src)
+    ab["q130_ivf_ab_1x"] = q130_ivf_ab(spark, src, run_verify=True)
+    spark.stop()
+    spark = get_spark(app_name="sdp-scaling-ab-10x")
+    ab["simham_band_ab_10x"] = simham_band_ab(spark, dst)
+    ab["q130_ivf_ab_10x"] = q130_ivf_ab(spark, dst, run_verify=True)
+    spark.stop()
+    spark = get_spark(app_name="sdp-scaling-ab-100x")
+    ab["simham_band_ab_100x"] = simham_band_ab(spark, dst100)
+    ab["q130_ivf_ab_100x"] = q130_ivf_ab(spark, dst100, run_verify=False)
+
     result = {
         "sf_base": src,
         "copies": COPIES,
@@ -408,6 +537,28 @@ def main() -> None:
         "queries_100x": rows100,
         "max_per_row_ratio_100x": max(
             r["per_row_ratio_100x"] for r in rows100.values()
+        ),
+        "media_n": {"1x": 60, "10x": MEDIA_N_10X, "100x": MEDIA_N_100X},
+        **ab,
+        "note_simham_band_ab": (
+            "chance band-collisions scale ~bands*C(n,2)/2^band_bits "
+            "(simhash_hamming_pairs docstring); the 40-bit/4-band arm "
+            "(10-bit bands) is the measured 2^5x-candidates point of "
+            "that curve vs the default 60-bit/4-band (15-bit bands). "
+            "Verified-pair counts differ across arms by design (the "
+            "radius is measured on different-width signatures)"
+        ),
+        "note_q130_ivf_ab": (
+            "the IVF arm assigns every vector to its n_probe=2 nearest "
+            "label-centroid lists (q55's coarse quantizer) and verifies "
+            "within lists. With a FIXED list count (10 labels) the "
+            "within-list candidate volume grows quadratically with the "
+            "corpus — ivf_candidates is computed from measured list "
+            "occupancies at every tier; the 100x verify is deliberately "
+            "not run. A real IVF deployment retrains k ~ sqrt(n) lists, "
+            "which the label vocabulary cannot express; the LSH funnel's "
+            "equivalent (and cheap) knob is the hyperplane count, whose "
+            "bucket count grows 2^(planes/bands)"
         ),
         # VERDICT r8 Next #6 — measured by scripts/span_key_ab.py (two
         # interleaved min-of-N sessions at the 10x tier, 2026-08-14):

@@ -489,21 +489,25 @@ _SIMHAM_BAND_BITS = SIMHAM_BITS // SIMHAM_BANDS  # 15
 _SIMHAM_MASK = (1 << _SIMHAM_BAND_BITS) - 1
 
 
-def simhash60(docs: DataFrame) -> DataFrame:
-    """(doc_id, h60) — 60-bit majority-vote SimHash over the doc's
-    distinct 3-word SHINGLES (q46's feature family, not q48's single
-    tokens: on a small shared vocabulary single-token votes collapse —
-    measured 271k hamming<=3 pairs among 5k docs at sf0.1 — while
-    shingles are near-unique per doc, so unrelated docs land ~30 bits
-    apart and only true near-dups survive the radius). 15 md5 hex
-    chars keep the value positive in a signed BIGINT in both engines;
-    a 15-bit band has 32k values, so chance band collisions stay
-    rare while every true pair within the radius is guaranteed a
-    shared band."""
+def simhash_sig(docs: DataFrame, bits: int = SIMHAM_BITS) -> DataFrame:
+    """(doc_id, h60) — ``bits``-wide majority-vote SimHash over the
+    doc's distinct 3-word SHINGLES (q46's feature family, not q48's
+    single tokens: on a small shared vocabulary single-token votes
+    collapse — measured 271k hamming<=3 pairs among 5k docs at sf0.1 —
+    while shingles are near-unique per doc, so unrelated docs land
+    ~bits/2 apart and only true near-dups survive the radius).
+
+    ``bits`` must be a multiple of 4 (hex nibbles) and <= 60: 15 md5
+    hex chars keep the value positive in a signed BIGINT in BOTH
+    engines. Wider signatures (Manku's f=64+) would need either
+    unsigned-shift arithmetic or a two-BIGINT split — parameterize
+    there only when the collision math below says a corpus needs it."""
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60]: {bits}")
     toks = distinct_shingles(docs)
     h = F.md5("token")
     val = F.lit(0).cast("long")
-    for i in range(SIMHAM_BITS // 4):
+    for i in range(bits // 4):
         ch = F.substring(h, i + 1, 1)
         hexv = F.when(F.ascii(ch) >= 97, F.ascii(ch) - 87).otherwise(
             F.ascii(ch) - 48
@@ -515,15 +519,95 @@ def simhash60(docs: DataFrame) -> DataFrame:
             F.avg(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
                 f"v{j}"
             )
-            for j in range(SIMHAM_BITS)
+            for j in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for j in range(SIMHAM_BITS):
+    for j in range(bits):
         sig = sig + F.when(
             F.col(f"v{j}") > 0.5, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", sig.alias("h60"))
+
+
+def simhash60(docs: DataFrame) -> DataFrame:
+    """The engine-default 60-bit signature (see simhash_sig)."""
+    return simhash_sig(docs, SIMHAM_BITS)
+
+
+def simhash_band_candidates(
+    sig: DataFrame, bits: int = SIMHAM_BITS, bands: int = SIMHAM_BANDS
+) -> DataFrame:
+    """(doc_a < doc_b) distinct candidate pairs sharing at least one
+    exact band — the pre-verify stage of simhash_hamming_pairs,
+    exposed so the scaling probe can measure CANDIDATE VOLUME (the
+    quantity the collision math predicts) separately from verified
+    pairs."""
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    bands_df = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("h60"), band_bits * b).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame, bits: int = SIMHAM_BITS, bands: int = SIMHAM_BANDS
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — every pair within Hamming radius
+    ``bands - 1`` of a (doc_id, h60) signature frame, via Manku-style
+    banding: pigeonhole guarantees r differing bits cannot touch all
+    r+1 bands, so every true pair shares at least one exact band.
+
+    COLLISION MATH (the sizing rule for the two knobs — VERDICT r9
+    Next #4): a chance (non-near-dup) pair collides in one band with
+    probability ~2^-band_bits, so expected chance candidates ≈
+    bands · C(n,2) / 2^(bits/bands). At the defaults (60 bits, 4
+    bands → 15-bit bands) that is ~n²/2¹⁴: negligible at 5k docs
+    (~1.5k candidates), ~6×10ⁱ¹ at n = 10⁹ — at multi-billion-doc
+    scale either widen the bands (fewer bands → smaller radius) or
+    widen the signature (Manku runs f = 64 with rotated tables).
+    Candidate volume is measured, not just derived:
+    scripts/scaling_probe.py A/Bs band_bits 15 vs 10 at the 10×/100×
+    tiers (SCALING_r10 ``simham_band_ab``), pinning the 2^-band_bits
+    cost curve before a real corpus needs the knob."""
+    pairs = simhash_band_candidates(sig, bits, bands)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("h60").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("h60").alias("hb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= bands - 1)
+    )
 
 
 def q152_simhash_hamming_join(
@@ -541,48 +625,9 @@ def q152_simhash_hamming_join(
     sig = simhash60(load_table(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(
-                        F.col("h60"), _SIMHAM_BAND_BITS * b
-                    ).bitwiseAND(F.lit(_SIMHAM_MASK))
-                    for b in range(SIMHAM_BANDS)
-                ]
-            )
-        ).alias("band", "bval"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("h60").alias("ha")
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("h60").alias("hb")
-    )
-    ham = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-            .cast("int")
-            .alias("hamming")
-        )
-        .filter(F.col("hamming") <= SIMHAM_RADIUS)
-    )
     return (
-        ham.groupBy("hamming")
+        simhash_hamming_pairs(sig, SIMHAM_BITS, SIMHAM_BANDS)
+        .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
     )

@@ -473,6 +473,23 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
 
 _Q100_N = 60
 _SCALE = 6
+_MEDIA_N_SENTINEL = "_MEDIA_N"
+
+
+def media_n_for(sf_dir: str) -> int:
+    """Media corpus size for a dataset dir: the default 60 unless the
+    dir carries a ``_MEDIA_N`` sentinel file (written by
+    scripts/scaling_probe.py, so the multimodal quartet scales with the
+    standard tiers — VERDICT r9 Next #7 — instead of reading a fixed
+    corpus at every scale). Driver-gate and test dirs carry no
+    sentinel, keeping the golden VALUES oracles pinned at 60 rows."""
+    import os
+
+    try:
+        with open(os.path.join(sf_dir, _MEDIA_N_SENTINEL)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return _Q100_N
 
 
 def q100_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +501,7 @@ def q100_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a green row proves the container encode/decode round-trips and the
     vectorized batch math against an independent implementation.
     (``sf_dir`` unused: the corpus is self-contained by design.)"""
-    feats = extract_features(synth_media(spark, _Q100_N))
+    feats = extract_features(synth_media(spark, media_n_for(sf_dir)))
     return feats.select(
         "media_id",
         "kind",
@@ -537,7 +554,7 @@ def q133_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing, the per-frame PGM re-encode round-trip, and the batch
     math. (``sf_dir`` unused: the corpus is self-contained.)"""
     frames = sample_frames(
-        synth_media(spark, _Q100_N), every_k=_Q133_EVERY_K
+        synth_media(spark, media_n_for(sf_dir)), every_k=_Q133_EVERY_K
     )
     feats = extract_features(
         frames.select(
@@ -656,7 +673,7 @@ def q148_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     each phash with driver-side numpy (no Spark/Arrow in the loop) and
     groups in SQL, so a green row proves the decode round-trip, the
     bit math, AND the grouping. (``sf_dir`` unused: self-contained.)"""
-    hashed = image_phash(_phash_corpus(spark))
+    hashed = image_phash(_phash_corpus(spark, media_n_for(sf_dir)))
     return (
         hashed.groupBy("phash")
         .agg(
@@ -717,7 +734,9 @@ def q153_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame). The oracle re-derives each md5 with driver-side numpy +
     the same PGM encoder, no Spark/Arrow in the loop. (``sf_dir``
     unused: self-contained.)"""
-    thumbs = resize_images(synth_media(spark, _Q100_N), THUMB_W, THUMB_H)
+    thumbs = resize_images(
+        synth_media(spark, media_n_for(sf_dir)), THUMB_W, THUMB_H
+    )
     return thumbs.select(
         "media_id",
         F.col("width").alias("thumb_w"),
@@ -803,7 +822,7 @@ def audio_features(media: DataFrame) -> DataFrame:
 def q154_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio screen over the deterministic corpus, eround-ed for the
     hash compare. (``sf_dir`` unused: self-contained.)"""
-    feats = audio_features(synth_media(spark, _Q100_N))
+    feats = audio_features(synth_media(spark, media_n_for(sf_dir)))
     return feats.select(
         "media_id",
         "n_samples",

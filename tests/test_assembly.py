@@ -420,6 +420,36 @@ def test_funnel_apply_batch_retry_idempotent(spark, tmp_path):
     assert replay == first
 
 
+def test_funnel_apply_batch_single_writer_lock(spark, tmp_path):
+    """Two appliers on one state_dir could both elect keepers for the
+    same novel hash and double-admit (ADVICE r9) — a held lock file
+    must make the second applier fail loudly, and a completed apply
+    must release the lock and leave no pending scratch dir behind."""
+    import os
+
+    import pytest
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        funnel_apply_batch,
+        write_funnel_state,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    state = str(tmp_path / "state")
+    write_funnel_state(spark, SF_DIR, state)
+    batch = load_table(spark, SF_DIR, "documents").limit(5)
+
+    lock = os.path.join(state, "_keepers.lock")
+    open(lock, "w").close()  # another applier holds the dir
+    with pytest.raises(RuntimeError, match="another applier"):
+        funnel_apply_batch(spark, state, batch)
+    os.unlink(lock)
+
+    funnel_apply_batch(spark, state, batch).count()
+    assert not os.path.exists(lock)  # released on completion
+    assert not os.path.exists(os.path.join(state, "_keepers_pending"))
+
+
 def test_waterfill_planted_level(spark):
     """Hand-computable waterfill: counts 10/20/100/100, budget
     ⌊0.5·230⌋ = 115 → 10 and 20 saturate (10+20+2·100 > 115 only

@@ -538,6 +538,70 @@ def test_cc_star_long_chain_beyond_unroll(spark):
     assert {r.label for r in labels} == {0}
 
 
+def test_simhash_width_knobs_preserve_pigeonhole(spark):
+    """The parameterized signature/band widths (VERDICT r9 Next #4)
+    must preserve the pigeonhole guarantee at EVERY setting: for any
+    (bits, bands), every pair whose true signature distance is within
+    radius bands-1 is reported with that exact distance, and nothing
+    beyond the radius leaks through the band join. Probed at the
+    default (60, 4), the narrower-band A/B point (40, 4 → 10-bit
+    bands, more chance candidates, same answers) and a wider radius
+    (60, 5)."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_sig,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "river runs slowly past the quiet mill and the miller "
+            "watches the water turn the old wheel beneath the sky")
+    rows = [
+        (0, base, "s"),
+        (1, base, "s"),
+        (2, base.replace("quiet mill", "noisy mill"), "s"),
+        (3, base.replace("quick brown", "slow white"), "s"),
+        (4, "completely different content about spark shuffles and "
+            "partitions and query plans and adaptive execution at "
+            "scale with broadcast joins and skew salting", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for bits, bands in [(60, 4), (40, 4), (60, 5)]:
+        sig = simhash_sig(docs, bits)
+        sigs = {r.doc_id: r.h60 for r in sig.collect()}
+        radius = bands - 1
+        want = set()
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin(sigs[a] ^ sigs[b]).count("1")
+                if d <= radius:
+                    want.add((a, b, d))
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_hamming_pairs(sig, bits, bands).collect()
+        }
+        assert got == want, (bits, bands)
+        assert (0, 1, 0) in got, (bits, bands)  # exact dup always found
+
+
+def test_cc_star_raises_on_round_exhaustion(spark, monkeypatch):
+    """Falling out of the round budget before the edge set stabilizes
+    must raise, not silently return labels from a non-fixed-point edge
+    set (ADVICE r9: a non-star-forest read emits duplicate or non-min
+    labels with no signal). One round can never self-certify — the
+    stability check needs two equal consecutive checksums."""
+    import pytest
+
+    import synthetic_data_pipeline_spark.operators.sketches as sk
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(sk, "CC_MAX_ROUNDS", 1)
+    with pytest.raises(RuntimeError, match="not stable"):
+        sk.cc_star_labels(chain)
+
+
 def test_simhash_hamming_join_planted(spark, monkeypatch):
     """Banded SimHash at radius 3: an exact duplicate pair must land at
     hamming 0, a one-word-edit near-dup within the radius, and two

@@ -100,6 +100,74 @@ def test_cosine_dup_prefilter_margin_is_conservative():
     assert (0, 2) not in got, got
 
 
+def test_cosine_dup_half_boundary_pair_agrees_across_paths(spark):
+    """Engineered x.xxxx5 pairs THROUGH both full verify tiers
+    (VERDICT r9 Next #5c): raw cosines sitting exactly on the 4-decimal
+    rounding half-boundary are where the Arrow BLAS matmul and the
+    interpreted expression fold could disagree by summation-order ulps
+    and round opposite ways. The eround nudge (+1e-6) must push both
+    paths off the knife-edge in the SAME direction — pinned here
+    end-to-end (LSH bucketing included), not just on the kernel.
+
+    The planted vectors live in two dimensions chosen so one full band
+    of hyperplanes weights them identically — guaranteeing every vector
+    shares that band's bucket and the pairs actually reach the verify
+    stage in both tiers."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        COSINE_DUP_THRESHOLD as T,
+    )
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        N_BANDS,
+        N_HYPERPLANES,
+        _plane_weights,
+        cosine_near_dup_pairs,
+    )
+
+    per = N_HYPERPLANES // N_BANDS
+    W = [_plane_weights(p) for p in range(N_HYPERPLANES)]
+    dims = None
+    for j in range(1, EMB_DIM):
+        for b in range(N_BANDS):
+            if all(W[b * per + p][0] == W[b * per + p][j] for p in range(per)):
+                dims = (0, j)
+                break
+        if dims:
+            break
+    assert dims, "no co-signed dim pair under any band (plane hash changed?)"
+    i, j = dims
+
+    def vec(c):  # unit vector at angle acos(c) from e_i, in span(e_i, e_j)
+        v = [0.0] * EMB_DIM
+        v[i] = c
+        v[j] = math.sqrt(1.0 - c * c)
+        return v
+
+    base = [0.0] * EMB_DIM
+    base[i] = 1.0
+    rows = [
+        (1, base),
+        (2, vec(T + 5e-5)),   # 0.40005: half-boundary ABOVE T
+        (3, vec(T - 5e-5)),   # 0.39995: half-boundary that rounds UP to T
+        (4, vec(T - 15e-5)),  # 0.39985: half-boundary that stays below T
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    fast = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_dup_pairs(emb, arrow=True).collect()
+    }
+    fold = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_dup_pairs(emb, arrow=False).collect()
+    }
+    assert fast == fold  # pairs AND rounded values, not just membership
+    assert fast[(1, 2)] == 0.4001  # nudge pushes the half-sitter up
+    assert fast[(1, 3)] == 0.4     # rounds up INTO the threshold — kept
+    assert (1, 4) not in fast      # rounds to 0.3999 — dropped by both
+
+
 def test_cosine_dup_big_bucket_fallback_matches(spark, sf_dir, monkeypatch):
     """With the oversized-bucket cap forced to 1, EVERY bucket routes
     through the distributed pair-join fallback; the result set must be
