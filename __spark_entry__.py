@@ -33,20 +33,24 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     behavioral bot signals, q152 SimHash Hamming-radius join, q153
 #     image thumbnails, q154 audio RMS/ZCR) — local-gate green in r9,
 #     claiming driver slots first as promised;
-#   * the TWO round-10 newborns: q155 (boilerplate REMOVAL — the
+#   * the FOUR round-10 newborns: q155 (boilerplate REMOVAL — the
 #     C4/CCNet clean-text materialization, the action analog of q147)
-#     and q156 (its per-source accounting);
+#     and q156 (its per-source accounting); q157 (cross-doc
+#     duplicated-span strip — the Lee et al. 2022 dedup ACTION on
+#     q131/q134's diagnostics, first-occurrence-wins) and q158 (its
+#     accounting);
 #   * ALL FORTY-TWO r7-stale rows (exactly the set r9's VERDICT
 #     enumerated): q04, q06, q07, q09, q11, q16–q18, q21, q23, q25,
 #     q26, q30–q37, q40–q45, q48–q51, q53, q57–q59, q65–q67, q80,
-#     q118, q120, q121, q125;
-#   * TWO anchors on round-10-changed code paths: q130 (semantic
-#     prune — A/B'd over IVF candidates this round) and q147 (the
-#     detector whose gram set q155 now shares via
-#     _boilerplate_gram_set). q152, also a changed path (band-width
-#     parameterization), is already in as a newborn. The q01/q90
-#     evergreens sit this round out — both are r9-fresh.
-# 4 + 2 + 42 + 2 = 50 exactly.
+#     q118, q120, q121, q125.
+#   Newborns took the two anchor slots VERDICT r9 sketched: q152 —
+#   in as a newborn — IS the round-10-changed banding path; q147's
+#   change (the shared _boilerplate_gram_set) is exercised by the
+#   in-window q155/q156, and q130's code is unchanged (the IVF arm is
+#   a measured alternative, adoption decided by SCALING_r10). Both
+#   stay hash-checked by the full-registry local gate. The q01/q90
+#   evergreens sit this round out — both are r9-fresh.
+# 4 + 4 + 42 = 50 exactly.
 #
 # --- Round-9 window rationale kept for the audit trail:
 # Round-9 window (VERDICT r8 "Next round" #1). Composition — after
@@ -90,8 +94,10 @@ DRIVER_WINDOW = [
     # never driver-checked: round-9 newborns first (the r9 promise) …
     "q151_bot_signals", "q152_simhash_hamming_join",
     "q153_image_thumbnails", "q154_audio_features",
-    # … then the round-10 newborns (boilerplate-removal action + stats)
+    # … then the round-10 newborns: the boilerplate-removal action and
+    # the cross-doc duplicated-span strip, each with its accounting
     "q155_boilerplate_clean", "q156_boilerplate_clean_stats",
+    "q157_dedup_span_strip", "q158_dedup_span_strip_stats",
     # all 42 r7-stale rows (VERDICT r9 Next #1, verbatim)
     "q04_priority_with_returns", "q06_forecast_revenue",
     "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
@@ -114,8 +120,6 @@ DRIVER_WINDOW = [
     "q67_tfidf_top_terms", "q80_deterministic_sample",
     "q118_incremental_dedup", "q120_temperature_mixture",
     "q121_source_divergence", "q125_fuzzy_prefix_dedup",
-    # anchors on round-10-changed code paths
-    "q130_semantic_prune", "q147_boilerplate_grams",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

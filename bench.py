@@ -52,6 +52,9 @@ HEADLINE = [
     "q135_incremental_span_gate",
     "q105_decontaminate",
     "q147_boilerplate_grams",
+    # round 10: the two strip ACTIONS (clean-text materializations)
+    "q155_boilerplate_clean",
+    "q157_dedup_span_strip",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

@@ -71,6 +71,8 @@ SHOWCASE = [
     ("q150_padding_audit", "pack-vs-pad audit: one narrow map, one |sources|-key agg"),
     ("q151_bot_signals", "bot signals: user-partitioned lag window, two hash aggs, TakeOrdered top-K"),
     ("q152_simhash_hamming_join", "simhash radius join: banded candidates via posexplode self-join, bit_count verify"),
+    ("q155_boilerplate_clean", "boilerplate strip: broadcast bp-gram flagging, per-doc covered-position array, higher-order filter rewrite"),
+    ("q157_dedup_span_strip", "span strip: dup-subset owner agg (AQE-broadcastable) probe, first-occurrence-wins rewrite"),
     ("q153_image_thumbnails", "thumbnails: one Arrow decode+resize pass, narrow md5 projection"),
     ("q154_audio_features", "audio screen: one Arrow decode+featurize pass, no shuffle"),
 ]

@@ -91,6 +91,9 @@ PROBE = [
     # newest corpus-linear term; the stats twin rides the same lineage
     "q155_boilerplate_clean",
     "q156_boilerplate_clean_stats",
+    # round 10: the cross-doc span-strip action — its owner join rides
+    # the q131 dup-subset-broadcast shape, worth its own rows
+    "q157_dedup_span_strip",
     # round 10 (VERDICT r9 Next #3/#7): the media tier joins the
     # standard tiers — the scaled dirs carry a _MEDIA_N sentinel
     # (media_n_for), so the Arrow decode passes run over 10x items
@@ -158,6 +161,7 @@ PROBE_100 = [
     # risk class as q131/q132); the media pair at 100x (6000 items)
     # probes whether the Arrow decode pass ever becomes executor-bound
     "q155_boilerplate_clean",
+    "q157_dedup_span_strip",
     "q100_media_features",
     "q148_image_phash_dups",
     "q152_simhash_hamming_join",

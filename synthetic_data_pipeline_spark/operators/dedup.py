@@ -1382,6 +1382,202 @@ _Q135_ORACLE = f"""
 """
 
 
+# --- q157/q158: cross-doc duplicated-span STRIP — the dedup ACTION on
+# q131/q134's diagnostics (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": remove every later occurrence of
+# a duplicated span, keep the first). q101 drops WHOLE near-dup docs;
+# this strips surgically: a token position in doc d is removed when it
+# lies inside a SPAN_N-gram occurrence whose FIRST owner (min doc_id
+# over the corpus) is a smaller doc id — first-occurrence-wins, fully
+# deterministic, and the owner doc keeps its text intact. The
+# within-source boilerplate strip (q155) is the 4-gram/threshold
+# cousin; this one is cross-doc and unconditional.
+#
+# Scale shape (the q131 reshape lesson applied from birth): the
+# positional gram explode is linear in corpus tokens; owners are
+# computed ONLY for the duplicated-gram subset (min!=max cross-doc
+# agg → small by construction → AQE-broadcastable), so the probe join
+# back to the gram table never reshuffles the corpus side against a
+# corpus-sized build; covered positions collapse to one row per
+# touched doc and the rewrite is one doc_id equi-join + a
+# higher-order-function filter — no UDF, no window.
+def dedup_span_strip(docs: DataFrame) -> DataFrame:
+    """Per-TOUCHED-doc materialization: (doc_id, source, tokens_before,
+    tokens_removed, clean_text) for every doc that loses at least one
+    position to a cross-doc duplicated span."""
+    pg = _span_grams_pos(docs)
+    owners = (
+        pg.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            (F.min("doc_id") != F.max("doc_id")).alias("dup"),
+        )
+        .filter("dup")
+        .select("g", "owner")
+    )
+    flagged = (
+        pg.join(owners, "g")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    covered = (
+        flagged.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("cpos")).alias("cov"))
+    )
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "source", arr.alias("arr"))
+    return (
+        base.join(covered, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size("arr").cast("long").alias("tokens_before"),
+            F.size("cov").cast("long").alias("tokens_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "arr",
+                    lambda x, i: ~F.array_contains(
+                        F.col("cov"), (i + 1).cast("int")
+                    ),
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q157_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_span_strip(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_span_strip_stats(docs: DataFrame) -> DataFrame:
+    """Per-source accounting for the q157 strip — tokens kept/removed
+    and docs touched, the number a corpus owner reads before shipping
+    the deduplicated text."""
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    totals = (
+        docs.select("source", F.size(arr).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+    )
+    touched = dedup_span_strip(docs).groupBy("source").agg(
+        F.count("*").alias("docs_touched"),
+        F.sum("tokens_removed").alias("tokens_removed"),
+    )
+    return (
+        totals.join(touched, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("docs_touched", F.lit(0)).alias("docs_touched"),
+            "tokens_total",
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            eround(
+                F.lit(1e-9)
+                + F.coalesce("tokens_removed", F.lit(0)).cast("double")
+                / F.col("tokens_total"),
+                4,
+            ).alias("removed_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def q158_dedup_span_strip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return dedup_span_strip_stats(load_table(spark, sf_dir, "documents"))
+
+
+_SPAN_STRIP_CTES = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    pgrams AS (
+      SELECT doc_id, source,
+             unnest(range(1, len(arr) - {SPAN_N - 2})) AS pos,
+             md5(unnest(list_transform(
+               range(1, len(arr) - {SPAN_N - 2}),
+               i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
+             ))) AS g
+      FROM base WHERE len(arr) >= {SPAN_N}
+    ),
+    owners AS (
+      SELECT g, min(doc_id) AS owner
+      FROM pgrams GROUP BY g HAVING min(doc_id) != max(doc_id)
+    ),
+    covered AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list(
+               range(pos, pos + {SPAN_N})
+             )))) AS cov
+      FROM (
+        SELECT p.doc_id, p.pos
+        FROM pgrams p JOIN owners o ON o.g = p.g
+        WHERE p.doc_id > o.owner
+      ) GROUP BY doc_id
+    )
+"""
+
+_Q157_ORACLE = (
+    _SPAN_STRIP_CTES
+    + """
+    SELECT b.doc_id, b.source,
+           CAST(len(b.arr) AS BIGINT) AS tokens_before,
+           CAST(len(c.cov) AS BIGINT) AS tokens_removed,
+           coalesce(array_to_string(
+             list_filter(
+               list_transform(
+                 range(1, len(b.arr) + 1),
+                 i -> CASE WHEN list_contains(c.cov, i) THEN NULL
+                           ELSE b.arr[i] END
+               ),
+               x -> x IS NOT NULL
+             ), ' '), '') AS clean_text
+    FROM base b JOIN covered c USING (doc_id)
+    ORDER BY doc_id
+"""
+)
+
+_Q158_ORACLE = (
+    _SPAN_STRIP_CTES
+    + """,
+    totals AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(arr)) AS BIGINT) AS tokens_total
+      FROM base GROUP BY source
+    ),
+    touched AS (
+      SELECT b.source, count(*) AS docs_touched,
+             CAST(sum(len(c.cov)) AS BIGINT) AS tokens_removed
+      FROM base b JOIN covered c USING (doc_id)
+      GROUP BY b.source
+    )
+    SELECT t.source, t.n_docs,
+           coalesce(docs_touched, 0) AS docs_touched,
+           tokens_total,
+           coalesce(tokens_removed, 0) AS tokens_removed,
+           round(1e-9 + coalesce(tokens_removed, 0)
+                 / CAST(tokens_total AS DOUBLE), 4) AS removed_share
+    FROM totals t
+    LEFT JOIN touched USING (source)
+    ORDER BY source
+"""
+)
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -1396,6 +1592,8 @@ QUERIES = {
     "q134_longest_dup_span": q134_longest_dup_span,
     "q135_incremental_span_gate": q135_incremental_span_gate,
     "q152_simhash_hamming_join": q152_simhash_hamming_join,
+    "q157_dedup_span_strip": q157_dedup_span_strip,
+    "q158_dedup_span_strip_stats": q158_dedup_span_strip_stats,
 }
 
 _TOKENS_SQL = """
@@ -1578,6 +1776,8 @@ ORACLES = {
         ORDER BY new_doc_id, dup_of
     """,
     "q152_simhash_hamming_join": _q152_oracle(),
+    "q157_dedup_span_strip": _Q157_ORACLE,
+    "q158_dedup_span_strip_stats": _Q158_ORACLE,
     "q48_simhash_buckets": """
         WITH tokens AS (
           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS token

@@ -584,6 +584,47 @@ def test_simhash_width_knobs_preserve_pigeonhole(spark):
         assert (0, 1, 0) in got, (bits, bands)  # exact dup always found
 
 
+def test_dedup_span_strip_first_occurrence_wins(spark):
+    """The q157 ACTION (Lee et al. 2022): doc 1 copies a 25-token span
+    from doc 0 — after the strip the OWNER keeps its text verbatim
+    (first occurrence wins), the copier loses exactly the copied span
+    (every position covered by a shared 20-gram), its organic prefix
+    and suffix survive, and an unrelated doc is untouched. The q158
+    accounting must reconcile exactly."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        dedup_span_strip,
+        dedup_span_strip_stats,
+    )
+
+    a_toks = [f"a{i}" for i in range(30)]
+    span = a_toks[5:]  # 25 tokens, >= SPAN_N so shared grams exist
+    b_pre = [f"b{i}" for i in range(10)]
+    b_suf = [f"c{i}" for i in range(5)]
+    u_toks = [f"u{i}" for i in range(30)]
+    rows = [
+        (0, " ".join(a_toks), "s1"),
+        (1, " ".join(b_pre + span + b_suf), "s2"),
+        (2, " ".join(u_toks), "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = {r.doc_id: r for r in dedup_span_strip(docs).collect()}
+    # only the copier is touched: the owner and the unrelated doc
+    # produce no row (they pass through a real pipeline unchanged)
+    assert set(out) == {1}
+    r = out[1]
+    assert r.tokens_before == 40 and r.tokens_removed == 25
+    assert r.clean_text == " ".join(b_pre + b_suf)
+
+    stats = {r.source: r for r in dedup_span_strip_stats(docs).collect()}
+    assert stats["s1"].docs_touched == 0
+    assert stats["s1"].tokens_removed == 0
+    assert stats["s2"].docs_touched == 1
+    assert stats["s2"].tokens_removed == 25
+    assert stats["s2"].tokens_total == 70
+    assert abs(stats["s2"].removed_share - 25 / 70) < 1e-3
+
+
 def test_cc_star_raises_on_round_exhaustion(spark, monkeypatch):
     """Falling out of the round budget before the edge set stabilizes
     must raise, not silently return labels from a non-fixed-point edge

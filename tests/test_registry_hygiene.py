@@ -1,0 +1,82 @@
+"""Registry hygiene meta-tests (VERDICT r9 Next #8): 145+ queries now
+span 13 modules, and nothing structural kept the registry navigable —
+these pin the conventions the repo already follows so drift fails a
+test instead of a reviewer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from synthetic_data_pipeline_spark.queries import _MODULES, all_oracles, all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_query_names_follow_convention():
+    pat = re.compile(r"^q\d{2,3}_[a-z0-9_]+$")
+    bad = [n for n in all_queries() if not pat.fullmatch(n)]
+    assert not bad, f"non-conforming query names: {bad}"
+
+
+def test_query_numbers_unique():
+    nums: dict[str, list[str]] = {}
+    for n in all_queries():
+        nums.setdefault(n.split("_")[0], []).append(n)
+    dups = {k: v for k, v in nums.items() if len(v) > 1}
+    assert not dups, f"duplicate query numbers: {dups}"
+
+
+def test_queries_defined_in_registering_module():
+    """A QUERIES entry must point at a callable DEFINED in the module
+    that registers it — a re-export would make 'where does qN live'
+    ambiguous and break the VERDICT table's file:line citations."""
+    misplaced = []
+    for m in _MODULES:
+        for name, fn in m.QUERIES.items():
+            if getattr(fn, "__module__", None) != m.__name__:
+                misplaced.append((name, m.__name__, fn.__module__))
+    assert not misplaced, f"queries registered outside their module: {misplaced}"
+
+
+def test_oracles_registered_beside_their_query():
+    """Every module's ORACLES keys must be a subset of the SAME
+    module's QUERIES keys (the all_oracles() check only guards the
+    global union, so a cross-module oracle would slip through it)."""
+    stray = []
+    for m in _MODULES:
+        extra = set(m.ORACLES) - set(m.QUERIES)
+        if extra:
+            stray.append((m.__name__, sorted(extra)))
+    assert not stray, f"oracles without a same-module query: {stray}"
+
+
+def test_plans_md_sections_match_registry():
+    """PLANS.md is the reviewable plan showcase: every section heading
+    must name a REAL registry query (a renamed/deleted query must not
+    leave a stale plan behind), and the dump script's SHOWCASE list
+    must only reference registry names."""
+    registry = set(all_queries())
+    with open(os.path.join(REPO, "PLANS.md")) as fh:
+        heads = re.findall(r"^## (q\d+_\w+)", fh.read(), re.MULTILINE)
+    assert heads, "PLANS.md has no query sections — regenerate it"
+    stale = sorted(set(heads) - registry)
+    assert not stale, (
+        f"PLANS.md sections for queries not in the registry: {stale} — "
+        "re-run scripts/dump_plans.py"
+    )
+    dups = sorted({h for h in heads if heads.count(h) > 1})
+    assert not dups, f"duplicate PLANS.md sections: {dups}"
+
+
+def test_every_query_has_an_oracle_or_documented_exception():
+    """The driver gate hash-checks every query that ships an oracle;
+    a query WITHOUT one gets only the weak rows-only check, so each
+    such omission must be deliberate. This pins the current list —
+    adding an oracle-less query forces the author to explain it here."""
+    missing = sorted(set(all_queries()) - set(all_oracles()))
+    assert missing == [], (
+        "queries without a DuckDB oracle (add one, or document the "
+        f"engine-specific exception in this test): {missing}"
+    )

@@ -21,14 +21,13 @@ DRIVER_CAP = 50
 # code paths change this round (q130 IVF A/B, q147 shared gram set).
 R2_UNCHECKED = [
     f"q{i:02d}" for i in [151, 152, 153, 154,              # born round 9
-                          155, 156,                        # born round 10
+                          155, 156, 157, 158,              # born round 10
                           4, 6, 7, 9, 11, 16, 17, 18, 21,  # r7-stale
                           23, 25, 26, 30, 31, 32, 33, 34,
                           35, 36, 37, 40, 41, 42, 43, 44,
                           45, 48, 49, 50, 51, 53, 57, 58,
                           59, 65, 66, 67, 80, 118, 120,
-                          121, 125,
-                          130, 147]                        # changed paths
+                          121, 125]
 ]
 
 
