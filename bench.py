@@ -52,9 +52,14 @@ HEADLINE = [
     "q135_incremental_span_gate",
     "q105_decontaminate",
     "q147_boilerplate_grams",
-    # round 10: the two strip ACTIONS (clean-text materializations)
+    # round 10: the strip ACTIONS (clean-text materializations) and
+    # the ingest-time strip; q161 is the truncated-dim audit (bounded
+    # broadcast-probe scan, q50's class but with 4 prefix folds)
     "q155_boilerplate_clean",
     "q157_dedup_span_strip",
+    "q159_incremental_span_strip",
+    "q160_decontaminate_strip",
+    "q161_matryoshka_audit",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

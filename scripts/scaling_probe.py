@@ -94,6 +94,12 @@ PROBE = [
     # round 10: the cross-doc span-strip action — its owner join rides
     # the q131 dup-subset-broadcast shape, worth its own rows
     "q157_dedup_span_strip",
+    # round 10 late newborns: the ingest strip (q132's semi-join class
+    # + the rewrite), the decontamination strip (broadcast bench gram
+    # flagging) and the matryoshka audit (bounded probe scan, linear)
+    "q159_incremental_span_strip",
+    "q160_decontaminate_strip",
+    "q161_matryoshka_audit",
     # round 10 (VERDICT r9 Next #3/#7): the media tier joins the
     # standard tiers — the scaled dirs carry a _MEDIA_N sentinel
     # (media_n_for), so the Arrow decode passes run over 10x items
@@ -162,6 +168,8 @@ PROBE_100 = [
     # probes whether the Arrow decode pass ever becomes executor-bound
     "q155_boilerplate_clean",
     "q157_dedup_span_strip",
+    "q159_incremental_span_strip",
+    "q160_decontaminate_strip",
     "q100_media_features",
     "q148_image_phash_dups",
     "q152_simhash_hamming_join",

@@ -1420,11 +1420,21 @@ def dedup_span_strip(docs: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") > F.col("owner"))
         .select("doc_id", "pos")
     )
+    return _rewrite_without_spans(docs, flagged)
+
+
+def _rewrite_without_spans(
+    docs: DataFrame, flagged: DataFrame, n: int = SPAN_N
+) -> DataFrame:
+    """Shared strip rewrite (q157 cross-doc, q159 ingest): expand the
+    flagged (doc_id, pos) starts to covered positions, collapse to one
+    sorted array per touched doc, equi-join back and filter the token
+    array with a higher-order lambda — no UDF, no window."""
     covered = (
         flagged.select(
             "doc_id",
             F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
             ).alias("cpos"),
         )
         .groupBy("doc_id")
@@ -1578,6 +1588,100 @@ _Q158_ORACLE = (
 )
 
 
+# --- q159: INCREMENTAL span strip — q157's ACTION at ingest time,
+# completing the tier's symmetry (q131↔q132 diagnostic, q134↔q135
+# gate, q157↔q159 strip): an incoming doc keeps only the text the
+# indexed corpus does not already own. Every position covered by a
+# 20-gram present in the persisted distinct-gram index is stripped
+# and the cleaned text materialized — the "dedup against the lake
+# before landing" step a real ingest pipeline runs. Per-ingest work
+# is the batch's own positional gram explode + ONE semi-join against
+# the index (q132's measured shape: 0.090 per-row ratio at 100x),
+# then the q155/q157 covered-position rewrite. Never old×old.
+def _strip_against_index(batch_df: DataFrame, index: DataFrame) -> DataFrame:
+    """(doc_id, source, tokens_before, tokens_removed, clean_text) for
+    every batch doc that loses at least one position to an
+    index-owned 20-gram. ``index``: a distinct md5-gram frame (g)."""
+    pg = _span_grams_pos(batch_df)
+    flagged = pg.join(index.select("g"), "g", "semi").select(
+        "doc_id", "pos"
+    )
+    return _rewrite_without_spans(batch_df, flagged)
+
+
+def span_strip_batch(
+    spark: SparkSession, index_path: str, batch_df: DataFrame
+) -> DataFrame:
+    """One micro-batch through the ingest strip (q159's streaming
+    twin; shares write_span_index's persisted distinct-gram table with
+    the q132/q135 twins). Per-doc outcomes are IDENTICAL to q159's for
+    the same docs — the index is state, so batch boundaries can't
+    change any answer (test_incremental_span_strip_stream_equals_batch)."""
+    return _strip_against_index(batch_df, spark.read.parquet(index_path))
+
+
+def q159_incremental_span_strip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incoming docs (the deterministic doc_id % INGEST_MOD == 0 split
+    q118/q132/q135 share, so the oracle replays the identical
+    scenario) stripped of every span the indexed corpus already owns."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    index = (
+        _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
+        .select(F.md5("g").alias("g"))
+        .distinct()
+    )
+    return _strip_against_index(incoming, index)
+
+
+_Q159_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    pgrams AS (
+      SELECT doc_id, source,
+             unnest(range(1, len(arr) - {SPAN_N - 2})) AS pos,
+             md5(unnest(list_transform(
+               range(1, len(arr) - {SPAN_N - 2}),
+               i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
+             ))) AS g
+      FROM base WHERE len(arr) >= {SPAN_N}
+    ),
+    idx AS (
+      SELECT DISTINCT g FROM pgrams WHERE doc_id % {INGEST_MOD} != 0
+    ),
+    covered AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list(
+               range(pos, pos + {SPAN_N})
+             )))) AS cov
+      FROM (
+        SELECT p.doc_id, p.pos
+        FROM pgrams p JOIN idx i ON i.g = p.g
+        WHERE p.doc_id % {INGEST_MOD} = 0
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.source,
+           CAST(len(b.arr) AS BIGINT) AS tokens_before,
+           CAST(len(c.cov) AS BIGINT) AS tokens_removed,
+           coalesce(array_to_string(
+             list_filter(
+               list_transform(
+                 range(1, len(b.arr) + 1),
+                 i -> CASE WHEN list_contains(c.cov, i) THEN NULL
+                           ELSE b.arr[i] END
+               ),
+               x -> x IS NOT NULL
+             ), ' '), '') AS clean_text
+    FROM base b JOIN covered c USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
@@ -1594,6 +1698,7 @@ QUERIES = {
     "q152_simhash_hamming_join": q152_simhash_hamming_join,
     "q157_dedup_span_strip": q157_dedup_span_strip,
     "q158_dedup_span_strip_stats": q158_dedup_span_strip_stats,
+    "q159_incremental_span_strip": q159_incremental_span_strip,
 }
 
 _TOKENS_SQL = """
@@ -1778,6 +1883,7 @@ ORACLES = {
     "q152_simhash_hamming_join": _q152_oracle(),
     "q157_dedup_span_strip": _Q157_ORACLE,
     "q158_dedup_span_strip_stats": _Q158_ORACLE,
+    "q159_incremental_span_strip": _Q159_ORACLE,
     "q48_simhash_buckets": """
         WITH tokens AS (
           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS token

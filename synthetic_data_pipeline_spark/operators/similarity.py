@@ -24,6 +24,7 @@ N_QUERIES = 10  # vec_id < 10 are the demo query vectors
 TOP_K = 5
 N_HYPERPLANES = 8
 N_BANDS = 2  # shared by band_signatures AND the q54 oracle SQL below
+EMB_DIM = 64  # embeddings schema, FIXTURES.md §B
 
 
 def _as_double(col):
@@ -75,6 +76,166 @@ def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# --- q161: matryoshka / truncated-dimension audit (Kusupati et al.
+# 2022, "Matryoshka Representation Learning") — the storage-vs-recall
+# decision table for the embedding tier: at each prefix width k, how
+# much of the full-dimension top-K neighborhood survives ranking by
+# prefix-only cosine, and how far the prefix cosine drifts on the true
+# neighbors. A pipeline reads this before deciding to store/serve
+# truncated vectors (4x-8x cheaper ANN memory). Same bounded
+# broadcast-probe scan shape as q50 (N_QUERIES anchors, corpus scanned
+# once, all four prefix cosines computed in the same pass); the
+# windows partition on (query_id), bounded groups.
+MRL_DIMS = (8, 16, 32, EMB_DIM)
+
+
+def matryoshka_audit(emb: DataFrame) -> DataFrame:
+    """(prefix_dim, avg_recall, avg_cos_err): recall@TOP_K of
+    prefix-cosine ranking vs full-dimension ranking, and the mean
+    |cos_k - cos_full| over the TRUE top-K pairs, averaged over the
+    N_QUERIES probes. ``emb``: (vec_id, v array<double>)."""
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def pref_cos(k: int):
+        qs = F.slice("qv", 1, k)
+        es = F.slice("v", 1, k)
+        dot = F.aggregate(
+            F.zip_with(qs, es, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        qn = F.sqrt(
+            F.aggregate(qs, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        en = F.sqrt(
+            F.aggregate(es, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return eround(dot / (qn * en), 6).alias(f"cos{k}")
+
+    cand = (
+        F.broadcast(queries)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[pref_cos(k) for k in MRL_DIMS],
+        )
+        .localCheckpoint(eager=False)  # N_QUERIES·n rows, 4 doubles —
+        # bounded; feeds 1 + 2·len(MRL_DIMS) consumers below
+    )
+    wfull = Window.partitionBy("query_id").orderBy(
+        F.desc(f"cos{EMB_DIM}"), F.asc("neighbor_id")
+    )
+    full_top = cand.withColumn("rk", F.row_number().over(wfull)).filter(
+        F.col("rk") <= TOP_K
+    )
+    parts = []
+    for k in MRL_DIMS:
+        wk = Window.partitionBy("query_id").orderBy(
+            F.desc(f"cos{k}"), F.asc("neighbor_id")
+        )
+        top_k = (
+            cand.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top_k.join(
+            full_top.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "semi",
+        ).agg(F.count("*").alias("n_hit"))
+        errs = full_top.agg(
+            F.avg(
+                F.abs(F.col(f"cos{k}") - F.col(f"cos{EMB_DIM}"))
+            ).alias("err"),
+            F.count("*").alias("n_full"),
+        )
+        parts.append(
+            hits.crossJoin(errs).select(
+                F.lit(k).alias("prefix_dim"),
+                eround(
+                    F.lit(1e-9)
+                    + F.col("n_hit") / F.col("n_full").cast("double"),
+                    4,
+                ).alias("avg_recall"),
+                eround(F.lit(1e-9) + F.col("err"), 4).alias("avg_cos_err"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("prefix_dim")
+
+
+def q161_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    return matryoshka_audit(emb)
+
+
+def _q161_oracle() -> str:
+    """q161 oracle: prefix cosines over DOUBLE[] slices. Every CTE
+    consumed more than once is MATERIALIZED (DuckDB inlines plain
+    CTEs — the q103 recomputation gotcha)."""
+    def cosk(k: int) -> str:
+        return (
+            f"round(list_inner_product(q.qv[1:{k}], e.ev[1:{k}]) / "
+            f"(sqrt(list_inner_product(q.qv[1:{k}], q.qv[1:{k}])) * "
+            f"sqrt(list_inner_product(e.ev[1:{k}], e.ev[1:{k}]))), 6) "
+            f"AS cos{k}"
+        )
+
+    tops = ",\n    ".join(
+        f"""top{k} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos{k} DESC, neighbor_id ASC
+        ) AS rk FROM cand
+      ) WHERE rk <= {TOP_K}
+    )"""
+        for k in MRL_DIMS
+    )
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS prefix_dim,
+           round(1e-9 + (SELECT count(*) FROM top{k} t
+                         JOIN full_top f ON f.query_id = t.query_id
+                          AND f.neighbor_id = t.neighbor_id)
+                 / CAST((SELECT count(*) FROM full_top) AS DOUBLE), 4)
+             AS avg_recall,
+           round(1e-9 + (SELECT avg(abs(cos{k} - cos{EMB_DIM}))
+                         FROM full_top), 4) AS avg_cos_err"""
+        for k in MRL_DIMS
+    )
+    return f"""
+    WITH ev_t AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, ev AS qv FROM ev_t
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS MATERIALIZED (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {", ".join(cosk(k) for k in MRL_DIMS)}
+      FROM probes q JOIN ev_t e ON e.vec_id != q.query_id
+    ),
+    full_top AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos{EMB_DIM} DESC,
+          neighbor_id ASC
+        ) AS rk FROM cand
+      ) WHERE rk <= {TOP_K}
+    ),
+    {tops}
+{selects}
+    ORDER BY prefix_dim
+"""
 
 
 # --- q138: hard-negative mining for contrastive training — for each
@@ -177,7 +338,7 @@ def q52_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raw `proj > 0` is a knife-edge when summation order differs by ~n ulp
 # between engines. Bucket stats prove the partitioning strategy; the
 # ANN/near-dup queries probe only matching buckets (q54, unit tests).
-EMB_DIM = 64  # embeddings schema, FIXTURES.md §B
+# (EMB_DIM lives with the other constants at the top of the module.)
 
 
 def _plane_weights(p: int, dim: int = EMB_DIM) -> list[float]:
@@ -1223,6 +1384,7 @@ def q130_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q50_knn_bruteforce": q50_knn_bruteforce,
     "q130_semantic_prune": q130_semantic_prune,
+    "q161_matryoshka_audit": q161_matryoshka_audit,
     "q54_cosine_near_dups": q54_cosine_near_dups,
     "q55_ivf_ann": q55_ivf_ann,
     "q56_kmeans": q56_kmeans,
@@ -1299,6 +1461,7 @@ _Q54_PAIRS_CTES = f"""
 
 
 ORACLES = {
+    "q161_matryoshka_audit": _q161_oracle(),
     "q56_kmeans": _kmeans_oracle_sql(),
     "q110_embedding_outliers": _Q110_ORACLE,
     "q142_centroid_similarity": _Q142_ORACLE,

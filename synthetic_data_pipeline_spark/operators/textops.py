@@ -1813,27 +1813,26 @@ def _boilerplate_gram_set(docs: DataFrame, with_df: bool = False) -> DataFrame:
 # array), and the rewrite is a doc_id equi-join of that small frame
 # back to the corpus followed by a pure higher-order-function filter —
 # no Python UDF, no window, no corpus-sized shuffle carrying text.
-def boilerplate_clean(docs: DataFrame) -> DataFrame:
-    """Per-TOUCHED-doc materialization: (doc_id, source, tokens_before,
-    tokens_removed, clean_text) for every document containing at least
-    one flagged boilerplate gram; untouched docs pass through a real
-    pipeline unchanged so they are omitted here."""
-    bp = _boilerplate_gram_set(docs)
+def _pos_ngrams(docs: DataFrame, n: int = DECON_N) -> DataFrame:
+    """(doc_id, source, pos, g) — every overlapping word n-gram with
+    its 1-based start position (the positional sibling of
+    distinct_ngrams; same narrow transform, shared by the two 4-gram
+    strip actions q155/q160)."""
     arr = _tokens(F.col("text"))
     base = docs.select("doc_id", "source", arr.alias("arr"))
-    pos_grams = base.select(
+    return base.select(
         "doc_id",
         "source",
         F.posexplode(
             F.when(
-                F.size("arr") >= DECON_N,
+                F.size("arr") >= n,
                 F.transform(
-                    F.sequence(F.lit(1), F.size("arr") - (DECON_N - 1)),
+                    F.sequence(F.lit(1), F.size("arr") - (n - 1)),
                     lambda i: F.concat_ws(
                         " ",
                         *[
                             F.element_at(F.col("arr"), (i + j).cast("int"))
-                            for j in range(DECON_N)
+                            for j in range(n)
                         ],
                     ),
                 ),
@@ -1842,36 +1841,22 @@ def boilerplate_clean(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "g"
     )
-    covered = (
-        pos_grams.join(F.broadcast(bp), ["source", "g"])
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (DECON_N - 1))
-            ).alias("cpos"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("cpos")).alias("cov"))
+
+
+def boilerplate_clean(docs: DataFrame) -> DataFrame:
+    """Per-TOUCHED-doc materialization: (doc_id, source, tokens_before,
+    tokens_removed, clean_text) for every document containing at least
+    one flagged boilerplate gram; untouched docs pass through a real
+    pipeline unchanged so they are omitted here."""
+    from .dedup import _rewrite_without_spans
+
+    bp = _boilerplate_gram_set(docs)
+    flagged = (
+        _pos_ngrams(docs)
+        .join(F.broadcast(bp), ["source", "g"])
+        .select("doc_id", "pos")
     )
-    return (
-        base.join(covered, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.size("arr").cast("long").alias("tokens_before"),
-            F.size("cov").cast("long").alias("tokens_removed"),
-            F.concat_ws(
-                " ",
-                F.filter(
-                    "arr",
-                    lambda x, i: ~F.array_contains(
-                        F.col("cov"), (i + 1).cast("int")
-                    ),
-                ),
-            ).alias("clean_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return _rewrite_without_spans(docs, flagged, n=DECON_N)
 
 
 def q155_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1918,6 +1903,91 @@ def q156_boilerplate_clean_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return boilerplate_clean_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- q160: decontamination STRIP — the ACTION on q105's detector
+# (C4/CCNet remove benchmark-overlapping content rather than dropping
+# whole docs): every train-doc position covered by a word 4-gram that
+# also appears in the held-out benchmark source is removed and the
+# cleaned text materialized. Third member of the strip family (q155
+# within-source boilerplate, q157/q159 cross-doc spans) — here the
+# flag set is the BENCHMARK gram table, tiny relative to the corpus
+# by construction, so flagging is a pure broadcast hash join; the
+# train side is one positional explode + the shared covered-position
+# rewrite. No shuffle ever carries document text.
+def decontaminate_strip(
+    docs: DataFrame,
+    n: int = DECON_N,
+    bench_source: str = DECON_BENCH_SOURCE,
+) -> DataFrame:
+    """Per-TOUCHED-train-doc materialization: (doc_id, source,
+    tokens_before, tokens_removed, clean_text); benchmark docs are the
+    flag source and are never rewritten."""
+    from .dedup import _rewrite_without_spans
+
+    bench = (
+        distinct_ngrams(docs.filter(F.col("source") == bench_source), n)
+        .select("g")
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != bench_source)
+    flagged = (
+        _pos_ngrams(train, n)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "pos")
+    )
+    return _rewrite_without_spans(train, flagged, n=n)
+
+
+def q160_decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_strip(load_table(spark, sf_dir, "documents"))
+
+
+_Q160_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    pgrams AS (
+      SELECT doc_id, source,
+             unnest(range(1, len(arr) - {DECON_N - 2})) AS pos,
+             unnest(list_transform(
+               range(1, len(arr) - {DECON_N - 2}),
+               i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')
+             )) AS g
+      FROM base WHERE len(arr) >= {DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM pgrams
+      WHERE source = '{DECON_BENCH_SOURCE}'
+    ),
+    covered AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list(
+               range(pos, pos + {DECON_N})
+             )))) AS cov
+      FROM (
+        SELECT p.doc_id, p.pos
+        FROM pgrams p JOIN bench b ON b.g = p.g
+        WHERE p.source != '{DECON_BENCH_SOURCE}'
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.source,
+           CAST(len(b.arr) AS BIGINT) AS tokens_before,
+           CAST(len(c.cov) AS BIGINT) AS tokens_removed,
+           coalesce(array_to_string(
+             list_filter(
+               list_transform(
+                 range(1, len(b.arr) + 1),
+                 i -> CASE WHEN list_contains(c.cov, i) THEN NULL
+                           ELSE b.arr[i] END
+               ),
+               x -> x IS NOT NULL
+             ), ' '), '') AS clean_text
+    FROM base b JOIN covered c USING (doc_id)
+    ORDER BY doc_id
+"""
 
 
 _BP_CLEAN_CTES = f"""
@@ -2169,6 +2239,7 @@ QUERIES = {
     "q149_bigram_lm_export": q149_bigram_lm_export,
     "q155_boilerplate_clean": q155_boilerplate_clean,
     "q156_boilerplate_clean_stats": q156_boilerplate_clean_stats,
+    "q160_decontaminate_strip": q160_decontaminate_strip,
 }
 
 
@@ -2234,6 +2305,7 @@ ORACLES = {
     "q149_bigram_lm_export": _Q149_ORACLE,
     "q155_boilerplate_clean": _Q155_ORACLE,
     "q156_boilerplate_clean_stats": _Q156_ORACLE,
+    "q160_decontaminate_strip": _Q160_ORACLE,
     "q67_tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id,

@@ -345,6 +345,38 @@ def incremental_span_gate_stream(
     )
 
 
+def incremental_span_strip_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q159's ingest STRIP (the action sibling of
+    the q132/q135 twins, same persisted distinct-gram index): each
+    arriving micro-batch's positions that the indexed corpus already
+    owns are removed and the cleaned text lands via the exactly-once
+    foreachBatch parquet sink. Per-doc rows equal q159's
+    (test_incremental_span_strip_stream_equals_batch). Returns the
+    number of micro-batches."""
+    from ..operators import dedup
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_span_index_")
+    dedup.write_span_index(spark, sf_dir, index_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % dedup.INGEST_MOD == 0
+    )
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return dedup.span_strip_batch(spark, index_dir, batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def cluster_split_stream(
     spark: SparkSession,
     sf_dir: str,

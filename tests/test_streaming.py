@@ -313,6 +313,36 @@ def test_incremental_spans_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(want) > 0
 
 
+def test_incremental_span_strip_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q159 streaming twin: per-doc cleaned-text rows landed by
+    the foreachBatch sink must equal the batch query's rows exactly
+    (clean_text string included) — the distinct-gram index is
+    persisted state, so batch boundaries can't change what gets
+    stripped."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q159_incremental_span_strip,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        incremental_span_strip_stream,
+    )
+
+    out = str(tmp_path / "strip")
+    n = incremental_span_strip_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = {
+        r.doc_id: (r.source, r.tokens_before, r.tokens_removed,
+                   r.clean_text)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.tokens_before, r.tokens_removed,
+                   r.clean_text)
+        for r in q159_incremental_span_strip(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_incremental_span_gate_stream_equals_batch(spark, sf_dir, tmp_path):
     """The q135 streaming twin: per-doc longest-span + admit rows
     landed by the foreachBatch sink must equal the batch query's rows

@@ -706,6 +706,57 @@ def test_boilerplate_clean_strips_footer_keeps_organic(spark):
     assert clean.removed_share == 0.0
 
 
+def test_decontaminate_strip_planted(spark):
+    """The q160 ACTION: a train doc containing a benchmark 4-gram must
+    lose exactly the covered positions while its organic text survives
+    verbatim; benchmark docs and non-overlapping train docs are never
+    rewritten."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        decontaminate_strip,
+    )
+
+    leak = "what is the capital of france"  # 6 tokens -> 3 grams
+    rows = [
+        (0, f"benchmark question one {leak}", "src0"),       # the bench
+        (1, f"alpha beta gamma delta {leak} epsilon zeta", "web"),
+        (2, "totally original words nothing shared here at all", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in decontaminate_strip(docs).collect()}
+    assert set(out) == {1}  # bench doc 0 and clean doc 2 untouched
+    r = out[1]
+    # grams starting inside the leak cover exactly its 6 tokens; the
+    # straddling grams (organic prefix x leak) are not benchmark grams
+    assert r.clean_text == "alpha beta gamma delta epsilon zeta"
+    assert r.tokens_before == 12 and r.tokens_removed == 6
+
+
+def test_matryoshka_audit_full_dim_is_identity(spark, sf_dir):
+    """q161 sanity: ranking by the full 64-dim prefix IS the full
+    ranking — recall exactly 1, error exactly 0 — and every truncated
+    row reports a recall in [0, 1] with a nonnegative error (the
+    hash-matched oracle pins the actual values; this pins the
+    invariants on a second corpus)."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        MRL_DIMS,
+        _as_double,
+        matryoshka_audit,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    rows = {r.prefix_dim: r for r in matryoshka_audit(emb).collect()}
+    assert set(rows) == set(MRL_DIMS)
+    assert rows[EMB_DIM].avg_recall == 1.0
+    assert rows[EMB_DIM].avg_cos_err == 0.0
+    for k in MRL_DIMS:
+        assert 0.0 <= rows[k].avg_recall <= 1.0
+        assert rows[k].avg_cos_err >= 0.0
+
+
 def test_bigram_lm_export_reproduces_ppl(spark):
     """The exported LM table is SUFFICIENT: recomputing each doc's
     pseudo-perplexity from the (bigram -> p_smooth) artifact alone
