@@ -53,12 +53,15 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 # 4 + 4 + 42 = 50 exactly.
 #
 # q159 (incremental span strip + streaming twin), q160
-# (decontamination strip) and q161 (matryoshka truncated-dim audit),
-# born after the 50 slots were spoken for, deliberately stay OUT of
-# the round-10 window rather than evict r7-stale rows the VERDICT
-# enumerated; they are hash-checked by the full-registry local gate
-# this round (CORRECTNESS_LOCAL_r10) and claim driver slots first
-# thing in round 11 — the exact q151–q154 precedent from round 9.
+# (decontamination strip), q161 (matryoshka truncated-dim audit),
+# q162 (within-doc self-repetition strip) and q163 (incremental
+# cluster maintenance by contraction — its oracle IS the full
+# recompute, so the driver row pins incremental==batch), born after
+# the 50 slots were spoken for, deliberately stay OUT of the round-10
+# window rather than evict r7-stale rows the VERDICT enumerated; they
+# are hash-checked by the full-registry local gate this round
+# (CORRECTNESS_LOCAL_r10) and claim driver slots first thing in
+# round 11 — the exact q151–q154 precedent from round 9.
 #
 # --- Round-9 window rationale kept for the audit trail:
 # Round-9 window (VERDICT r8 "Next round" #1). Composition — after

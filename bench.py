@@ -60,6 +60,8 @@ HEADLINE = [
     "q159_incremental_span_strip",
     "q160_decontaminate_strip",
     "q161_matryoshka_audit",
+    "q162_self_repetition_strip",
+    "q163_incremental_clusters",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

@@ -100,6 +100,8 @@ PROBE = [
     "q159_incremental_span_strip",
     "q160_decontaminate_strip",
     "q161_matryoshka_audit",
+    "q162_self_repetition_strip",
+    "q163_incremental_clusters",
     # round 10 (VERDICT r9 Next #3/#7): the media tier joins the
     # standard tiers — the scaled dirs carry a _MEDIA_N sentinel
     # (media_n_for), so the Arrow decode passes run over 10x items
@@ -170,6 +172,7 @@ PROBE_100 = [
     "q157_dedup_span_strip",
     "q159_incremental_span_strip",
     "q160_decontaminate_strip",
+    "q163_incremental_clusters",
     "q100_media_features",
     "q148_image_phash_dups",
     "q152_simhash_hamming_join",

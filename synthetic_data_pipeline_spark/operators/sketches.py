@@ -721,6 +721,122 @@ def q139_cc_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q163: INCREMENTAL cluster maintenance — the 100 TB "documents
+# arrived, update the near-dup clusters WITHOUT re-clustering the
+# lake" operation (the cluster-tier sibling of q118/q132/q159's
+# incremental family). The hard case is a BRIDGE: one new doc whose
+# buckets touch two previously-separate old components — naive
+# "attach new doc to an existing cluster" designs miss the merge.
+# Exact solution by CONTRACTION: each old component collapses to its
+# label node (labels are min-ids, so the contracted graph's min IS the
+# merged component's true min); new edges connect new docs to old
+# LABELS (+ other new docs); star contraction runs on that contracted
+# graph only — its size is bounded by the batch's edge fan-out, never
+# the lake. MinHash band signatures are PER-DOC (corpus-independent),
+# so pairs(old ∪ new) = pairs(old) ∪ pairs(touching new) exactly —
+# the incremental result provably equals the full re-cluster, and the
+# driver gate pins that equality: this query returns q58's histogram
+# computed down the incremental path against q58's full-recompute
+# oracle. Per-ingest work: the batch's signatures join the (persisted,
+# here derived) corpus signature table on (band, minhash) — new-keyed,
+# never old×old — plus CC on the contracted graph.
+def incremental_cluster_labels(
+    sig: DataFrame, is_new_fn, old_labels: DataFrame
+) -> DataFrame:
+    """(node, label) over the clustered docs of the union corpus,
+    computed incrementally. ``sig``: the full (doc_id, band, minhash)
+    frame; ``is_new_fn``: Column -> boolean Column marking a doc id as
+    part of the arriving batch (applied to doc_id AND to contracted
+    node ids, so it must be a pure id predicate); ``old_labels``: the
+    persisted CC labels of the OLD pair graph."""
+    sig_new = sig.filter(is_new_fn(F.col("doc_id")))
+    a = sig_new.alias("a")
+    b = sig.alias("b")
+    edges_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("n_id"),
+            F.col("b.doc_id").alias("other"),
+        )
+        .distinct()
+    )
+    mapped = (
+        edges_new.join(
+            old_labels.select(
+                F.col("node").alias("other"), F.col("label").alias("olbl")
+            ),
+            "other",
+            "left",
+        )
+        # old doc outside any old cluster contracts to itself
+        .select(
+            F.col("n_id").alias("doc_a"),
+            F.coalesce("olbl", F.col("other")).alias("doc_b"),
+        )
+    )
+    comp = cc_star_labels(mapped)
+    # contracted-node labels split cleanly: new ids vs old(-label) ids
+    new_final = comp.filter(is_new_fn(F.col("node")))
+    relabel = comp.filter(~is_new_fn(F.col("node"))).select(
+        F.col("node").alias("olbl_node"), F.col("label").alias("mlabel")
+    )
+    old_final = old_labels.join(
+        relabel, old_labels["label"] == F.col("olbl_node"), "left"
+    ).select(
+        "node", F.coalesce("mlabel", old_labels["label"]).alias("label")
+    )
+    # old singletons pulled into a component by a new bridge doc
+    # appear in comp as their own contracted node but not in
+    # old_labels — surface them too
+    old_single = comp.filter(~is_new_fn(F.col("node"))).join(
+        old_labels.select(F.col("label").alias("node")), "node", "anti"
+    )
+    return old_final.unionByName(
+        new_final.select("node", "label")
+    ).unionByName(old_single.select("node", "label"))
+
+
+def q163_incremental_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q58's cluster-size histogram computed INCREMENTALLY: old docs
+    (doc_id % INGEST_MOD != 0, the q118/q132 deterministic split) are
+    clustered first (the persisted state a lake would hold), the new
+    slice merges in by contraction — and the result is hash-compared
+    against the full-recompute oracle, pinning exactness bridge cases
+    included."""
+    from .dedup import (
+        INGEST_MOD,
+        lsh_candidates,
+        minhash_signatures_from_tokens,
+        token_state,
+    )
+
+    tokens = token_state(spark, sf_dir)
+    sig = minhash_signatures_from_tokens(tokens).localCheckpoint(
+        eager=False
+    )  # per-doc rows, bounded width — feeds old pairs AND the probe
+
+    def is_new_fn(c):
+        return c % INGEST_MOD == 0
+
+    old_labels = cc_star_labels(
+        lsh_candidates(sig.filter(~is_new_fn(F.col("doc_id"))))
+    )
+    labels = incremental_cluster_labels(sig, is_new_fn, old_labels)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q59_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's token distribution, aggregated per
     language — low-entropy documents are the repetitive/low-quality
@@ -884,6 +1000,7 @@ QUERIES = {
     "q145_cluster_aware_split": q145_cluster_aware_split,
     "q103_lp_convergence": q103_lp_convergence,
     "q139_cc_star_clusters": q139_cc_star_clusters,
+    "q163_incremental_clusters": q163_incremental_clusters,
 }
 
 
@@ -899,6 +1016,11 @@ def _oracles() -> dict[str, str]:
         # — certified at every tested SF) the labelings are identical,
         # so the LP-unroll SQL IS the star algorithm's oracle
         "q139_cc_star_clusters": _dup_clusters_oracle(),
+        # the incremental path provably equals the full re-cluster
+        # (contraction preserves components; signatures are per-doc),
+        # so the FULL-RECOMPUTE SQL is exactly the oracle that pins
+        # the incremental algorithm's correctness, bridges included
+        "q163_incremental_clusters": _dup_clusters_oracle(),
         "q95_dedup_retention": _dedup_retention_oracle(),
         "q101_deduped_corpus": _deduped_corpus_oracle(),
         "q144_cluster_representatives": _cluster_representatives_oracle(),

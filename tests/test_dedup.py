@@ -625,6 +625,27 @@ def test_dedup_span_strip_first_occurrence_wins(spark):
     assert abs(stats["s2"].removed_share - 25 / 70) < 1e-3
 
 
+def test_self_repetition_strip_planted(spark):
+    """The q162 ACTION: a templated doc repeating its own 5-token
+    phrase keeps the FIRST occurrence and loses exactly the second;
+    an all-unique doc is untouched."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        self_repetition_strip,
+    )
+
+    phrase = "p1 p2 p3 p4 p5"
+    rows = [
+        (0, f"a1 a2 a3 {phrase} b1 b2 b3 {phrase} c1", "s"),
+        (1, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in self_repetition_strip(docs).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    assert r.clean_text == f"a1 a2 a3 {phrase} b1 b2 b3 c1"
+    assert r.tokens_before == 17 and r.tokens_removed == 5
+
+
 def test_cc_star_raises_on_round_exhaustion(spark, monkeypatch):
     """Falling out of the round budget before the edge set stabilizes
     must raise, not silently return labels from a non-fixed-point edge
@@ -641,6 +662,61 @@ def test_cc_star_raises_on_round_exhaustion(spark, monkeypatch):
     monkeypatch.setattr(sk, "CC_MAX_ROUNDS", 1)
     with pytest.raises(RuntimeError, match="not stable"):
         sk.cc_star_labels(chain)
+
+
+def test_incremental_clusters_handle_bridges(spark):
+    """The q163 hard case: a NEW doc whose buckets touch TWO separate
+    old components must merge them (naive attach-to-one-cluster
+    designs miss this). Synthetic signature frame so collisions are
+    by construction: old {1,2} and {3,7} bridge through new doc 20;
+    new doc 40 pulls the old SINGLETON 9 into a cluster; new docs
+    80/100 form a new-only cluster; new doc 60 stays unclustered.
+    The incremental labels must equal the full recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        lsh_candidates,
+    )
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        cc_star_labels,
+        incremental_cluster_labels,
+    )
+
+    rows = [  # one minhash per (doc, band); fillers qN never collide
+        (1, 0, "x"), (1, 1, "q1"),         # old component {1, 2}
+        (2, 0, "x"), (2, 1, "q2"),
+        (3, 0, "q3"), (3, 1, "y"),         # old component {3, 7}
+        (7, 0, "q7"), (7, 1, "y"),
+        (9, 0, "z"), (9, 1, "q9"),         # old singleton
+        (20, 0, "x"), (20, 1, "y"),        # NEW bridge: merges both
+        (40, 0, "z"), (40, 1, "q40"),      # NEW: clusters with old 9
+        (60, 0, "w"), (60, 1, "q60"),      # NEW: unclustered
+        (80, 0, "v"), (80, 1, "q80"),      # NEW x NEW component
+        (100, 0, "v"), (100, 1, "q100"),
+    ]
+    sig = spark.createDataFrame(
+        rows, "doc_id long, band int, minhash string"
+    )
+
+    def is_new_fn(c):
+        return c % 20 == 0
+
+    old_labels = cc_star_labels(
+        lsh_candidates(sig.filter(~is_new_fn(F.col("doc_id"))))
+    )
+    got = {
+        r.node: r.label
+        for r in incremental_cluster_labels(
+            sig, is_new_fn, old_labels
+        ).collect()
+    }
+    want = {1: 1, 2: 1, 3: 1, 7: 1, 20: 1, 9: 9, 40: 9, 80: 80, 100: 80}
+    assert got == want
+    full = {
+        r.node: r.label
+        for r in cc_star_labels(lsh_candidates(sig)).collect()
+    }
+    assert got == full  # incremental == full recompute, label-level
 
 
 def test_simhash_hamming_join_planted(spark, monkeypatch):
