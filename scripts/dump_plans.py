@@ -74,6 +74,7 @@ SHOWCASE = [
     ("q155_boilerplate_clean", "boilerplate strip: broadcast bp-gram flagging, per-doc covered-position array, higher-order filter rewrite"),
     ("q157_dedup_span_strip", "span strip: dup-subset owner agg (AQE-broadcastable) probe, first-occurrence-wins rewrite"),
     ("q161_matryoshka_audit", "matryoshka audit: broadcast probes, 4 prefix cosines in one pass, checkpointed candidates, bounded per-query windows"),
+    ("q163_incremental_clusters", "incremental clusters: new-keyed signature probe, contracted-graph CC, label relabel joins"),
     ("q153_image_thumbnails", "thumbnails: one Arrow decode+resize pass, narrow md5 projection"),
     ("q154_audio_features", "audio screen: one Arrow decode+featurize pass, no shuffle"),
 ]
