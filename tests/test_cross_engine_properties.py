@@ -144,6 +144,81 @@ def test_text_audit_ops_match_duckdb_on_random_corpora(spark):
             assert canon(got) == canon(want), (fn.__name__, trial)
 
 
+def test_strip_actions_match_duckdb_on_random_corpora(spark):
+    """Randomized-corpus parity for the round-10 STRIP family (q155
+    boilerplate clean + q156 stats, q157 cross-doc span strip + q158
+    stats, q160 decontamination strip, q162 self-repetition strip):
+    seeded random docs long enough to carry 20-grams, with planted
+    cross-doc copied spans, in-doc repeated phrases, a benchmark
+    source, shared footers, messy whitespace/case and empty docs —
+    the exact clean_text STRINGS must hash-match the DuckDB oracles
+    on corpora the driver gate never generates."""
+    import pandas as pd
+
+    from scripts.driver_sim import canon
+    from synthetic_data_pipeline_spark.functions.rounding import (
+        apply_sql_eround,
+    )
+    from synthetic_data_pipeline_spark.operators import dedup, textops
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def make_corpus(n_docs: int) -> pd.DataFrame:
+        texts = []
+        for i in range(n_docs):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(25, 60))]
+            if i % 5 == 3:  # in-doc repeated phrase (q162's prey)
+                phrase = toks[3:8]
+                toks = toks[:15] + phrase + toks[15:]
+            if i % 4 == 1 and texts:  # copy a 22-token span (q157/q159)
+                donor = texts[rng.randrange(len(texts))].split()
+                if len(donor) >= 22:
+                    s = rng.randrange(len(donor) - 21)
+                    toks = toks[:5] + donor[s:s + 22] + toks[5:]
+            if i % 6 == 0:  # shared footer (q147/q155's prey)
+                toks += ["all", "rights", "reserved", "contact", "us"]
+            text = " ".join(toks)
+            if i % 7 == 2:
+                text = "\t" + text.upper() + "  "
+            if i % 13 == 12:
+                text = ""
+            texts.append(text)
+        rows = [
+            (i, texts[i],
+             rng.choice(["en", "de"]),
+             # src0 is DECON_BENCH_SOURCE — gives q160 a real bench
+             rng.choice(["src0", "s1", "s2"]),
+             len(texts[i]))
+            for i in range(n_docs)
+        ]
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
+    cases = [
+        (textops.boilerplate_clean, textops._Q155_ORACLE),
+        (textops.boilerplate_clean_stats, textops._Q156_ORACLE),
+        (textops.decontaminate_strip, textops._Q160_ORACLE),
+        (dedup.dedup_span_strip, dedup._Q157_ORACLE),
+        (dedup.dedup_span_strip_stats, dedup._Q158_ORACLE),
+        (dedup.self_repetition_strip, dedup._Q162_ORACLE),
+    ]
+    for trial in range(2):
+        pdf = make_corpus(30 + 20 * trial)
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        docs = spark.createDataFrame(pdf)
+        nontrivial = 0
+        for fn, oracle in cases:
+            got = fn(docs).toPandas()
+            want = con.execute(apply_sql_eround(oracle)).df()
+            assert sorted(got.columns) == sorted(want.columns), fn.__name__
+            assert canon(got) == canon(want), (fn.__name__, trial)
+            nontrivial += len(got)
+        assert nontrivial > 10  # the corpus must actually exercise strips
+
+
 def test_lp_funnel_tier_matches_duckdb_on_random_corpus(spark, tmp_path):
     """Randomized-corpus parity for the LP-funnel consumers (retention
     q95, histogram q58, best-copy keepers q144, leakage-free split
