@@ -741,17 +741,18 @@ def q139_cc_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here derived) corpus signature table on (band, minhash) — new-keyed,
 # never old×old — plus CC on the contracted graph.
 def incremental_cluster_labels(
-    sig: DataFrame, is_new_fn, old_labels: DataFrame
+    sig_all: DataFrame, sig_new: DataFrame, old_labels: DataFrame
 ) -> DataFrame:
     """(node, label) over the clustered docs of the union corpus,
-    computed incrementally. ``sig``: the full (doc_id, band, minhash)
-    frame; ``is_new_fn``: Column -> boolean Column marking a doc id as
-    part of the arriving batch (applied to doc_id AND to contracted
-    node ids, so it must be a pure id predicate); ``old_labels``: the
-    persisted CC labels of the OLD pair graph."""
-    sig_new = sig.filter(is_new_fn(F.col("doc_id")))
+    computed incrementally. ``sig_all``: the (doc_id, band, minhash)
+    frame of the union (persisted corpus + batch); ``sig_new``: the
+    batch slice of it; ``old_labels``: the persisted CC labels of the
+    OLD pair graph. New/old node identity is resolved by semi/anti
+    joins against the batch's ids, so the split works for ANY batch —
+    including evolving multi-batch state where no id predicate exists."""
+    new_ids = sig_new.select(F.col("doc_id").alias("node")).distinct()
     a = sig_new.alias("a")
-    b = sig.alias("b")
+    b = sig_all.alias("b")
     edges_new = (
         a.join(
             b,
@@ -780,9 +781,10 @@ def incremental_cluster_labels(
         )
     )
     comp = cc_star_labels(mapped)
-    # contracted-node labels split cleanly: new ids vs old(-label) ids
-    new_final = comp.filter(is_new_fn(F.col("node")))
-    relabel = comp.filter(~is_new_fn(F.col("node"))).select(
+    # contracted-node labels split cleanly: batch ids vs old(-label) ids
+    new_final = comp.join(new_ids, "node", "semi")
+    old_side = comp.join(new_ids, "node", "anti")
+    relabel = old_side.select(
         F.col("node").alias("olbl_node"), F.col("label").alias("mlabel")
     )
     old_final = old_labels.join(
@@ -793,12 +795,104 @@ def incremental_cluster_labels(
     # old singletons pulled into a component by a new bridge doc
     # appear in comp as their own contracted node but not in
     # old_labels — surface them too
-    old_single = comp.filter(~is_new_fn(F.col("node"))).join(
+    old_single = old_side.join(
         old_labels.select(F.col("label").alias("node")), "node", "anti"
     )
     return old_final.unionByName(
         new_final.select("node", "label")
     ).unionByName(old_single.select("node", "label"))
+
+
+def write_cluster_state(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the indexed (doc_id % INGEST_MOD != 0) corpus's cluster
+    state: per-doc band signatures under ``{path}/sigs`` and CC labels
+    under ``{path}/labels`` — the state a lake would hold so arriving
+    batches merge in without re-clustering (q163's streaming side)."""
+    from .dedup import (
+        INGEST_MOD,
+        lsh_candidates,
+        minhash_signatures_from_tokens,
+        token_state,
+    )
+
+    tokens = token_state(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_MOD != 0
+    )
+    minhash_signatures_from_tokens(tokens).write.mode("overwrite").parquet(
+        f"{path}/sigs"
+    )
+    sig_old = spark.read.parquet(f"{path}/sigs")
+    cc_star_labels(lsh_candidates(sig_old)).write.mode("overwrite").parquet(
+        f"{path}/labels"
+    )
+
+
+def cluster_update_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame
+) -> DataFrame:
+    """Merge one micro-batch of documents into the persisted cluster
+    state and return the batch docs' cluster labels. State EVOLVES:
+    the batch's signatures append to ``sigs`` and the labels table is
+    rewritten through a staging dir (never read-and-overwrite in one
+    lineage), so the next batch merges against the updated lake —
+    bridges ACROSS batches resolve exactly
+    (test_cluster_maintenance_stream_equals_full_recompute).
+
+    Retry-safe: a replayed batch's signature rows left_anti the
+    persisted table (no duplicate sigs) and the label merge is a pure
+    function of (sigs ∪ batch, labels), so recomputing it lands the
+    same rows. SINGLE WRITER ONLY — same contract as
+    funnel_apply_batch, enforced with the same lock file on local
+    paths."""
+    import os
+    import shutil
+
+    from .dedup import distinct_shingles, minhash_signatures_from_tokens
+
+    local_state = "://" not in state_dir
+    lock_fd = None
+    if local_state:
+        lock_path = os.path.join(state_dir, "_clusters.lock")
+        try:
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"cluster_update_batch: {lock_path} exists — another "
+                "applier holds this state_dir (or a previous run died "
+                "mid-batch; delete the lock after verifying none runs)"
+            ) from None
+    try:
+        sig_new = minhash_signatures_from_tokens(
+            distinct_shingles(batch_df)
+        ).localCheckpoint(eager=False)  # batch-bounded
+        sig_old = spark.read.parquet(f"{state_dir}/sigs")
+        old_labels = spark.read.parquet(f"{state_dir}/labels")
+        labels_updated = incremental_cluster_labels(
+            sig_old.unionByName(sig_new), sig_new, old_labels
+        )
+        # labels are rewritten via staging (the read-then-overwrite
+        # trap); a production lake would delta-update only the
+        # components the batch touched — the full rewrite is the demo
+        # simplification, the MERGE MATH is the real thing
+        pending = f"{state_dir}/_labels_pending"
+        labels_updated.write.mode("overwrite").parquet(pending)
+        spark.read.parquet(pending).write.mode("overwrite").parquet(
+            f"{state_dir}/labels"
+        )
+        # idempotent signature append: replays find their rows present
+        sig_new.join(
+            sig_old.select("doc_id").distinct(), "doc_id", "anti"
+        ).write.mode("append").parquet(f"{state_dir}/sigs")
+        if local_state:
+            shutil.rmtree(pending, ignore_errors=True)
+        batch_ids = batch_df.select(F.col("doc_id").alias("node")).distinct()
+        return spark.read.parquet(f"{state_dir}/labels").join(
+            batch_ids, "node", "semi"
+        )
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)
+            os.unlink(lock_path)
 
 
 def q163_incremental_clusters(
@@ -821,14 +915,9 @@ def q163_incremental_clusters(
     sig = minhash_signatures_from_tokens(tokens).localCheckpoint(
         eager=False
     )  # per-doc rows, bounded width — feeds old pairs AND the probe
-
-    def is_new_fn(c):
-        return c % INGEST_MOD == 0
-
-    old_labels = cc_star_labels(
-        lsh_candidates(sig.filter(~is_new_fn(F.col("doc_id"))))
-    )
-    labels = incremental_cluster_labels(sig, is_new_fn, old_labels)
+    is_new = F.col("doc_id") % INGEST_MOD == 0
+    old_labels = cc_star_labels(lsh_candidates(sig.filter(~is_new)))
+    labels = incremental_cluster_labels(sig, sig.filter(is_new), old_labels)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")

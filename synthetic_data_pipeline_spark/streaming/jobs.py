@@ -377,6 +377,41 @@ def incremental_span_strip_stream(
     )
 
 
+def cluster_maintenance_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q163's incremental clustering, with EVOLVING
+    state: the old slice's signatures + CC labels are persisted once
+    (sketches.write_cluster_state), then each arriving micro-batch of
+    new documents merges in by contraction (cluster_update_batch) and
+    UPDATES the state, so bridges across batch boundaries — a batch-2
+    doc connecting a batch-1 doc to an old component — resolve
+    exactly. After the drain, {state_dir}/labels equals the full
+    re-cluster of the union corpus label-for-label
+    (test_cluster_maintenance_stream_equals_full_recompute). The sink
+    lands each batch's own label rows. Returns the batch count."""
+    from ..operators import dedup, sketches
+
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="sdps_cluster_state_")
+    sketches.write_cluster_state(spark, sf_dir, state_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % dedup.INGEST_MOD == 0
+    )
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return sketches.cluster_update_batch(spark, state_dir, batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def cluster_split_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -698,16 +698,12 @@ def test_incremental_clusters_handle_bridges(spark):
         rows, "doc_id long, band int, minhash string"
     )
 
-    def is_new_fn(c):
-        return c % 20 == 0
-
-    old_labels = cc_star_labels(
-        lsh_candidates(sig.filter(~is_new_fn(F.col("doc_id"))))
-    )
+    is_new = F.col("doc_id") % 20 == 0
+    old_labels = cc_star_labels(lsh_candidates(sig.filter(~is_new)))
     got = {
         r.node: r.label
         for r in incremental_cluster_labels(
-            sig, is_new_fn, old_labels
+            sig, sig.filter(is_new), old_labels
         ).collect()
     }
     want = {1: 1, 2: 1, 3: 1, 7: 1, 20: 1, 9: 9, 40: 9, 80: 80, 100: 80}
@@ -717,6 +713,56 @@ def test_incremental_clusters_handle_bridges(spark):
         for r in cc_star_labels(lsh_candidates(sig)).collect()
     }
     assert got == full  # incremental == full recompute, label-level
+
+
+def test_cluster_update_batch_multi_batch_state(spark, tmp_path):
+    """Two sequential cluster_update_batch calls against one evolving
+    state: batch 2's docs must cluster with BATCH 1's docs through the
+    persisted signatures (not just with the original corpus), and the
+    final labels must equal the full re-cluster of everything. Exact
+    duplicates share every minhash, so collisions are deterministic."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        distinct_shingles,
+        lsh_candidates,
+        minhash_signatures_from_tokens,
+    )
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        cc_star_labels,
+        cluster_update_batch,
+        write_cluster_state,
+    )
+
+    A = " ".join(f"a{i}" for i in range(30))
+    B = " ".join(f"b{i}" for i in range(30))
+    C = " ".join(f"c{i}" for i in range(30))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    old = spark.createDataFrame(
+        [(1, A, "en", "s", 0), (2, A, "en", "s", 0),
+         (3, B, "en", "s", 0), (7, B, "en", "s", 0)], schema)
+    sf_dir = str(tmp_path / "corpus")
+    old.write.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "state")
+    write_cluster_state(spark, sf_dir, state)
+
+    b1 = spark.createDataFrame(
+        [(20, C, "en", "s", 0), (40, C, "en", "s", 0)], schema)
+    b2 = spark.createDataFrame(
+        [(60, C, "en", "s", 0), (80, B, "en", "s", 0)], schema)
+    cluster_update_batch(spark, state, b1).count()
+    out2 = {
+        r.node: r.label for r in cluster_update_batch(spark, state, b2).collect()
+    }
+    # batch-2 doc 60 found batch-1's {20, 40} via persisted state;
+    # batch-2 doc 80 joined the ORIGINAL {3, 7}
+    assert out2 == {60: 20, 80: 3}
+    got = sorted(map(tuple, spark.read.parquet(f"{state}/labels").collect()))
+    union = old.unionByName(b1).unionByName(b2)
+    full_sig = minhash_signatures_from_tokens(distinct_shingles(union))
+    want = sorted(map(tuple, cc_star_labels(lsh_candidates(full_sig)).collect()))
+    assert got == want
+    assert dict(got) == {1: 1, 2: 1, 3: 3, 7: 3, 80: 3, 20: 20, 40: 20, 60: 20}
 
 
 def test_simhash_hamming_join_planted(spark, monkeypatch):

@@ -343,6 +343,58 @@ def test_incremental_span_strip_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(want) > 0
 
 
+def test_cluster_maintenance_stream_equals_full_recompute(
+    spark, sf_dir, tmp_path
+):
+    """The q163 streaming twin with EVOLVING state: after draining the
+    new-doc stream in micro-batches (each batch merging into the
+    persisted signatures + labels), the final state labels must equal
+    the full re-cluster of the union corpus label-for-label — batch
+    boundaries, including bridges ACROSS batches, cannot change any
+    cluster assignment."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures_from_tokens,
+        token_state,
+    )
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        cc_star_labels,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        cluster_maintenance_stream,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "labels_out")
+    n = cluster_maintenance_stream(spark, sf_dir, out, state_dir=state)
+    assert n >= 1
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{state}/labels").collect())
+    )
+    full_sig = minhash_signatures_from_tokens(token_state(spark, sf_dir))
+    want = sorted(
+        map(tuple, cc_star_labels(lsh_candidates(full_sig)).collect())
+    )
+    assert got == want
+    assert len(want) > 0
+    # the sink carries each batch's own rows AS OF ITS BATCH — a later
+    # bridge may have lowered a label since, so only the NODE set is
+    # stable: every clustered streamed doc was reported exactly once
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+
+    sunk_nodes = sorted(
+        r.node
+        for r in spark.read.option("basePath", out).parquet(out)
+        .select("node").collect()
+    )
+    new_final_nodes = sorted(
+        t[0] for t in got if t[0] % INGEST_MOD == 0
+    )
+    assert sunk_nodes == new_final_nodes
+
+
 def test_incremental_span_gate_stream_equals_batch(spark, sf_dir, tmp_path):
     """The q135 streaming twin: per-doc longest-span + admit rows
     landed by the foreachBatch sink must equal the batch query's rows
