@@ -646,6 +646,53 @@ def test_self_repetition_strip_planted(spark):
     assert r.tokens_before == 17 and r.tokens_removed == 5
 
 
+def test_rewrite_without_spans_matches_python_reference(spark):
+    """The shared covered-position rewrite now carries FIVE strip
+    operators (q155/q157/q159/q160/q162), so its exact semantics get a
+    randomized pin independent of any flag source: 200 seeded docs
+    with arbitrary flagged start positions (overlapping, adjacent,
+    doc-spanning, first/last position) must reproduce a pure-Python
+    reconstruction token-for-token."""
+    import random as _random
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        _rewrite_without_spans,
+    )
+
+    rng = _random.Random(101)
+    n = 4
+    docs_rows, flag_rows, expect = [], [], {}
+    for doc_id in range(200):
+        toks = [f"t{rng.randrange(9)}" for _ in range(rng.randint(0, 40))]
+        text = " ".join(toks)
+        docs_rows.append((doc_id, text, "s"))
+        # arr of "" splits to [""] in both engines — mirror that
+        eff = toks if toks else [""]
+        n_starts = max(0, len(eff) - n + 1)
+        starts = sorted(
+            rng.sample(range(1, n_starts + 1),
+                       rng.randint(0, min(5, n_starts)))
+        ) if n_starts else []
+        for s in starts:
+            flag_rows.append((doc_id, s))
+        if starts:
+            covered = {p for s in starts for p in range(s, s + n)}
+            clean = [t for i, t in enumerate(eff, 1) if i not in covered]
+            expect[doc_id] = (
+                len(eff), len(covered), " ".join(clean)
+            )
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, source string"
+    )
+    flagged = spark.createDataFrame(flag_rows, "doc_id long, pos int")
+    got = {
+        r.doc_id: (r.tokens_before, r.tokens_removed, r.clean_text)
+        for r in _rewrite_without_spans(docs, flagged, n=n).collect()
+    }
+    assert got == expect
+    assert len(expect) > 100  # the generator actually flagged things
+
+
 def test_cc_star_raises_on_round_exhaustion(spark, monkeypatch):
     """Falling out of the round budget before the edge set stabilizes
     must raise, not silently return labels from a non-fixed-point edge
