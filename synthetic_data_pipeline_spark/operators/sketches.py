@@ -787,8 +787,14 @@ def incremental_cluster_labels(
     relabel = old_side.select(
         F.col("node").alias("olbl_node"), F.col("label").alias("mlabel")
     )
+    # relabel is bounded by the batch's edge fan-out while old_labels
+    # is lake-sized — broadcast the small side so the labels table is
+    # relabeled in place, never reshuffled (plan audit: AQE left this
+    # as a sort-merge join pre-execution)
     old_final = old_labels.join(
-        relabel, old_labels["label"] == F.col("olbl_node"), "left"
+        F.broadcast(relabel),
+        old_labels["label"] == F.col("olbl_node"),
+        "left",
     ).select(
         "node", F.coalesce("mlabel", old_labels["label"]).alias("label")
     )
