@@ -1943,6 +1943,43 @@ def q160_decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_strip(load_table(spark, sf_dir, "documents"))
 
 
+def write_bench_gram_index(
+    spark: SparkSession, sf_dir: str, path: str,
+    n: int = DECON_N, bench_source: str = DECON_BENCH_SOURCE,
+) -> None:
+    """Persist the held-out benchmark's distinct word n-grams — the
+    fixed state q160's streaming twin strips against (the benchmark
+    changes on release cadence, not per batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        distinct_ngrams(docs.filter(F.col("source") == bench_source), n)
+        .select("g")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def decon_strip_batch(
+    spark: SparkSession, index_path: str, batch_df: DataFrame,
+    n: int = DECON_N,
+) -> DataFrame:
+    """One micro-batch through the decontamination strip (q160's
+    streaming twin): flag against the PERSISTED benchmark gram index
+    (broadcast — benchmark-sized by construction), rewrite with the
+    shared covered-position pass. Per-doc outcomes are IDENTICAL to
+    q160's for the same docs (test_decon_strip_stream_equals_batch)."""
+    from .dedup import _rewrite_without_spans
+
+    bench = spark.read.parquet(index_path)
+    flagged = (
+        _pos_ngrams(batch_df, n)
+        .join(F.broadcast(bench.select("g")), "g")
+        .select("doc_id", "pos")
+    )
+    return _rewrite_without_spans(batch_df, flagged, n=n)
+
+
 _Q160_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, source,

@@ -377,6 +377,38 @@ def incremental_span_strip_stream(
     )
 
 
+def decontaminate_strip_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q160's decontamination STRIP: train documents
+    arrive as a stream; each micro-batch's benchmark-overlapping
+    positions (vs the persisted bench gram index — fixed state, the
+    benchmark changes on release cadence, not per batch) are removed
+    and the cleaned text lands via the exactly-once foreachBatch
+    parquet sink. Per-doc rows equal q160's
+    (test_decon_strip_stream_equals_batch). Returns the batch count."""
+    from ..operators import textops
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_bench_grams_")
+    textops.write_bench_gram_index(spark, sf_dir, index_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("source") != textops.DECON_BENCH_SOURCE
+    )
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return textops.decon_strip_batch(spark, index_dir, batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def cluster_maintenance_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -343,6 +343,35 @@ def test_incremental_span_strip_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(want) > 0
 
 
+def test_decon_strip_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q160 streaming twin: per-doc cleaned-text rows landed by
+    the foreachBatch sink must equal the batch query's rows exactly
+    (clean_text strings included) — the bench gram index is fixed
+    state, so batch boundaries can't change what gets stripped."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q160_decontaminate_strip,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        decontaminate_strip_stream,
+    )
+
+    out = str(tmp_path / "decon")
+    n = decontaminate_strip_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = {
+        r.doc_id: (r.source, r.tokens_before, r.tokens_removed,
+                   r.clean_text)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.tokens_before, r.tokens_removed,
+                   r.clean_text)
+        for r in q160_decontaminate_strip(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_cluster_maintenance_stream_equals_full_recompute(
     spark, sf_dir, tmp_path
 ):
