@@ -791,12 +791,19 @@ def incremental_cluster_labels(
     # is lake-sized — broadcast the small side so the labels table is
     # relabeled in place, never reshuffled (plan audit: AQE left this
     # as a sort-merge join pre-execution)
-    old_final = old_labels.join(
-        F.broadcast(relabel),
-        old_labels["label"] == F.col("olbl_node"),
-        "left",
-    ).select(
-        "node", F.coalesce("mlabel", old_labels["label"]).alias("label")
+    old_final = (
+        old_labels.join(
+            F.broadcast(relabel),
+            old_labels["label"] == F.col("olbl_node"),
+            "left",
+        )
+        .select(
+            "node", F.coalesce("mlabel", old_labels["label"]).alias("label")
+        )
+        # a REPLAYED batch's docs already sit in old_labels; they are
+        # re-emitted through new_final, so drop them here or the
+        # labels table would carry duplicate rows after a retry
+        .join(new_ids, "node", "anti")
     )
     # old singletons pulled into a component by a new bridge doc
     # appear in comp as their own contracted node but not in

@@ -811,6 +811,16 @@ def test_cluster_update_batch_multi_batch_state(spark, tmp_path):
     assert got == want
     assert dict(got) == {1: 1, 2: 1, 3: 3, 7: 3, 80: 3, 20: 20, 40: 20, 60: 20}
 
+    # retry-idempotency (foreachBatch replays a batch after a crash):
+    # re-applying batch 2 must change NOTHING — same signature rows
+    # (left_anti append), same label rows, no duplicates
+    replay = {
+        r.node: r.label for r in cluster_update_batch(spark, state, b2).collect()
+    }
+    assert replay == out2
+    again = sorted(map(tuple, spark.read.parquet(f"{state}/labels").collect()))
+    assert again == got  # row-for-row, duplicates included (none)
+
 
 def test_simhash_hamming_join_planted(spark, monkeypatch):
     """Banded SimHash at radius 3: an exact duplicate pair must land at
