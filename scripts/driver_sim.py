@@ -78,6 +78,16 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # the media golden oracles are pinned at the default corpus size;
+    # a _MEDIA_N-sentinel dir (scaling probe tiers) would hash-mismatch
+    # by construction — fail loudly up front instead (ADVICE r10)
+    from synthetic_data_pipeline_spark.sources.multimodal import (  # noqa: E402
+        MEDIA_GOLDEN_QUERIES,
+        assert_media_oracle_scale,
+    )
+
+    if MEDIA_GOLDEN_QUERIES & set(oracles):
+        assert_media_oracle_scale(sf_dir)
     n_pass = n_fail = n_weak = 0
     for name in sorted(qs):
         t0 = time.time()

@@ -486,7 +486,9 @@ _SIMHAM_MASK = (1 << _SIMHAM_BAND_BITS) - 1
 
 
 def simhash_sig(docs: DataFrame, bits: int = SIMHAM_BITS) -> DataFrame:
-    """(doc_id, h60) — ``bits``-wide majority-vote SimHash over the
+    """(doc_id, h) — ``bits``-wide majority-vote SimHash; ``h`` is
+    the signature column regardless of width, so the 40-bit A/B arm
+    shares the schema (ADVICE r10). Votes run over each
     doc's distinct 3-word SHINGLES (q46's feature family, not q48's
     single tokens: on a small shared vocabulary single-token votes
     collapse — measured 271k hamming<=3 pairs among 5k docs at sf0.1 —
@@ -522,7 +524,7 @@ def simhash_sig(docs: DataFrame, bits: int = SIMHAM_BITS) -> DataFrame:
         sig = sig + F.when(
             F.col(f"v{j}") > 0.5, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", sig.alias("h60"))
+    return votes.select("doc_id", sig.alias("h"))
 
 
 def simhash60(docs: DataFrame) -> DataFrame:
@@ -547,7 +549,7 @@ def simhash_band_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("h60"), band_bits * b).bitwiseAND(
+                    F.shiftright(F.col("h"), band_bits * b).bitwiseAND(
                         F.lit(mask)
                     )
                     for b in range(bands)
@@ -572,7 +574,7 @@ def simhash_hamming_pairs(
     sig: DataFrame, bits: int = SIMHAM_BITS, bands: int = SIMHAM_BANDS
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — every pair within Hamming radius
-    ``bands - 1`` of a (doc_id, h60) signature frame, via Manku-style
+    ``bands - 1`` of a (doc_id, h) signature frame, via Manku-style
     banding: pigeonhole guarantees r differing bits cannot touch all
     r+1 bands, so every true pair shares at least one exact band.
 
@@ -589,8 +591,8 @@ def simhash_hamming_pairs(
     tiers (SCALING_r10 ``simham_band_ab``), pinning the 2^-band_bits
     cost curve before a real corpus needs the knob."""
     pairs = simhash_band_candidates(sig, bits, bands)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("h60").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("h60").alias("hb"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")

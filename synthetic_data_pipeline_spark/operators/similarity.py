@@ -124,8 +124,11 @@ def matryoshka_audit(emb: DataFrame) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             *[pref_cos(k) for k in MRL_DIMS],
         )
-        .localCheckpoint(eager=False)  # N_QUERIES·n rows, 4 doubles —
-        # bounded; feeds 1 + 2·len(MRL_DIMS) consumers below
+        .localCheckpoint(eager=False)  # probe-bounded LINEAR
+        # (N_QUERIES·n rows, 4 doubles) — the checkpoint class the
+        # policy says must be measured, not assumed: kept on the
+        # strength of SCALING_r10 q161's 100x per-row ratio 0.046;
+        # feeds 1 + 2·len(MRL_DIMS) consumers below
     )
     wfull = Window.partitionBy("query_id").orderBy(
         F.desc(f"cos{EMB_DIM}"), F.asc("neighbor_id")

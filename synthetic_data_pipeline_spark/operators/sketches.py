@@ -874,6 +874,12 @@ def cluster_update_batch(
                 "applier holds this state_dir (or a previous run died "
                 "mid-batch; delete the lock after verifying none runs)"
             ) from None
+    state_write_started = False  # flips before the first STATE write:
+    # a failure after this point leaves half-updated state, so the
+    # lock must STAY to make the "previous run died mid-batch" error
+    # fire for failed batches too, not only hard process kills
+    # (ADVICE r10); a failure before it (planning, staging write) is
+    # harmless and releases the lock.
     try:
         sig_new = minhash_signatures_from_tokens(
             distinct_shingles(batch_df)
@@ -889,6 +895,7 @@ def cluster_update_batch(
         # simplification, the MERGE MATH is the real thing
         pending = f"{state_dir}/_labels_pending"
         labels_updated.write.mode("overwrite").parquet(pending)
+        state_write_started = True
         spark.read.parquet(pending).write.mode("overwrite").parquet(
             f"{state_dir}/labels"
         )
@@ -899,13 +906,19 @@ def cluster_update_batch(
         if local_state:
             shutil.rmtree(pending, ignore_errors=True)
         batch_ids = batch_df.select(F.col("doc_id").alias("node")).distinct()
-        return spark.read.parquet(f"{state_dir}/labels").join(
+        result = spark.read.parquet(f"{state_dir}/labels").join(
             batch_ids, "node", "semi"
         )
-    finally:
+    except BaseException:
         if lock_fd is not None:
             os.close(lock_fd)
-            os.unlink(lock_path)
+            if not state_write_started:
+                os.unlink(lock_path)
+        raise
+    if lock_fd is not None:
+        os.close(lock_fd)
+        os.unlink(lock_path)
+    return result
 
 
 def q163_incremental_clusters(

@@ -492,6 +492,31 @@ def media_n_for(sf_dir: str) -> int:
         return _Q100_N
 
 
+# The five queries whose oracles are golden VALUES tables pinned at
+# _Q100_N rows. A gate hash-comparing any of these against a dir whose
+# media_n_for() differs MUST fail loudly (assert_media_oracle_scale)
+# instead of producing a confusing hash mismatch — ADVICE r10.
+MEDIA_GOLDEN_QUERIES = frozenset({
+    "q100_media_features", "q133_video_frame_features",
+    "q148_image_phash_dups", "q153_image_thumbnails",
+    "q154_audio_features",
+})
+
+
+def assert_media_oracle_scale(sf_dir: str) -> None:
+    """Raise loudly when ``sf_dir`` carries a _MEDIA_N sentinel that
+    desyncs the live corpus from the pinned golden oracles."""
+    n = media_n_for(sf_dir)
+    if n != _Q100_N:
+        raise AssertionError(
+            f"media golden oracles are pinned at {_Q100_N} items but "
+            f"{sf_dir} carries a _MEDIA_N sentinel sizing the corpus "
+            f"to {n}: hash-comparing would mismatch by construction. "
+            "Scaled dirs are for timing probes only — compare on a "
+            "sentinel-free dir."
+        )
+
+
 def q100_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-and-featurize the deterministic media corpus: the full
     Spark path (Arrow binary transfer → mapInPandas → magic-dispatched
@@ -500,7 +525,11 @@ def q100_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``arr.std()``) with no Spark, no Arrow, and no codec in the loop —
     a green row proves the container encode/decode round-trips and the
     vectorized batch math against an independent implementation.
-    (``sf_dir`` unused: the corpus is self-contained by design.)"""
+    (``sf_dir`` sizes the corpus via ``media_n_for`` — scaled
+    probe dirs carry a ``_MEDIA_N`` sentinel; the golden VALUES
+    oracle stays pinned at the default 60, so hash-compares are only
+    valid on sentinel-free dirs — the local gate enforces this
+    loudly via ``MEDIA_GOLDEN_QUERIES``.)"""
     feats = extract_features(synth_media(spark, media_n_for(sf_dir)))
     return feats.select(
         "media_id",
@@ -552,7 +581,11 @@ def q133_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a golden VALUES table re-derived per-frame by plain numpy with
     no Spark/Arrow/codec in the loop — a green row proves the frame
     slicing, the per-frame PGM re-encode round-trip, and the batch
-    math. (``sf_dir`` unused: the corpus is self-contained.)"""
+    math. (``sf_dir`` sizes the corpus via ``media_n_for`` — scaled
+    probe dirs carry a ``_MEDIA_N`` sentinel; the golden VALUES
+    oracle stays pinned at the default 60, so hash-compares are only
+    valid on sentinel-free dirs — the local gate enforces this
+    loudly via ``MEDIA_GOLDEN_QUERIES``.)"""
     frames = sample_frames(
         synth_media(spark, media_n_for(sf_dir)), every_k=_Q133_EVERY_K
     )
@@ -672,7 +705,11 @@ def q148_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (original, container-swapped twin) pair. The oracle re-derives
     each phash with driver-side numpy (no Spark/Arrow in the loop) and
     groups in SQL, so a green row proves the decode round-trip, the
-    bit math, AND the grouping. (``sf_dir`` unused: self-contained.)"""
+    bit math, AND the grouping. (``sf_dir`` sizes the corpus via ``media_n_for`` — scaled
+    probe dirs carry a ``_MEDIA_N`` sentinel; the golden VALUES
+    oracle stays pinned at the default 60, so hash-compares are only
+    valid on sentinel-free dirs — the local gate enforces this
+    loudly via ``MEDIA_GOLDEN_QUERIES``.)"""
     hashed = image_phash(_phash_corpus(spark, media_n_for(sf_dir)))
     return (
         hashed.groupBy("phash")
@@ -732,8 +769,11 @@ def q153_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize_images kernel and emit a hash-checkable row per thumb (md5
     of the encoded bytes — the binary itself stays out of the compare
     frame). The oracle re-derives each md5 with driver-side numpy +
-    the same PGM encoder, no Spark/Arrow in the loop. (``sf_dir``
-    unused: self-contained.)"""
+    the same PGM encoder, no Spark/Arrow in the loop. (``sf_dir`` sizes the corpus via ``media_n_for`` — scaled
+    probe dirs carry a ``_MEDIA_N`` sentinel; the golden VALUES
+    oracle stays pinned at the default 60, so hash-compares are only
+    valid on sentinel-free dirs — the local gate enforces this
+    loudly via ``MEDIA_GOLDEN_QUERIES``.)"""
     thumbs = resize_images(
         synth_media(spark, media_n_for(sf_dir)), THUMB_W, THUMB_H
     )
@@ -821,7 +861,11 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 def q154_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio screen over the deterministic corpus, eround-ed for the
-    hash compare. (``sf_dir`` unused: self-contained.)"""
+    hash compare. (``sf_dir`` sizes the corpus via ``media_n_for`` — scaled
+    probe dirs carry a ``_MEDIA_N`` sentinel; the golden VALUES
+    oracle stays pinned at the default 60, so hash-compares are only
+    valid on sentinel-free dirs — the local gate enforces this
+    loudly via ``MEDIA_GOLDEN_QUERIES``.)"""
     feats = audio_features(synth_media(spark, media_n_for(sf_dir)))
     return feats.select(
         "media_id",

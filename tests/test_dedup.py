@@ -567,7 +567,7 @@ def test_simhash_width_knobs_preserve_pigeonhole(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     for bits, bands in [(60, 4), (40, 4), (60, 5)]:
         sig = simhash_sig(docs, bits)
-        sigs = {r.doc_id: r.h60 for r in sig.collect()}
+        sigs = {r.doc_id: r.h for r in sig.collect()}
         radius = bands - 1
         want = set()
         ids = sorted(sigs)
@@ -822,6 +822,54 @@ def test_cluster_update_batch_multi_batch_state(spark, tmp_path):
     assert again == got  # row-for-row, duplicates included (none)
 
 
+def test_cluster_update_batch_lock_semantics(spark, tmp_path, monkeypatch):
+    """ADVICE r10: the single-writer lock must be RELEASED when a batch
+    fails before any state write (harmless — next caller proceeds) but
+    RETAINED when it fails after the labels rewrite began (state is
+    half-updated — the 'previous run died mid-batch' error must fire
+    for the next caller, forcing a verified cleanup/replay)."""
+    import os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from synthetic_data_pipeline_spark.operators import sketches as sk
+
+    A = " ".join(f"a{i}" for i in range(30))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    old = spark.createDataFrame([(1, A, "en", "s", 0)], schema)
+    sf_dir = str(tmp_path / "corpus")
+    old.write.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "state")
+    sk.write_cluster_state(spark, sf_dir, state)
+    lock = os.path.join(state, "_clusters.lock")
+    batch = spark.createDataFrame([(5, A, "en", "s", 0)], schema)
+
+    # (a) pre-write failure: planning blows up before any state write
+    def boom(*a, **k):
+        raise RuntimeError("planner exploded")
+
+    monkeypatch.setattr(sk, "incremental_cluster_labels", boom)
+    with _pytest.raises(RuntimeError, match="planner exploded"):
+        sk.cluster_update_batch(spark, state, batch)
+    assert not os.path.exists(lock)  # released: state untouched
+    monkeypatch.undo()
+
+    # (b) post-write failure: rmtree (runs after labels overwrite +
+    # sig append) raising stands in for any mid-update crash — the
+    # lock must survive so the next caller hits the loud error
+    monkeypatch.setattr(sk.shutil if hasattr(sk, "shutil") else _shutil,
+                        "rmtree", boom)
+    with _pytest.raises(RuntimeError, match="planner exploded"):
+        sk.cluster_update_batch(spark, state, batch)
+    monkeypatch.undo()
+    assert os.path.exists(lock)  # retained: half-updated window
+    with _pytest.raises(RuntimeError, match="died mid-batch"):
+        sk.cluster_update_batch(spark, state, batch)
+    os.unlink(lock)  # operator-verified cleanup, as the message says
+    sk.cluster_update_batch(spark, state, batch).count()  # now fine
+
+
 def test_simhash_hamming_join_planted(spark, monkeypatch):
     """Banded SimHash at radius 3: an exact duplicate pair must land at
     hamming 0, a one-word-edit near-dup within the radius, and two
@@ -852,7 +900,7 @@ def test_simhash_hamming_join_planted(spark, monkeypatch):
         lambda sp, sf, name: sp.table("_simham_docs") if name == "documents"
         else tables.load_table(sp, sf, name),
     )
-    sigs = {r.doc_id: r.h60 for r in simhash60(docs).collect()}
+    sigs = {r.doc_id: r.h for r in simhash60(docs).collect()}
     assert sigs[0] == sigs[1]  # identical shingle sets -> identical sig
     # unrelated content sits far outside the radius (~30 bits expected)
     assert bin(sigs[0] ^ sigs[3]).count("1") > 3

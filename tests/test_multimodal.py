@@ -87,6 +87,26 @@ def test_media_n_sentinel_scales_the_quartet(spark, tmp_path):
     assert [tuple(r) for r in big[:60]] == [tuple(r) for r in small]
 
 
+def test_media_oracle_scale_guard(tmp_path):
+    """ADVICE r10: a hash-compare gate pointed at a sentinel-carrying
+    dir must fail LOUDLY before running the media golden queries, not
+    produce a confusing mismatch; and the guard set must cover exactly
+    the multimodal registry (so a new golden query can't dodge it)."""
+    import pytest as _pytest
+
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        MEDIA_GOLDEN_QUERIES,
+        QUERIES,
+        assert_media_oracle_scale,
+    )
+
+    assert MEDIA_GOLDEN_QUERIES == frozenset(QUERIES)
+    assert_media_oracle_scale(str(tmp_path))  # sentinel-free: fine
+    (tmp_path / "_MEDIA_N").write_text("600")
+    with _pytest.raises(AssertionError, match="pinned at 60"):
+        assert_media_oracle_scale(str(tmp_path))
+
+
 def test_features_match_numpy_reference(spark):
     media = synth_media(spark, 30).cache()
     feats = {r.media_id: r for r in extract_features(media).collect()}
