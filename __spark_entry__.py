@@ -27,110 +27,60 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-10 window (VERDICT r9 "Next round" #1). Composition — after
-# this round NO registry query's last driver row is older than r8:
-#   * the FOUR round-9 newborns that missed the r9 window (q151
-#     behavioral bot signals, q152 SimHash Hamming-radius join, q153
-#     image thumbnails, q154 audio RMS/ZCR) — local-gate green in r9,
-#     claiming driver slots first as promised;
-#   * the FOUR round-10 newborns: q155 (boilerplate REMOVAL — the
-#     C4/CCNet clean-text materialization, the action analog of q147)
-#     and q156 (its per-source accounting); q157 (cross-doc
-#     duplicated-span strip — the Lee et al. 2022 dedup ACTION on
-#     q131/q134's diagnostics, first-occurrence-wins) and q158 (its
-#     accounting);
-#   * ALL FORTY-TWO r7-stale rows (exactly the set r9's VERDICT
-#     enumerated): q04, q06, q07, q09, q11, q16–q18, q21, q23, q25,
-#     q26, q30–q37, q40–q45, q48–q51, q53, q57–q59, q65–q67, q80,
-#     q118, q120, q121, q125.
-#   Newborns took the two anchor slots VERDICT r9 sketched: q152 —
-#   in as a newborn — IS the round-10-changed banding path; q147's
-#   change (the shared _boilerplate_gram_set) is exercised by the
-#   in-window q155/q156, and q130's code is unchanged (the IVF arm is
-#   a measured alternative, adoption decided by SCALING_r10). Both
-#   stay hash-checked by the full-registry local gate. The q01/q90
-#   evergreens sit this round out — both are r9-fresh.
-# 4 + 4 + 42 = 50 exactly.
+# Round-11 window. Composition — after this round NO registry
+# query's last driver row is older than r9:
+#   * the FIVE round-10 newborns born after r10's 50 slots were
+#     spoken for (the exact q151–q154 precedent): q159 incremental
+#     span strip, q160 decontamination strip, q161 matryoshka audit,
+#     q162 within-doc self-repetition strip, q163 incremental cluster
+#     maintenance (its oracle IS the full recompute, so the row pins
+#     incremental==batch);
+#   * round-11 newborns as they land (each claims a slot immediately,
+#     evicting an r8-stale row that leaves an in-window cousin);
+#   * the r8-stale rows (last driver row = CORRECTNESS_r08). The full
+#     r8-stale set is 47; the two left out, each with an in-window
+#     cousin on the same module/pattern: q47_pairwise_jaccard_sample
+#     (q104 shares its token_jaccard verify stage; q46-family
+#     in-window) and q52_norm_stats (q54/q107/q130 cover the
+#     similarity module). Both stay hash-checked by the full-registry
+#     local gate (CORRECTNESS_LOCAL_r11: 152/152 pass).
+# 5 + 45 = 50 exactly.
 #
-# q159 (incremental span strip + streaming twin), q160
-# (decontamination strip), q161 (matryoshka truncated-dim audit),
-# q162 (within-doc self-repetition strip) and q163 (incremental
-# cluster maintenance by contraction — its oracle IS the full
-# recompute, so the driver row pins incremental==batch), born after
-# the 50 slots were spoken for, deliberately stay OUT of the round-10
-# window rather than evict r7-stale rows the VERDICT enumerated; they
-# are hash-checked by the full-registry local gate this round
-# (CORRECTNESS_LOCAL_r10) and claim driver slots first thing in
-# round 11 — the exact q151–q154 precedent from round 9.
-#
-# --- Round-9 window rationale kept for the audit trail:
-# Round-9 window (VERDICT r8 "Next round" #1). Composition — after
-# this round NO registry query's last driver row is older than r7:
-#   * ALL TWENTY-FOUR rows whose last driver row is r6 (exactly the
-#     rotation set round 8 promised): q19, q20, q24, q28, q56,
-#     q60/q61, q63/q64, q81, q100, q103, q108-q115, q117, q119,
-#     q123, q124;
-#   * the THREE never-driver-checked queries born this round: q133
-#     (video frame features — the PyAV/imageio-gated video arm's
-#     driver-checked twin, two chained Arrow passes), q134 (longest
-#     duplicated span — gaps-and-islands run lengths over q131's
-#     position grams) and q135 (incremental longest-span ingest gate
-#     with a persisted-index streaming twin);
-#   * THREE anchors on round-9-changed code paths: q122 (the funnel
-#     apply path gained the cross-batch keeper write-back), q100
-#     (multimodal module gained the compressed-video arm; it is also
-#     r6-stale, so it counts in both buckets), plus the evergreen
-#     q01/q90 flagship anchors;
-#   * FIFTEEN queries born MID-round-9 (q136-q140: the tokenizer
-#     apply pair, hard-negative mining, star-contraction components,
-#     the waterfill allocator; q141-q150: tokenizer fertility, the
-#     centroid similarity matrix, corpus distinct-n diversity,
-#     quality-based cluster representatives, the cluster-aware
-#     leakage-free split, A-ES weighted sampling, boilerplate-gram
-#     detection, perceptual-hash image dedup, the bigram-LM artifact
-#     export, the pack-vs-pad audit) — never driver-checked, so they
-#     claim slots immediately;
-#   * the oldest r7-era refreshes, weighted toward the graded
-#     LLM tiers: dedup (q46, q127), similarity (q55), textops
-#     (q126), generation (q62). The r7 rows left out (q04, q06,
-#     q07, q09, q11, q16-q18, q21, q23, q25, q26, q30-q37, q40-q45,
-#     q48-q51, q53, q57-q59, q65-q67, q80, q118, q120, q121, q125 —
-#     q45/q48/q49/q50/q53/q58/q65/q66/q118/q125 ceded their seats
-#     to the q141-q150 newborns; q58's histogram stays checked via
-#     the in-window q139 which shares its oracle, q118's
-#     incremental-ingest pattern via the in-window q132/q135)
-#     rotate next round; each leaves an in-window cousin on the same
-#     module.
+# --- Round-10 window rationale kept for the audit trail:
+# Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
+# q151–q154, the four r10 newborns q155–q158, and ALL 42 r7-stale
+# rows the r9 VERDICT enumerated — recorded green 50/50 in
+# CORRECTNESS_r10.json; q159–q163 deliberately stayed out and claim
+# slots now.
 DRIVER_WINDOW = [
-    # never driver-checked: round-9 newborns first (the r9 promise) …
-    "q151_bot_signals", "q152_simhash_hamming_join",
-    "q153_image_thumbnails", "q154_audio_features",
-    # … then the round-10 newborns: the boilerplate-removal action and
-    # the cross-doc duplicated-span strip, each with its accounting
-    "q155_boilerplate_clean", "q156_boilerplate_clean_stats",
-    "q157_dedup_span_strip", "q158_dedup_span_strip_stats",
-    # all 42 r7-stale rows (VERDICT r9 Next #1, verbatim)
-    "q04_priority_with_returns", "q06_forecast_revenue",
-    "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
-    "q11_cube_lineitem", "q16_distinct_segments",
-    "q17_nations_intersect", "q18_nations_except",
-    "q21_brand_prefix_stats", "q23_conditional_agg",
-    "q25_approx_distinct_customers", "q26_exact_distinct_customers",
-    "q30_tumbling_hourly", "q31_sliding_hourly",
-    "q32_user_sessions", "q33_json_prop_stats",
-    "q34_asof_click_error", "q35_first_event_per_user_type",
-    "q36_hourly_top_event", "q37_conversion_funnel",
-    "q40_token_stats", "q41_lang_id",
-    "q42_quality_by_source", "q43_fingerprints",
-    "q44_trigram_stats", "q45_exact_dedup",
-    "q48_simhash_buckets", "q49_bpe_token_stats",
-    "q50_knn_bruteforce", "q51_label_centroids",
-    "q53_ann_bucket_stats", "q57_bloom_membership",
-    "q58_dup_clusters", "q59_token_entropy",
-    "q65_distinct_tcs_histogram", "q66_winnowing_fingerprints",
-    "q67_tfidf_top_terms", "q80_deterministic_sample",
-    "q118_incremental_dedup", "q120_temperature_mixture",
-    "q121_source_divergence", "q125_fuzzy_prefix_dedup",
+    # never driver-checked: round-10 newborns first (the r10 promise)
+    "q159_incremental_span_strip", "q160_decontaminate_strip",
+    "q161_matryoshka_audit", "q162_self_repetition_strip",
+    "q163_incremental_clusters",
+    # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
+    "q02_top_revenue_orders", "q03_regional_revenue",
+    "q05_customers_without_orders", "q08_parts_by_type",
+    "q10_rollup_orders", "q12_top_orders_per_customer",
+    "q13_running_total", "q14_order_gap_days",
+    "q15_top_parts_by_price", "q22_monthly_sales",
+    "q27_price_bucket_range_join", "q29_price_analytics",
+    "q54_cosine_near_dups", "q70_cheapest_supplier_per_nation",
+    "q71_important_parts", "q72_top_revenue_nation",
+    "q73_large_quantity_orders", "q74_disjunctive_revenue",
+    "q75_wealthy_inactive_customers", "q76_grouping_sets",
+    "q77_nation_pair_volume", "q78_brand_revenue_share",
+    "q79_histogram_quantiles", "q82_unpivot_nation_stats",
+    "q91_sit_issue_list", "q92_salted_event_stats",
+    "q93_redact_documents", "q94_token_chunks",
+    "q95_dedup_retention", "q96_dataset_split",
+    "q97_quality_filter", "q98_validation_failures",
+    "q99_redact_generated", "q101_deduped_corpus",
+    "q102_training_prep", "q104_ngram_jaccard_join",
+    "q105_decontaminate", "q106_repetition_signals",
+    "q107_quantized_knn", "q116_length_curriculum",
+    "q128_bpe_merges", "q129_bpe_compression",
+    "q130_semantic_prune", "q131_duplicated_spans",
+    "q132_incremental_spans",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

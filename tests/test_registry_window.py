@@ -14,20 +14,19 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-10 window (VERDICT r9 Next #1):
-# the four round-9 newborns that missed the r9 window (q151–q154),
-# the round-10 newborns (q155/q156), ALL forty-two r7-stale rows
-# (the exact set round 9 promised to rotate), and the anchors whose
-# code paths change this round (q130 IVF A/B, q147 shared gram set).
+# Queries that MUST occupy the round-11 window: the five round-10
+# newborns that missed the r10 window (q159–q163 — the q151–q154
+# precedent), then the r8-stale rows (q47/q52 excepted — each left an
+# in-window cousin: q104 shares q47's token_jaccard verify stage,
+# q54/q107/q130 cover q52's module).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [151, 152, 153, 154,              # born round 9
-                          155, 156, 157, 158,              # born round 10
-                          4, 6, 7, 9, 11, 16, 17, 18, 21,  # r7-stale
-                          23, 25, 26, 30, 31, 32, 33, 34,
-                          35, 36, 37, 40, 41, 42, 43, 44,
-                          45, 48, 49, 50, 51, 53, 57, 58,
-                          59, 65, 66, 67, 80, 118, 120,
-                          121, 125]
+    f"q{i:02d}" for i in [159, 160, 161, 162, 163,         # born round 10
+                          2, 3, 5, 8, 10, 12, 13, 14, 15,  # r8-stale
+                          22, 27, 29, 54, 70, 71, 72, 73,
+                          74, 75, 76, 77, 78, 79, 82, 91,
+                          92, 93, 94, 95, 96, 97, 98, 99,
+                          101, 102, 104, 105, 106, 107,
+                          116, 128, 129, 130, 131, 132]
 ]
 
 
