@@ -38,13 +38,15 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #   * round-11 newborns as they land (each claims a slot immediately,
 #     evicting an r8-stale row that leaves an in-window cousin);
 #   * the r8-stale rows (last driver row = CORRECTNESS_r08). The full
-#     r8-stale set is 47; the two left out, each with an in-window
+#     r8-stale set is 47; the six left out, each with an in-window
 #     cousin on the same module/pattern: q47_pairwise_jaccard_sample
-#     (q104 shares its token_jaccard verify stage; q46-family
-#     in-window) and q52_norm_stats (q54/q107/q130 cover the
-#     similarity module). Both stay hash-checked by the full-registry
-#     local gate (CORRECTNESS_LOCAL_r11: 152/152 pass).
-# 5 + 45 = 50 exactly.
+#     (q104 shares its token_jaccard verify stage), q52_norm_stats
+#     (q54/q107/q130 cover the similarity module), and — ceding to
+#     the round-11 newborns — q05 (q75 keeps the anti-join pattern),
+#     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
+#     window family), q70 (q71/q72 keep the subquery module). All six
+#     stay hash-checked by the full-registry local gate.
+# 5 + 6 + 39 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -57,19 +59,27 @@ DRIVER_WINDOW = [
     "q159_incremental_span_strip", "q160_decontaminate_strip",
     "q161_matryoshka_audit", "q162_self_repetition_strip",
     "q163_incremental_clusters",
+    # round-11 newborns (claim slots immediately — the r9 precedent):
+    # BM25 sparse retrieval, MinHash calibration audit, event-drift
+    # monitor (+ streaming twin), PII density by source. Each evicted
+    # an r8-stale row with an in-window cousin: q05->q75 (anti-join),
+    # q08->q02/q03/q10 (agg family), q14->q13 (window family),
+    # q70->q71/q72 (same subquery module).
+    "q164_bm25_retrieval", "q165_minhash_calibration",
+    "q166_event_drift", "q167_pii_density",
+    "q168_ivf_probe_sweep", "q169_dataset_card",
     # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
     "q02_top_revenue_orders", "q03_regional_revenue",
-    "q05_customers_without_orders", "q08_parts_by_type",
     "q10_rollup_orders", "q12_top_orders_per_customer",
-    "q13_running_total", "q14_order_gap_days",
+    "q13_running_total",
     "q15_top_parts_by_price", "q22_monthly_sales",
     "q27_price_bucket_range_join", "q29_price_analytics",
-    "q54_cosine_near_dups", "q70_cheapest_supplier_per_nation",
-    "q71_important_parts", "q72_top_revenue_nation",
+    "q54_cosine_near_dups",
+    "q72_top_revenue_nation",
     "q73_large_quantity_orders", "q74_disjunctive_revenue",
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
     "q77_nation_pair_volume", "q78_brand_revenue_share",
-    "q79_histogram_quantiles", "q82_unpivot_nation_stats",
+    "q79_histogram_quantiles",
     "q91_sit_issue_list", "q92_salted_event_stats",
     "q93_redact_documents", "q94_token_chunks",
     "q95_dedup_retention", "q96_dataset_split",

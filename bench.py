@@ -62,6 +62,17 @@ HEADLINE = [
     "q161_matryoshka_audit",
     "q162_self_repetition_strip",
     "q163_incremental_clusters",
+    # round 11: BM25 sparse retrieval (bigram posting lists, df-capped
+    # broadcast join), MinHash calibration (rides q46's memoized
+    # funnel), event-drift monitor (days×types aggregate), PII density
+    # (one guarded regex scan), IVF probe sweep (one centroid agg +
+    # one broadcast-probe scan), per-source dataset card
+    "q164_bm25_retrieval",
+    "q165_minhash_calibration",
+    "q166_event_drift",
+    "q167_pii_density",
+    "q168_ivf_probe_sweep",
+    "q169_dataset_card",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

@@ -77,6 +77,12 @@ SHOWCASE = [
     ("q163_incremental_clusters", "incremental clusters: new-keyed signature probe, contracted-graph CC, label relabel joins"),
     ("q153_image_thumbnails", "thumbnails: one Arrow decode+resize pass, narrow md5 projection"),
     ("q154_audio_features", "audio screen: one Arrow decode+featurize pass, no shuffle"),
+    ("q164_bm25_retrieval", "BM25 retrieval: df-capped query terms broadcast onto bigram posting lists, WindowGroupLimit top-k"),
+    ("q165_minhash_calibration", "minhash calibration: per-doc minima frame joined twice to the candidate-bounded pair list"),
+    ("q166_event_drift", "drift monitor: one (day, type) hash agg, days×types KL arithmetic, broadcast totals"),
+    ("q167_pii_density", "PII density: one guarded multi-regex scan, per-doc re-agg, |sources|-key report join"),
+    ("q168_ivf_probe_sweep", "probe sweep: one centroid agg + bounded broadcast-probe scan, sweep exploded over |queries|×|labels| rows"),
+    ("q169_dataset_card", "dataset card: three |sources|-row aggregates (percentiles, two-level distinct, lang argmax) joined"),
 ]
 
 

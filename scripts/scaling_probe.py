@@ -111,12 +111,29 @@ PROBE = [
     "q154_audio_features",
     # round 10: fresh q152 rows in the SAME artifact as its band A/B
     "q152_simhash_hamming_join",
+    # round 11: BM25's bigram posting-list join is the q104 risk
+    # class (df caps bound the fan-out — the rows verify it); the
+    # calibration audit rides q46's funnel plus two per-doc-minima
+    # joins; drift/PII/card are corpus-linear single scans; the IVF
+    # sweep is a bounded probe scan (q161's class)
+    "q164_bm25_retrieval",
+    "q165_minhash_calibration",
+    "q166_event_drift",
+    "q167_pii_density",
+    "q168_ivf_probe_sweep",
+    "q169_dataset_card",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
 # blow-ups (q46's candidate join is the watch item), not microseconds.
 PROBE_100 = [
     "q01_pricing_summary",
+    # round 11: the BM25 posting join gets the second decade for the
+    # same reason q104 has one — candidate-volume blow-up is the risk
+    # the df caps exist to prevent; the PII scan is the newest
+    # regex-heavy corpus-linear pass
+    "q164_bm25_retrieval",
+    "q167_pii_density",
     "q46_minhash_near_dups",
     "q90_flagship_sit_scan",
     "q93_redact_documents",

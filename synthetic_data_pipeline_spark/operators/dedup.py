@@ -101,15 +101,22 @@ def minhash_signatures(
     return minhash_signatures_from_tokens(distinct_shingles(docs), n_hashes, r)
 
 
-def minhash_signatures_from_tokens(
-    toks: DataFrame, n_hashes: int = N_HASHES, r: int = BAND_ROWS
-) -> DataFrame:
-    mins = toks.groupBy("doc_id").agg(
+def minhash_minima(toks: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, m0..m{n-1}) — the raw per-hash minima the band keys are
+    built from; exposed separately so q165's calibration audit can
+    compare component-level matches against exact Jaccard."""
+    return toks.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws(":", "token", F.lit(str(h))))).alias(f"m{h}")
             for h in range(n_hashes)
         ]
     )
+
+
+def minhash_signatures_from_tokens(
+    toks: DataFrame, n_hashes: int = N_HASHES, r: int = BAND_ROWS
+) -> DataFrame:
+    mins = minhash_minima(toks, n_hashes)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -310,6 +317,57 @@ def q47_pairwise_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_near_dups"
             ),
         )
+    )
+
+
+# --- q165: MinHash estimate calibration (round 11) — the sketch-
+# accuracy audit for the dedup tier, the q107/q25 pattern applied to
+# MinHash: for every LSH candidate pair, the ESTIMATED Jaccard
+# (matching minima / N_HASHES — the unbiased estimator the banding
+# thresholds assume) is compared against the EXACT shingle Jaccard
+# the verify stage computes anyway. Reported per estimator level
+# (n_match ∈ 2..8 — pairs below 2 can't band-collide at r=2): pair
+# count, mean exact Jaccard, and mean |estimate − exact|. This is the
+# table that justifies (or indicts) N_HASHES=8 before a corpus scales
+# 100×: if MAE at the threshold levels is too wide, widen the
+# signature. Rides the memoized funnel state: per-doc minima frame
+# (bounded width, the checkpoint-policy class) joined twice to the
+# candidate-bounded pair list — no new corpus scan, no new shuffle
+# class.
+def q165_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tokens, pairs = shingle_state(spark, sf_dir)
+    mins = minhash_minima(tokens).localCheckpoint(eager=False)
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{h}").alias(f"a{h}") for h in range(N_HASHES)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{h}").alias(f"b{h}") for h in range(N_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(N_HASHES)
+    ).cast("int")
+    per_pair = (
+        token_jaccard(tokens, pairs)
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("jaccard", n_match.alias("n_match"))
+    )
+    est = F.col("n_match") / float(N_HASHES)
+    return (
+        per_pair.groupBy("n_match")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            eround(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            eround(F.avg(F.abs(est - F.col("jaccard"))), 4).alias("mae"),
+        )
+        .withColumn("est_jaccard", eround(est, 4))
+        .select("n_match", "est_jaccard", "n_pairs", "avg_jaccard", "mae")
+        .orderBy("n_match")
     )
 
 
@@ -1782,6 +1840,7 @@ QUERIES = {
     "q45_exact_dedup": q45_exact_dedup,
     "q46_minhash_near_dups": q46_minhash_near_dups,
     "q47_pairwise_jaccard_sample": q47_pairwise_jaccard_sample,
+    "q165_minhash_calibration": q165_minhash_calibration,
     "q48_simhash_buckets": q48_simhash_buckets,
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
     "q118_incremental_dedup": q118_incremental_dedup,
@@ -1836,6 +1895,39 @@ _SHINGLES_SQL_DOCS = _SHINGLES_SQL.format(src="documents")
 _JACCARD_SQL_BODY = _JACCARD_SQL
 
 ORACLES = {
+    "q165_minhash_calibration": f"""
+        WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+        mins AS MATERIALIZED (
+          SELECT doc_id,
+                 {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
+          FROM tokens GROUP BY doc_id
+        ),
+        banded AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+            for b in range(N_HASHES // BAND_ROWS)
+          )}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_SQL},
+        matched AS (
+          SELECT j.jaccard,
+                 ({" + ".join(f"(CASE WHEN a.m{h} = b.m{h} THEN 1 ELSE 0 END)" for h in range(N_HASHES))}) AS n_match
+          FROM jac j
+          JOIN mins a ON a.doc_id = j.doc_a
+          JOIN mins b ON b.doc_id = j.doc_b
+        )
+        SELECT CAST(n_match AS INTEGER) AS n_match,
+               round(n_match / {float(N_HASHES)}, 4) AS est_jaccard,
+               count(*) AS n_pairs,
+               round(avg(jaccard), 4) AS avg_jaccard,
+               round(avg(abs(n_match / {float(N_HASHES)} - jaccard)), 4) AS mae
+        FROM matched GROUP BY n_match ORDER BY n_match
+    """,
     "q45_exact_dedup": """
         WITH grp AS (
           SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,

@@ -567,8 +567,147 @@ _Q151_ORACLE = f"""
 """
 
 
+# --- q166: event-distribution drift monitor (round 11) — the
+# production data-quality alarm a training-data intake runs on its
+# behavioral feeds: per UTC day, KL(day's event-type distribution ‖
+# the whole corpus's) plus the day's share of each type, flagging
+# days whose mix diverges (pipeline bug, bot wave, schema change
+# upstream). q121 measures the same divergence across SOURCES of the
+# document corpus; this is its TIME axis over the event stream, and
+# the shape a streaming deployment would run against a persisted
+# baseline (streaming/jobs.py::drift_monitor_stream).
+#
+# Scale shape: one (day, type) hash agg over the stream (map-side
+# combined), then all arithmetic runs on the days×types table —
+# corpus-size-independent. KL uses q121's log-decomposition (sum of
+# c·(ln c + ln n_day... ) — no per-term division knife edges) and is
+# smoothing-free because a day's types ⊂ the corpus's types by
+# construction. Flag threshold is a fixed constant (a monitor's SLO),
+# integer-free math identical in both engines — set two decades above
+# the day-to-day sampling noise measured on the driver corpus (~5e-4)
+# and well below a real mix shift (a single all-one-type day lands at
+# KL ≈ 1): noise days stay quiet even when an incident day
+# contaminates the baseline itself.
+DRIFT_KL_FLAG = 0.02
+
+
+def _day_type_counts(events: DataFrame) -> DataFrame:
+    """(day, event_type, c_dt) — the one corpus-sized aggregation both
+    the batch query and each streaming micro-batch run; everything
+    downstream is days×types-sized."""
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c_dt"))
+    )
+
+
+def _drift_report(dt: DataFrame, totals: DataFrame) -> DataFrame:
+    """Per-day KL report from (day, type) counts + the baseline type
+    totals (n_all derives from the baseline, so a persisted baseline is
+    ONE table). Shared by q166 and the streaming monitor."""
+    n = totals.agg(F.sum("c_t").alias("n_all"))
+    per_day = (
+        dt.join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(n))
+        .groupBy("day")
+        .agg(
+            F.sum("c_dt").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.sum(
+                F.col("c_dt")
+                * (
+                    F.log(F.col("c_dt").cast("double"))
+                    + F.log(F.col("n_all").cast("double"))
+                    - F.log(F.col("c_t").cast("double"))
+                )
+            ).alias("_num"),
+        )
+    )
+    kl = (
+        F.col("_num") / F.col("n_events")
+        - F.log(F.col("n_events").cast("double"))
+    )
+    # flag compares the ROUNDED kl (identical in both engines by the
+    # eround contract) so an engine ulp at the threshold can't flip it
+    kl_r = eround(1e-9 + kl, 6)
+    return per_day.select(
+        "day",
+        "n_events",
+        "n_types",
+        kl_r.alias("kl_vs_corpus"),
+        F.when(kl_r > DRIFT_KL_FLAG, 1).otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    ).orderBy("day")
+
+
+def q166_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = _day_type_counts(load_table(spark, sf_dir, "events"))
+    totals = dt.groupBy("event_type").agg(F.sum("c_dt").alias("c_t"))
+    return _drift_report(dt, totals)
+
+
+def write_type_baseline(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the event-type baseline (event_type, c_t) the streaming
+    drift monitor compares against — the state a deployment trains on
+    a reference window and holds fixed while the stream is scored."""
+    dt = _day_type_counts(load_table(spark, sf_dir, "events"))
+    dt.groupBy("event_type").agg(F.sum("c_dt").alias("c_t")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def drift_report_from(
+    spark: SparkSession, counts_dir: str, baseline_dir: str
+) -> DataFrame:
+    """Final drift table from a streaming sink of per-batch partial
+    (day, type) counts + the persisted baseline. A day split across
+    micro-batches re-aggregates exactly (counts are additive), so the
+    result equals q166 whenever the baseline came from the same data
+    (test_drift_monitor_stream_equals_batch)."""
+    parts = spark.read.parquet(f"{counts_dir}/batch=*")
+    dt = parts.groupBy("day", "event_type").agg(
+        F.sum("c_dt").alias("c_dt")
+    )
+    totals = spark.read.parquet(baseline_dir)
+    return _drift_report(dt, totals)
+
+
+_Q166_ORACLE = f"""
+    WITH dt AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             count(*) AS c_dt
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, sum(c_dt) AS c_t FROM dt GROUP BY 1),
+    n AS (SELECT sum(c_dt) AS n_all FROM dt),
+    per_day AS (
+      SELECT day, CAST(sum(c_dt) AS BIGINT) AS n_events,
+             count(*) AS n_types,
+             sum(c_dt * (ln(CAST(c_dt AS DOUBLE))
+                         + ln(CAST(n.n_all AS DOUBLE))
+                         - ln(CAST(t.c_t AS DOUBLE)))) AS _num
+      FROM dt JOIN totals t USING (event_type) CROSS JOIN n
+      GROUP BY day
+    )
+    SELECT day, n_events, n_types, kl_vs_corpus,
+           CAST(CASE WHEN kl_vs_corpus > {DRIFT_KL_FLAG}
+                THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    FROM (
+      SELECT day, n_events, n_types,
+             round(1e-9 + _num / n_events
+                   - ln(CAST(n_events AS DOUBLE)), 6) AS kl_vs_corpus
+      FROM per_day
+    ) ORDER BY day
+"""
+
+
 QUERIES = {
     "q151_bot_signals": q151_bot_signals,
+    "q166_event_drift": q166_event_drift,
     "q123_dense_hourly": q123_dense_hourly,
     "q124_session_sequences": q124_session_sequences,
     "q30_tumbling_hourly": q30_tumbling_hourly,
@@ -585,6 +724,7 @@ QUERIES = {
 
 ORACLES = {
     "q151_bot_signals": _Q151_ORACLE,
+    "q166_event_drift": _Q166_ORACLE,
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

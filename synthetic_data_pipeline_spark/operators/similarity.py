@@ -778,10 +778,12 @@ def cosine_near_dup_pairs_ivf(
 N_PROBE = 3
 
 
-def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    )
+def ivf_centroid_cos(emb: DataFrame) -> DataFrame:
+    """(query_id, label, ccos) — every demo query's cosine to every
+    label centroid: the IVF coarse quantizer, shared by q55 (keeps the
+    top N_PROBE lists) and q168's probe-count sweep (ranks ALL lists).
+    |queries|×|labels| rows — corpus-size-independent after the one
+    centroid aggregation."""
     # dims feeds centroids, query dims, and norms — materialize once
     dims = emb.select(
         "vec_id", "label", F.posexplode("v").alias("dim", "x")
@@ -796,7 +798,7 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qnorm = qdims.groupBy("query_id").agg(
         F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qnorm")
     )
-    qc = (
+    return (
         qdims.join(cent, "dim")
         .groupBy("query_id", "label")
         .agg(F.sum(F.col("qx") * F.col("c")).alias("dot"))
@@ -810,6 +812,13 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    qc = ivf_centroid_cos(emb)
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
     probes = qc.withColumn("pr", F.row_number().over(wp)).filter(
         F.col("pr") <= N_PROBE
@@ -835,6 +844,117 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
+    )
+
+
+# --- q168: IVF probe-count sweep (round 11) — the nprobe SERVING
+# KNOB's decision table, completing the embedding-audit family (q107
+# quantization grid, q161 truncated dims): per candidate-list probe
+# count, average recall@TOP_K vs the exact ranking AND the average
+# fraction of the corpus scanned — the recall-vs-cost curve an ANN
+# deployment reads before fixing nprobe. Uses the identity that makes
+# the sweep ONE pass: a true top-K neighbor appears in IVF's top-K at
+# probe count p iff its label's centroid-rank for that query is <= p
+# (any scanned subset containing it has < K vectors above it), so
+# recall at EVERY p falls out of joining the exact top-K against the
+# |queries|×|labels| probe-rank table — the rankings are never
+# recomputed per p. Scale shape: one centroid agg + one bounded
+# broadcast-probe scan (q50's class); everything after is
+# |queries|×|labels|-sized. nprobe = |labels| is the exhaustive
+# sanity row (recall 1.0 by construction).
+IVF_SWEEP = (1, 2, 3, 5, 10)
+
+
+def q168_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    qc = ivf_centroid_cos(emb)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("label")
+    )
+    pr = (
+        qc.withColumn("pr", F.row_number().over(wp))
+        .select("query_id", "label", "pr")
+        .localCheckpoint(eager=False)  # |queries|×|labels| rows,
+        # feeds the recall join AND the scan-cost sweep
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb_n = emb.select("vec_id", "label", "v", nrm.alias("nrm"))
+    queries = emb_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(emb_n, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "label",
+            eround(dot / (F.col("qnrm") * F.col("nrm")), 4).alias("cosine"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "label")
+    )
+    sweep = F.explode(
+        F.array(*[F.lit(k) for k in IVF_SWEEP])
+    ).alias("n_probe")
+    rec = (
+        truth.join(pr, ["query_id", "label"])
+        .select("query_id", "pr", sweep)
+        .groupBy("n_probe", "query_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("pr") <= F.col("n_probe"), 1).otherwise(0)
+                )
+                / float(TOP_K)
+            ).alias("r")
+        )
+        .groupBy("n_probe")
+        .agg(eround(F.avg("r"), 4).alias("avg_recall"))
+    )
+    sizes = emb.groupBy("label").agg(F.count("*").alias("lsz"))
+    ntot = emb.agg(F.count("*").alias("n_all"))
+    sc = (
+        pr.join(F.broadcast(sizes), "label")
+        .select("query_id", "pr", "lsz", sweep)
+        .groupBy("n_probe", "query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("pr") <= F.col("n_probe"), F.col("lsz"))
+                .otherwise(0)
+            ).alias("scanned")
+        )
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("n_probe")
+        .agg(
+            eround(
+                F.avg(F.col("scanned") / F.col("n_all")), 4
+            ).alias("avg_scan_frac")
+        )
+    )
+    return (
+        rec.join(sc, "n_probe")
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "avg_recall",
+            "avg_scan_frac",
+        )
+        .orderBy("n_probe")
     )
 
 
@@ -1390,6 +1510,7 @@ QUERIES = {
     "q161_matryoshka_audit": q161_matryoshka_audit,
     "q54_cosine_near_dups": q54_cosine_near_dups,
     "q55_ivf_ann": q55_ivf_ann,
+    "q168_ivf_probe_sweep": q168_ivf_probe_sweep,
     "q56_kmeans": q56_kmeans,
     "q51_label_centroids": q51_label_centroids,
     "q52_norm_stats": q52_norm_stats,
@@ -1510,6 +1631,79 @@ ORACLES = {
         SELECT query_id, anchor_label, neighbor_id, neighbor_label, cosine, rk
         FROM ranked WHERE rk <= {HARD_NEG_K}
         ORDER BY query_id, rk
+    """,
+    "q168_ivf_probe_sweep": f"""
+        WITH dims AS MATERIALIZED (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+        cent_norm AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label),
+        qdims AS (SELECT vec_id AS query_id, dim, x AS qx FROM dims WHERE vec_id < {N_QUERIES}),
+        qnorm AS (SELECT query_id, sqrt(sum(qx * qx)) AS qnorm FROM qdims GROUP BY query_id),
+        dotqc AS (
+          SELECT q.query_id, c.label, sum(q.qx * c.c) AS dot
+          FROM qdims q JOIN cent c ON q.dim = c.dim
+          GROUP BY q.query_id, c.label
+        ),
+        qc AS (
+          SELECT d.query_id, d.label,
+                 round(d.dot / (cn.cnorm * qn.qnorm), 6) AS ccos
+          FROM dotqc d
+          JOIN cent_norm cn ON cn.label = d.label
+          JOIN qnorm qn ON qn.query_id = d.query_id
+        ),
+        prq AS MATERIALIZED (
+          SELECT query_id, label,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY ccos DESC, label ASC
+                 ) AS pr
+          FROM qc
+        ),
+        scored AS ({_COSINE_SQL.format(nq=N_QUERIES)}),
+        truth AS (
+          SELECT query_id, label FROM (
+            SELECT s.query_id, e.label,
+                   row_number() OVER (
+                     PARTITION BY s.query_id
+                     ORDER BY s.cosine DESC, s.neighbor_id ASC
+                   ) AS rk
+            FROM scored s JOIN embeddings e ON e.vec_id = s.neighbor_id
+          ) WHERE rk <= {TOP_K}
+        ),
+        sweep AS (SELECT * FROM (VALUES (1), (2), (3), (5), (10)) t(n_probe)),
+        rec AS (
+          SELECT n_probe, query_id,
+                 sum(CASE WHEN p.pr <= n_probe THEN 1 ELSE 0 END)
+                   / CAST({TOP_K} AS DOUBLE) AS r
+          FROM truth t
+          JOIN prq p USING (query_id, label)
+          CROSS JOIN sweep
+          GROUP BY n_probe, query_id
+        ),
+        recall AS (
+          SELECT n_probe, round(avg(r), 4) AS avg_recall
+          FROM rec GROUP BY n_probe
+        ),
+        sizes AS (SELECT label, count(*) AS lsz FROM embeddings GROUP BY label),
+        ntot AS (SELECT count(*) AS n_all FROM embeddings),
+        scq AS (
+          SELECT n_probe, query_id,
+                 sum(CASE WHEN p.pr <= n_probe THEN lsz ELSE 0 END) AS scanned
+          FROM prq p JOIN sizes USING (label) CROSS JOIN sweep
+          GROUP BY n_probe, query_id
+        ),
+        scan AS (
+          SELECT n_probe,
+                 round(avg(scanned / CAST(n.n_all AS DOUBLE)), 4)
+                   AS avg_scan_frac
+          FROM scq CROSS JOIN ntot n GROUP BY n_probe
+        )
+        SELECT CAST(r.n_probe AS INTEGER) AS n_probe, avg_recall,
+               avg_scan_frac
+        FROM recall r JOIN scan USING (n_probe) ORDER BY n_probe
     """,
     "q55_ivf_ann": f"""
         WITH dims AS (

@@ -335,12 +335,133 @@ def _redact_oracle() -> str:
     """
 
 
+# --- q167: PII density by source (round 11) — the per-feed exposure
+# RATE a privacy review reads before licensing a source into a
+# training mix: real (non-placeholder) SIT matches per 10k whitespace
+# tokens, per source. q90 counts per PATTERN across the corpus and
+# q93 applies the scrub; this is the normalized per-SOURCE rate the
+# go/no-go decision uses. Same single-scan struct-array shape as the
+# flagship (guards + one explode, the placeholder predicate applied
+# once post-explode — the plan-size lesson in sit_scan_frame's
+# docstring), then a per-doc re-agg and a |sources|-key report join;
+# nothing downstream of the scan exceeds |sources| rows.
+def q167_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import eround
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", *_guard_cols().values()
+    )
+    empty = F.array().cast("array<string>")
+    entries = []
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        guard = F.col(f"_g_{_GUARD_KIND.get(sit_id, 'digit')}")
+        entries.append(
+            F.struct(
+                F.lit(sit_id).alias("sit_id"),
+                F.when(
+                    guard, F.regexp_extract_all("text", F.lit(regex), 0)
+                ).otherwise(empty).alias("matches"),
+            )
+        )
+    per_doc = (
+        docs.select(
+            "doc_id", "source", F.explode(F.array(*entries)).alias("m")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size(
+                F.filter("m.matches", lambda m: ~is_placeholder(m))
+            ).alias("n_real"),
+        )
+        .groupBy("source", "doc_id")
+        .agg(F.sum("n_real").alias("n_real"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_real").alias("pii_matches"),
+            F.sum(F.when(F.col("n_real") > 0, 1).otherwise(0)).alias(
+                "docs_with_pii"
+            ),
+        )
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "n_tok"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    return (
+        toks.join(per_doc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "docs_with_pii",
+            "pii_matches",
+            eround(
+                F.col("pii_matches") * 10000.0 / F.col("n_tokens"), 4
+            ).alias("pii_per_10k_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_density_oracle() -> str:
+    unions = []
+    for sit_id, _name, regex, _tcs in SIT_CATALOG:
+        if sit_id not in RE2_SAFE_IDS:
+            continue
+        pat = regex.replace("'", "''")
+        unions.append(
+            f"SELECT doc_id, source, "
+            f"regexp_extract_all(text, '{pat}') AS matches FROM documents"
+        )
+    union_sql = " UNION ALL ".join(unions)
+    ph = is_placeholder_duckdb("x")
+    return f"""
+        WITH m AS ({union_sql}),
+        per_doc AS (
+          SELECT source, doc_id,
+                 sum(len(list_filter(matches, x -> NOT {ph}))) AS n_real
+          FROM m GROUP BY source, doc_id
+        ),
+        pii AS (
+          SELECT source,
+                 CAST(sum(n_real) AS BIGINT) AS pii_matches,
+                 CAST(sum(CASE WHEN n_real > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS docs_with_pii
+          FROM per_doc GROUP BY source
+        ),
+        toks AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(regexp_split_to_array(
+                   lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT t.source, t.n_docs, t.n_tokens, p.docs_with_pii,
+               p.pii_matches,
+               round(p.pii_matches * 10000.0 / t.n_tokens, 4)
+                 AS pii_per_10k_tokens
+        FROM toks t JOIN pii p USING (source)
+        ORDER BY source
+    """
+
+
 QUERIES = {
     "q90_flagship_sit_scan": sit_match_counts,
     "q93_redact_documents": redact_documents,
+    "q167_pii_density": q167_pii_density,
 }
 
 ORACLES = {
     "q90_flagship_sit_scan": _sit_scan_oracle(),
     "q93_redact_documents": _redact_oracle(),
+    "q167_pii_density": _pii_density_oracle(),
 }

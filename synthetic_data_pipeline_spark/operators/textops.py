@@ -2247,8 +2247,301 @@ def _q126_oracle() -> str:
     )
 
 
+# --- q164: BM25 sparse retrieval (round 11) — the lexical top-k
+# retrieval baseline a RAG / decontamination / eval-harness stack runs
+# beside the dense ANN tier (q50/q55). Okapi BM25 (Robertson-Walker;
+# the Lucene positive-idf form ln(1 + (N-df+.5)/(df+.5)) so scores
+# never go negative on common terms).
+#
+# TERMS ARE WORD BIGRAMS, not unigrams: the synthetic corpus draws
+# from a ~31-word vocabulary, so every unigram appears in most docs
+# and carries no signal (measured: ZERO unigrams pass the df band at
+# sf0.01) — while the ~900 bigrams distribute like real terms. A
+# production corpus would run unigrams+bigrams; the term definition
+# is one expression swap, the plan is identical.
+#
+# Query set: the deterministic doc_id % BM25_QUERY_MOD slice "asks"
+# with its BM25_QUERY_TERMS most frequent eligible terms (tf desc,
+# term asc — integer-deterministic in both engines). Term
+# eligibility is the SCALE GUARD: a term must appear in >= BM25_DF_MIN
+# docs (else it only finds the query doc itself) and its posting list
+# is capped BOTH relatively (df * BM25_DF_CAP_DIV <= n_docs — the
+# stop-word trick, integer arithmetic) and absolutely (df <=
+# BM25_DF_CAP_ABS), so per-query candidate volume is bounded by
+# TERMS x min(n/DIV, ABS) regardless of corpus size — the same
+# df-cap family q104's PPJoin index uses. Plan shape: one corpus
+# tokenize -> (doc, term) tf + doc-length aggs (map-side combined),
+# a vocab-sized df agg, then the tiny query-term table BROADCASTS
+# against the tf posting lists; per-query ranking windows run over
+# the capped candidate sets only. No corpus-sized window, no
+# all-pairs. The reference has no retrieval at all — north-star
+# surface (BASELINE.json's LLM-pipeline requirements).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERY_MOD = 100
+BM25_QUERY_TERMS = 6
+BM25_DF_MIN = 2
+BM25_DF_CAP_DIV = 20
+BM25_DF_CAP_ABS = 1000
+
+
+def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 results per query doc: (query_id, rk, doc_id,
+    score). Scores eround-ed to 6dp BEFORE ranking (doc_id tiebreak)
+    so a cross-engine summation ulp can never flip a rank — the q151
+    rank-key discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("arr")
+    ).select("doc_id", F.explode(_bigram_array()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    qterms = (
+        tf.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+        .withColumnRenamed("doc_id", "query_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("df") >= BM25_DF_MIN)
+            & (F.col("df") * BM25_DF_CAP_DIV <= F.col("_n_docs"))
+            & (F.col("df") <= BM25_DF_CAP_ABS)
+        )
+        .withColumn("qrk", F.row_number().over(wq))
+        .filter(F.col("qrk") <= BM25_QUERY_TERMS)
+        .select("query_id", "token", "df", "_n_docs", "_avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("cnt") * (BM25_K1 + 1.0))
+        / (
+            F.col("cnt")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dlen, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(eround(F.sum(contrib), 6).alias("score"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("query_id", "rk", "doc_id", "score")
+        .orderBy("query_id", "rk")
+    )
+
+
+_Q164_ORACLE = f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> concat_ws(' ', arr[i], arr[i+1])))
+               AS token
+      FROM arrs
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM toks GROUP BY doc_id, token
+    ),
+    dlen AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+    dfreq AS MATERIALIZED (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    qt AS (
+      SELECT t.doc_id AS query_id, t.token, f.df, s.n_docs, s.avgdl,
+             row_number() OVER (
+               PARTITION BY t.doc_id ORDER BY t.cnt DESC, t.token ASC
+             ) AS qrk
+      FROM tf t JOIN dfreq f USING (token) CROSS JOIN stats s
+      WHERE t.doc_id % {BM25_QUERY_MOD} = 0
+        AND f.df >= {BM25_DF_MIN}
+        AND f.df * {BM25_DF_CAP_DIV} <= s.n_docs
+        AND f.df <= {BM25_DF_CAP_ABS}
+    ),
+    qterms AS (
+      SELECT query_id, token, df, n_docs, avgdl FROM qt
+      WHERE qrk <= {BM25_QUERY_TERMS}
+    ),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(
+               ln(1 + (q.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (t.cnt * ({BM25_K1} + 1.0))
+               / (t.cnt + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * l.dl / q.avgdl))
+             ), 6) AS score
+      FROM qterms q
+      JOIN tf t USING (token)
+      JOIN dlen l ON l.doc_id = t.doc_id
+      WHERE t.doc_id <> q.query_id
+      GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, rk, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS INTEGER) AS rk
+      FROM scored
+    ) WHERE rk <= {BM25_TOP_K}
+    ORDER BY query_id, rk
+"""
+
+
+# --- q169: per-source dataset card (round 11) — the one-stop
+# governance summary a dataset release ships (Datasheets for Datasets
+# / model-card practice): per source, volume (docs, tokens), length
+# shape (mean / exact p50 / p90 — `percentile` ↔ DuckDB
+# `quantile_cont`, same interpolation, the q111 pairing; at 100 TB
+# you'd swap approx_percentile into the same plan), language makeup
+# (count + dominant language via the q144 two-pass argmax — max
+# count, then min lang, window-free and tie-deterministic), lexical
+# health (mean within-doc TTR), and the exact-duplicate share
+# (q45's normalized-text md5, counted with the TWO-LEVEL distinct
+# pattern — (source, hash) pre-agg then count — never countDistinct
+# on a skewed corpus column). Three |sources|-row aggregates joined;
+# the corpus is scanned once per signal family.
+def q169_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\s+"), F.lit(" ")
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        F.md5(norm).alias("h"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        eround(F.avg("n_tok"), 4).alias("avg_tokens"),
+        eround(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+        eround(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90_tokens"),
+        eround(F.avg("ttr"), 4).alias("avg_ttr"),
+    )
+    uniq = (
+        base.groupBy("source", "h")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("c").alias("_n"),
+        )
+        .select(
+            "source",
+            eround(1.0 - F.col("n_unique") / F.col("_n"), 4).alias(
+                "dup_share"
+            ),
+        )
+    )
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    lmax = lc.groupBy("source").agg(
+        F.count("*").alias("n_langs"), F.max("c").alias("cmax")
+    )
+    top_lang = (
+        lc.join(lmax, "source")
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("source", "n_langs")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return (
+        per_src.join(uniq, "source")
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            "p50_tokens",
+            "p90_tokens",
+            "avg_ttr",
+            "dup_share",
+            "n_langs",
+            "top_lang",
+        )
+        .orderBy("source")
+    )
+
+
+_Q169_ORACLE = """
+    WITH base AS (
+      SELECT source, lang,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+               AS n_tok,
+             len(list_distinct(regexp_split_to_array(
+               lower(trim(text)), '\\s+')))
+               / CAST(len(regexp_split_to_array(
+                   lower(trim(text)), '\\s+')) AS DOUBLE) AS ttr,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             round(avg(n_tok), 4) AS avg_tokens,
+             round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+             round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+             round(avg(ttr), 4) AS avg_ttr
+      FROM base GROUP BY source
+    ),
+    uniq AS (
+      SELECT source,
+             round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4)
+               AS dup_share
+      FROM (SELECT source, h, count(*) AS c FROM base GROUP BY 1, 2)
+      GROUP BY source
+    ),
+    lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+    lmax AS (
+      SELECT source, count(*) AS n_langs, max(c) AS cmax
+      FROM lc GROUP BY source
+    ),
+    top_lang AS (
+      SELECT lc.source, lmax.n_langs, min(lc.lang) AS top_lang
+      FROM lc JOIN lmax ON lc.source = lmax.source AND lc.c = lmax.cmax
+      GROUP BY lc.source, lmax.n_langs
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.avg_tokens, p.p50_tokens,
+           p.p90_tokens, p.avg_ttr, u.dup_share, t.n_langs, t.top_lang
+    FROM per_src p
+    JOIN uniq u ON u.source = p.source
+    JOIN top_lang t ON t.source = p.source
+    ORDER BY p.source
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
+    "q169_dataset_card": q169_dataset_card,
     "q49_bpe_token_stats": q49_bpe_token_stats,
     "q66_winnowing_fingerprints": q66_winnowing_fingerprints,
     "q67_tfidf_top_terms": q67_tfidf_top_terms,
@@ -2277,6 +2570,7 @@ QUERIES = {
     "q155_boilerplate_clean": q155_boilerplate_clean,
     "q156_boilerplate_clean_stats": q156_boilerplate_clean_stats,
     "q160_decontaminate_strip": q160_decontaminate_strip,
+    "q164_bm25_retrieval": q164_bm25_retrieval,
 }
 
 
@@ -2330,6 +2624,8 @@ _Q94_ORACLE = f"""
 """
 
 ORACLES = {
+    "q164_bm25_retrieval": _Q164_ORACLE,
+    "q169_dataset_card": _Q169_ORACLE,
     "q121_source_divergence": _Q121_ORACLE,
     "q126_dsir_weights": _q126_oracle(),
     "q128_bpe_merges": _q128_oracle(),

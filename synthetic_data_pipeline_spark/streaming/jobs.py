@@ -475,6 +475,39 @@ def cluster_split_stream(
     )
 
 
+def drift_monitor_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    baseline_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q166's drift monitor: the event-type baseline
+    is PERSISTED state (events.write_type_baseline — trained on a
+    reference window, held fixed), each micro-batch lands only its own
+    partial (day, type) counts (additive, so days split across batches
+    re-aggregate exactly), and events.drift_report_from computes the
+    per-day KL table from the sink — equal to the batch q166 whenever
+    the baseline came from the same data
+    (test_drift_monitor_stream_equals_batch). Per-batch state is the
+    days×types count table — fixed-width, corpus-size-independent.
+    Returns the number of micro-batches."""
+    from ..operators import events as ev
+
+    if baseline_dir is None:
+        baseline_dir = tempfile.mkdtemp(prefix="sdps_type_baseline_")
+        ev.write_type_baseline(spark, sf_dir, baseline_dir)
+
+    incoming = stream_events(spark, sf_dir)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return ev._day_type_counts(batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

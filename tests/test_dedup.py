@@ -918,3 +918,32 @@ def test_simhash_hamming_join_planted(spark, monkeypatch):
            for r in dedup.q152_simhash_hamming_join(spark, "unused").collect()}
     assert got == want
     assert got.get(0) == 1  # the planted exact-dup pair
+
+
+def test_minhash_calibration_planted(spark, tmp_path):
+    """q165 semantics: exact duplicates share every minimum, so a
+    corpus of 3 identical docs plus unrelated fillers must produce
+    exactly one calibration row — n_match=8, est=1.0, 3 pairs,
+    avg exact Jaccard 1.0, MAE 0 (the estimator is exact there)."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        clear_shingle_cache,
+        q165_minhash_calibration,
+    )
+
+    A = " ".join(f"a{i}" for i in range(30))
+    rows = [(i, A, "en", "s", 0) for i in range(3)]
+    rows += [(10 + i, " ".join(f"u{i}x{j}" for j in range(30)), "en", "s", 0)
+             for i in range(4)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    clear_shingle_cache()
+    try:
+        got = q165_minhash_calibration(spark, sf_dir).collect()
+    finally:
+        clear_shingle_cache()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_match, r.n_pairs) == (8, 3)
+    assert r.est_jaccard == 1.0 and r.avg_jaccard == 1.0 and r.mae == 0.0

@@ -21,9 +21,10 @@ DRIVER_CAP = 50
 # q54/q107/q130 cover q52's module).
 R2_UNCHECKED = [
     f"q{i:02d}" for i in [159, 160, 161, 162, 163,         # born round 10
-                          2, 3, 5, 8, 10, 12, 13, 14, 15,  # r8-stale
-                          22, 27, 29, 54, 70, 71, 72, 73,
-                          74, 75, 76, 77, 78, 79, 82, 91,
+                          164, 165, 166, 167, 168, 169,    # born round 11
+                          2, 3, 10, 12, 13, 15,            # r8-stale
+                          22, 27, 29, 54, 72, 73,
+                          74, 75, 76, 77, 78, 79, 91,
                           92, 93, 94, 95, 96, 97, 98, 99,
                           101, 102, 104, 105, 106, 107,
                           116, 128, 129, 130, 131, 132]

@@ -294,3 +294,50 @@ def test_hard_negatives_exclude_same_label(spark):
         (0, "A", 2, "B", 0.9138, 1),
         (0, "A", 3, "B", 0.0, 2),
     ]
+
+
+def test_ivf_probe_sweep_invariants(spark, sf_dir):
+    """q168 contract on real data: recall and scan fraction are
+    monotone nondecreasing in n_probe, and the exhaustive row
+    (n_probe = |labels| = 10) is exact by construction."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        q168_ivf_probe_sweep,
+    )
+
+    rows = sorted(
+        q168_ivf_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 3, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.avg_recall <= b.avg_recall + 1e-9
+        assert a.avg_scan_frac <= b.avg_scan_frac + 1e-9
+    last = rows[-1]
+    assert last.avg_recall == 1.0 and abs(last.avg_scan_frac - 1.0) < 1e-6
+
+
+def test_ivf_probe_sweep_clustered_corpus(spark, tmp_path):
+    """On a corpus with REAL cluster structure (tight, well-separated
+    label clusters) one probe must already be near-perfect — the
+    signal the sweep exists to surface (the driver corpus's random
+    embeddings sit on the recall≈scan diagonal instead)."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        q168_ivf_probe_sweep,
+    )
+
+    rows = []
+    for vid in range(60):
+        lab = vid % 3
+        base = [0.0] * 6
+        base[lab * 2] = 10.0
+        base[lab * 2 + 1] = 5.0
+        jitter = [((vid * 7 + d) % 5) * 0.01 for d in range(6)]
+        rows.append((vid, lab, [b + j for b, j in zip(base, jitter)]))
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = {r.n_probe: r for r in q168_ivf_probe_sweep(spark, sf_dir).collect()}
+    assert got[1].avg_recall == 1.0  # one list already holds every true neighbor
+    assert got[1].avg_scan_frac < 0.5

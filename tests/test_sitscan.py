@@ -166,3 +166,32 @@ def test_guarded_scan_counts_planted_matches(spark):
     got = {r.sit_id: r.total_matches for r in sit_scan_frame(docs).collect()}
     for sit_id in _GUARD_EXAMPLES:
         assert got.get(sit_id, 0) >= 1, sit_id
+
+
+def test_pii_density_planted(spark, tmp_path):
+    """q167 semantics: a 'dirty' source planting one real SSN and one
+    real email per doc must report density ≈ 2 matches per doc's
+    tokens; a clean source reports zero; placeholder values (XXX-XX-
+    XXXX) must NOT count as PII."""
+    from synthetic_data_pipeline_spark.operators.sitscan import (
+        q167_pii_density,
+    )
+
+    dirty = "contact me at bobx@acme-corp.io my ssn is 123-45-678{i} ok"
+    ph = "form field XXX-XX-XXXX stays a placeholder nothing real here"
+    clean = "just ordinary words about spark plans and shuffles today"
+    rows = [(i, dirty.format(i=i), "en", "dirty", 0) for i in range(5)]
+    rows += [(10 + i, ph, "en", "placeholder", 0) for i in range(5)]
+    rows += [(20 + i, clean, "en", "clean", 0) for i in range(5)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.source: r for r in q167_pii_density(spark, sf_dir).collect()}
+    assert set(got) == {"dirty", "placeholder", "clean"}
+    d = got["dirty"]
+    assert d.docs_with_pii == 5 and d.pii_matches == 10  # email + ssn each
+    assert d.pii_per_10k_tokens > 0
+    assert got["clean"].pii_matches == 0
+    assert got["placeholder"].pii_matches == 0  # placeholders excluded

@@ -480,3 +480,27 @@ def test_cluster_split_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_drift_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q166 streaming twin: per-day KL rows computed from the
+    streamed partial-count sink + the persisted baseline must equal
+    the batch query exactly — counts are additive, so a day split
+    across micro-batches re-aggregates to the identical table."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        drift_report_from,
+        q166_event_drift,
+        write_type_baseline,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        drift_monitor_stream,
+    )
+
+    out = str(tmp_path / "counts")
+    base = str(tmp_path / "baseline")
+    write_type_baseline(spark, sf_dir, base)
+    n = drift_monitor_stream(spark, sf_dir, out, baseline_dir=base)
+    assert n >= 1
+    got = sorted(map(tuple, drift_report_from(spark, out, base).collect()))
+    want = sorted(map(tuple, q166_event_drift(spark, sf_dir).collect()))
+    assert got == want and len(want) > 0

@@ -825,3 +825,106 @@ def test_bot_signals_metronome_ranks_first(spark, monkeypatch):
     assert bot.rk == 1 and abs(bot.gap_cv) < 1e-4
     assert abs(bot.type_entropy) < 1e-3
     assert organic.gap_cv > 0.3 and organic.type_entropy > 0.9
+
+
+def test_bm25_planted_ranking(spark, tmp_path):
+    """q164 semantics on a planted corpus: the query doc (id 0) shares
+    its one ELIGIBLE bigram ('alpha beta' — df 3 exactly at the n/20
+    relative cap) with two docs; the doc carrying it twice must outrank
+    the doc carrying it once (tf saturation still monotone), and no
+    filler doc (all-unique bigrams, df 1 < DF_MIN) may appear."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q164_bm25_retrieval,
+    )
+
+    rows = [
+        (0, "alpha beta x0a x0b x0c", "en", "s", 0),
+        (1, "alpha beta q1 alpha beta", "en", "s", 0),
+        (2, "alpha beta r1 r2 r3", "en", "s", 0),
+    ]
+    rows += [
+        (3 + i, f"f{i}a f{i}b f{i}c f{i}d f{i}e", "en", "s", 0)
+        for i in range(57)
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = q164_bm25_retrieval(spark, sf_dir).collect()
+    assert {r.query_id for r in got} == {0}
+    ranked = [(r.rk, r.doc_id) for r in sorted(got, key=lambda r: r.rk)]
+    assert ranked == [(1, 1), (2, 2)]  # tf=2 doc first, tf=1 second
+    scores = {r.doc_id: r.score for r in got}
+    assert scores[1] > scores[2] > 0
+
+
+def test_event_drift_planted_day(spark, tmp_path):
+    """q166 semantics: 9 calm days with an even type mix plus one day
+    that is 100% 'error' — only the skewed day may carry drifted=1,
+    and its KL must dominate every calm day's."""
+    import datetime as dtm
+
+    from synthetic_data_pipeline_spark.operators.events import (
+        q166_event_drift,
+    )
+
+    rows = []
+    eid = 0
+    types = ["click", "view", "error", "purchase"]
+    for d in range(9):
+        for i in range(40):
+            rows.append(
+                (eid, dtm.datetime(2024, 3, 1 + d, i % 24, 0, 0),
+                 i % 7, types[i % 4], 1.0, "{}")
+            )
+            eid += 1
+    for i in range(40):  # day 10: all errors
+        rows.append(
+            (eid, dtm.datetime(2024, 3, 10, i % 24, 0, 0),
+             i % 7, "error", 1.0, "{}")
+        )
+        eid += 1
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {r.day: r for r in q166_event_drift(spark, sf_dir).collect()}
+    assert len(got) == 10
+    bad = got["2024-03-10"]
+    assert bad.drifted == 1 and bad.n_types == 1
+    for day, r in got.items():
+        if day != "2024-03-10":
+            assert r.drifted == 0
+            assert r.kl_vs_corpus < bad.kl_vs_corpus
+
+
+def test_dataset_card_planted(spark, tmp_path):
+    """q169 semantics on a crafted source: 4 docs where two are exact
+    duplicates modulo whitespace (dup_share 0.25), langs split 2/2
+    (top_lang = min on the tie), and token lengths 2,4,6,6 giving
+    exact interpolated percentiles p50=5.0, p90=6.0."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q169_dataset_card,
+    )
+
+    rows = [
+        (0, "a b", "en", "s", 0),
+        (1, "c d e f", "zh", "s", 0),
+        (2, "g h i j k l", "en", "s", 0),
+        (3, "g  h   i j\tk l", "zh", "s", 0),  # ws-normalized dup of 2
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    r = q169_dataset_card(spark, sf_dir).collect()[0]
+    assert (r.source, r.n_docs, r.n_tokens) == ("s", 4, 18)
+    assert r.p50_tokens == 5.0 and r.p90_tokens == 6.0
+    assert r.dup_share == 0.25
+    assert r.n_langs == 2 and r.top_lang == "en"  # 2-2 tie -> min lang
+    assert r.avg_ttr == 1.0  # every planted doc has all-distinct tokens
