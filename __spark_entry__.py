@@ -46,7 +46,7 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
 #     window family), q70 (q71/q72 keep the subquery module). All six
 #     stay hash-checked by the full-registry local gate.
-# 5 + 6 + 39 = 50 exactly.
+# 5 + 9 + 36 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -68,6 +68,13 @@ DRIVER_WINDOW = [
     "q164_bm25_retrieval", "q165_minhash_calibration",
     "q166_event_drift", "q167_pii_density",
     "q168_ivf_probe_sweep", "q169_dataset_card",
+    # wave 2: detector agreement matrix, persisted-BM25 ingest (its
+    # oracle IS q164's full-scan SQL — green pins index==recompute),
+    # retrieval-based decontamination. Evictions with in-window
+    # cousins: q91->q98 (generation-validation family), q92->q114
+    # (salted-agg family), q94->q112/q115/q119 (packing family).
+    "q170_detector_agreement", "q171_bm25_ingest",
+    "q172_retrieval_decon",
     # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
     "q02_top_revenue_orders", "q03_regional_revenue",
     "q10_rollup_orders", "q12_top_orders_per_customer",
@@ -80,8 +87,7 @@ DRIVER_WINDOW = [
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
     "q77_nation_pair_volume", "q78_brand_revenue_share",
     "q79_histogram_quantiles",
-    "q91_sit_issue_list", "q92_salted_event_stats",
-    "q93_redact_documents", "q94_token_chunks",
+    "q93_redact_documents",
     "q95_dedup_retention", "q96_dataset_split",
     "q97_quality_filter", "q98_validation_failures",
     "q99_redact_generated", "q101_deduped_corpus",

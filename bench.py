@@ -73,6 +73,13 @@ HEADLINE = [
     "q167_pii_density",
     "q168_ivf_probe_sweep",
     "q169_dataset_card",
+    # wave 2: q170 rides the memoized funnel + one signature pass;
+    # q172 is the BM25 stack pointed at the benchmark source. q171
+    # (persisted-index ingest) is deliberately NOT benched: its cost
+    # is write_bm25_index (one corpus pass) + q164's join, both
+    # measured already — parity is pinned by its driver oracle.
+    "q170_detector_agreement",
+    "q172_retrieval_decon",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

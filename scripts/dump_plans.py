@@ -83,6 +83,8 @@ SHOWCASE = [
     ("q167_pii_density", "PII density: one guarded multi-regex scan, per-doc re-agg, |sources|-key report join"),
     ("q168_ivf_probe_sweep", "probe sweep: one centroid agg + bounded broadcast-probe scan, sweep exploded over |queries|×|labels| rows"),
     ("q169_dataset_card", "dataset card: three |sources|-row aggregates (percentiles, two-level distinct, lang argmax) joined"),
+    ("q170_detector_agreement", "detector agreement: union of both candidate sets, one jaccard verify, signature-frame hamming joins"),
+    ("q172_retrieval_decon", "retrieval decon: bench query terms broadcast onto train postings, |sources|-key exposure agg"),
 ]
 
 

@@ -122,6 +122,11 @@ PROBE = [
     "q167_pii_density",
     "q168_ivf_probe_sweep",
     "q169_dataset_card",
+    # wave 2: the agreement matrix unions both detectors' candidate
+    # sets (the verify is the corpus-scaling term); retrieval decon
+    # is the q164 stack with a |bench| query set
+    "q170_detector_agreement",
+    "q172_retrieval_decon",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

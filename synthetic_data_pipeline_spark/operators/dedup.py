@@ -737,6 +737,175 @@ def _q152_oracle() -> str:
     """
 
 
+# --- q170: near-dup detector agreement matrix (round 11) — the
+# choose-your-detector diagnostic: MinHash-LSH verified pairs (q46's
+# set-Jaccard family) vs SimHash Hamming-radius pairs (q152's
+# Manku family) on the same corpus, categorized both /
+# minhash_only / simhash_only with each category's mean exact
+# Jaccard and mean Hamming distance. The two detectors embed
+# different similarity notions (set overlap vs bit-vote geometry);
+# this table is the measured disagreement a pipeline reads before
+# standardizing on one (or running both). Rides the memoized shingle
+# funnel + one signature pass; ONE exact-Jaccard verify runs over the
+# UNION of candidate sets (no circular two-pass verify), and Hamming
+# is recomputed for every pair from the per-doc signature frame —
+# both joins are candidate-bounded.
+def q170_detector_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tokens, mcand = shingle_state(spark, sf_dir)
+    sig = simhash60(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    sh = (
+        simhash_hamming_pairs(sig, SIMHAM_BITS, SIMHAM_BANDS)
+        .select("doc_a", "doc_b")
+        .withColumn("in_sh", F.lit(1))
+    )
+    mc = mcand.withColumn("in_mc", F.lit(1))
+    allp = (
+        mc.join(sh, ["doc_a", "doc_b"], "full")
+        .fillna(0, ["in_mc", "in_sh"])
+        .localCheckpoint(eager=False)  # candidate-bounded pair list,
+        # feeds the jaccard verify AND the hamming joins
+    )
+    jac = token_jaccard(tokens, allp.select("doc_a", "doc_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    ham = (
+        allp.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "in_mc",
+            "in_sh",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    both = ham.join(jac, ["doc_a", "doc_b"])
+    in_mh = (F.col("in_mc") == 1) & (
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    cat = (
+        F.when(in_mh & (F.col("in_sh") == 1), "both")
+        .when(in_mh, "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return (
+        both.filter(in_mh | (F.col("in_sh") == 1))
+        .select(cat.alias("category"), "jaccard", "hamming")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            eround(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            eround(F.avg("hamming"), 4).alias("avg_hamming"),
+        )
+        .orderBy("category")
+    )
+
+
+def _q170_oracle() -> str:
+    """Union-verify SQL: both detectors' candidate chains, one
+    jaccard pass over the union, category flags."""
+    hexv = (
+        "(CASE WHEN ascii(substr(md5(token), {i}, 1)) >= 97 "
+        "THEN ascii(substr(md5(token), {i}, 1)) - 87 "
+        "ELSE ascii(substr(md5(token), {i}, 1)) - 48 END)"
+    )
+    val = "CAST(0 AS BIGINT)"
+    for i in range(1, SIMHAM_BITS // 4 + 1):
+        val = f"({val} * 16 + {hexv.format(i=i)})"
+    vcols = ", ".join(
+        f"avg((h >> {j}) & 1) AS v{j}" for j in range(SIMHAM_BITS)
+    )
+    sigsum = " + ".join(
+        f"(CASE WHEN v{j} > 0.5 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHAM_BITS)
+    )
+    band_rows = ",".join(f"({b})" for b in range(SIMHAM_BANDS))
+    mh_mins = ", ".join(
+        f"min(md5(concat(token, ':', {h}))) AS m{h}"
+        for h in range(N_HASHES)
+    )
+    mh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash "
+        f"FROM mins"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+      WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+      mins AS MATERIALIZED (
+        SELECT doc_id, {mh_mins} FROM tokens GROUP BY doc_id
+      ),
+      mbanded AS ({mh_bands}),
+      mcand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mbanded a JOIN mbanded b
+          ON a.band = b.band AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+      ),
+      hh AS (SELECT doc_id, {val} AS h FROM tokens),
+      votes AS MATERIALIZED (
+        SELECT doc_id, {vcols} FROM hh GROUP BY doc_id
+      ),
+      sig AS MATERIALIZED (SELECT doc_id, {sigsum} AS hsig FROM votes),
+      sbands AS (
+        SELECT doc_id, t.b AS band,
+               (hsig >> ({_SIMHAM_BAND_BITS} * t.b)) & {_SIMHAM_MASK}
+                 AS bval
+        FROM sig, (VALUES {band_rows}) AS t(b)
+      ),
+      scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sbands a JOIN sbands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+      ),
+      sh AS MATERIALIZED (
+        SELECT p.doc_a, p.doc_b
+        FROM scand p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        WHERE bit_count(xor(sa.hsig, sb.hsig)) <= {SIMHAM_RADIUS}
+      ),
+      pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b,
+               max(in_mc) AS in_mc, max(in_sh) AS in_sh
+        FROM (
+          SELECT doc_a, doc_b, 1 AS in_mc, 0 AS in_sh FROM mcand
+          UNION ALL
+          SELECT doc_a, doc_b, 0 AS in_mc, 1 AS in_sh FROM sh
+        ) GROUP BY doc_a, doc_b
+      ),
+      {_JACCARD_SQL},
+      tagged AS (
+        SELECT p.in_mc, p.in_sh, j.jaccard,
+               CAST(bit_count(xor(sa.hsig, sb.hsig)) AS INT) AS hamming
+        FROM pairs p
+        JOIN jac j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+      )
+      SELECT CASE
+               WHEN in_mc = 1 AND jaccard >= {JACCARD_THRESHOLD}
+                    AND in_sh = 1 THEN 'both'
+               WHEN in_mc = 1 AND jaccard >= {JACCARD_THRESHOLD}
+                    THEN 'minhash_only'
+               ELSE 'simhash_only'
+             END AS category,
+             count(*) AS n_pairs,
+             round(avg(jaccard), 4) AS avg_jaccard,
+             round(avg(hamming), 4) AS avg_hamming
+      FROM tagged
+      WHERE (in_mc = 1 AND jaccard >= {JACCARD_THRESHOLD}) OR in_sh = 1
+      GROUP BY category ORDER BY category
+    """
+
+
 # --- q118: INCREMENTAL dedup — near-dup an incoming batch against an
 # already-indexed corpus without re-clustering the corpus. At 100 TB
 # this is the shape that matters for ongoing ingestion: the corpus
@@ -1841,6 +2010,7 @@ QUERIES = {
     "q46_minhash_near_dups": q46_minhash_near_dups,
     "q47_pairwise_jaccard_sample": q47_pairwise_jaccard_sample,
     "q165_minhash_calibration": q165_minhash_calibration,
+    "q170_detector_agreement": q170_detector_agreement,
     "q48_simhash_buckets": q48_simhash_buckets,
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
     "q118_incremental_dedup": q118_incremental_dedup,
@@ -1895,6 +2065,7 @@ _SHINGLES_SQL_DOCS = _SHINGLES_SQL.format(src="documents")
 _JACCARD_SQL_BODY = _JACCARD_SQL
 
 ORACLES = {
+    "q170_detector_agreement": _q170_oracle(),
     "q165_minhash_calibration": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
         mins AS MATERIALIZED (

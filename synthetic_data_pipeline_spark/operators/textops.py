@@ -2286,28 +2286,36 @@ BM25_DF_CAP_DIV = 20
 BM25_DF_CAP_ABS = 1000
 
 
-def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 BM25 results per query doc: (query_id, rk, doc_id,
-    score). Scores eround-ed to 6dp BEFORE ranking (doc_id tiebreak)
-    so a cross-engine summation ulp can never flip a rank — the q151
-    rank-key discipline."""
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_stats(docs: DataFrame):
+    """(tf, dlen, stats, dfreq) — the four BM25 index tables over a
+    (doc_id, source, text) frame, bigram terms. ``tf`` carries
+    ``source`` so callers can restrict query/candidate sides by feed
+    (q172's cross-source decontamination) without a join-back."""
     toks = docs.select(
-        "doc_id", _tokens(F.col("text")).alias("arr")
-    ).select("doc_id", F.explode(_bigram_array()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+        "doc_id", "source", _tokens(F.col("text")).alias("arr")
+    ).select("doc_id", "source", F.explode(_bigram_array()).alias("token"))
+    tf = toks.groupBy("doc_id", "source", "token").agg(
+        F.count("*").alias("cnt")
+    )
     dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dlen.agg(
         F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return tf, dlen, stats, dfreq
+
+
+def bm25_query_terms(qtf: DataFrame, dfreq: DataFrame, stats: DataFrame):
+    """Per-query eligible term table from the query docs' own
+    (query_id, token, cnt) rows: df band applied (the scale guard —
+    see q164's header comment), then the top BM25_QUERY_TERMS by
+    (tf desc, token asc). The per-query window runs over the doc's
+    own eligible vocabulary — bounded by doc length."""
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cnt"), F.asc("token")
     )
-    qterms = (
-        tf.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
-        .withColumnRenamed("doc_id", "query_id")
-        .join(dfreq, "token")
+    return (
+        qtf.join(dfreq, "token")
         .crossJoin(F.broadcast(stats))
         .filter(
             (F.col("df") >= BM25_DF_MIN)
@@ -2318,6 +2326,19 @@ def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qrk") <= BM25_QUERY_TERMS)
         .select("query_id", "token", "df", "_n_docs", "_avgdl")
     )
+
+
+def bm25_topk(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dlen: DataFrame,
+    cand_filter=None,
+) -> DataFrame:
+    """Broadcast the tiny query-term table onto the posting lists,
+    score with Okapi BM25, rank top BM25_TOP_K per query. Scores
+    eround-ed to 6dp BEFORE ranking (doc_id tiebreak) so a
+    cross-engine summation ulp can never flip a rank — the q151
+    rank-key discipline."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -2331,11 +2352,15 @@ def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
         )
     )
-    scored = (
+    cands = (
         F.broadcast(qterms)
         .join(tf, "token")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(dlen, "doc_id")
+    )
+    if cand_filter is not None:
+        cands = cands.filter(cand_filter)
+    scored = (
+        cands.join(dlen, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(eround(F.sum(contrib), 6).alias("score"))
     )
@@ -2347,6 +2372,107 @@ def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BM25_TOP_K)
         .select("query_id", "rk", "doc_id", "score")
         .orderBy("query_id", "rk")
+    )
+
+
+def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 results per query doc: (query_id, rk, doc_id,
+    score) for the deterministic doc_id % BM25_QUERY_MOD query slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dlen, stats, dfreq = bm25_stats(docs)
+    qtf = (
+        tf.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+        .select(F.col("doc_id").alias("query_id"), "token", "cnt")
+    )
+    return bm25_topk(bm25_query_terms(qtf, dfreq, stats), tf, dlen)
+
+
+# --- q171: persisted BM25 index + ingest-time retrieval (round 11) —
+# the deployment shape of q164, the q118/q132 pattern applied to
+# retrieval: the posting lists, doc lengths, document frequencies and
+# corpus stats are PERSISTED tables (write_bm25_index — built once at
+# index time), and retrieving for an incoming batch touches ONLY the
+# batch's own text plus the index (bm25_from_index; the plan test
+# pins that no corpus re-scan happens at ingest). The registry query
+# replays the q164 query slice through the index path, and its oracle
+# IS q164's full-scan SQL — a green driver row proves
+# from-index == full-recompute, the q163 pinning trick.
+def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dlen, stats, dfreq = bm25_stats(docs)
+    tf.write.mode("overwrite").parquet(f"{path}/tf")
+    dlen.write.mode("overwrite").parquet(f"{path}/dlen")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+
+
+def bm25_from_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Top-k BM25 for a batch of incoming documents against the
+    persisted index. The batch side is tokenized here; everything
+    corpus-sized is a parquet read of the index."""
+    tf = spark.read.parquet(f"{index_dir}/tf")
+    dlen = spark.read.parquet(f"{index_dir}/dlen")
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    dfreq = spark.read.parquet(f"{index_dir}/dfreq")
+    qtoks = new_docs.select(
+        F.col("doc_id").alias("query_id"), _tokens(F.col("text")).alias("arr")
+    ).select("query_id", F.explode(_bigram_array()).alias("token"))
+    qtf = qtoks.groupBy("query_id", "token").agg(F.count("*").alias("cnt"))
+    return bm25_topk(bm25_query_terms(qtf, dfreq, stats), tf, dlen)
+
+
+def q171_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's query slice retrieved THROUGH the persisted-index path
+    (index rebuilt under a temp dir per call so the gate replays the
+    whole lineage; a deployment calls write_bm25_index once and
+    serves every batch from it — test_bm25_index_only_ingest proves
+    the ingest plan never rescans the corpus)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sdps_bm25_index_")
+    write_bm25_index(spark, sf_dir, path)
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BM25_QUERY_MOD == 0
+    )
+    return bm25_from_index(spark, path, new_docs)
+
+
+# --- q172: retrieval-based decontamination report (round 11) — the
+# complement of q105's exact n-gram overlap: real eval suites also
+# hunt NEAR-verbatim leakage with a retriever (lexical BM25 is the
+# standard first pass). Every benchmark doc (source ==
+# DECON_BENCH_SOURCE, the held-out suite q105/q126/q160 share)
+# queries the TRAIN side (bench-source candidates excluded via the
+# source column bm25_stats carries — no join-back), and the top-k
+# hits aggregate into the per-train-source exposure table a
+# decontamination pass triages: which feeds contain the documents
+# most retrievable from benchmark prompts. Same bounded plan as
+# q164: df-capped query terms broadcast onto posting lists; the
+# report agg is |sources|-keyed.
+def q172_retrieval_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dlen, stats, dfreq = bm25_stats(docs)
+    qtf = tf.filter(F.col("source") == DECON_BENCH_SOURCE).select(
+        F.col("doc_id").alias("query_id"), "token", "cnt"
+    )
+    hits = bm25_topk(
+        bm25_query_terms(qtf, dfreq, stats),
+        tf,
+        dlen,
+        cand_filter=F.col("source") != DECON_BENCH_SOURCE,
+    )
+    src = tf.select("doc_id", "source").distinct()
+    return (
+        hits.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("query_id").alias("n_queries_hit"),
+            eround(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
     )
 
 
@@ -2539,6 +2665,78 @@ _Q169_ORACLE = """
 """
 
 
+_Q172_ORACLE = f"""
+    WITH arrs AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> concat_ws(' ', arr[i], arr[i+1])))
+               AS token
+      FROM arrs
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, source, token, count(*) AS cnt
+      FROM toks GROUP BY doc_id, source, token
+    ),
+    dlen AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+    dfreq AS MATERIALIZED (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    qt AS (
+      SELECT t.doc_id AS query_id, t.token, f.df, s.n_docs, s.avgdl,
+             row_number() OVER (
+               PARTITION BY t.doc_id ORDER BY t.cnt DESC, t.token ASC
+             ) AS qrk
+      FROM tf t JOIN dfreq f USING (token) CROSS JOIN stats s
+      WHERE t.source = '{DECON_BENCH_SOURCE}'
+        AND f.df >= {BM25_DF_MIN}
+        AND f.df * {BM25_DF_CAP_DIV} <= s.n_docs
+        AND f.df <= {BM25_DF_CAP_ABS}
+    ),
+    qterms AS (
+      SELECT query_id, token, df, n_docs, avgdl FROM qt
+      WHERE qrk <= {BM25_QUERY_TERMS}
+    ),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(
+               ln(1 + (q.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (t.cnt * ({BM25_K1} + 1.0))
+               / (t.cnt + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * l.dl / q.avgdl))
+             ), 6) AS score
+      FROM qterms q
+      JOIN tf t USING (token)
+      JOIN dlen l ON l.doc_id = t.doc_id
+      WHERE t.doc_id <> q.query_id
+        AND t.source <> '{DECON_BENCH_SOURCE}'
+      GROUP BY q.query_id, t.doc_id
+    ),
+    topk AS (
+      SELECT query_id, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rk
+        FROM scored
+      ) WHERE rk <= {BM25_TOP_K}
+    ),
+    src AS (SELECT DISTINCT doc_id, source FROM tf)
+    SELECT s.source, count(*) AS n_hits,
+           CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries_hit,
+           round(avg(t.score), 4) AS avg_score
+    FROM topk t JOIN src s USING (doc_id)
+    GROUP BY s.source ORDER BY s.source
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q169_dataset_card": q169_dataset_card,
@@ -2571,6 +2769,8 @@ QUERIES = {
     "q156_boilerplate_clean_stats": q156_boilerplate_clean_stats,
     "q160_decontaminate_strip": q160_decontaminate_strip,
     "q164_bm25_retrieval": q164_bm25_retrieval,
+    "q171_bm25_ingest": q171_bm25_ingest,
+    "q172_retrieval_decon": q172_retrieval_decon,
 }
 
 
@@ -2625,6 +2825,8 @@ _Q94_ORACLE = f"""
 
 ORACLES = {
     "q164_bm25_retrieval": _Q164_ORACLE,
+    "q171_bm25_ingest": _Q164_ORACLE,
+    "q172_retrieval_decon": _Q172_ORACLE,
     "q169_dataset_card": _Q169_ORACLE,
     "q121_source_divergence": _Q121_ORACLE,
     "q126_dsir_weights": _q126_oracle(),

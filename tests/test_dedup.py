@@ -947,3 +947,32 @@ def test_minhash_calibration_planted(spark, tmp_path):
     r = got[0]
     assert (r.n_match, r.n_pairs) == (8, 3)
     assert r.est_jaccard == 1.0 and r.avg_jaccard == 1.0 and r.mae == 0.0
+
+
+def test_detector_agreement_planted(spark, tmp_path):
+    """q170 semantics: an exact-duplicate pair collides in every
+    MinHash band AND sits at Hamming 0, so it must land in 'both'
+    (jaccard 1.0, hamming 0); unrelated all-unique fillers must
+    produce no pair in any category."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        clear_shingle_cache,
+        q170_detector_agreement,
+    )
+
+    A = " ".join(f"a{i}" for i in range(30))
+    rows = [(0, A, "en", "s", 0), (1, A, "en", "s", 0)]
+    rows += [(10 + i, " ".join(f"u{i}x{j}" for j in range(30)), "en", "s", 0)
+             for i in range(5)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    clear_shingle_cache()
+    try:
+        got = {r.category: r for r in
+               q170_detector_agreement(spark, sf_dir).collect()}
+    finally:
+        clear_shingle_cache()
+    assert set(got) == {"both"}
+    r = got["both"]
+    assert r.n_pairs == 1 and r.avg_jaccard == 1.0 and r.avg_hamming == 0.0

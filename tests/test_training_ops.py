@@ -928,3 +928,84 @@ def test_dataset_card_planted(spark, tmp_path):
     assert r.dup_share == 0.25
     assert r.n_langs == 2 and r.top_lang == "en"  # 2-2 tie -> min lang
     assert r.avg_ttr == 1.0  # every planted doc has all-distinct tokens
+
+
+def test_bm25_index_only_ingest(spark, sf_dir, tmp_path):
+    """Deployment shape of q171: build the BM25 index ONCE, then
+    retrieval for an incoming batch must (a) equal the full-scan q164
+    rows and (b) never rescan documents.parquet — only the persisted
+    index and the batch's own text feed the plan."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.textops import (
+        BM25_QUERY_MOD,
+        bm25_from_index,
+        q164_bm25_retrieval,
+        write_bm25_index,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    path = str(tmp_path / "bm25_index")
+    write_bm25_index(spark, sf_dir, path)
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BM25_QUERY_MOD == 0
+    )
+    got = sorted(
+        map(tuple, bm25_from_index(spark, path, new_docs).collect())
+    )
+    want = sorted(map(tuple, q164_bm25_retrieval(spark, sf_dir).collect()))
+    assert got == want and len(want) > 0
+
+    idx_only = bm25_from_index(spark, path, new_docs.localCheckpoint())
+    plan = idx_only._jdf.queryExecution().explainString(
+        idx_only.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "documents.parquet" not in plan, plan
+    assert "bm25_index" in plan, plan
+
+
+def test_retrieval_decon_planted(spark, tmp_path):
+    """q172 semantics: a train source whose doc copies a benchmark
+    question must dominate the exposure report; a source of unrelated
+    docs must score at most the copier's level and never hit more
+    queries. (Every source shares one common bigram so the clean
+    source still has SOME retrievable term — the report ranks
+    exposure, not mere presence.)"""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q172_retrieval_decon,
+    )
+
+    bench_q = "what is the capital of atlantis under the waves"
+    rows = []
+    # benchmark suite: src0 (DECON_BENCH_SOURCE) carries the question
+    for i in range(3):
+        rows.append((i, bench_q + f" variant{i} shared token", "en", "src0", 0))
+    # leaky train source: verbatim copy of the question
+    for i in range(3):
+        rows.append((10 + i, bench_q + f" leak{i} shared token", "en", "leaky", 0))
+    # clean train source: unrelated text + the shared bigram
+    for i in range(3):
+        rows.append(
+            (20 + i, f"totally unrelated w{i}a w{i}b w{i}c shared token",
+             "en", "clean", 0)
+        )
+    # filler so the question bigrams (df=6) pass the n/20 relative
+    # cap: need n_docs >= 120
+    for i in range(120):
+        rows.append(
+            (100 + i, f"f{i}a f{i}b f{i}c f{i}d f{i}e", "en", "filler", 0)
+        )
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.source: r for r in q172_retrieval_decon(spark, sf_dir).collect()}
+    assert "leaky" in got
+    leaky = got["leaky"]
+    assert leaky.n_queries_hit == 3  # every bench doc retrieves the copy
+    if "clean" in got:
+        assert got["clean"].avg_score <= leaky.avg_score
+        assert got["clean"].n_queries_hit <= leaky.n_queries_hit
