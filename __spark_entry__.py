@@ -46,7 +46,7 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
 #     window family), q70 (q71/q72 keep the subquery module). All six
 #     stay hash-checked by the full-registry local gate.
-# 5 + 9 + 36 = 50 exactly.
+# 5 + 12 + 33 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -75,6 +75,12 @@ DRIVER_WINDOW = [
     # (salted-agg family), q94->q112/q115/q119 (packing family).
     "q170_detector_agreement", "q171_bm25_ingest",
     "q172_retrieval_decon",
+    # wave 3 decision-table sweeps: temperature sampling, context
+    # length, dedup threshold. Evictions with in-window cousins:
+    # q95->q101 (funnel retention family), q96->q102/q145 (split
+    # family), q97->q102 (quality-filter composition).
+    "q173_temperature_sweep", "q174_context_length_sweep",
+    "q175_dedup_threshold_sweep",
     # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
     "q02_top_revenue_orders", "q03_regional_revenue",
     "q10_rollup_orders", "q12_top_orders_per_customer",
@@ -88,8 +94,7 @@ DRIVER_WINDOW = [
     "q77_nation_pair_volume", "q78_brand_revenue_share",
     "q79_histogram_quantiles",
     "q93_redact_documents",
-    "q95_dedup_retention", "q96_dataset_split",
-    "q97_quality_filter", "q98_validation_failures",
+    "q98_validation_failures",
     "q99_redact_generated", "q101_deduped_corpus",
     "q102_training_prep", "q104_ngram_jaccard_join",
     "q105_decontaminate", "q106_repetition_signals",

@@ -80,6 +80,11 @@ HEADLINE = [
     # measured already — parity is pinned by its driver oracle.
     "q170_detector_agreement",
     "q172_retrieval_decon",
+    # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
+    # q175 rides the memoized funnel's verified pairs
+    "q173_temperature_sweep",
+    "q174_context_length_sweep",
+    "q175_dedup_threshold_sweep",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

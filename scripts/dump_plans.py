@@ -85,6 +85,8 @@ SHOWCASE = [
     ("q169_dataset_card", "dataset card: three |sources|-row aggregates (percentiles, two-level distinct, lang argmax) joined"),
     ("q170_detector_agreement", "detector agreement: union of both candidate sets, one jaccard verify, signature-frame hamming joins"),
     ("q172_retrieval_decon", "retrieval decon: bench query terms broadcast onto train postings, |sources|-key exposure agg"),
+    ("q174_context_length_sweep", "context sweep: corpus collapses to its token-length histogram, sweep explodes over the histogram"),
+    ("q175_dedup_threshold_sweep", "threshold sweep: one exact-Jaccard verify, thresholds exploded over the candidate-bounded pair list"),
 ]
 
 

@@ -127,6 +127,11 @@ PROBE = [
     # is the q164 stack with a |bench| query set
     "q170_detector_agreement",
     "q172_retrieval_decon",
+    # wave 3: the threshold sweep's explode runs over the verified
+    # pair list (candidate-bounded) — the row proves the sweep adds
+    # nothing corpus-scaling to the funnel it rides. q173/q174 are
+    # single hash-agg scans (q40's probed class) + bounded sweeps.
+    "q175_dedup_threshold_sweep",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -551,19 +556,32 @@ def main() -> None:
     spark.stop()
 
     # A/B extras (round 10): q152 band widths and q130's candidate
-    # generator, each tier on a fresh session like the main rows
+    # generator. Decisions are RECORDED in SCALING_r10.json (keep
+    # 60/4 bands; keep the LSH funnel) — re-measuring them every
+    # round costs ~10 min (the 40-bit arm alone is 341 s at 100x)
+    # for no new information, so the arms only run when
+    # SPARK_GRAFT_AB=1 is set explicitly.
     ab = {}
-    spark = get_spark(app_name="sdp-scaling-ab-1x")
-    ab["simham_band_ab_1x"] = simham_band_ab(spark, src)
-    ab["q130_ivf_ab_1x"] = q130_ivf_ab(spark, src, run_verify=True)
-    spark.stop()
-    spark = get_spark(app_name="sdp-scaling-ab-10x")
-    ab["simham_band_ab_10x"] = simham_band_ab(spark, dst)
-    ab["q130_ivf_ab_10x"] = q130_ivf_ab(spark, dst, run_verify=True)
-    spark.stop()
-    spark = get_spark(app_name="sdp-scaling-ab-100x")
-    ab["simham_band_ab_100x"] = simham_band_ab(spark, dst100)
-    ab["q130_ivf_ab_100x"] = q130_ivf_ab(spark, dst100, run_verify=False)
+    if os.environ.get("SPARK_GRAFT_AB") == "1":
+        spark = get_spark(app_name="sdp-scaling-ab-1x")
+        ab["simham_band_ab_1x"] = simham_band_ab(spark, src)
+        ab["q130_ivf_ab_1x"] = q130_ivf_ab(spark, src, run_verify=True)
+        spark.stop()
+        spark = get_spark(app_name="sdp-scaling-ab-10x")
+        ab["simham_band_ab_10x"] = simham_band_ab(spark, dst)
+        ab["q130_ivf_ab_10x"] = q130_ivf_ab(spark, dst, run_verify=True)
+        spark.stop()
+        spark = get_spark(app_name="sdp-scaling-ab-100x")
+        ab["simham_band_ab_100x"] = simham_band_ab(spark, dst100)
+        ab["q130_ivf_ab_100x"] = q130_ivf_ab(spark, dst100,
+                                             run_verify=False)
+    else:
+        ab["note_ab_arms"] = (
+            "band/IVF A/B arms not re-run this round (decisions "
+            "recorded in SCALING_r10.json: keep 60-bit/4-band "
+            "SimHash, keep the LSH funnel over fixed-k IVF); set "
+            "SPARK_GRAFT_AB=1 to re-measure"
+        )
 
     result = {
         "sf_base": src,

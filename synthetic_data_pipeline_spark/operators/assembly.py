@@ -1190,7 +1190,191 @@ def funnel_apply_batch(
     )
 
 
+# --- q173: temperature-sampling sweep (round 11) — the multilingual
+# mixture decision table (mT5/XLM-R practice): per temperature τ, the
+# per-language sampling share p_τ(l) ∝ p_raw(l)^τ and the boost over
+# raw token share. q120 APPLIES one fixed τ; this table is what picks
+# it. One corpus-sized (lang, token-count) aggregate, then all
+# arithmetic on |τ|×|langs| rows — corpus-size-independent. pow() is
+# libm in both engines; shares are eround-ed (ulp-proof) and the sum
+# normalizer runs over ≤|langs| terms.
+TEMP_SWEEP = (0.3, 0.5, 0.7, 1.0)
+
+
+def q173_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lt = (
+        docs.select("lang", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("tok"))
+    )
+    total = lt.agg(F.sum("tok").alias("total"))
+    base = lt.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "tok",
+        (F.col("tok") / F.col("total")).alias("p_raw"),
+    )
+    sweep = base.select(
+        "lang",
+        "tok",
+        "p_raw",
+        F.explode(
+            F.array(*[F.lit(t) for t in TEMP_SWEEP])
+        ).alias("tau"),
+    ).withColumn("w", F.pow("p_raw", F.col("tau")))
+    znorm = sweep.groupBy("tau").agg(F.sum("w").alias("z"))
+    return (
+        sweep.join(F.broadcast(znorm), "tau")
+        .select(
+            "tau",
+            "lang",
+            F.col("tok").alias("n_tokens"),
+            eround("p_raw", 6).alias("share_raw"),
+            eround(F.col("w") / F.col("z"), 6).alias("share_tau"),
+            eround((F.col("w") / F.col("z")) / F.col("p_raw"), 4).alias(
+                "boost"
+            ),
+        )
+        .orderBy("tau", "lang")
+    )
+
+
+_Q173_ORACLE = f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+      FROM documents GROUP BY lang
+    ),
+    total AS (SELECT sum(tok) AS total FROM lt),
+    base AS (
+      SELECT lang, tok, tok / CAST(t.total AS DOUBLE) AS p_raw
+      FROM lt CROSS JOIN total t
+    ),
+    sweep AS (
+      SELECT lang, tok, p_raw, s.tau, pow(p_raw, s.tau) AS w
+      FROM base, (VALUES {", ".join(f"({t})" for t in TEMP_SWEEP)}) s(tau)
+    ),
+    znorm AS (SELECT tau, sum(w) AS z FROM sweep GROUP BY tau)
+    SELECT s.tau, s.lang, s.tok AS n_tokens,
+           round(s.p_raw, 6) AS share_raw,
+           round(s.w / z.z, 6) AS share_tau,
+           round((s.w / z.z) / s.p_raw, 4) AS boost
+    FROM sweep s JOIN znorm z USING (tau)
+    ORDER BY s.tau, s.lang
+"""
+
+
+# --- q174: context-length sweep (round 11) — q150's pack-vs-pad
+# economics swept over candidate context lengths, corpus-wide: the
+# table that picks L before q150 drills into per-source detail. Scale
+# shape: the corpus collapses to its TOKEN-LENGTH HISTOGRAM first
+# (bounded by distinct doc lengths, not doc count), and the sweep
+# explodes over the histogram — one corpus scan total, all ceil
+# division integer-exact in both engines.
+CTX_SWEEP = (64, 128, 256, 512, 1024, 2048)
+
+
+def q174_context_length_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.size(F.split("text", " ")).alias("n").cast("long"))
+        .groupBy("n")
+        .agg(F.count("*").alias("c"))
+    )
+    sw = hist.select(
+        "n",
+        "c",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in CTX_SWEEP])
+        ).alias("ctx_len"),
+    )
+    kept_doc = F.least(F.col("n"), F.col("ctx_len"))
+    kept = F.sum(F.col("c") * kept_doc)
+    n_docs = F.sum("c")
+    packed = F.floor(
+        (kept + F.col("ctx_len") - 1) / F.col("ctx_len")
+    )
+    return (
+        sw.groupBy("ctx_len")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum(F.col("c") * F.col("n")).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("n") > F.col("ctx_len"), F.col("c")).otherwise(
+                    0
+                )
+            ).alias("n_truncated"),
+            eround(
+                F.lit(1e-9)
+                + F.sum(
+                    F.col("c") * F.greatest(F.col("n") - F.col("ctx_len"),
+                                            F.lit(0))
+                )
+                / F.sum(F.col("c") * F.col("n")).cast("double"),
+                4,
+            ).alias("trunc_token_share"),
+            eround(
+                F.lit(1e-9)
+                + (n_docs * F.col("ctx_len") - kept).cast("double")
+                / (n_docs * F.col("ctx_len")),
+                4,
+            ).alias("pad_waste_share"),
+            packed.cast("long").alias("packed_seqs"),
+            eround(
+                F.lit(1e-9) + n_docs / packed.cast("double"), 4
+            ).alias("packing_speedup"),
+        )
+        .select(
+            F.col("ctx_len").cast("int").alias("ctx_len"),
+            "n_docs",
+            "n_tokens",
+            "n_truncated",
+            "trunc_token_share",
+            "pad_waste_share",
+            "packed_seqs",
+            "packing_speedup",
+        )
+        .orderBy("ctx_len")
+    )
+
+
+_Q174_ORACLE = f"""
+    WITH hist AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             count(*) AS c
+      FROM documents GROUP BY 1
+    ),
+    sw AS (
+      SELECT n, c, CAST(s.ctx_len AS BIGINT) AS ctx_len
+      FROM hist,
+           (VALUES {", ".join(f"({k})" for k in CTX_SWEEP)}) s(ctx_len)
+    )
+    SELECT CAST(ctx_len AS INTEGER) AS ctx_len,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(c * n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n > ctx_len THEN c ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           round(1e-9 + sum(c * greatest(n - ctx_len, 0))
+                 / CAST(sum(c * n) AS DOUBLE), 4) AS trunc_token_share,
+           round(1e-9 + (sum(c) * ctx_len
+                         - sum(c * least(n, ctx_len)))
+                 / CAST(sum(c) * ctx_len AS DOUBLE), 4)
+             AS pad_waste_share,
+           CAST(floor((sum(c * least(n, ctx_len)) + ctx_len - 1)
+                      / ctx_len) AS BIGINT) AS packed_seqs,
+           round(1e-9 + sum(c)
+                 / CAST(floor((sum(c * least(n, ctx_len)) + ctx_len - 1)
+                              / ctx_len) AS DOUBLE), 4)
+             AS packing_speedup
+    FROM sw GROUP BY ctx_len ORDER BY ctx_len
+"""
+
+
 QUERIES = {
+    "q173_temperature_sweep": q173_temperature_sweep,
+    "q174_context_length_sweep": q174_context_length_sweep,
     "q112_sequence_packing": q112_sequence_packing,
     "q113_domain_mixture": q113_domain_mixture,
     "q114_stratified_sample": q114_stratified_sample,
@@ -1205,6 +1389,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q173_temperature_sweep": _Q173_ORACLE,
+    "q174_context_length_sweep": _Q174_ORACLE,
     "q116_length_curriculum": _Q116_ORACLE,
     "q119_token_shards": _Q119_ORACLE,
     "q120_temperature_mixture": _q120_oracle(),

@@ -737,6 +737,98 @@ def _q152_oracle() -> str:
     """
 
 
+# --- q175: dedup threshold sensitivity sweep (round 11) — how much
+# corpus each Jaccard cutoff would remove: per threshold, verified
+# pair count, docs dropped under the local-minimum keeper rule
+# (q130's: a doc goes when ANY smaller-id partner clears the cutoff)
+# and the drop share. This is the table that chooses
+# JACCARD_THRESHOLD before a 100 TB dedup pass commits to one — the
+# retention analog of q168's nprobe sweep. Rides the memoized funnel:
+# the exact-Jaccard verify runs ONCE over the candidate-bounded pair
+# list; the sweep explodes thresholds over those pairs only (never
+# the corpus). Thresholds compare against the 4dp-eround-ed jaccard,
+# so the cut is engine-identical by construction.
+DEDUP_THRESH_SWEEP = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q175_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tokens, cands = shingle_state(spark, sf_dir)
+    jac = token_jaccard(tokens, cands).localCheckpoint(eager=False)
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    sw = jac.select(
+        "doc_b",
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_THRESH_SWEEP])
+        ).alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    return (
+        sw.groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+            eround(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_dropped",
+            eround(
+                F.col("n_docs_dropped") / F.col("n_docs").cast("double"), 6
+            ).alias("drop_share"),
+            "avg_jaccard",
+        )
+        .orderBy("threshold")
+    )
+
+
+def _q175_oracle() -> str:
+    mh_mins = ", ".join(
+        f"min(md5(concat(token, ':', {h}))) AS m{h}"
+        for h in range(N_HASHES)
+    )
+    mh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash "
+        f"FROM mins"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    sweep_vals = ", ".join(f"({t})" for t in DEDUP_THRESH_SWEEP)
+    return f"""
+      WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+      mins AS MATERIALIZED (
+        SELECT doc_id, {mh_mins} FROM tokens GROUP BY doc_id
+      ),
+      banded AS ({mh_bands}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+      ),
+      {_JACCARD_SQL},
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sw AS (
+        SELECT j.doc_b, j.jaccard, s.threshold
+        FROM jac j,
+             (VALUES {sweep_vals}) s(threshold)
+        WHERE j.jaccard >= s.threshold
+      )
+      SELECT threshold, count(*) AS n_pairs,
+             CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped,
+             round(count(DISTINCT doc_b)
+                   / CAST(n.n_docs AS DOUBLE), 6) AS drop_share,
+             round(avg(jaccard), 4) AS avg_jaccard
+      FROM sw CROSS JOIN n
+      GROUP BY threshold, n.n_docs ORDER BY threshold
+    """
+
+
 # --- q170: near-dup detector agreement matrix (round 11) — the
 # choose-your-detector diagnostic: MinHash-LSH verified pairs (q46's
 # set-Jaccard family) vs SimHash Hamming-radius pairs (q152's
@@ -2011,6 +2103,7 @@ QUERIES = {
     "q47_pairwise_jaccard_sample": q47_pairwise_jaccard_sample,
     "q165_minhash_calibration": q165_minhash_calibration,
     "q170_detector_agreement": q170_detector_agreement,
+    "q175_dedup_threshold_sweep": q175_dedup_threshold_sweep,
     "q48_simhash_buckets": q48_simhash_buckets,
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
     "q118_incremental_dedup": q118_incremental_dedup,
@@ -2066,6 +2159,7 @@ _JACCARD_SQL_BODY = _JACCARD_SQL
 
 ORACLES = {
     "q170_detector_agreement": _q170_oracle(),
+    "q175_dedup_threshold_sweep": _q175_oracle(),
     "q165_minhash_calibration": f"""
         WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
         mins AS MATERIALIZED (

@@ -1009,3 +1009,134 @@ def test_retrieval_decon_planted(spark, tmp_path):
     if "clean" in got:
         assert got["clean"].avg_score <= leaky.avg_score
         assert got["clean"].n_queries_hit <= leaky.n_queries_hit
+
+
+def test_temperature_sweep_math(spark, tmp_path):
+    """q173 hand-check: two langs at 90%/10% token share. At tau=1
+    shares are unchanged; at tau=0.5 the minority boosts to
+    sqrt(.1)/(sqrt(.9)+sqrt(.1)) ≈ 0.25; boost ratios follow."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        q173_temperature_sweep,
+    )
+
+    rows = [(0, " ".join(["w"] * 90), "en", "s", 0),
+            (1, " ".join(["v"] * 10), "zh", "s", 0)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {(r.tau, r.lang): r for r in
+           q173_temperature_sweep(spark, sf_dir).collect()}
+    assert abs(got[(1.0, "en")].share_tau - 0.9) < 1e-5
+    assert abs(got[(1.0, "zh")].share_tau - 0.1) < 1e-5
+    want = math.sqrt(0.1) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert abs(got[(0.5, "zh")].share_tau - want) < 1e-4
+    assert got[(0.5, "zh")].boost > 1.0 > got[(0.5, "en")].boost
+    # monotone: lower tau flattens harder
+    assert (got[(0.3, "zh")].share_tau > got[(0.5, "zh")].share_tau
+            > got[(0.7, "zh")].share_tau > 0.1)
+
+
+def test_context_length_sweep_math(spark, tmp_path):
+    """q174 hand-check at ctx_len=64 on docs of 10/100/200 literal-
+    space tokens: kept=10+64+64=138, lost=36+136, packed=ceil(138/64)
+    =3, speedup=1.0; at 256 nothing truncates, kept=310, packed=2,
+    pad waste = (3*256-310)/768."""
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        q174_context_length_sweep,
+    )
+
+    rows = [(0, " ".join(["a"] * 10), "en", "s", 0),
+            (1, " ".join(["b"] * 100), "en", "s", 0),
+            (2, " ".join(["c"] * 200), "en", "s", 0)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.ctx_len: r for r in
+           q174_context_length_sweep(spark, sf_dir).collect()}
+    r64 = got[64]
+    assert (r64.n_docs, r64.n_tokens, r64.n_truncated) == (3, 310, 2)
+    assert abs(r64.trunc_token_share - 172 / 310) < 1e-3
+    assert r64.packed_seqs == 3 and r64.packing_speedup == 1.0
+    r256 = got[256]
+    assert r256.n_truncated == 0 and r256.packed_seqs == 2
+    assert abs(r256.pad_waste_share - (3 * 256 - 310) / 768) < 1e-3
+    assert r256.packing_speedup == 1.5
+
+
+def test_dedup_threshold_sweep_planted(spark, tmp_path):
+    """q175 semantics: an exact-dup pair (jaccard 1.0) survives every
+    threshold; a moderate-overlap pair must appear only below its
+    jaccard; dropped docs follow the smaller-id keeper rule."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        clear_shingle_cache,
+        q175_dedup_threshold_sweep,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    A = " ".join(words)
+    # B shares a long prefix with A (shingle jaccard ≈ 0.85 — inside
+    # every threshold up to 0.8, outside 0.9; long overlap also makes
+    # the LSH band collision essentially certain)
+    B = " ".join(words[:37] + [f"x{i}" for i in range(3)])
+    rows = [(0, A, "en", "s", 0), (1, A, "en", "s", 0), (2, B, "en", "s", 0)]
+    rows += [(10 + i, " ".join(f"u{i}y{j}" for j in range(30)), "en", "s", 0)
+             for i in range(4)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    clear_shingle_cache()
+    try:
+        got = {r.threshold: r for r in
+               q175_dedup_threshold_sweep(spark, sf_dir).collect()}
+    finally:
+        clear_shingle_cache()
+    assert got[0.9].n_pairs >= 1          # the exact dup survives 0.9
+    assert got[0.5].n_pairs > got[0.9].n_pairs  # B's pairs drop out
+    # drops monotone nonincreasing as threshold rises
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[a].n_docs_dropped >= got[b].n_docs_dropped
+
+
+def test_decontaminate_strip_closure(spark, sf_dir):
+    """Closure of the q160 ACTION under the q105 DETECTOR: stripping
+    every benchmark-covered position must leave a corpus in which the
+    detector finds ZERO contaminated positions — re-running detection
+    on the cleaned text is the audit a real pipeline ships."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.textops import (
+        DECON_BENCH_SOURCE,
+        decontaminate_by_source,
+        q160_decontaminate_strip,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    cleaned = q160_decontaminate_strip(spark, sf_dir).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # rebuild a (doc_id, source, text) frame: cleaned rows replace
+    # their originals, untouched train docs stay verbatim
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    merged = (
+        docs.join(cleaned.withColumnRenamed("text", "ct"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("ct", "text").alias("text"),
+        )
+    )
+    resid = decontaminate_by_source(merged).filter(
+        (F.col("source") != DECON_BENCH_SOURCE)
+        & (F.col("n_contaminated") > 0)
+    )
+    assert resid.count() == 0
