@@ -85,6 +85,10 @@ HEADLINE = [
     "q173_temperature_sweep",
     "q174_context_length_sweep",
     "q175_dedup_threshold_sweep",
+    # wave 4: ROI rides the memoized labels; erasure is one
+    # conditional agg over the stream
+    "q176_dedup_roi",
+    "q177_user_erasure",
     "q126_dsir_weights",
     "q128_bpe_merges",
     "q129_bpe_compression",

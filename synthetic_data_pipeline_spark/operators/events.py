@@ -705,7 +705,59 @@ _Q166_ORACLE = f"""
 """
 
 
+# --- q177: right-to-erasure cascade (round 11) — the GDPR/CCPA
+# deletion pass a behavioral-data pipeline must support: given a
+# deletion list (here the deterministic user_id % ERASE_USER_MOD == 0
+# stand-in for the legal request queue), report the per-event-type
+# impact, and `erase_users` materializes the purged stream. Scale
+# shape: the report is ONE conditional aggregate over the stream (no
+# join at all for a predicate-expressible list); the ACTION is a
+# broadcast ANTI-join on the deletion list — the event table is
+# never shuffled on user_id, deletion lists are small by nature.
+ERASE_USER_MOD = 50
+
+
+def q177_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    flag = F.col("user_id") % ERASE_USER_MOD == 0
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("rows_before"),
+            F.sum(F.when(flag, 1).otherwise(0)).alias("rows_removed"),
+            F.sum(F.when(flag, 0).otherwise(1)).alias("rows_remaining"),
+            F.countDistinct(
+                F.when(flag, F.col("user_id"))
+            ).alias("users_removed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q177_ORACLE = f"""
+    SELECT event_type,
+           count(*) AS rows_before,
+           CAST(sum(CASE WHEN user_id % {ERASE_USER_MOD} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed,
+           CAST(sum(CASE WHEN user_id % {ERASE_USER_MOD} = 0
+                    THEN 0 ELSE 1 END) AS BIGINT) AS rows_remaining,
+           CAST(count(DISTINCT CASE WHEN user_id % {ERASE_USER_MOD} = 0
+                      THEN user_id END) AS BIGINT) AS users_removed
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def erase_users(events: DataFrame, user_ids: DataFrame) -> DataFrame:
+    """The erasure ACTION: every event belonging to a listed user is
+    dropped. Broadcast left-anti join — the stream never shuffles on
+    user_id (test_erase_users_action pins removal completeness and
+    bystander preservation)."""
+    dels = user_ids.select("user_id").distinct()
+    return events.join(F.broadcast(dels), "user_id", "anti")
+
+
 QUERIES = {
+    "q177_user_erasure": q177_user_erasure,
     "q151_bot_signals": q151_bot_signals,
     "q166_event_drift": q166_event_drift,
     "q123_dense_hourly": q123_dense_hourly,
@@ -725,6 +777,7 @@ QUERIES = {
 ORACLES = {
     "q151_bot_signals": _Q151_ORACLE,
     "q166_event_drift": _Q166_ORACLE,
+    "q177_user_erasure": _Q177_ORACLE,
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

@@ -292,6 +292,72 @@ def _dedup_summary(docs: DataFrame, dropped: DataFrame) -> DataFrame:
     )
 
 
+def q176_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report (round 11): what the q95 retention decision is
+    WORTH, per source — docs and bytes (n_chars) the keeper rule
+    drops, and the drop shares. q101 summarizes the survivors; this
+    prices the pass itself (the storage/compute-saved number a
+    platform review asks for before scheduling a 100 TB dedup job).
+    Rides the memoized LP funnel; the corpus is touched once for the
+    (source, n_chars) projection and left-joins the bounded dropped
+    list."""
+    labels = _lp_labels(spark, sf_dir)
+    dropped = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("is_drop")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    flagged = docs.join(dropped, "doc_id", "left").fillna(
+        0, ["is_drop"]
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("is_drop").alias("n_dropped"),
+            F.sum(F.col("is_drop") * F.col("n_chars")).alias(
+                "chars_dropped"
+            ),
+            eround(
+                F.sum("is_drop") / F.count("*").cast("double"), 6
+            ).alias("doc_drop_share"),
+            eround(
+                F.sum(F.col("is_drop") * F.col("n_chars"))
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("char_drop_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_roi_oracle() -> str:
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body},
+      dropped AS (
+        SELECT node AS doc_id, 1 AS is_drop FROM {final}
+        WHERE node != label
+      ),
+      flagged AS (
+        SELECT d.source, d.n_chars, coalesce(x.is_drop, 0) AS is_drop
+        FROM documents d LEFT JOIN dropped x USING (doc_id)
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(is_drop) AS BIGINT) AS n_dropped,
+             CAST(sum(is_drop * n_chars) AS BIGINT) AS chars_dropped,
+             round(sum(is_drop) / CAST(count(*) AS DOUBLE), 6)
+               AS doc_drop_share,
+             round(sum(is_drop * n_chars)
+                   / CAST(sum(n_chars) AS DOUBLE), 6)
+               AS char_drop_share
+      FROM flagged GROUP BY source ORDER BY source
+    """
+
+
 def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION applied end-to-end: anti-join the corpus
     against the q95 retention list (drop every non-canonical cluster
@@ -1111,6 +1177,7 @@ QUERIES = {
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
     "q101_deduped_corpus": q101_deduped_corpus,
+    "q176_dedup_roi": q176_dedup_roi,
     "q144_cluster_representatives": q144_cluster_representatives,
     "q145_cluster_aware_split": q145_cluster_aware_split,
     "q103_lp_convergence": q103_lp_convergence,
@@ -1138,6 +1205,7 @@ def _oracles() -> dict[str, str]:
         "q163_incremental_clusters": _dup_clusters_oracle(),
         "q95_dedup_retention": _dedup_retention_oracle(),
         "q101_deduped_corpus": _deduped_corpus_oracle(),
+        "q176_dedup_roi": _dedup_roi_oracle(),
         "q144_cluster_representatives": _cluster_representatives_oracle(),
         "q145_cluster_aware_split": _cluster_aware_split_oracle(),
         "q103_lp_convergence": _lp_convergence_oracle(),

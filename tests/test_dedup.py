@@ -976,3 +976,33 @@ def test_detector_agreement_planted(spark, tmp_path):
     assert set(got) == {"both"}
     r = got["both"]
     assert r.n_pairs == 1 and r.avg_jaccard == 1.0 and r.avg_hamming == 0.0
+
+
+def test_dedup_roi_planted(spark, tmp_path):
+    """q176: three identical docs (100 chars each) in one source →
+    the keeper rule drops two (200 chars, 2/3 of docs); an all-unique
+    source reports zero drops."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        clear_lp_cache,
+        q176_dedup_roi,
+    )
+
+    A = " ".join(f"a{i}" for i in range(30))
+    rows = [(i, A, "en", "dup", 100) for i in range(3)]
+    rows += [(10 + i, " ".join(f"u{i}x{j}" for j in range(30)), "en",
+              "clean", 50) for i in range(4)]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    clear_lp_cache()
+    try:
+        got = {r.source: r for r in q176_dedup_roi(spark, sf_dir).collect()}
+    finally:
+        clear_lp_cache()
+    dup = got["dup"]
+    assert (dup.n_docs, dup.n_dropped, dup.chars_dropped) == (3, 2, 200)
+    assert abs(dup.doc_drop_share - 2 / 3) < 1e-4
+    assert abs(dup.char_drop_share - 2 / 3) < 1e-4
+    clean = got["clean"]
+    assert clean.n_dropped == 0 and clean.char_drop_share < 1e-5

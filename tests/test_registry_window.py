@@ -23,10 +23,11 @@ R2_UNCHECKED = [
     f"q{i:02d}" for i in [159, 160, 161, 162, 163,         # born round 10
                           164, 165, 166, 167, 168, 169,    # born round 11
                           170, 171, 172, 173, 174, 175,
+                          176, 177,
                           2, 3, 10, 12, 13, 15,            # r8-stale
-                          22, 27, 29, 54, 72, 73,
+                          22, 27, 54, 72, 73,
                           74, 75, 76, 77, 78, 79,
-                          93, 98, 99,
+                          98, 99,
                           101, 102, 104, 105, 106, 107,
                           116, 128, 129, 130, 131, 132]
 ]

@@ -1140,3 +1140,49 @@ def test_decontaminate_strip_closure(spark, sf_dir):
         & (F.col("n_contaminated") > 0)
     )
     assert resid.count() == 0
+
+
+def test_erase_users_action(spark, tmp_path):
+    """q177's ACTION: erase_users must drop every event of the listed
+    users, keep every bystander row verbatim, and the purged stream's
+    per-type counts must reconcile with the q177 report."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.events import (
+        ERASE_USER_MOD,
+        erase_users,
+        q177_user_erasure,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, dtm.datetime(2024, 5, 1, i % 24, i % 60, 0), i % 97,
+             ["click", "view", "error"][i % 3], 1.0, "{}")
+        )
+    sf_dir = str(tmp_path / "corpus")
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    events.write.parquet(f"{sf_dir}/events.parquet")
+
+    dels = events.select("user_id").filter(
+        F.col("user_id") % ERASE_USER_MOD == 0
+    ).distinct()
+    purged = erase_users(events, dels)
+    assert purged.filter(F.col("user_id") % ERASE_USER_MOD == 0).count() == 0
+    kept_ids = {r.event_id for r in purged.collect()}
+    want_ids = {r.event_id for r in events.collect()
+                if r.user_id % ERASE_USER_MOD != 0}
+    assert kept_ids == want_ids
+
+    report = {r.event_type: r for r in q177_user_erasure(spark, sf_dir).collect()}
+    by_type = {r.event_type: r for r in
+               purged.groupBy("event_type").count().collect()}
+    for t, rep in report.items():
+        assert rep.rows_remaining == by_type[t]["count"]
+        assert rep.rows_before == rep.rows_removed + rep.rows_remaining
