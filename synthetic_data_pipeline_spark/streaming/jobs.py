@@ -508,6 +508,40 @@ def drift_monitor_stream(
     )
 
 
+def bm25_retrieval_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q171's ingest-time retrieval: incoming
+    documents (doc_id % BM25_QUERY_MOD == 0, q164's deterministic
+    query slice) arrive as a stream and every micro-batch retrieves
+    its top-k against the PERSISTED BM25 index
+    (textops.write_bm25_index — built once batch-side). Per-batch
+    work is the batch's own tokenize + the df-capped posting join;
+    the exactly-once foreachBatch sink lands per-query rows equal to
+    the batch q164/q171 (test_bm25_retrieval_stream_equals_batch).
+    Returns the number of micro-batches."""
+    from ..operators import textops as tx
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_bm25_index_")
+        tx.write_bm25_index(spark, sf_dir, index_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % tx.BM25_QUERY_MOD == 0
+    )
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return tx.bm25_from_index(spark, index_dir, batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

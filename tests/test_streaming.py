@@ -504,3 +504,33 @@ def test_drift_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, drift_report_from(spark, out, base).collect()))
     want = sorted(map(tuple, q166_event_drift(spark, sf_dir).collect()))
     assert got == want and len(want) > 0
+
+
+def test_bm25_retrieval_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q171 streaming twin: per-query top-k rows landed by the
+    foreachBatch sink against the persisted BM25 index must equal the
+    batch q164 exactly — the index is fixed state, each query doc's
+    result depends only on its own text, so batch boundaries can't
+    change any ranking."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q164_bm25_retrieval,
+        write_bm25_index,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        bm25_retrieval_stream,
+    )
+
+    out = str(tmp_path / "hits")
+    idx = str(tmp_path / "bm25_index")
+    write_bm25_index(spark, sf_dir, idx)
+    n = bm25_retrieval_stream(spark, sf_dir, out, index_dir=idx)
+    assert n >= 1
+    got = sorted(
+        (r.query_id, r.rk, r.doc_id, r.score)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.doc_id, r.score)
+        for r in q164_bm25_retrieval(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) > 0
