@@ -46,7 +46,7 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
 #     window family), q70 (q71/q72 keep the subquery module). All six
 #     stay hash-checked by the full-registry local gate.
-# 5 + 14 + 31 = 50 exactly.
+# 5 + 19 + 26 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -85,17 +85,28 @@ DRIVER_WINDOW = [
     # Evictions with in-window cousins: q93->q99 (redaction family),
     # q29->q116 (two-phase global-analytics infra).
     "q176_dedup_roi", "q177_user_erasure",
+    # wave 5: hybrid RRF retrieval fusion (dense q50 arm + lexical
+    # BM25 arm) and the quality-classifier training-set export (the
+    # learned-filter tier; the fit itself is classifier.train_logreg,
+    # pinned by pytest). Evictions with in-window cousins:
+    # q15->q02/q12 (TakeOrdered/top-k family), q73->q74/q75 (the
+    # subquery/semi-join family stays covered), q10->q76 (the
+    # rollup/grouping-sets family), q03->q72 (the multi-join
+    # revenue-rollup family stays covered), q77->q72/q78 (same).
+    "q178_hybrid_rrf", "q179_quality_training_set",
+    "q180_memorization_risk", "q181_doremi_mixture",
+    "q182_audio_afp_dups",
     # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
-    "q02_top_revenue_orders", "q03_regional_revenue",
-    "q10_rollup_orders", "q12_top_orders_per_customer",
+    "q02_top_revenue_orders",
+    "q12_top_orders_per_customer",
     "q13_running_total",
-    "q15_top_parts_by_price", "q22_monthly_sales",
+    "q22_monthly_sales",
     "q27_price_bucket_range_join",
     "q54_cosine_near_dups",
     "q72_top_revenue_nation",
-    "q73_large_quantity_orders", "q74_disjunctive_revenue",
+    "q74_disjunctive_revenue",
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
-    "q77_nation_pair_volume", "q78_brand_revenue_share",
+    "q78_brand_revenue_share",
     "q79_histogram_quantiles",
     "q98_validation_failures",
     "q99_redact_generated", "q101_deduped_corpus",

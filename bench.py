@@ -80,6 +80,20 @@ HEADLINE = [
     # measured already — parity is pinned by its driver oracle.
     "q170_detector_agreement",
     "q172_retrieval_decon",
+    # q178 fuses the q50 dense arm with the BM25 lexical arm (RRF) —
+    # its cost is both arms plus a corpus-independent full-outer join.
+    # q179 is the quality-classifier labeled export (one narrow scan).
+    "q178_hybrid_rrf",
+    "q179_quality_training_set",
+    # q180 memorization-risk sweep: q131's positional-gram class plus
+    # a two-level distinct; the k-sweep explodes over a bounded
+    # (source, ndocs) histogram, never over positions
+    "q180_memorization_risk",
+    # q181 DoReMi-lite: q109's ppl chain + |sources|-row reweighting
+    "q181_doremi_mixture",
+    # q182 audio fingerprint dedup: one Arrow decode+fft pass over the
+    # twin-seeded corpus, JVM-side 16-char hash group (q148's class)
+    "q182_audio_afp_dups",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

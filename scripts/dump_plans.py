@@ -87,6 +87,11 @@ SHOWCASE = [
     ("q172_retrieval_decon", "retrieval decon: bench query terms broadcast onto train postings, |sources|-key exposure agg"),
     ("q174_context_length_sweep", "context sweep: corpus collapses to its token-length histogram, sweep explodes over the histogram"),
     ("q175_dedup_threshold_sweep", "threshold sweep: one exact-Jaccard verify, thresholds exploded over the candidate-bounded pair list"),
+    ("q178_hybrid_rrf", "hybrid RRF: dense broadcast-probe arm + lexical posting-join arm, corpus-independent full-outer fusion of two ranked lists"),
+    ("q179_quality_training_set", "classifier export: ONE narrow corpus scan, both label filters pushed, no join/window; export bounded at ~2x the curated feed"),
+    ("q180_memorization_risk", "memorization sweep: positional gram explode, two-level distinct to per-gram doc counts, k-sweep over the bounded (source, ndocs) histogram"),
+    ("q181_doremi_mixture", "DoReMi-lite: broadcast bigram-LM tables, one |sources|-row agg, two 1-row broadcast scalars — reweighting is corpus-independent"),
+    ("q182_audio_afp_dups", "audio fingerprint dedup: one Arrow decode+fft pass, JVM-side 16-char hash group — q148's exact-dedup shuffle class"),
 ]
 
 

@@ -109,6 +109,9 @@ PROBE = [
     "q148_image_phash_dups",
     "q153_image_thumbnails",
     "q154_audio_features",
+    # round 11: audio fingerprint dedup — one Arrow decode+fft pass,
+    # q148's hash-group class, sized by the same sentinel
+    "q182_audio_afp_dups",
     # round 10: fresh q152 rows in the SAME artifact as its band A/B
     "q152_simhash_hamming_join",
     # round 11: BM25's bigram posting-list join is the q104 risk
@@ -132,6 +135,21 @@ PROBE = [
     # nothing corpus-scaling to the funnel it rides. q173/q174 are
     # single hash-agg scans (q40's probed class) + bounded sweeps.
     "q175_dedup_threshold_sweep",
+    # q178 hybrid RRF: both retrieval arms (q50's bounded probe scan +
+    # q164's df-capped posting join) plus a corpus-independent fusion
+    # join of two ≤ N_QUERIES·K-row ranked lists. q179 is one narrow
+    # scan with two pushed filters (the export is bounded at ~2x the
+    # curated feed, but the SCAN is corpus-linear — the row proves it)
+    "q178_hybrid_rrf",
+    "q179_quality_training_set",
+    # q180: q131's positional explode + a two-level distinct to
+    # per-gram doc counts; the sweep explodes over the bounded
+    # (source, ndocs) histogram — the rows prove the extra distinct
+    # stays in q131's scaling class
+    "q180_memorization_risk",
+    # q181: q109's probed ppl chain + two 1-row scalars; the row
+    # proves the reweighting adds nothing corpus-scaling
+    "q181_doremi_mixture",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

@@ -1338,6 +1338,162 @@ _Q131_ORACLE = f"""
 """
 
 
+# --- q180: memorization-risk sweep (round 11) — Carlini et al. 2022
+# ("Quantifying Memorization Across Neural Language Models") and Lee
+# et al. 2022 both show memorization probability scales with HOW MANY
+# documents repeat a span, not just whether it repeats: q131 answers
+# "is this position duplicated at all" (k>=2); this prices the whole
+# CURVE — for each k in MEM_RISK_KS, the share of corpus token
+# positions whose SPAN_N-gram occurs in >= k distinct documents, and
+# the share of docs carrying at least one such position. The table a
+# dedup-policy review reads next to q175's threshold sweep: how much
+# text sits above each duplication count, per source. Scale shape:
+# one positional explode (q131's class), a two-level distinct to
+# per-gram doc counts (never countDistinct on the skewed gram
+# column), the >=2 subset joins back (AQE-broadcastable — q131's
+# measured finding), and the k-sweep explodes over the BOUNDED
+# (source, ndocs) histogram, never over positions. A (source, k)
+# scaffold keeps zero rows present so the sweep is always |sources|x|k|.
+MEM_RISK_KS = (2, 3, 5, 10)
+
+
+def q180_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table as _lt
+
+    grams = _span_grams(_lt(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.md5("g").alias("g")
+    )
+    ndocs = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+    )
+    hits = grams.join(ndocs, "g").select("doc_id", "source", "ndocs")
+    ks = F.array(*[F.lit(k) for k in MEM_RISK_KS])
+    pos_hist = hits.groupBy("source", "ndocs").agg(
+        F.count("*").alias("npos")
+    )
+    at_risk = (
+        pos_hist.select(
+            "source", "ndocs", "npos", F.explode(ks).alias("k")
+        )
+        .filter(F.col("ndocs") >= F.col("k"))
+        .groupBy("source", "k")
+        .agg(F.sum("npos").alias("at_risk_positions"))
+    )
+    doc_max = hits.groupBy("doc_id", "source").agg(
+        F.max("ndocs").alias("maxc")
+    )
+    touched = (
+        doc_max.select("source", "maxc", F.explode(ks).alias("k"))
+        .filter(F.col("maxc") >= F.col("k"))
+        .groupBy("source", "k")
+        .agg(F.count("*").alias("docs_touched"))
+    )
+    src_totals = grams.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_pos")
+    ).groupBy("source").agg(
+        F.sum("n_pos").alias("tot_pos"), F.count("*").alias("tot_docs")
+    )
+    scaffold = src_totals.select(
+        "source", "tot_pos", "tot_docs", F.explode(ks).alias("k")
+    )
+    return (
+        scaffold.join(at_risk, ["source", "k"], "left")
+        .join(touched, ["source", "k"], "left")
+        .select(
+            "source",
+            "k",
+            F.coalesce("at_risk_positions", F.lit(0)).alias(
+                "at_risk_positions"
+            ),
+            eround(
+                F.coalesce("at_risk_positions", F.lit(0))
+                / F.col("tot_pos").cast("double"),
+                4,
+            ).alias("position_share"),
+            F.coalesce("docs_touched", F.lit(0)).alias("docs_touched"),
+            eround(
+                F.coalesce("docs_touched", F.lit(0))
+                / F.col("tot_docs").cast("double"),
+                4,
+            ).alias("doc_share"),
+        )
+        .orderBy("source", "k")
+    )
+
+
+_Q180_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, source,
+             md5(unnest(list_transform(
+               range(1, len(arr) - {SPAN_N - 2}),
+               i -> array_to_string(arr[i:i + {SPAN_N - 1}], ' ')
+             ))) AS g
+      FROM base WHERE len(arr) >= {SPAN_N}
+    ),
+    ndocs AS MATERIALIZED (
+      SELECT g, count(*) AS ndocs FROM (
+        SELECT DISTINCT doc_id, g FROM grams
+      ) GROUP BY g HAVING count(*) >= 2
+    ),
+    hits AS MATERIALIZED (
+      SELECT gr.doc_id, gr.source, n.ndocs
+      FROM grams gr JOIN ndocs n USING (g)
+    ),
+    ks AS (SELECT unnest({list(MEM_RISK_KS)}) AS k),
+    pos_hist AS (
+      SELECT source, ndocs, count(*) AS npos
+      FROM hits GROUP BY source, ndocs
+    ),
+    at_risk AS (
+      SELECT p.source, ks.k,
+             CAST(sum(p.npos) AS BIGINT) AS at_risk_positions
+      FROM pos_hist p JOIN ks ON p.ndocs >= ks.k
+      GROUP BY p.source, ks.k
+    ),
+    doc_max AS (
+      SELECT doc_id, source, max(ndocs) AS maxc
+      FROM hits GROUP BY doc_id, source
+    ),
+    touched AS (
+      SELECT d.source, ks.k, CAST(count(*) AS BIGINT) AS docs_touched
+      FROM doc_max d JOIN ks ON d.maxc >= ks.k
+      GROUP BY d.source, ks.k
+    ),
+    src_totals AS (
+      SELECT source, CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+             CAST(count(*) AS BIGINT) AS tot_docs
+      FROM (
+        SELECT doc_id, source, count(*) AS n_pos
+        FROM grams GROUP BY doc_id, source
+      ) GROUP BY source
+    ),
+    scaffold AS (
+      SELECT s.source, s.tot_pos, s.tot_docs, ks.k
+      FROM src_totals s CROSS JOIN ks
+    )
+    SELECT sc.source, sc.k,
+           COALESCE(a.at_risk_positions, 0) AS at_risk_positions,
+           round(COALESCE(a.at_risk_positions, 0)
+                 / CAST(sc.tot_pos AS DOUBLE), 4) AS position_share,
+           COALESCE(t.docs_touched, 0) AS docs_touched,
+           round(COALESCE(t.docs_touched, 0)
+                 / CAST(sc.tot_docs AS DOUBLE), 4) AS doc_share
+    FROM scaffold sc
+    LEFT JOIN at_risk a ON a.source = sc.source AND a.k = sc.k
+    LEFT JOIN touched t ON t.source = sc.source AND t.k = sc.k
+    ORDER BY sc.source, sc.k
+"""
+
+
 # --- q132: INCREMENTAL span contamination — q131's diagnostic at
 # ingest time (the q118 pattern): an incoming batch's 20-gram
 # positions are checked against the INDEXED corpus's distinct-gram
@@ -2110,6 +2266,7 @@ QUERIES = {
     "q125_fuzzy_prefix_dedup": q125_fuzzy_prefix_dedup,
     "q127_leakage_matrix": q127_leakage_matrix,
     "q131_duplicated_spans": q131_duplicated_spans,
+    "q180_memorization_risk": q180_memorization_risk,
     "q132_incremental_spans": q132_incremental_spans,
     "q134_longest_dup_span": q134_longest_dup_span,
     "q135_incremental_span_gate": q135_incremental_span_gate,
@@ -2272,6 +2429,7 @@ ORACLES = {
     """,
     "q125_fuzzy_prefix_dedup": _q125_oracle(),
     "q131_duplicated_spans": _Q131_ORACLE,
+    "q180_memorization_risk": _Q180_ORACLE,
     "q132_incremental_spans": _Q132_ORACLE,
     "q134_longest_dup_span": _Q134_ORACLE,
     "q135_incremental_span_gate": _Q135_ORACLE,

@@ -2737,6 +2737,367 @@ _Q172_ORACLE = f"""
 """
 
 
+# --- q178: hybrid retrieval fusion (round 11) — Reciprocal Rank
+# Fusion (Cormack, Clarke & Buettcher, SIGIR 2009): the standard way
+# production retrieval stacks combine a LEXICAL ranker (BM25, q164's
+# core) with a DENSE ranker (embedding cosine, q50's exact top-k)
+# without score calibration — rrf(d) = Σ_s 1/(K0 + rank_s(d)), rank
+# only, so the two systems' incomparable score scales never touch.
+# Anchors are the N_QUERIES demo vectors (vec_id < 10), with the
+# row-aligned corpus convention vec_id == doc_id (documents and
+# embeddings are parallel synthetic corpora, 0..n-1 at every sf —
+# asserted by test_hybrid_rrf_planted's two-table fixture). Plan
+# shape: the dense arm is q50's bounded broadcast-probe scan (at
+# 100 TB swap q55's IVF in — same (query_id, doc_id, rank) contract),
+# the lexical arm is the df-capped BM25 posting join; the fusion
+# itself is a full-outer join of two ≤ N_QUERIES·K-row ranked lists —
+# corpus-independent. rrf is eround-ed to 6dp BEFORE the fused rank
+# (doc_id tiebreak), the q151/q164 rank-key discipline.
+RRF_K0 = 60
+
+
+def q178_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import N_QUERIES, q50_knn_bruteforce
+
+    dense = q50_knn_bruteforce(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("dense_rk"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dlen, stats, dfreq = bm25_stats(docs)
+    qtf = tf.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", "cnt"
+    )
+    lex = bm25_topk(bm25_query_terms(qtf, dfreq, stats), tf, dlen).select(
+        "query_id", "doc_id", F.col("rk").alias("lex_rk")
+    )
+    rrf = eround(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K0) + F.col("dense_rk")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K0) + F.col("lex_rk")), F.lit(0.0)
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        dense.join(lex, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .select("query_id", "rk", "doc_id", "rrf", "dense_rk", "lex_rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+def _q178_oracle() -> str:
+    from .similarity import N_QUERIES, TOP_K, _COSINE_SQL
+
+    cosine_sql = _COSINE_SQL.format(nq=N_QUERIES)
+    return f"""
+    WITH dense_scored AS ({cosine_sql}),
+    dense AS (
+      SELECT query_id, doc_id, dense_rk FROM (
+        SELECT query_id, neighbor_id AS doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               ) AS INTEGER) AS dense_rk
+        FROM dense_scored
+      ) WHERE dense_rk <= {TOP_K}
+    ),
+    arrs AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> concat_ws(' ', arr[i], arr[i+1])))
+               AS token
+      FROM arrs
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM toks GROUP BY doc_id, token
+    ),
+    dlen AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+    dfreq AS MATERIALIZED (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    qt AS (
+      SELECT t.doc_id AS query_id, t.token, f.df, s.n_docs, s.avgdl,
+             row_number() OVER (
+               PARTITION BY t.doc_id ORDER BY t.cnt DESC, t.token ASC
+             ) AS qrk
+      FROM tf t JOIN dfreq f USING (token) CROSS JOIN stats s
+      WHERE t.doc_id < {N_QUERIES}
+        AND f.df >= {BM25_DF_MIN}
+        AND f.df * {BM25_DF_CAP_DIV} <= s.n_docs
+        AND f.df <= {BM25_DF_CAP_ABS}
+    ),
+    qterms AS (
+      SELECT query_id, token, df, n_docs, avgdl FROM qt
+      WHERE qrk <= {BM25_QUERY_TERMS}
+    ),
+    lex_scored AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(
+               ln(1 + (q.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (t.cnt * ({BM25_K1} + 1.0))
+               / (t.cnt + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * l.dl / q.avgdl))
+             ), 6) AS score
+      FROM qterms q
+      JOIN tf t USING (token)
+      JOIN dlen l ON l.doc_id = t.doc_id
+      WHERE t.doc_id <> q.query_id
+      GROUP BY q.query_id, t.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, lex_rk FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS INTEGER) AS lex_rk
+        FROM lex_scored
+      ) WHERE lex_rk <= {BM25_TOP_K}
+    ),
+    fused AS (
+      SELECT coalesce(d.query_id, l.query_id) AS query_id,
+             coalesce(d.doc_id, l.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({RRF_K0} + d.dense_rk), 0.0)
+                 + coalesce(1.0 / ({RRF_K0} + l.lex_rk), 0.0), 6) AS rrf,
+             d.dense_rk, l.lex_rk
+      FROM dense d FULL OUTER JOIN lex l
+        ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC
+           ) AS INTEGER) AS rk,
+           doc_id, rrf, dense_rk, lex_rk
+    FROM fused
+    ORDER BY query_id, rk
+"""
+
+
+# --- q179: quality-classifier training-set export (round 11) — the
+# labeled table a CCNet / GPT-3-style quality classifier trains on
+# (Wenzek et al. 2020; Brown et al. 2020 App. A): POSITIVES are every
+# doc of the curated reference feed (DECON_BENCH_SOURCE — the same
+# held-out suite q105/q160/q172 treat as the trusted side), NEGATIVES
+# a deterministic counter-mode-md5 sample of the remaining corpus at
+# 1/QCLF_NEG_ODDS (the curated feed is 1 source in 20, so 1/19 of the
+# rest ≈ class balance — and the export stays bounded at ~2x the
+# curated feed's size at ANY corpus scale; the hash sample is the q96
+# engine-portable u16 trick, never rand()). Features are the cheap
+# expression-only signals the quality tier already computes (q42's
+# family): token count, type-token ratio, mean token length, an
+# is-English indicator. The actual FIT is functions/classifier.py's
+# train_logreg — one distributed aggregate per gradient step over this
+# bounded export (the q56 iterate-by-agg pattern, supervised), with
+# scoring a pure narrow projection over the full corpus. Plan: one
+# corpus scan, two pushed filters, no join, no window.
+# --- q181: DoReMi-lite mixture reweighting (round 11) — Xie et al.
+# 2023 ("DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+# Pretraining") reweights domains by EXCESS LOSS under exponentiated
+# gradient ascent. This is the one-shot "lite" step a pipeline runs
+# from signals it already has: loss proxy = per-source mean per-token
+# NLL under the corpus-fit bigram LM (q109/q149's model — ln(ppl) is
+# exactly the per-doc mean NLL), reference = the token-weighted corpus
+# mean (DoReMi proper trains a reference model; stated honestly),
+# excess clipped at 0 (only HARD domains get upweighted), weight ∝
+# token_share · exp(η · excess), normalized. Output is the mixture
+# decision table next to q173's temperature sweep: per source, token
+# share, loss, excess, reweighted weight, boost over proportional.
+# Plan shape: q109's ppl chain (broadcast model tables), one
+# |sources|-row agg, two 1-row broadcast scalars — nothing new
+# corpus-scaling. Boundary discipline: the greatest(·,0) cut and all
+# ratios land on eround-ed 4dp values; a cross-engine summation ulp
+# inside exp() is ~1e-16 of the weight, far under the 4dp grid.
+DOREMI_ETA = 1.0
+
+
+def q181_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = doc_perplexity(docs)
+    ntok = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tok")
+    )
+    src = (
+        per_doc.join(ntok, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.avg(F.log("ppl")).alias("_loss"),
+        )
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("_tot_tok"),
+        (
+            F.sum(F.col("_loss") * F.col("n_tokens")) / F.sum("n_tokens")
+        ).alias("_ref_loss"),
+    )
+    share = F.col("n_tokens") / F.col("_tot_tok").cast("double")
+    excess = F.greatest(F.col("_loss") - F.col("_ref_loss"), F.lit(0.0))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        share.alias("_share"),
+        F.col("_loss").alias("_l"),
+        excess.alias("_excess"),
+        (share * F.exp(F.lit(DOREMI_ETA) * excess)).alias("_uw"),
+    )
+    z = w.agg(F.sum("_uw").alias("_z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            eround("_share", 4).alias("token_share"),
+            eround("_l", 4).alias("loss"),
+            eround("_excess", 4).alias("excess"),
+            eround(F.col("_uw") / F.col("_z"), 4).alias("weight"),
+            eround(
+                (F.col("_uw") / F.col("_z")) / F.col("_share"), 4
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+QCLF_NEG_ODDS = 19
+QCLF_FEATURES = ["n_tokens", "distinct_ratio", "avg_token_len", "is_en"]
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc classifier features (QCLF_FEATURES) + the sampling u16 —
+    the SAME projection serves training-set export (q179) and the
+    corpus-sized scoring path (classifier.score_expr over this frame):
+    one narrow expression-only select, no shuffle."""
+    from ..functions.xsql import expand_u16, hash_u16
+
+    u16 = F.expr(
+        expand_u16(hash_u16("CAST(doc_id AS STRING)", "qclf"), "spark")
+    )
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    nospace = F.length(
+        F.replace(F.lower(F.trim(F.col("text"))), F.lit(" "), F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        eround(
+            F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6
+        ).alias("distinct_ratio"),
+        eround(nospace.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        u16.alias("_u"),
+    )
+
+
+def q179_quality_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = quality_features(load_table(spark, sf_dir, "documents"))
+    pos = feats.filter(F.col("source") == DECON_BENCH_SOURCE).withColumn(
+        "label", F.lit(1)
+    )
+    neg = feats.filter(
+        (F.col("source") != DECON_BENCH_SOURCE)
+        & (F.col("_u") * QCLF_NEG_ODDS < 65536)
+    ).withColumn("label", F.lit(0))
+    return (
+        pos.unionByName(neg)
+        .select(
+            "doc_id",
+            "label",
+            "n_tokens",
+            "distinct_ratio",
+            "avg_token_len",
+            "is_en",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q179_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    u16 = expand_u16(hash_u16("CAST(doc_id AS STRING)", "qclf"), "duckdb")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr,
+             length(replace(lower(trim(text)), ' ', '')) AS nsl
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr), 6)
+               AS distinct_ratio,
+             round(CAST(nsl AS DOUBLE) / len(arr), 6) AS avg_token_len,
+             CAST(lang = 'en' AS INTEGER) AS is_en,
+             {u16} AS u
+      FROM t
+    )
+    SELECT doc_id, CAST(1 AS INTEGER) AS label,
+           n_tokens, distinct_ratio, avg_token_len, is_en
+    FROM f WHERE source = '{DECON_BENCH_SOURCE}'
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER) AS label,
+           n_tokens, distinct_ratio, avg_token_len, is_en
+    FROM f WHERE source <> '{DECON_BENCH_SOURCE}'
+      AND u * {QCLF_NEG_ODDS} < 65536
+    ORDER BY doc_id
+"""
+
+
+def _q181_oracle() -> str:
+    return f"""
+    WITH {_PPL_PER_DOC_SQL},
+    ntok AS (SELECT doc_id, len(arr) AS n_tok FROM base),
+    src AS (
+      SELECT p.source, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+             avg(ln(p.ppl)) AS loss
+      FROM per_doc p JOIN ntok t USING (doc_id)
+      GROUP BY p.source
+    ),
+    tot AS (
+      SELECT sum(n_tokens) AS tot_tok,
+             sum(loss * n_tokens) / sum(n_tokens) AS ref_loss
+      FROM src
+    ),
+    w AS (
+      SELECT s.source, s.n_tokens,
+             s.n_tokens / CAST(t.tot_tok AS DOUBLE) AS share,
+             s.loss,
+             greatest(s.loss - t.ref_loss, 0.0) AS excess,
+             (s.n_tokens / CAST(t.tot_tok AS DOUBLE))
+               * exp({DOREMI_ETA} * greatest(s.loss - t.ref_loss, 0.0))
+               AS uw
+      FROM src s CROSS JOIN tot t
+    ),
+    z AS (SELECT sum(uw) AS z FROM w)
+    SELECT source, n_tokens,
+           round(share, 4) AS token_share,
+           round(loss, 4) AS loss,
+           round(excess, 4) AS excess,
+           round(uw / z.z, 4) AS weight,
+           round((uw / z.z) / share, 4) AS boost
+    FROM w CROSS JOIN z
+    ORDER BY source
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q169_dataset_card": q169_dataset_card,
@@ -2771,6 +3132,9 @@ QUERIES = {
     "q164_bm25_retrieval": q164_bm25_retrieval,
     "q171_bm25_ingest": q171_bm25_ingest,
     "q172_retrieval_decon": q172_retrieval_decon,
+    "q178_hybrid_rrf": q178_hybrid_rrf,
+    "q179_quality_training_set": q179_quality_training_set,
+    "q181_doremi_mixture": q181_doremi_mixture,
 }
 
 
@@ -2827,6 +3191,9 @@ ORACLES = {
     "q164_bm25_retrieval": _Q164_ORACLE,
     "q171_bm25_ingest": _Q164_ORACLE,
     "q172_retrieval_decon": _Q172_ORACLE,
+    "q178_hybrid_rrf": _q178_oracle(),
+    "q179_quality_training_set": _q179_oracle(),
+    "q181_doremi_mixture": _q181_oracle(),
     "q169_dataset_card": _Q169_ORACLE,
     "q121_source_divergence": _Q121_ORACLE,
     "q126_dsir_weights": _q126_oracle(),

@@ -137,6 +137,58 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
+def encode_aiff(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """AIFF (FORM/AIFF), 8-bit SIGNED mono PCM — the second real audio
+    container (the PGM↔BMP analogue for the audio tier): the SAME
+    samples as :func:`encode_wav` carries land as signed big-endian
+    bytes under a completely different header, so byte-level hashes
+    diverge while the decoded signal is bit-identical."""
+    data = (samples.astype(np.uint8).astype(np.int16) - 128).astype(
+        np.int8
+    ).tobytes()
+    n = len(data)
+    # 80-bit IEEE-754 extended sample rate (AIFF's one exotic field):
+    # rate = mantissa/2^63 * 2^(exp-16383); 8000 = 1.953125 * 2^12.
+    if rate != 8000:
+        raise NotImplementedError("only the 8 kHz synthetic rate")
+    ext_rate = struct.pack(">HQ", 0x400C, 0xFA00000000000000)
+    comm = struct.pack(">hIh", 1, n, 8) + ext_rate
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + struct.pack(">4sI", b"COMM", len(comm)) + comm
+        + struct.pack(">4sI", b"SSND", len(ssnd)) + ssnd
+    )
+    return struct.pack(">4sI", b"FORM", len(body)) + body
+
+
+def decode_aiff(buf: bytes) -> np.ndarray:
+    """Parse FORM/AIFF chunks; supports 8-bit signed mono PCM. Returns
+    unsigned-centered samples (== decode_wav of the same signal)."""
+    if buf[:4] != b"FORM" or buf[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos, bits = 12, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from(">4sI", buf, pos)
+        body = pos + 8
+        if cid == b"COMM":
+            channels, _nframes, bits = struct.unpack_from(">hIh", buf, body)
+            if channels != 1 or bits != 8:
+                raise NotImplementedError(
+                    f"only 8-bit mono PCM (ch={channels}, bits={bits})"
+                )
+        elif cid == b"SSND":
+            if bits is None:
+                raise ValueError("AIFF SSND chunk before COMM chunk")
+            off = struct.unpack_from(">I", buf, body)[0]
+            raw = np.frombuffer(
+                buf[body + 8 + off : body + size], dtype=np.int8
+            )
+            return (raw.astype(np.int16) + 128).astype(np.uint8)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("AIFF has no SSND chunk")
+
+
 def decode_wav(buf: bytes) -> np.ndarray:
     """Parse RIFF/WAVE chunks; supports 8-bit unsigned mono PCM."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -243,6 +295,8 @@ def decode_audio(buf: bytes) -> np.ndarray:
         except NotImplementedError:
             # e.g. 16-bit or multi-channel PCM — beyond the native arm
             return _decode_compressed_audio(buf)
+    if buf[:4] == b"FORM" and buf[8:12] == b"AIFF":
+        return decode_aiff(buf)
     if (
         buf[:4] in (b"fLaC", b"OggS")
         or buf[:3] == b"ID3"
@@ -499,7 +553,7 @@ def media_n_for(sf_dir: str) -> int:
 MEDIA_GOLDEN_QUERIES = frozenset({
     "q100_media_features", "q133_video_frame_features",
     "q148_image_phash_dups", "q153_image_thumbnails",
-    "q154_audio_features",
+    "q154_audio_features", "q182_audio_afp_dups",
 })
 
 
@@ -905,12 +959,132 @@ def _audio_features_sql() -> str:
     """
 
 
+# --- q182: audio fingerprint dedup (round 11) — the audio analogue
+# of q148's perceptual image dedup, after Haitsma & Kalker 2002 ("A
+# Highly Robust Audio Fingerprinting System"), reduced to the
+# container-native case: the signal is framed into AFP_T+1 fixed
+# windows, each frame's spectrum (numpy rfft) is pooled into AFP_F+1
+# log-free energy bands, and each of the AFP_T x AFP_F bits is the
+# sign of the time-difference of the frequency-difference of band
+# energy — the HK bit derivation exactly. Byte-level hashes (q43)
+# miss a re-containered recording entirely; this hash depends only on
+# the decoded samples, so a WAV and an AIFF of the SAME signal (the
+# twin corpus _afp_corpus seeds) collide exactly while distinct
+# signals land 64 independent sign bits apart. One Arrow decode+fft
+# pass, then a JVM-side hash group — q148's plan shape; at 100 TB the
+# fingerprint column is 16 chars/row and the group-by is the cheap
+# exact-dedup shuffle class (q45).
+AFP_T, AFP_F = 8, 8
+_AFP_TWIN_OFFSET = 2000
+
+
+def afp64(samples: np.ndarray) -> str:
+    """64-bit spectral fingerprint of a 1-D uint8 signal, 16 hex chars."""
+    x = samples.astype(np.float64) - 128.0
+    nf = AFP_T + 1
+    flen = x.size // nf
+    if flen < 2:
+        raise ValueError("signal too short to fingerprint")
+    frames = x[: nf * flen].reshape(nf, flen)
+    mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nbins = mag2.shape[1]
+    edges = (np.arange(AFP_F + 2) * nbins) // (AFP_F + 2)
+    bands = np.add.reduceat(mag2, edges[:-1], axis=1)  # (nf, AFP_F+1)
+    df = bands[:, :-1] - bands[:, 1:]                  # freq difference
+    bits = (df[1:, :] - df[:-1, :] > 0).reshape(-1)    # time difference
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+def _afp_corpus(spark: SparkSession, n: int = _Q100_N) -> DataFrame:
+    """Audio rows of the synthetic corpus plus container-swapped twins
+    (the SAME samples re-encoded as AIFF, media_id + offset)."""
+    rows = []
+    for i in range(n):
+        kind, arr, payload, meta = _media_row(i)
+        if kind != "audio":
+            continue
+        rows.append((i, kind, payload, meta))
+        rows.append((i + _AFP_TWIN_OFFSET, kind, encode_aiff(arr), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def audio_afp(media: DataFrame) -> DataFrame:
+    """(media_id, afp) for every audio row via mapInPandas — the
+    Arrow-batched decode+fft pass of an audio dedup pipeline."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                (mid, afp64(decode_media(kind, payload)))
+                for mid, kind, payload in zip(
+                    pdf["media_id"].to_numpy(),
+                    pdf["kind"].to_numpy(),
+                    pdf["payload"].to_numpy(),
+                )
+                if kind == "audio"
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return media.mapInPandas(_batches, "media_id long, afp string")
+
+
+def q182_audio_afp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dup groups of the twin-seeded audio corpus:
+    fingerprint in one Arrow pass, then a JVM-side (afp) group — every
+    group must be a (WAV original, AIFF twin) pair. The oracle
+    re-derives each fingerprint with driver-side numpy (no Spark/Arrow
+    in the loop) and groups in SQL, so a green row proves BOTH decode
+    round-trips, the fft/band/bit math, AND the grouping. (``sf_dir``
+    sizes the corpus via ``media_n_for`` — scaled probe dirs carry a
+    ``_MEDIA_N`` sentinel; the golden VALUES oracle stays pinned at
+    the default 60, so hash-compares are only valid on sentinel-free
+    dirs — the local gate enforces this loudly via
+    ``MEDIA_GOLDEN_QUERIES``.)"""
+    hashed = audio_afp(_afp_corpus(spark, media_n_for(sf_dir)))
+    return (
+        hashed.groupBy("afp")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("media_id").alias("id_a"),
+            F.max("media_id").alias("id_b"),
+        )
+        .filter(F.col("n_items") >= 2)
+        .orderBy("afp")
+    )
+
+
+def _audio_afp_dups_sql() -> str:
+    rows = []
+    for i in range(_Q100_N):
+        kind, arr, _payload, _meta = _media_row(i)
+        if kind != "audio":
+            continue
+        fp = afp64(arr)
+        rows.append(f"({i}, '{fp}')")
+        rows.append(f"({i + _AFP_TWIN_OFFSET}, '{fp}')")
+    values = ",\n      ".join(rows)
+    return f"""
+      SELECT afp, count(*) AS n_items,
+             CAST(min(media_id) AS BIGINT) AS id_a,
+             CAST(max(media_id) AS BIGINT) AS id_b
+      FROM (VALUES
+      {values}
+      ) AS t(media_id, afp)
+      GROUP BY afp HAVING count(*) >= 2
+      ORDER BY afp
+    """
+
+
 QUERIES = {
     "q100_media_features": q100_media_features,
     "q133_video_frame_features": q133_video_frame_features,
     "q148_image_phash_dups": q148_image_phash_dups,
     "q153_image_thumbnails": q153_image_thumbnails,
     "q154_audio_features": q154_audio_features,
+    "q182_audio_afp_dups": q182_audio_afp_dups,
 }
 ORACLES = {
     "q100_media_features": _media_features_sql(),
@@ -918,4 +1092,5 @@ ORACLES = {
     "q148_image_phash_dups": _image_phash_dups_sql(),
     "q153_image_thumbnails": _image_thumbnails_sql(),
     "q154_audio_features": _audio_features_sql(),
+    "q182_audio_afp_dups": _audio_afp_dups_sql(),
 }

@@ -15,6 +15,7 @@ to keep per-key state finite.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -537,6 +538,43 @@ def bm25_retrieval_stream(
     def apply(batch_df: DataFrame) -> DataFrame:
         return tx.bm25_from_index(spark, index_dir, batch_df)
 
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
+def quality_score_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    model_path: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of the q179 classifier's SERVE path: the model
+    is persisted fixed state (classifier.write_quality_model — fit
+    batch-side on the bounded labeled export, k+1 doubles of JSON),
+    and every micro-batch of incoming documents is scored by the pure
+    expression projection (quality_features → score_expr) — per-batch
+    work is a narrow no-shuffle select, the cheapest per-batch shape
+    in the repo. Exactly-once foreachBatch sink; stream == batch
+    pinned by test_quality_score_stream_equals_batch. Returns the
+    number of micro-batches."""
+    from ..functions import classifier as clf
+    from ..operators.textops import quality_features
+
+    if model_path is None:
+        model_path = os.path.join(
+            tempfile.mkdtemp(prefix="sdps_qclf_"), "model.json"
+        )
+        clf.write_quality_model(spark, sf_dir, model_path)
+    model = clf.load_model(model_path)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return clf.predict_labels(quality_features(batch_df), model).select(
+            "doc_id", "quality_prob", "predicted"
+        )
+
+    incoming = stream_documents(spark, sf_dir)
     return run_foreach_batch_parquet(
         incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
     )

@@ -1006,3 +1006,48 @@ def test_dedup_roi_planted(spark, tmp_path):
     assert abs(dup.char_drop_share - 2 / 3) < 1e-4
     clean = got["clean"]
     assert clean.n_dropped == 0 and clean.char_drop_share < 1e-5
+
+
+def test_memorization_risk_planted(spark, tmp_path):
+    """q180 on a planted corpus: one exact 20-token block appears in
+    FIVE docs of src dup (one gram position each, fillers unique), so
+    the at-risk mass is identical at k=2/3/5 (ndocs=5 clears all
+    three) and exactly zero at k=10; an all-unique source reports
+    zeros at every k with its scaffold rows still present."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        MEM_RISK_KS,
+        q180_memorization_risk,
+    )
+
+    block = " ".join(f"mem{i}" for i in range(20))
+    rows = [
+        (i, f"{block} " + " ".join(f"f{i}x{j}" for j in range(10)), "en",
+         "dup", 0)
+        for i in range(5)
+    ]
+    rows += [
+        (10 + i, " ".join(f"u{i}y{j}" for j in range(30)), "en",
+         "clean", 0)
+        for i in range(3)
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {(r.source, r.k): r
+           for r in q180_memorization_risk(spark, sf_dir).collect()}
+    assert len(got) == 2 * len(MEM_RISK_KS)
+    # dup docs: 30 tokens → 11 positions each, 5 docs → tot_pos 55;
+    # exactly ONE position per doc carries the shared block.
+    for k in (2, 3, 5):
+        r = got[("dup", k)]
+        assert r.at_risk_positions == 5, (k, r)
+        assert abs(r.position_share - 5 / 55) < 1e-4
+        assert r.docs_touched == 5 and abs(r.doc_share - 1.0) < 1e-9
+    r10 = got[("dup", 10)]
+    assert r10.at_risk_positions == 0 and r10.docs_touched == 0
+    for k in MEM_RISK_KS:
+        r = got[("clean", k)]
+        assert r.at_risk_positions == 0 and r.docs_touched == 0
+        assert r.position_share == 0.0 and r.doc_share == 0.0

@@ -367,3 +367,60 @@ def test_audio_features_planted(spark):
     # ramp signs: -,0->-,+,0->+,- : crossings at (1..2) and (3..4) = 2/4
     assert abs(got[2].zcr - 0.5) < 1e-9
     assert got[2].n_samples == 5
+
+
+def test_aiff_roundtrip_exact():
+    """encode_aiff → decode_aiff reproduces the uint8 samples exactly,
+    and decode_media dispatches on the FORM/AIFF magic."""
+    import numpy as np
+
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        decode_aiff,
+        decode_media,
+        encode_aiff,
+    )
+
+    s = np.arange(256, dtype=np.uint8).repeat(2)  # full value range
+    buf = encode_aiff(s)
+    assert buf[:4] == b"FORM" and buf[8:12] == b"AIFF"
+    assert (decode_aiff(buf) == s).all()
+    assert (decode_media("audio", buf) == s).all()
+
+
+def test_afp64_container_invariant_and_discriminative():
+    """The fingerprint depends only on the decoded signal: a WAV and
+    an AIFF of the same samples collide exactly, while the corpus's
+    distinct random signals all land on distinct fingerprints."""
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        _media_row,
+        afp64,
+        decode_media,
+        encode_aiff,
+        encode_wav,
+    )
+
+    fps = {}
+    for i in range(60):
+        kind, arr, _payload, _meta = _media_row(i)
+        if kind != "audio":
+            continue
+        w = afp64(decode_media("audio", encode_wav(arr)))
+        a = afp64(decode_media("audio", encode_aiff(arr)))
+        assert w == a == afp64(arr)
+        fps[i] = w
+    assert len(set(fps.values())) == len(fps), "fingerprint collision"
+
+
+def test_audio_afp_groups_only_twins(spark):
+    """q182's dup groups must be exactly the (original, +offset twin)
+    pairs — no cross-signal collisions, nothing unpaired."""
+    from synthetic_data_pipeline_spark.sources.multimodal import (
+        _AFP_TWIN_OFFSET,
+        q182_audio_afp_dups,
+    )
+
+    got = q182_audio_afp_dups(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 20  # 60-item corpus → 20 audio signals
+    for r in got:
+        assert r.n_items == 2
+        assert r.id_b == r.id_a + _AFP_TWIN_OFFSET

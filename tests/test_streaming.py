@@ -534,3 +534,43 @@ def test_bm25_retrieval_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in q164_bm25_retrieval(spark, sf_dir).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_quality_score_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The classifier serve-path streaming twin: per-doc
+    (quality_prob, predicted) landed by the foreachBatch sink must
+    equal batch scoring with the SAME persisted model exactly — the
+    model is fixed JSON state and scoring is a pure per-row
+    projection, so batch boundaries cannot move any probability."""
+    from synthetic_data_pipeline_spark.functions.classifier import (
+        load_model,
+        predict_labels,
+        write_quality_model,
+    )
+    from synthetic_data_pipeline_spark.operators.textops import (
+        quality_features,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        quality_score_stream,
+    )
+
+    out = str(tmp_path / "scored")
+    mp = str(tmp_path / "model.json")
+    write_quality_model(spark, sf_dir, mp)
+    n = quality_score_stream(spark, sf_dir, out, model_path=mp)
+    assert n >= 1
+    got = sorted(
+        (r.doc_id, r.quality_prob, r.predicted)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    model = load_model(mp)
+    want = sorted(
+        (r.doc_id, r.quality_prob, r.predicted)
+        for r in predict_labels(
+            quality_features(load_table(spark, sf_dir, "documents")), model
+        )
+        .select("doc_id", "quality_prob", "predicted")
+        .collect()
+    )
+    assert got == want and len(want) > 0

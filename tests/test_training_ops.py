@@ -1186,3 +1186,196 @@ def test_erase_users_action(spark, tmp_path):
     for t, rep in report.items():
         assert rep.rows_remaining == by_type[t]["count"]
         assert rep.rows_before == rep.rows_removed + rep.rows_remaining
+
+
+def test_hybrid_rrf_planted(spark, tmp_path):
+    """q178 semantics on a planted TWO-TABLE corpus (documents +
+    row-aligned embeddings, the vec_id == doc_id convention): doc 1 is
+    query 0's lexical twin (carries the one eligible bigram twice →
+    lex rank 1, dense rank 2 by id-tiebreak among cosine-0 vectors),
+    doc 3 is its dense twin (same basis vector → cosine 1 → dense
+    rank 1, not on the lexical list). RRF's selling point must hold:
+    a doc on BOTH lists at modest ranks (doc 1: 1/62 + 1/61) outranks
+    the single-list top hit (doc 3: 1/61) — and every rrf value must
+    recompute exactly from the member ranks."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        RRF_K0,
+        q178_hybrid_rrf,
+    )
+
+    rows = [
+        (0, "alpha beta x0a x0b x0c", "en", "s", 0),
+        (1, "alpha beta q1 alpha beta", "en", "s", 0),
+        (2, "alpha beta r1 r2 r3", "en", "s", 0),
+    ]
+    rows += [
+        (3 + i, f"f{i}a f{i}b f{i}c f{i}d f{i}e", "en", "s", 0)
+        for i in range(57)
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def basis(dim, scale=1.0):
+        v = [0.0] * 64
+        v[dim] = scale
+        return v
+
+    # vec 3 shares vec 0's basis (cosine 1); every other vector sits on
+    # its own axis (cosine 0 to the query, ranked by id among ties).
+    emb = [(0, basis(0), 0), (3, basis(0, 2.0), 0)]
+    emb += [(i, basis(i % 60 + 1), 0) for i in range(60) if i not in (0, 3)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = [r for r in q178_hybrid_rrf(spark, sf_dir).collect()
+           if r.query_id == 0]
+    assert got, "query 0 produced no fused rows"
+    by_doc = {r.doc_id: r for r in got}
+    # membership: dense twin rank 1 on the dense list only; lexical
+    # twin on both lists.
+    assert by_doc[3].dense_rk == 1 and by_doc[3].lex_rk is None
+    assert by_doc[1].lex_rk == 1 and by_doc[1].dense_rk == 2
+    assert by_doc[2].lex_rk == 2 and by_doc[2].dense_rk == 3
+    # the both-list doc must beat the dense-only top hit.
+    assert by_doc[1].rk < by_doc[3].rk
+    assert got[0].doc_id == 1 and got[0].rk == 1
+    # every rrf recomputes from its member ranks (6dp, the eround nudge
+    # is below the assertion tolerance).
+    for r in got:
+        want = (1.0 / (RRF_K0 + r.dense_rk) if r.dense_rk else 0.0) + (
+            1.0 / (RRF_K0 + r.lex_rk) if r.lex_rk else 0.0
+        )
+        assert abs(r.rrf - want) < 2e-6, (r.doc_id, r.rrf, want)
+    # rk is the dense rank over (-rrf, doc_id): contiguous from 1.
+    assert [r.rk for r in got] == list(range(1, len(got) + 1))
+
+
+def test_quality_lr_planted_separable(spark):
+    """train_logreg on a deterministic linearly-separable table: the
+    per-iteration log-loss must be strictly decreasing (full-batch GD
+    on a convex loss with standardized features and this lr), and the
+    fitted model must classify its own training set perfectly."""
+    from synthetic_data_pipeline_spark.functions.classifier import (
+        predict_labels,
+        train_logreg,
+    )
+
+    rows = []
+    for i in range(200):
+        y = i % 2
+        rows.append(
+            (i, y, 2.0 * y + 0.1 * (i % 7), -1.0 * y + 0.05 * (i % 5), 3.5)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, f1 double, f2 double, f3 double"
+    )
+    # held-out rigor: fit on doc_id % 4 != 0, evaluate on the rest —
+    # the planted signal is linear, so the model must generalize.
+    train = df.filter("doc_id % 4 != 0")
+    test = df.filter("doc_id % 4 = 0")
+    model = train_logreg(train, ["f1", "f2", "f3"], iters=30, lr=1.0)
+    hist = model["history"]
+    assert len(hist) == 30
+    assert all(a > b for a, b in zip(hist, hist[1:])), hist
+    for frame in (train, test):
+        scored = predict_labels(frame, model).collect()
+        acc = sum(1 for r in scored if r.predicted == r.label) / len(scored)
+        assert acc == 1.0
+    # the constant feature must be inert (std floor, not a blow-up)
+    assert abs(model["z_weights"]["f3"]) < 1e-9
+
+
+def test_quality_lr_matches_reference(spark):
+    """Cross-implementation parity: the distributed aggregate-per-step
+    trainer and the pure-Python twin run the SAME updates — z-space
+    weights, bias, and the full loss history must agree to float
+    tolerance (summation order is the only difference)."""
+    from synthetic_data_pipeline_spark.functions.classifier import (
+        reference_logreg,
+        train_logreg,
+    )
+
+    xs = [
+        [1.0 * (i % 3), 0.5 * (i % 4) - 1.0, float(i % 2 == 0)]
+        for i in range(60)
+    ]
+    ys = [1 if (i % 3 == 0 or i % 4 == 1) else 0 for i in range(60)]
+    rows = [(i, ys[i], *xs[i]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, f1 double, f2 double, f3 double"
+    )
+    model = train_logreg(df, ["f1", "f2", "f3"], iters=12, lr=0.7)
+    rb, rw, rhist = reference_logreg(xs, ys, iters=12, lr=0.7)
+    assert abs(model["z_bias"] - rb) < 1e-9
+    for j, c in enumerate(["f1", "f2", "f3"]):
+        assert abs(model["z_weights"][c] - rw[j]) < 1e-9
+    for a, b in zip(model["history"], rhist):
+        assert abs(a - b) < 1e-9
+
+
+def test_quality_classifier_e2e(spark, sf_dir):
+    """End-to-end on the driver corpus: fit on q179's bounded export,
+    then score the FULL corpus through the shared quality_features
+    projection — probabilities must be valid and the fold-in of
+    standardization into raw-feature weights must reproduce the
+    z-space margin exactly on every training row."""
+    from synthetic_data_pipeline_spark.functions.classifier import (
+        predict_labels,
+        train_logreg,
+    )
+    from synthetic_data_pipeline_spark.operators.textops import (
+        QCLF_FEATURES,
+        q179_quality_training_set,
+        quality_features,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    train = q179_quality_training_set(spark, sf_dir)
+    n_pos = train.filter("label = 1").count()
+    n_neg = train.filter("label = 0").count()
+    assert n_pos > 0 and n_neg > 0
+    model = train_logreg(train, QCLF_FEATURES, iters=15, lr=0.5)
+    assert model["history"][-1] < model["history"][0]
+
+    corpus = quality_features(load_table(spark, sf_dir, "documents"))
+    scored = predict_labels(corpus, model)
+    probs = [r.quality_prob for r in scored.collect()]
+    assert len(probs) == corpus.count()
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_doremi_mixture_planted(spark, tmp_path):
+    """q181 semantics on a planted two-source corpus: src easy is the
+    same predictable sentence repeated (bigram model fits it → low
+    NLL), src hard is all-unique tokens (every bigram seen once,
+    smoothing dominates → high NLL). The hard domain must carry the
+    excess and a boost > 1, the easy domain excess 0 and boost < 1,
+    and the reweighted mixture must still be a distribution."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q181_doremi_mixture,
+    )
+
+    easy = " ".join(["alpha beta gamma delta"] * 8)
+    rows = [(i, easy, "en", "easy", 0) for i in range(6)]
+    rows += [
+        (10 + i, " ".join(f"h{i}w{j}" for j in range(32)), "en", "hard", 0)
+        for i in range(6)
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.source: r for r in q181_doremi_mixture(spark, sf_dir).collect()}
+    assert set(got) == {"easy", "hard"}
+    e, h = got["easy"], got["hard"]
+    assert e.n_tokens == 6 * 32 and h.n_tokens == 6 * 32
+    assert abs(e.token_share - 0.5) < 1e-4 and abs(h.token_share - 0.5) < 1e-4
+    assert h.loss > e.loss
+    assert e.excess == 0.0 and h.excess > 0.0
+    assert h.boost > 1.0 > e.boost
+    assert abs(e.weight + h.weight - 1.0) < 2e-4
+    assert h.weight > e.weight
