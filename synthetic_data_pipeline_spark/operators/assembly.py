@@ -1027,6 +1027,37 @@ def _q122_oracle() -> str:
 # persisted-band-index pattern lifted to the whole pipeline — the
 # 100 TB ingestion story: no global recompute per batch, exactly-once
 # landing via the foreachBatch sink (streaming/jobs.py).
+def write_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """The pipeline's LAST-MILE action: materialize q115's packed
+    shards as a HIVE-PARTITIONED dataset (``{out_dir}/shards`` — one
+    directory per shard_id, so a trainer's loader reads shard k with
+    directory pruning, never listing the rest) plus
+    ``{out_dir}/_manifest`` (q115's per-shard accounting INCLUDING the
+    pack_md5 content checksum), so any downstream job can verify every
+    shard byte-for-byte without re-reading text. Scale shape: the
+    per-shard collect_list is bounded at ~SHARD_TOKENS tokens by
+    construction (q115's argument); the two writes recompute one
+    lineage rather than checkpointing a corpus-sized frame (the
+    q131/dsir finding). test_write_training_shards pins manifest ==
+    q115, on-disk md5 == manifest, and the pruned single-shard read."""
+    a = shard_assignment(spark, sf_dir, with_text=True)
+    packed = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    seq = F.concat_ws(" <eos> ", F.transform(packed, lambda s: s["text"]))
+    shards = a.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        seq.alias("seq"),
+    ).withColumn("pack_md5", F.md5(F.col("seq").cast("binary")))
+    shards.select("shard_id", "seq").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(f"{out_dir}/shards")
+    shards.select(
+        "shard_id", "n_docs", "shard_tokens", "pack_md5"
+    ).write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+
+
 def write_funnel_state(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Persist the capstone funnel's decision tables as parquet:
     ``{path}/keepers`` (h → canonical doc_id), ``{path}/near_drops``

@@ -814,14 +814,22 @@ def ivf_centroid_cos(emb: DataFrame) -> DataFrame:
     )
 
 
-def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_knn(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF top-k with a caller-chosen probe count — q55's body. At
+    n_probe = |labels| every list is scanned, so the result provably
+    equals the brute-force ranking (q50 minus the label column) —
+    the equivalence test_hybrid_rrf_ivf_full_probe_equals_exact pins,
+    which is what makes 'swap the IVF arm in at 100 TB' (q178) a
+    contract rather than a hope."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
     qc = ivf_centroid_cos(emb)
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("label"))
     probes = qc.withColumn("pr", F.row_number().over(wp)).filter(
-        F.col("pr") <= N_PROBE
+        F.col("pr") <= n_probe
     ).select("query_id", "label")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -845,6 +853,10 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_knn(spark, sf_dir, N_PROBE)
 
 
 # --- q168: IVF probe-count sweep (round 11) — the nprobe SERVING

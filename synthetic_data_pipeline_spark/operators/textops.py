@@ -2756,14 +2756,15 @@ _Q172_ORACLE = f"""
 RRF_K0 = 60
 
 
-def q178_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import N_QUERIES, q50_knn_bruteforce
+def hybrid_rrf_core(
+    spark: SparkSession, sf_dir: str, dense: DataFrame
+) -> DataFrame:
+    """RRF fusion over any dense arm honoring the (query_id, doc_id,
+    dense_rk) contract — q178 passes q50's exact ranking,
+    hybrid_rrf_ivf passes ivf_knn's (the 100 TB swap; at full probe
+    count the two are pinned equal by test)."""
+    from .similarity import N_QUERIES
 
-    dense = q50_knn_bruteforce(spark, sf_dir).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rk").alias("dense_rk"),
-    )
     docs = load_table(spark, sf_dir, "documents")
     tf, dlen, stats, dfreq = bm25_stats(docs)
     qtf = tf.filter(F.col("doc_id") < N_QUERIES).select(
@@ -2791,6 +2792,36 @@ def q178_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rk", "doc_id", "rrf", "dense_rk", "lex_rk")
         .orderBy("query_id", "rk")
     )
+
+
+def q178_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q50_knn_bruteforce
+
+    dense = q50_knn_bruteforce(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("dense_rk"),
+    )
+    return hybrid_rrf_core(spark, sf_dir, dense)
+
+
+def hybrid_rrf_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int | None = None
+) -> DataFrame:
+    """q178 with the IVF dense arm — the stated 100 TB shape. At
+    n_probe = |labels| (full scan) the fused table provably equals
+    q178 (pinned by test); at serving probe counts the lexical arm is
+    untouched and only the dense member list narrows."""
+    from .similarity import N_PROBE, ivf_knn
+
+    dense = ivf_knn(
+        spark, sf_dir, n_probe if n_probe is not None else N_PROBE
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("dense_rk"),
+    )
+    return hybrid_rrf_core(spark, sf_dir, dense)
 
 
 def _q178_oracle() -> str:

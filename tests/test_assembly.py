@@ -530,3 +530,46 @@ def test_padding_audit_hand_computed(spark, monkeypatch):
     s = got["s"]
     assert (s.n_docs, s.n_truncated, s.packed_seqs) == (4, 0, 1)
     assert abs(s.packing_speedup - 4.0) < 1e-3
+
+
+def test_write_training_shards(spark, sf_dir, tmp_path):
+    """The last-mile shard export: the on-disk manifest must equal
+    q115's accounting row for row, every written shard's recomputed
+    content md5 must match its manifest row, and reading ONE shard
+    must prune to that partition directory."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        q115_packed_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "export")
+    write_training_shards(spark, sf_dir, out)
+
+    manifest = sorted(
+        map(tuple, spark.read.parquet(f"{out}/_manifest")
+            .select("shard_id", "n_docs", "shard_tokens", "pack_md5")
+            .collect())
+    )
+    want = sorted(
+        map(tuple, q115_packed_shards(spark, sf_dir)
+            .select("shard_id", "n_docs", "shard_tokens", "pack_md5")
+            .collect())
+    )
+    assert manifest == want and len(want) > 1
+
+    shards = spark.read.parquet(f"{out}/shards")
+    got_md5 = sorted(
+        (r.shard_id, hashlib.md5(r.seq.encode()).hexdigest())
+        for r in shards.collect()
+    )
+    assert got_md5 == sorted((s, m) for s, _n, _t, m in want)
+
+    one = shards.filter(F.col("shard_id") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == 1
+    assert "PartitionFilters: [isnotnull(shard_id" in plan or \
+        "shard_id#" in plan.split("PartitionFilters")[1][:200], plan

@@ -1379,3 +1379,36 @@ def test_doremi_mixture_planted(spark, tmp_path):
     assert h.boost > 1.0 > e.boost
     assert abs(e.weight + h.weight - 1.0) < 2e-4
     assert h.weight > e.weight
+
+
+def test_hybrid_rrf_ivf_full_probe_equals_exact(spark, sf_dir):
+    """The q178 'swap the IVF arm in at 100 TB' contract: with
+    n_probe = |labels| the IVF dense arm scans every inverted list,
+    so the fused table must equal the exact-arm q178 row for row —
+    and at the serving probe count the schema is identical and the
+    LEXICAL members are unchanged (only the dense list narrows)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.textops import (
+        hybrid_rrf_ivf,
+        q178_hybrid_rrf,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    n_labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label").distinct().count()
+    )
+    exact = q178_hybrid_rrf(spark, sf_dir)
+    full = hybrid_rrf_ivf(spark, sf_dir, n_probe=n_labels)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    serving = hybrid_rrf_ivf(spark, sf_dir)
+    assert serving.columns == exact.columns
+    lex_only = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.doc_id, r.lex_rk)
+        for r in df.filter(F.col("lex_rk").isNotNull()).collect()
+    )
+    assert lex_only(serving) == lex_only(exact)
