@@ -46,7 +46,7 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
 #     window family), q70 (q71/q72 keep the subquery module). All six
 #     stay hash-checked by the full-registry local gate.
-# 5 + 19 + 26 = 50 exactly.
+# 5 + 20 + 25 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -92,10 +92,11 @@ DRIVER_WINDOW = [
     # q15->q02/q12 (TakeOrdered/top-k family), q73->q74/q75 (the
     # subquery/semi-join family stays covered), q10->q76 (the
     # rollup/grouping-sets family), q03->q72 (the multi-join
-    # revenue-rollup family stays covered), q77->q72/q78 (same).
+    # revenue-rollup family stays covered), q77->q72/q78 (same),
+    # q79->q169 (the percentile/histogram family stays covered).
     "q178_hybrid_rrf", "q179_quality_training_set",
     "q180_memorization_risk", "q181_doremi_mixture",
-    "q182_audio_afp_dups",
+    "q182_audio_afp_dups", "q183_incremental_shards",
     # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
     "q02_top_revenue_orders",
     "q12_top_orders_per_customer",
@@ -107,7 +108,6 @@ DRIVER_WINDOW = [
     "q74_disjunctive_revenue",
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
     "q78_brand_revenue_share",
-    "q79_histogram_quantiles",
     "q98_validation_failures",
     "q99_redact_generated", "q101_deduped_corpus",
     "q102_training_prep", "q104_ngram_jaccard_join",

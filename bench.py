@@ -94,6 +94,9 @@ HEADLINE = [
     # q182 audio fingerprint dedup: one Arrow decode+fft pass over the
     # twin-seeded corpus, JVM-side 16-char hash group (q148's class)
     "q182_audio_afp_dups",
+    # q183 incremental shard append: two range-bucketed cumsums + one
+    # 1-row scalar — q112's class at ingest
+    "q183_incremental_shards",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

@@ -92,6 +92,7 @@ SHOWCASE = [
     ("q180_memorization_risk", "memorization sweep: positional gram explode, two-level distinct to per-gram doc counts, k-sweep over the bounded (source, ndocs) histogram"),
     ("q181_doremi_mixture", "DoReMi-lite: broadcast bigram-LM tables, one |sources|-row agg, two 1-row broadcast scalars — reweighting is corpus-independent"),
     ("q182_audio_afp_dups", "audio fingerprint dedup: one Arrow decode+fft pass, JVM-side 16-char hash group — q148's exact-dedup shuffle class"),
+    ("q183_incremental_shards", "incremental shard append: two range-bucketed cumsums, 1-row base scalar broadcast — old shards never re-packed"),
 ]
 
 

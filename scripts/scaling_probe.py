@@ -150,6 +150,8 @@ PROBE = [
     # q181: q109's probed ppl chain + two 1-row scalars; the row
     # proves the reweighting adds nothing corpus-scaling
     "q181_doremi_mixture",
+    # q183: two range-bucketed global cumsums (q112's probed class)
+    "q183_incremental_shards",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

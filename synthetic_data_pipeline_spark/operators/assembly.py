@@ -80,6 +80,121 @@ def q112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q183: INCREMENTAL shard append (round 11) — q112's manifest at
+# ingest time, the q118/q132/q159 pattern applied to assembly: the
+# already-materialized lake shards are IMMUTABLE artifacts (their
+# pack_md5 is published — write_training_shards), so an arriving batch
+# must never re-pack them. New documents start at the next EMPTY shard
+# index base = ceil(old_total_tokens / cap) — the partially-filled
+# last old shard is left as-is (re-opening it would rewrite a
+# checksummed artifact) — and pack among themselves with the same
+# floor(start/cap) rule. The old/new split is q118's deterministic
+# doc_id % INGEST_MOD convention so the oracle replays the exact same
+# lineage. Scale shape: two range-bucketed global cumsums (old side in
+# a lake would be a stored offset, here recomputed so the gate checks
+# the whole derivation), one 1-row broadcast scalar, |shards|-key agg.
+# No shard can mix old and new docs by construction — the query emits
+# is_new per shard and the planted test pins old rows == q112-on-old.
+def q183_incremental_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_cumsum
+    from .dedup import INGEST_MOD
+
+    toks = _doc_tokens(spark, sf_dir)
+    old = toks.filter(F.col("doc_id") % INGEST_MOD != 0)
+    new = toks.filter(F.col("doc_id") % INGEST_MOD == 0)
+    cap = float(SHARD_TOKENS)
+    co = global_cumsum(old, "n_tokens", "doc_id", "doc_id", name="_cum")
+    old_assign = co.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(cap)).alias(
+            "shard_id"
+        ),
+        F.lit(0).alias("is_new"),
+    )
+    base = co.agg(
+        F.floor(
+            (F.sum("n_tokens") + F.lit(SHARD_TOKENS - 1)) / F.lit(cap)
+        ).alias("_base")
+    )
+    cn = global_cumsum(new, "n_tokens", "doc_id", "doc_id", name="_cum")
+    new_assign = cn.crossJoin(F.broadcast(base)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("_base")
+            + F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(cap))
+        ).alias("shard_id"),
+        F.lit(1).alias("is_new"),
+    )
+    return (
+        old_assign.unionByName(new_assign)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.max("is_new").alias("is_new"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _q183_oracle() -> str:
+    from .dedup import INGEST_MOD
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    co AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start
+      FROM t WHERE doc_id % {INGEST_MOD} != 0
+    ),
+    old_assign AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(start / {SHARD_TOKENS}.0) AS BIGINT) AS shard_id,
+             0 AS is_new
+      FROM co
+    ),
+    base AS (
+      SELECT CAST(floor(
+        (sum(n_tokens) + {SHARD_TOKENS - 1}) / {SHARD_TOKENS}.0
+      ) AS BIGINT) AS b
+      FROM co
+    ),
+    cn AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start
+      FROM t WHERE doc_id % {INGEST_MOD} = 0
+    ),
+    new_assign AS (
+      SELECT doc_id, n_tokens,
+             base.b + CAST(floor(start / {SHARD_TOKENS}.0) AS BIGINT)
+               AS shard_id,
+             1 AS is_new
+      FROM cn CROSS JOIN base
+    ),
+    u AS (
+      SELECT * FROM old_assign UNION ALL SELECT * FROM new_assign
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           CAST(max(is_new) AS INTEGER) AS is_new
+    FROM u GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 _SHARD_CTE = f"""
     t AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, text
@@ -1027,6 +1142,110 @@ def _q122_oracle() -> str:
 # persisted-band-index pattern lifted to the whole pipeline — the
 # 100 TB ingestion story: no global recompute per batch, exactly-once
 # landing via the foreachBatch sink (streaming/jobs.py).
+def write_shard_state(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the shard-append stream's evolving state: one row of
+    ``virtual_total`` — the token offset the NEXT arrival packs from,
+    counted as if every published shard were full (base·cap +
+    appended tokens), which is exactly the fresh-shard-per-arrival
+    policy q183 applies (published shards are immutable, so a partial
+    tail shard is abandoned, not reopened). Snapshots are keyed by
+    batch id (``{path}/state/batch=N``) so a replayed micro-batch
+    overwrites ITS OWN snapshot instead of double-advancing the
+    offset — the idempotency trick run_foreach_batch_parquet's sink
+    uses, applied to state. batch=-1 is the initial lake snapshot."""
+    from ..functions.ranking import global_cumsum
+    from .dedup import INGEST_MOD
+
+    toks = _doc_tokens(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_MOD != 0
+    )
+    co = global_cumsum(toks, "n_tokens", "doc_id", "doc_id", name="_cum")
+    base = co.agg(
+        (
+            F.floor(
+                (F.sum("n_tokens") + F.lit(SHARD_TOKENS - 1))
+                / F.lit(float(SHARD_TOKENS))
+            )
+            * F.lit(SHARD_TOKENS)
+        ).cast("long").alias("virtual_total")
+    )
+    base.write.mode("overwrite").parquet(f"{path}/state/batch=-1")
+
+
+def _virtual_total_before(
+    spark: SparkSession, path: str, batch_id: int
+) -> int:
+    """The offset as of BEFORE ``batch_id``: max snapshot with
+    batch < batch_id. Reading strictly-earlier snapshots (never a
+    batch's own) is what makes replays idempotent — a batch that died
+    after writing its state snapshot but before the sink committed
+    recomputes from the same pre-batch offset, not its own advance."""
+    snaps = spark.read.option("basePath", f"{path}/state").parquet(
+        f"{path}/state"
+    )
+    row = (
+        snaps.filter(F.col("batch") < batch_id)
+        .orderBy(F.desc("batch"))
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"no shard state before batch {batch_id} under {path} — "
+            "run write_shard_state first"
+        )
+    return int(row.virtual_total)
+
+
+def shard_append_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> DataFrame:
+    """Pack one micro-batch of documents into fresh shards starting at
+    the persisted offset, advance the state (batch-id-keyed snapshot —
+    replays land identically), and return the batch's manifest rows
+    (shard_id, n_docs, shard_tokens, first_doc, last_doc). The batch
+    packs among itself with q112's floor(start/cap) rule; its shards
+    can never collide with published ones because the base is derived
+    from the virtual total. Single-batch application over q118's
+    arrival slice equals q183's is_new rows exactly (test)."""
+    from ..functions.ranking import global_cumsum
+
+    cap = float(SHARD_TOKENS)
+    vt = _virtual_total_before(spark, state_dir, batch_id)
+    base = vt // SHARD_TOKENS
+    toks = batch_df.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    cn = global_cumsum(toks, "n_tokens", "doc_id", "doc_id", name="_cum")
+    assign = cn.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(base)
+            + F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(cap))
+        ).alias("shard_id"),
+    )
+    out = (
+        assign.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+        .localCheckpoint()  # batch-bounded; breaks the read-update race
+    )
+    batch_tokens = out.agg(F.sum("shard_tokens")).collect()[0][0] or 0
+    n_batch_shards = (batch_tokens + SHARD_TOKENS - 1) // SHARD_TOKENS
+    new_vt = (base + n_batch_shards) * SHARD_TOKENS
+    spark.createDataFrame(
+        [(int(new_vt),)], "virtual_total long"
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/state/batch={batch_id}"
+    )
+    return out
+
+
 def write_training_shards(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> None:
@@ -1407,6 +1626,7 @@ QUERIES = {
     "q173_temperature_sweep": q173_temperature_sweep,
     "q174_context_length_sweep": q174_context_length_sweep,
     "q112_sequence_packing": q112_sequence_packing,
+    "q183_incremental_shards": q183_incremental_shards,
     "q113_domain_mixture": q113_domain_mixture,
     "q114_stratified_sample": q114_stratified_sample,
     "q146_weighted_sample": q146_weighted_sample,
@@ -1427,6 +1647,7 @@ ORACLES = {
     "q120_temperature_mixture": _q120_oracle(),
     "q122_pipeline_funnel": _q122_oracle(),
     "q112_sequence_packing": _Q112_ORACLE,
+    "q183_incremental_shards": _q183_oracle(),
     "q113_domain_mixture": _q113_oracle(),
     "q114_stratified_sample": _q114_oracle(),
     "q146_weighted_sample": _q146_oracle(),

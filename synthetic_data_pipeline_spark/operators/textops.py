@@ -2936,6 +2936,51 @@ def _q178_oracle() -> str:
 # bounded export (the q56 iterate-by-agg pattern, supervised), with
 # scoring a pure narrow projection over the full corpus. Plan: one
 # corpus scan, two pushed filters, no join, no window.
+# --- compression-ratio quality signal (round 11) — the zlib/gzip
+# heuristic production filters use (Gopher's quality rules, RefinedWeb
+# / FineWeb reimplementations): highly repetitive or templated text
+# compresses far better than organic prose, so compressed_size /
+# raw_size is a one-number repetition-and-entropy proxy that needs no
+# model. No JVM builtin exposes DEFLATE, so this is a sanctioned
+# Arrow-edge pass (UDF_NOTES policy: Python only at codec boundaries —
+# the multimodal decode class): one mapInPandas over (doc_id, source,
+# text), stdlib zlib level 6, pure projection — no shuffle. Not a
+# registry query: DuckDB has no zlib, so there is no SQL oracle to
+# hash against; semantics are pinned by the planted test (repetitive
+# text ratio << shuffled-unique text ratio, identical text → identical
+# ratio) and determinism across partitionings.
+def compression_signal(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_bytes, z_bytes, ratio) per doc; ratio =
+    deflate(level 6) size over raw utf-8 size, 4dp."""
+    import zlib
+
+    import pandas as pd
+
+    def _batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            z = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": [len(b) for b in raw],
+                    "z_bytes": z,
+                }
+            )
+
+    out = docs.select("doc_id", "source", "text").mapInPandas(
+        _batches,
+        "doc_id long, source string, n_bytes long, z_bytes long",
+    )
+    return out.withColumn(
+        "ratio",
+        eround(F.col("z_bytes") / F.col("n_bytes").cast("double"), 4),
+    )
+
+
 # --- q181: DoReMi-lite mixture reweighting (round 11) — Xie et al.
 # 2023 ("DoReMi: Optimizing Data Mixtures Speeds Up Language Model
 # Pretraining") reweights domains by EXCESS LOSS under exponentiated

@@ -580,6 +580,54 @@ def quality_score_stream(
     )
 
 
+def shard_append_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q183's incremental shard append, with
+    EVOLVING state (the q163 cluster-maintenance pattern applied to
+    assembly): the persisted lake offset (`write_shard_state`) tells
+    each micro-batch which fresh shard index to pack from;
+    `shard_append_batch` packs the batch, lands its manifest rows
+    exactly-once (batch-id-keyed overwrite), and advances the offset
+    via a batch-id-keyed state snapshot so replays are idempotent.
+    Published shards are never re-packed — across ANY batch split the
+    old-side rows are byte-identical, and the single-batch drain
+    equals q183's is_new rows exactly (test). Returns the number of
+    micro-batches."""
+    from ..operators import assembly as asm
+    from ..operators.dedup import INGEST_MOD
+
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="sdps_shard_state_")
+        asm.write_shard_state(spark, sf_dir, state_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_MOD == 0
+    )
+    n_batches = {"n": 0}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        rows = asm.shard_append_batch(spark, state_dir, batch_df, batch_id)
+        rows.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        n_batches["n"] += 1
+
+    q = (
+        incoming.writeStream.foreachBatch(_write)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="sdps_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

@@ -573,3 +573,44 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
     assert one.count() == 1
     assert "PartitionFilters: [isnotnull(shard_id" in plan or \
         "shard_id#" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_incremental_shards_old_immutable(spark, sf_dir, tmp_path):
+    """q183's append semantics: the old-side rows must equal q112 run
+    over the old corpus ALONE (arrival never re-packs a published
+    shard), new docs must start at the next empty shard index
+    ceil(old_tokens/cap), and no shard may mix old and new docs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        SHARD_TOKENS,
+        q112_sequence_packing,
+        q183_incremental_shards,
+    )
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_dir = str(tmp_path / "old_corpus")
+    docs.filter(F.col("doc_id") % INGEST_MOD != 0).write.parquet(
+        f"{old_dir}/documents.parquet"
+    )
+
+    got = q183_incremental_shards(spark, sf_dir).collect()
+    old_rows = sorted(
+        (r.shard_id, r.n_docs, r.shard_tokens, r.first_doc, r.last_doc)
+        for r in got if r.is_new == 0
+    )
+    want = sorted(
+        (r.shard_id, r.n_docs, r.shard_tokens, r.first_doc, r.last_doc)
+        for r in q112_sequence_packing(spark, old_dir).collect()
+    )
+    assert old_rows == want and len(want) > 0
+
+    old_tokens = sum(r.shard_tokens for r in got if r.is_new == 0)
+    base = math.ceil(old_tokens / SHARD_TOKENS)
+    new_ids = sorted(r.shard_id for r in got if r.is_new == 1)
+    assert new_ids and new_ids[0] == base
+    assert max(r.shard_id for r in got if r.is_new == 0) < base

@@ -23,17 +23,18 @@ R2_UNCHECKED = [
     f"q{i:02d}" for i in [159, 160, 161, 162, 163,         # born round 10
                           164, 165, 166, 167, 168, 169,    # born round 11
                           170, 171, 172, 173, 174, 175,
-                          176, 177, 178, 179, 180, 181, 182,
+                          176, 177, 178, 179, 180, 181, 182, 183,
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
-                          # q77 to q182 — q02/q12 keep the top-k
-                          # family in-window, q74/q75 the
+                          # q77 to q182, q79 to q183 — q02/q12 keep
+                          # the top-k family in-window, q74/q75 the
                           # subquery/semi-join family, q76 the
                           # rollup/grouping-sets family, q72/q78 the
-                          # multi-join revenue family)
+                          # multi-join revenue family, q169 the
+                          # percentile/histogram family)
                           2, 12, 13,
                           22, 27, 54, 72,
-                          74, 75, 76, 78, 79,
+                          74, 75, 76, 78,
                           98, 99,
                           101, 102, 104, 105, 106, 107,
                           116, 128, 129, 130, 131, 132]

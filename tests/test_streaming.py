@@ -574,3 +574,74 @@ def test_quality_score_stream_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_shard_append_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q183 streaming twin over the whole arrival slice in one
+    availableNow drain: the landed manifest rows must equal q183's
+    is_new rows exactly (same base offset, same within-batch packing)."""
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        q183_incremental_shards,
+        write_shard_state,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        shard_append_stream,
+    )
+
+    out = str(tmp_path / "manifest")
+    state = str(tmp_path / "state")
+    write_shard_state(spark, sf_dir, state)
+    n = shard_append_stream(spark, sf_dir, out, state_dir=state)
+    assert n >= 1
+    got = sorted(
+        (r.shard_id, r.n_docs, r.shard_tokens, r.first_doc, r.last_doc)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    want = sorted(
+        (r.shard_id, r.n_docs, r.shard_tokens, r.first_doc, r.last_doc)
+        for r in q183_incremental_shards(spark, sf_dir).collect()
+        if r.is_new == 1
+    )
+    assert got == want and len(want) > 0
+
+
+def test_shard_append_two_batches_evolving_offset(spark, sf_dir, tmp_path):
+    """Multi-batch state evolution: batch 2 must start at batch 1's
+    advanced offset (base1 + ceil(tokens1/cap) — fresh-shard policy),
+    shard ids never collide, and doc/token accounting is conserved
+    across the split."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.assembly import (
+        SHARD_TOKENS,
+        shard_append_batch,
+        write_shard_state,
+    )
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    state = str(tmp_path / "state")
+    write_shard_state(spark, sf_dir, state)
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INGEST_MOD == 0
+    )
+    half = arrivals.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    b1 = arrivals.filter(F.col("doc_id") <= half)
+    b2 = arrivals.filter(F.col("doc_id") > half)
+
+    r1 = shard_append_batch(spark, state, b1, 0).collect()
+    r2 = shard_append_batch(spark, state, b2, 1).collect()
+    assert r1 and r2
+    t1 = sum(r.shard_tokens for r in r1)
+    base1 = min(r.shard_id for r in r1)
+    expected_base2 = base1 + (t1 + SHARD_TOKENS - 1) // SHARD_TOKENS
+    assert min(r.shard_id for r in r2) == expected_base2
+    assert {r.shard_id for r in r1}.isdisjoint({r.shard_id for r in r2})
+    n_docs = sum(r.n_docs for r in r1) + sum(r.n_docs for r in r2)
+    assert n_docs == arrivals.count()
+
+    # replay idempotency: re-running batch 1 against the state must
+    # return identical rows and leave the latest snapshot untouched
+    # (its own batch=0 snapshot is overwritten with the same value).
+    r1_replay = shard_append_batch(spark, state, b1, 0).collect()
+    assert sorted(map(tuple, r1_replay)) == sorted(map(tuple, r1))

@@ -1412,3 +1412,31 @@ def test_hybrid_rrf_ivf_full_probe_equals_exact(spark, sf_dir):
         for r in df.filter(F.col("lex_rk").isNotNull()).collect()
     )
     assert lex_only(serving) == lex_only(exact)
+
+
+def test_compression_signal_semantics(spark):
+    """The zlib quality heuristic: a doc that repeats one sentence
+    must compress far better (lower ratio) than a same-length doc of
+    unique tokens; identical texts get identical ratios; and the
+    signal is a pure per-row function — repartitioning cannot change
+    any value."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        compression_signal,
+    )
+
+    rep = "the same four words " * 50
+    uniq = " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(0, rep, "s"), (1, uniq, "s"), (2, rep, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r for r in compression_signal(docs).collect()}
+    assert got[0].ratio < got[1].ratio * 0.5
+    assert got[0].ratio == got[2].ratio
+    assert all(0 < r.z_bytes <= r.n_bytes * 1.1 for r in got.values())
+
+    again = {
+        r.doc_id: r.ratio
+        for r in compression_signal(docs.repartition(7)).collect()
+    }
+    assert again == {k: v.ratio for k, v in got.items()}
