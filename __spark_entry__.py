@@ -46,7 +46,7 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
 #     window family), q70 (q71/q72 keep the subquery module). All six
 #     stay hash-checked by the full-registry local gate.
-# 5 + 20 + 25 = 50 exactly.
+# 5 + 21 + 24 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -93,14 +93,15 @@ DRIVER_WINDOW = [
     # subquery/semi-join family stays covered), q10->q76 (the
     # rollup/grouping-sets family), q03->q72 (the multi-join
     # revenue-rollup family stays covered), q77->q72/q78 (same),
-    # q79->q169 (the percentile/histogram family stays covered).
+    # q79->q169 (the percentile/histogram family stays covered),
+    # q13->q116 (the running-aggregation family stays covered).
     "q178_hybrid_rrf", "q179_quality_training_set",
     "q180_memorization_risk", "q181_doremi_mixture",
     "q182_audio_afp_dups", "q183_incremental_shards",
+    "q184_containment_pairs",
     # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
     "q02_top_revenue_orders",
     "q12_top_orders_per_customer",
-    "q13_running_total",
     "q22_monthly_sales",
     "q27_price_bucket_range_join",
     "q54_cosine_near_dups",

@@ -93,6 +93,7 @@ SHOWCASE = [
     ("q181_doremi_mixture", "DoReMi-lite: broadcast bigram-LM tables, one |sources|-row agg, two 1-row broadcast scalars — reweighting is corpus-independent"),
     ("q182_audio_afp_dups", "audio fingerprint dedup: one Arrow decode+fft pass, JVM-side 16-char hash group — q148's exact-dedup shuffle class"),
     ("q183_incremental_shards", "incremental shard append: two range-bucketed cumsums, 1-row base scalar broadcast — old shards never re-packed"),
+    ("q184_containment_pairs", "containment pairs: df-capped posting join (no prefix slice), exact array_intersect verify over candidate docs only"),
 ]
 
 

@@ -152,6 +152,10 @@ PROBE = [
     "q181_doremi_mixture",
     # q183: two range-bucketed global cumsums (q112's probed class)
     "q183_incremental_shards",
+    # q184: the UNPREFIXED df-capped posting join — deliberately the
+    # heavier candidate generator (recall over asymmetric pairs); the
+    # row measures what dropping the PPJoin slice costs at scale
+    "q184_containment_pairs",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

@@ -487,6 +487,162 @@ def q104_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q184: containment pairs (round 11) — the ASYMMETRIC near-dup
+# class symmetric Jaccard structurally misses: a small document quoted
+# verbatim inside a much larger one has containment
+# C = |A∩B| / min(|A|,|B|) ≈ 1 while J = |A∩B| / |A∪B| ≈ |A|/|B| → 0,
+# so no Jaccard threshold can catch it without flooding on unrelated
+# pairs (Broder 1997 distinguishes resemblance from CONTAINMENT for
+# exactly this reason; partial-copy dedup in training corpora is its
+# modern use). Candidates come from the df-capped KEPT posting lists
+# WITHOUT q104's PPJoin prefix slice: the prefix theorem is derived
+# for J >= t and a contained doc's shingles need not land in the big
+# doc's rarest half, so prefixing would cost exactly the recall this
+# query exists for — the df band [2, DF_CAP] alone bounds fan-out
+# (q132's class). Verify is exact over FULL distinct-shingle sets
+# (one array_intersect per pair), emitting both measures + an asym
+# flag marking pairs q104's J >= 0.5 cut would have dropped.
+CONTAINMENT_T = 0.8
+
+
+def containment_candidates(
+    tokens: DataFrame, df_cap: int = DF_CAP, min_shared: int = MIN_SHARED
+) -> DataFrame:
+    """(doc_a < doc_b) pairs sharing >= min_shared KEPT shingles
+    (df in [2, df_cap]) — no prefix slice (see q184 header)."""
+    kept = (
+        tokens.groupBy("token")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+    )
+    pairs = kept.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda a: F.transform(
+                            "ds", lambda b: F.struct(a.alias("doc_a"),
+                                                     b.alias("doc_b"))
+                        ),
+                    )
+                ),
+                lambda s: s["doc_a"] < s["doc_b"],
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+
+
+def token_overlap(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact (doc_a, doc_b, n_inter, na, nb) for candidate pairs —
+    token_jaccard's verify shape, keeping the raw counts so callers
+    derive any overlap measure (jaccard, containment, dice)."""
+    pairs = pairs.localCheckpoint(eager=False)
+    arr_a = (
+        tokens.join(pairs.select(F.col("doc_a").alias("doc_id")),
+                    "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("token").alias("ta"), F.count("*").alias("na"))
+        .withColumnRenamed("doc_id", "doc_a")
+    )
+    arr_b = (
+        tokens.join(pairs.select(F.col("doc_b").alias("doc_id")),
+                    "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("token").alias("tb"), F.count("*").alias("nb"))
+        .withColumnRenamed("doc_id", "doc_b")
+    )
+    return (
+        pairs.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias(
+                "n_inter"
+            ),
+            "na",
+            "nb",
+        )
+    )
+
+
+def q184_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = token_state(spark, sf_dir)
+    cands = containment_candidates(tokens)
+    ov = token_overlap(tokens, cands)
+    containment = F.col("n_inter") / F.least("na", "nb").cast("double")
+    jacc = F.col("n_inter") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        ov.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "na",
+            "nb",
+            eround(containment, 4).alias("containment"),
+            eround(jacc, 4).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_T)
+        .withColumn(
+            "asym",
+            (F.col("jaccard") < F.lit(JACCARD_THRESHOLD)).cast("int"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q184_oracle() -> str:
+    return f"""
+    WITH tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
+    dfreq AS (SELECT token, count(*) AS df FROM tokens GROUP BY token),
+    kept AS (
+      SELECT t.doc_id, t.token
+      FROM tokens t JOIN dfreq d ON d.token = t.token
+      WHERE d.df BETWEEN 2 AND {DF_CAP}
+    ),
+    cands AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_SHARED}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tokens GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cands c
+      JOIN tokens x ON x.doc_id = c.doc_a
+      JOIN tokens y ON y.doc_id = c.doc_b AND y.token = x.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, na, nb, containment, jaccard,
+           CAST(jaccard < {JACCARD_THRESHOLD} AS INTEGER) AS asym
+    FROM (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_inter AS BIGINT) AS n_inter,
+             sa.n AS na, sb.n AS nb,
+             round(i.n_inter / CAST(least(sa.n, sb.n) AS DOUBLE), 4)
+               AS containment,
+             round(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 4)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    WHERE containment >= {CONTAINMENT_T}
+    ORDER BY doc_a, doc_b
+"""
+
+
 # --- q48: SimHash-style signature (16-bit, md5-derived) — docs bucketed
 # by signature; identical signatures ⇒ near-dup candidates. Bit i of the
 # signature is the majority vote of bit i over the doc's token hashes.
@@ -2262,6 +2418,7 @@ QUERIES = {
     "q175_dedup_threshold_sweep": q175_dedup_threshold_sweep,
     "q48_simhash_buckets": q48_simhash_buckets,
     "q104_ngram_jaccard_join": q104_ngram_jaccard_join,
+    "q184_containment_pairs": q184_containment_pairs,
     "q118_incremental_dedup": q118_incremental_dedup,
     "q125_fuzzy_prefix_dedup": q125_fuzzy_prefix_dedup,
     "q127_leakage_matrix": q127_leakage_matrix,
@@ -2428,6 +2585,7 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
     "q125_fuzzy_prefix_dedup": _q125_oracle(),
+    "q184_containment_pairs": _q184_oracle(),
     "q131_duplicated_spans": _Q131_ORACLE,
     "q180_memorization_risk": _Q180_ORACLE,
     "q132_incremental_spans": _Q132_ORACLE,

@@ -1051,3 +1051,42 @@ def test_memorization_risk_planted(spark, tmp_path):
         r = got[("clean", k)]
         assert r.at_risk_positions == 0 and r.docs_touched == 0
         assert r.position_share == 0.0 and r.doc_share == 0.0
+
+
+def test_containment_pairs_planted(spark, tmp_path):
+    """q184 semantics: a 10-token doc quoted verbatim inside a
+    100-token host has containment 1.0 but Jaccard ~0.08 — the
+    asymmetric pair q104's J >= 0.5 cut structurally drops (asym=1) —
+    while a symmetric near-identical pair shows up with asym=0, and
+    an unrelated doc appears in no pair."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q184_containment_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    host_rest = " ".join(f"h{i}" for i in range(90))
+    near_a = " ".join(f"n{i}" for i in range(30))
+    near_b = near_a + " extra"
+    rows = [
+        (0, quote, "en", "s", 0),
+        (1, f"{host_rest} {quote}", "en", "s", 0),
+        (2, near_a, "en", "s", 0),
+        (3, near_b, "en", "s", 0),
+        (4, " ".join(f"u{i}" for i in range(40)), "en", "s", 0),
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {(r.doc_a, r.doc_b): r
+           for r in q184_containment_pairs(spark, sf_dir).collect()}
+    assert set(got) == {(0, 1), (2, 3)}
+    c = got[(0, 1)]
+    # 10-token quote → 8 distinct 3-gram shingles, all inside the host
+    assert c.containment == 1.0 and c.n_inter == c.na == 8
+    assert c.jaccard < JACCARD_THRESHOLD and c.asym == 1
+    s = got[(2, 3)]
+    assert s.jaccard >= JACCARD_THRESHOLD and s.asym == 0
+    assert s.containment == 1.0  # near_a is a strict prefix of near_b

@@ -24,15 +24,17 @@ R2_UNCHECKED = [
                           164, 165, 166, 167, 168, 169,    # born round 11
                           170, 171, 172, 173, 174, 175,
                           176, 177, 178, 179, 180, 181, 182, 183,
+                          184,
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
-                          # q77 to q182, q79 to q183 — q02/q12 keep
-                          # the top-k family in-window, q74/q75 the
-                          # subquery/semi-join family, q76 the
-                          # rollup/grouping-sets family, q72/q78 the
-                          # multi-join revenue family, q169 the
-                          # percentile/histogram family)
-                          2, 12, 13,
+                          # q77 to q182, q79 to q183, q13 to q184 —
+                          # q02/q12 keep the top-k family in-window,
+                          # q74/q75 the subquery/semi-join family,
+                          # q76 the rollup/grouping-sets family,
+                          # q72/q78 the multi-join revenue family,
+                          # q169 the percentile/histogram family,
+                          # q116 the running-aggregation family)
+                          2, 12,
                           22, 27, 54, 72,
                           74, 75, 76, 78,
                           98, 99,
