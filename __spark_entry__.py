@@ -38,14 +38,13 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #   * round-11 newborns as they land (each claims a slot immediately,
 #     evicting an r8-stale row that leaves an in-window cousin);
 #   * the r8-stale rows (last driver row = CORRECTNESS_r08). The full
-#     r8-stale set is 47; the six left out, each with an in-window
-#     cousin on the same module/pattern: q47_pairwise_jaccard_sample
-#     (q104 shares its token_jaccard verify stage), q52_norm_stats
-#     (q54/q107/q130 cover the similarity module), and — ceding to
-#     the round-11 newborns — q05 (q75 keeps the anti-join pattern),
-#     q08 (q02/q03/q10 keep the agg family), q14 (q13 keeps the
-#     window family), q70 (q71/q72 keep the subquery module). All six
-#     stay hash-checked by the full-registry local gate.
+#     r8-stale set is 47; 24 hold window slots below and the other 23
+#     ceded theirs to the round-11 newborns, each with an in-window
+#     cousin on the same module/pattern (per-eviction rationale at the
+#     wave comments below). Every ceded row stays hash-checked by the
+#     full-registry local gate (CORRECTNESS_LOCAL_r11) and leads the
+#     r12 rotation — the authoritative "still stale" inventory is
+#     (r8-stale set) minus (this list), not any comment's enumeration.
 # 5 + 21 + 24 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
@@ -99,7 +98,8 @@ DRIVER_WINDOW = [
     "q180_memorization_risk", "q181_doremi_mixture",
     "q182_audio_afp_dups", "q183_incremental_shards",
     "q184_containment_pairs",
-    # the r8-stale rows (45 of 47; q47/q52 cede to their cousins)
+    # the r8-stale rows (24 of 47 — the 23 ceded rows are enumerated
+    # in the header comment and lead the r12 rotation)
     "q02_top_revenue_orders",
     "q12_top_orders_per_customer",
     "q22_monthly_sales",

@@ -112,9 +112,12 @@ def q183_incremental_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0).alias("is_new"),
     )
+    # coalesce: an empty old slice means new docs pack from shard 0
     base = co.agg(
         F.floor(
-            (F.sum("n_tokens") + F.lit(SHARD_TOKENS - 1)) / F.lit(cap)
+            (F.coalesce(F.sum("n_tokens"), F.lit(0))
+             + F.lit(SHARD_TOKENS - 1))
+            / F.lit(cap)
         ).alias("_base")
     )
     cn = global_cumsum(new, "n_tokens", "doc_id", "doc_id", name="_cum")
@@ -165,7 +168,8 @@ def _q183_oracle() -> str:
     ),
     base AS (
       SELECT CAST(floor(
-        (sum(n_tokens) + {SHARD_TOKENS - 1}) / {SHARD_TOKENS}.0
+        (COALESCE(sum(n_tokens), 0) + {SHARD_TOKENS - 1})
+        / {SHARD_TOKENS}.0
       ) AS BIGINT) AS b
       FROM co
     ),
@@ -227,9 +231,15 @@ _Q112_ORACLE = f"""
 # --- q115: the packing ACTION — materialize each shard's training
 # sequence (documents joined with an <eos> separator, in layout order)
 # and fingerprint it. The md5 keeps the gate exact while the result
-# stays small; a real writer would emit the packed text itself.
-def q115_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard collect_list is safe BY CONSTRUCTION: a shard holds
+# stays small; write_training_shards emits the packed text itself.
+def packed_shard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard_id, n_docs, shard_tokens, seq, pack_md5) — the ONE
+    definition of the packing convention (doc_id sort key, ' <eos> '
+    separator, md5-over-binary checksum) that q115's manifest and
+    write_training_shards' export both consume, so the two can never
+    disagree on what a shard's bytes are.
+
+    Per-shard collect_list is safe BY CONSTRUCTION: a shard holds
     ~SHARD_TOKENS tokens (plus at most one straddling document), so the
     grouped state is bounded no matter the corpus size — this is the
     one place the engine materializes text per key, and the cap is what
@@ -237,13 +247,17 @@ def q115_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = shard_assignment(spark, sf_dir, with_text=True)
     packed = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
     seq = F.concat_ws(" <eos> ", F.transform(packed, lambda s: s["text"]))
+    return a.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        seq.alias("seq"),
+    ).withColumn("pack_md5", F.md5(F.col("seq").cast("binary")))
+
+
+def q115_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        a.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("shard_tokens"),
-            F.md5(seq.cast("binary")).alias("pack_md5"),
-        )
+        packed_shard_frame(spark, sf_dir)
+        .select("shard_id", "n_docs", "shard_tokens", "pack_md5")
         .orderBy("shard_id")
     )
 
@@ -1160,10 +1174,13 @@ def write_shard_state(spark: SparkSession, sf_dir: str, path: str) -> None:
         F.col("doc_id") % INGEST_MOD != 0
     )
     co = global_cumsum(toks, "n_tokens", "doc_id", "doc_id", name="_cum")
+    # coalesce: an EMPTY old slice must yield offset 0, not a NULL row
+    # that would TypeError the first arrival (review finding)
     base = co.agg(
         (
             F.floor(
-                (F.sum("n_tokens") + F.lit(SHARD_TOKENS - 1))
+                (F.coalesce(F.sum("n_tokens"), F.lit(0))
+                 + F.lit(SHARD_TOKENS - 1))
                 / F.lit(float(SHARD_TOKENS))
             )
             * F.lit(SHARD_TOKENS)
@@ -1255,20 +1272,15 @@ def write_training_shards(
     directory pruning, never listing the rest) plus
     ``{out_dir}/_manifest`` (q115's per-shard accounting INCLUDING the
     pack_md5 content checksum), so any downstream job can verify every
-    shard byte-for-byte without re-reading text. Scale shape: the
-    per-shard collect_list is bounded at ~SHARD_TOKENS tokens by
-    construction (q115's argument); the two writes recompute one
-    lineage rather than checkpointing a corpus-sized frame (the
-    q131/dsir finding). test_write_training_shards pins manifest ==
-    q115, on-disk md5 == manifest, and the pruned single-shard read."""
-    a = shard_assignment(spark, sf_dir, with_text=True)
-    packed = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
-    seq = F.concat_ws(" <eos> ", F.transform(packed, lambda s: s["text"]))
-    shards = a.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("shard_tokens"),
-        seq.alias("seq"),
-    ).withColumn("pack_md5", F.md5(F.col("seq").cast("binary")))
+    shard byte-for-byte without re-reading text. Both frames come from
+    :func:`packed_shard_frame` — the one definition of the packing
+    convention — so export and manifest can never disagree. Scale
+    shape: the per-shard collect_list is bounded at ~SHARD_TOKENS
+    tokens by construction; the two writes recompute one lineage
+    rather than checkpointing a corpus-sized frame (the q131/dsir
+    finding). test_write_training_shards pins manifest == q115,
+    on-disk md5 == manifest, and the pruned single-shard read."""
+    shards = packed_shard_frame(spark, sf_dir)
     shards.select("shard_id", "seq").write.mode("overwrite").partitionBy(
         "shard_id"
     ).parquet(f"{out_dir}/shards")

@@ -237,46 +237,18 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 
 def token_jaccard(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for the given candidate pairs.
-
-    Verify shape (round 8 — the old token-level intersection join cost
-    two full passes over the corpus token table per verify): restrict
-    ``tokens`` to the docs that actually appear in a candidate pair
-    (semi joins — map-side when AQE broadcasts the pair list, a keyed
-    shuffle otherwise), collapse each surviving doc to ONE
-    (sorted-token-array, size) row, and compute each pair's
-    intersection with a single ``array_intersect``. Only candidate
-    docs' tokens ever move for the verify — at 100 TB the corpus
-    token table is scanned once and never shuffled here."""
-    # consumed three times (two semi filters + the final join) and
-    # bounded by construction (it's a candidate list, not a corpus) —
-    # materialize so candidate generation doesn't run per consumer
-    pairs = pairs.localCheckpoint(eager=False)
-    n_inter = F.size(F.array_intersect("ta", "tb"))
-    arr_a = (
-        tokens.join(pairs.select(F.col("doc_a").alias("doc_id")),
-                    "doc_id", "semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("token").alias("ta"), F.count("*").alias("na"))
-        .withColumnRenamed("doc_id", "doc_a")
-    )
-    arr_b = (
-        tokens.join(pairs.select(F.col("doc_b").alias("doc_id")),
-                    "doc_id", "semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("token").alias("tb"), F.count("*").alias("nb"))
-        .withColumnRenamed("doc_id", "doc_b")
-    )
-    return (
-        pairs.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            eround(
-                n_inter / (F.col("na") + F.col("nb") - n_inter), 4
-            ).alias("jaccard"),
-        )
+    """Exact token-set Jaccard for the given candidate pairs — a thin
+    projection over :func:`token_overlap`, which owns the round-8
+    verify shape (semi-restricted token table, one array_intersect per
+    pair; see its docstring). Keeping ONE definition means q104 and
+    q184 can never diverge in verify plan."""
+    n_inter = F.col("n_inter")
+    return token_overlap(tokens, pairs).select(
+        "doc_a",
+        "doc_b",
+        eround(
+            n_inter / (F.col("na") + F.col("nb") - n_inter), 4
+        ).alias("jaccard"),
     )
 
 
@@ -540,9 +512,19 @@ def containment_candidates(
 
 
 def token_overlap(tokens: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact (doc_a, doc_b, n_inter, na, nb) for candidate pairs —
-    token_jaccard's verify shape, keeping the raw counts so callers
-    derive any overlap measure (jaccard, containment, dice)."""
+    """Exact (doc_a, doc_b, n_inter, na, nb) for candidate pairs; the
+    ONE verify definition both q104 (via token_jaccard) and q184
+    consume — callers derive any overlap measure from the raw counts.
+
+    Verify shape (round 8 — the old token-level intersection join cost
+    two full passes over the corpus token table per verify): restrict
+    ``tokens`` to the docs that actually appear in a candidate pair
+    (semi joins — map-side when AQE broadcasts the pair list, a keyed
+    shuffle otherwise), collapse each surviving doc to ONE
+    (token-array, size) row, and compute each pair's intersection with
+    a single ``array_intersect``. Only candidate docs' tokens ever
+    move for the verify — at 100 TB the corpus token table is scanned
+    once and never shuffled here."""
     pairs = pairs.localCheckpoint(eager=False)
     arr_a = (
         tokens.join(pairs.select(F.col("doc_a").alias("doc_id")),

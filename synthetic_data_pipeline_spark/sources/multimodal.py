@@ -148,10 +148,12 @@ def encode_aiff(samples: np.ndarray, rate: int = 8000) -> bytes:
     ).tobytes()
     n = len(data)
     # 80-bit IEEE-754 extended sample rate (AIFF's one exotic field):
-    # rate = mantissa/2^63 * 2^(exp-16383); 8000 = 1.953125 * 2^12.
+    # rate = mantissa/2^63 * 2^(exp-16383); 8000 = 1.953125 * 2^12, so
+    # exponent = 16383 + 12 = 0x400B (test_aiff_roundtrip_exact decodes
+    # this field back and pins it to the argument).
     if rate != 8000:
         raise NotImplementedError("only the 8 kHz synthetic rate")
-    ext_rate = struct.pack(">HQ", 0x400C, 0xFA00000000000000)
+    ext_rate = struct.pack(">HQ", 0x400B, 0xFA00000000000000)
     comm = struct.pack(">hIh", 1, n, 8) + ext_rate
     ssnd = struct.pack(">II", 0, 0) + data
     body = (
@@ -296,7 +298,11 @@ def decode_audio(buf: bytes) -> np.ndarray:
             # e.g. 16-bit or multi-channel PCM — beyond the native arm
             return _decode_compressed_audio(buf)
     if buf[:4] == b"FORM" and buf[8:12] == b"AIFF":
-        return decode_aiff(buf)
+        try:
+            return decode_aiff(buf)
+        except NotImplementedError:
+            # 16-bit / multi-channel PCM — same escape as the WAV arm
+            return _decode_compressed_audio(buf)
     if (
         buf[:4] in (b"fLaC", b"OggS")
         or buf[:3] == b"ID3"

@@ -608,24 +608,13 @@ def shard_append_stream(
     incoming = stream_documents(spark, sf_dir).filter(
         F.col("doc_id") % INGEST_MOD == 0
     )
-    n_batches = {"n": 0}
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        rows = asm.shard_append_batch(spark, state_dir, batch_df, batch_id)
-        rows.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        n_batches["n"] += 1
+    def apply(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return asm.shard_append_batch(spark, state_dir, batch_df, batch_id)
 
-    q = (
-        incoming.writeStream.foreachBatch(_write)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix="sdps_ckpt_"),
-        )
-        .trigger(availableNow=True)
-        .start()
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
     )
-    q.awaitTermination()
-    return n_batches["n"]
 
 
 def run_foreach_batch_parquet(
@@ -646,12 +635,26 @@ def run_foreach_batch_parquet(
     the sink idempotent, and a caller-supplied ``checkpoint_dir`` makes
     restarts RESUME — a rerun over the same checkpoint with no new
     source files processes zero batches (pinned by
-    test_checkpoint_resume_is_exactly_once)."""
+    test_checkpoint_resume_is_exactly_once).
+
+    ``transform`` may take (batch_df) or (batch_df, batch_id) — the
+    two-arg form serves evolving-state appliers (shard_append_stream)
+    whose per-batch work must be keyed by the batch id."""
+    import inspect
+
     n_batches = {"n": 0}
+    takes_batch_id = (
+        transform is not None
+        and len(inspect.signature(transform).parameters) >= 2
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
-            batch_df = transform(batch_df)
+            batch_df = (
+                transform(batch_df, batch_id)
+                if takes_batch_id
+                else transform(batch_df)
+            )
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         n_batches["n"] += 1
 

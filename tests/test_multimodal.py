@@ -386,6 +386,14 @@ def test_aiff_roundtrip_exact():
     assert (decode_aiff(buf) == s).all()
     assert (decode_media("audio", buf) == s).all()
 
+    # the 80-bit extended COMM sample rate must decode to the argument
+    # (a conforming AIFF reader trusts this field)
+    import struct
+
+    comm = buf.index(b"COMM") + 8
+    exp, mant = struct.unpack_from(">HQ", buf, comm + 8)
+    assert (mant / 2**63) * 2 ** (exp - 16383) == 8000.0
+
 
 def test_afp64_container_invariant_and_discriminative():
     """The fingerprint depends only on the decoded signal: a WAV and
