@@ -152,9 +152,11 @@ PROBE = [
     "q181_doremi_mixture",
     # q183: two range-bucketed global cumsums (q112's probed class)
     "q183_incremental_shards",
-    # q184: the UNPREFIXED df-capped posting join — deliberately the
-    # heavier candidate generator (recall over asymmetric pairs); the
-    # row measures what dropping the PPJoin slice costs at scale
+    # q184: the df-capped posting join with the MIN_SHARED floor —
+    # q104's J-derived prefix doesn't transfer to containment, and the
+    # containment-valid one-sided-prefix arm measured 3.8x slower for
+    # identical pairs (containment_candidates docstring); the row
+    # tracks the unprefixed join's cost at scale
     "q184_containment_pairs",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —

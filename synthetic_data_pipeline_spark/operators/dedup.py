@@ -467,47 +467,95 @@ def q104_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs (Broder 1997 distinguishes resemblance from CONTAINMENT for
 # exactly this reason; partial-copy dedup in training corpora is its
 # modern use). Candidates come from the df-capped KEPT posting lists
-# WITHOUT q104's PPJoin prefix slice: the prefix theorem is derived
-# for J >= t and a contained doc's shingles need not land in the big
-# doc's rarest half, so prefixing would cost exactly the recall this
-# query exists for — the df band [2, DF_CAP] alone bounds fan-out
-# (q132's class). Verify is exact over FULL distinct-shingle sets
+# with the MIN_SHARED floor — q104's J-derived PPJoin slice does not
+# transfer to containment, and the containment-VALID one-sided prefix
+# was built and measured slower (see containment_candidates' A/B
+# docstring; identical pairs, 3.8x the verify volume) — the df band
+# [2, DF_CAP] bounds fan-out (q132's class). Verify is exact over
+# FULL distinct-shingle sets
 # (one array_intersect per pair), emitting both measures + an asym
 # flag marking pairs q104's J >= 0.5 cut would have dropped.
 CONTAINMENT_T = 0.8
+# integer form of CONTAINMENT_T for the prefix length (avoids 0.8's
+# binary-inexactness flipping a ceil at integer boundaries):
+# ceil(0.8 * nk) == (4*nk + 4) // 5 for all integer nk
+CONTAINMENT_NUM, CONTAINMENT_DEN = 4, 5
+assert CONTAINMENT_NUM / CONTAINMENT_DEN == CONTAINMENT_T
 
 
 def containment_candidates(
-    tokens: DataFrame, df_cap: int = DF_CAP, min_shared: int = MIN_SHARED
+    tokens: DataFrame, df_cap: int = DF_CAP, one_sided_prefix: bool = False
 ) -> DataFrame:
-    """(doc_a < doc_b) pairs sharing >= min_shared KEPT shingles
-    (df in [2, df_cap]) — no prefix slice (see q184 header)."""
+    """(doc_a < doc_b) candidate pairs for containment >= CONTAINMENT_T
+    over the KEPT shingles (df in [2, df_cap]).
+
+    DEFAULT (measured winner): unprefixed kept×kept postings with the
+    MIN_SHARED count floor — a containment pair shares >= t·|A_kept|
+    tokens, so any pair whose small side keeps >= MIN_SHARED/t
+    shingles clears the floor; the loss region is docs keeping fewer
+    than ~4 eligible shingles (q104's documented small-doc caveat).
+
+    ALTERNATIVE (``one_sided_prefix=True``): a ONE-SIDED PPJoin prefix
+    that is valid for containment, unlike q104's J-derived slice — if
+    C(A→B) >= t then >= ceil(t·|A|) of A's OWN tokens are shared, so
+    A's prefix of its |A| − ceil(t·|A|) + 1 rarest kept shingles must
+    contain one (pigeonhole; the bound needs nothing from B). Its
+    count floor is 1 (all the theorem guarantees), which closes the
+    small-doc hole — but floor 1 admits every single-token collision
+    into the exact verify. MEASURED A/B at sf0.1 (round 11): both arms
+    return the IDENTICAL 256 pairs, floor-3 2.7 s vs prefix-1 10.4 s
+    end-to-end (10k vs 180k candidate pairs) — the theoretical recall
+    edge bought nothing on this corpus and 3.8x the verify, so floor-3
+    stays the default; flip the flag for corpora of very short docs
+    where the <4-kept-shingles loss region is real."""
     kept = (
         tokens.groupBy("token")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+        .select(
+            "token", F.size("ds").alias("df"),
+            F.explode("ds").alias("doc_id"),
+        )
     )
-    pairs = kept.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda a: F.transform(
-                            "ds", lambda b: F.struct(a.alias("doc_a"),
-                                                     b.alias("doc_b"))
-                        ),
-                    )
-                ),
-                lambda s: s["doc_a"] < s["doc_b"],
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    if not one_sided_prefix:
+        pairs = (
+            kept.select(F.col("doc_id").alias("doc_a"), "token")
+            .join(kept.select(F.col("doc_id").alias("doc_b"), "token"),
+                  "token")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= MIN_SHARED)
+        )
+        return pairs.select("doc_a", "doc_b")
+    prefix_len = (
+        F.size("ts")
+        - F.floor(
+            (F.lit(CONTAINMENT_NUM) * F.size("ts") + F.lit(CONTAINMENT_NUM))
+            / F.lit(float(CONTAINMENT_DEN))
+        )
+        + 1
+    ).cast("int")
+    prefix = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "token"))).alias("ts")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.slice("ts", F.lit(1), prefix_len)).alias("s"),
+        )
+        .select("doc_id", F.col("s.token").alias("token"))
+    )
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-        .select("doc_a", "doc_b")
+        prefix.select(F.col("doc_id").alias("doc_p"), "token")
+        .join(kept.select(F.col("doc_id").alias("doc_k"), "token"), "token")
+        .filter(F.col("doc_p") != F.col("doc_k"))
+        .select(
+            F.least("doc_p", "doc_k").alias("doc_a"),
+            F.greatest("doc_p", "doc_k").alias("doc_b"),
+        )
+        .distinct()
     )
 
 

@@ -1090,3 +1090,48 @@ def test_containment_pairs_planted(spark, tmp_path):
     s = got[(2, 3)]
     assert s.jaccard >= JACCARD_THRESHOLD and s.asym == 0
     assert s.containment == 1.0  # near_a is a strict prefix of near_b
+
+
+def test_containment_candidate_arms_agree(spark, tmp_path):
+    """The q184 candidate A/B pinned as a property: on the planted
+    corpus the default floor-3 postings and the one-sided-prefix
+    floor-1 arm must admit the SAME verified pairs — including the
+    asymmetric quote-in-host pair (8 shared kept shingles clears the
+    floor; the prefix arm finds it by the pigeonhole bound)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        CONTAINMENT_T,
+        containment_candidates,
+        distinct_shingles,
+        token_overlap,
+    )
+    from synthetic_data_pipeline_spark.functions.rounding import eround
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    host_rest = " ".join(f"h{i}" for i in range(90))
+    rows = [
+        (0, quote, "s"),
+        (1, f"{host_rest} {quote}", "s"),
+        (2, " ".join(f"u{i}" for i in range(40)), "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    tokens = distinct_shingles(docs)
+
+    def verified(cands):
+        ov = token_overlap(tokens, cands)
+        c = eround(
+            F.col("n_inter") / F.least("na", "nb").cast("double"), 4
+        )
+        return sorted(
+            map(tuple,
+                ov.withColumn("c", c)
+                .filter(F.col("c") >= CONTAINMENT_T)
+                .select("doc_a", "doc_b").collect())
+        )
+
+    floor3 = verified(containment_candidates(tokens))
+    prefix1 = verified(containment_candidates(tokens, one_sided_prefix=True))
+    assert floor3 == prefix1 == [(0, 1)]
