@@ -38,14 +38,14 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #   * round-11 newborns as they land (each claims a slot immediately,
 #     evicting an r8-stale row that leaves an in-window cousin);
 #   * the r8-stale rows (last driver row = CORRECTNESS_r08). The full
-#     r8-stale set is 47; 24 hold window slots below and the other 23
+#     r8-stale set is 47; 23 hold window slots below and the other 24
 #     ceded theirs to the round-11 newborns, each with an in-window
 #     cousin on the same module/pattern (per-eviction rationale at the
 #     wave comments below). Every ceded row stays hash-checked by the
 #     full-registry local gate (CORRECTNESS_LOCAL_r11) and leads the
 #     r12 rotation — the authoritative "still stale" inventory is
 #     (r8-stale set) minus (this list), not any comment's enumeration.
-# 5 + 21 + 24 = 50 exactly.
+# 5 + 22 + 23 = 50 exactly.
 #
 # --- Round-10 window rationale kept for the audit trail:
 # Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
@@ -93,14 +93,14 @@ DRIVER_WINDOW = [
     # rollup/grouping-sets family), q03->q72 (the multi-join
     # revenue-rollup family stays covered), q77->q72/q78 (same),
     # q79->q169 (the percentile/histogram family stays covered),
-    # q13->q116 (the running-aggregation family stays covered).
+    # q13->q116 (the running-aggregation family stays covered),
+    # q02->q12 (the top-k family stays covered).
     "q178_hybrid_rrf", "q179_quality_training_set",
     "q180_memorization_risk", "q181_doremi_mixture",
     "q182_audio_afp_dups", "q183_incremental_shards",
-    "q184_containment_pairs",
-    # the r8-stale rows (24 of 47 — the 23 ceded rows are enumerated
-    # in the header comment and lead the r12 rotation)
-    "q02_top_revenue_orders",
+    "q184_containment_pairs", "q185_transition_matrix",
+    # the r8-stale rows (23 of 47 — the 24 ceded rows lead the r12
+    # rotation; authoritative inventory = r8-stale set minus this list)
     "q12_top_orders_per_customer",
     "q22_monthly_sales",
     "q27_price_bucket_range_join",

@@ -97,9 +97,13 @@ HEADLINE = [
     # q183 incremental shard append: two range-bucketed cumsums + one
     # 1-row scalar — q112's class at ingest
     "q183_incremental_shards",
-    # q184 containment pairs: df-capped posting join (no prefix slice
-    # — recall over asymmetric pairs is the point) + one exact verify
+    # q184 containment pairs: df-capped posting join + one exact
+    # verify (the containment-valid prefix arm measured slower — see
+    # containment_candidates' A/B docstring)
     "q184_containment_pairs",
+    # q185 transition matrix: one per-user bounded lag window +
+    # |types|^2-key agg
+    "q185_transition_matrix",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

@@ -94,6 +94,7 @@ SHOWCASE = [
     ("q182_audio_afp_dups", "audio fingerprint dedup: one Arrow decode+fft pass, JVM-side 16-char hash group — q148's exact-dedup shuffle class"),
     ("q183_incremental_shards", "incremental shard append: two range-bucketed cumsums, 1-row base scalar broadcast — old shards never re-packed"),
     ("q184_containment_pairs", "containment pairs: df-capped posting join (no prefix slice), exact array_intersect verify over candidate docs only"),
+    ("q185_transition_matrix", "transition matrix: per-user bounded lag window, |types|^2-key count, |types|-key normalization join"),
 ]
 
 

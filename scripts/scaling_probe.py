@@ -158,6 +158,9 @@ PROBE = [
     # identical pairs (containment_candidates docstring); the row
     # tracks the unprefixed join's cost at scale
     "q184_containment_pairs",
+    # q185: per-user bounded lag window (q151's probed class) +
+    # |types|^2-key agg
+    "q185_transition_matrix",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

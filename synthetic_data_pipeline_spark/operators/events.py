@@ -747,6 +747,77 @@ _Q177_ORACLE = f"""
 """
 
 
+# --- q185: event-type transition matrix (round 11) — the first-order
+# Markov table product analytics reads as a flow/Sankey: for every
+# consecutive same-user event pair within the q124 session gap (30
+# min), P(next_type | current_type). Complements the sequence miners:
+# q124 counts WHOLE session paths (sparse at long lengths), q36/q37
+# count stage hits — this is the dense |types|^2 summary that stays
+# readable at any corpus size. Plan: one per-user bounded lag window
+# (q151's class — never global), a |types|^2-key count, a |types|-key
+# total join; boundary discipline — the 30-min gap compares integer
+# epoch seconds (exact in both engines) and p is eround-ed 4dp.
+TRANSITION_GAP_MIN = 30
+
+
+def q185_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        gap_s.alias("gap_s"),
+    ).filter(
+        F.col("from_type").isNotNull()
+        & (F.col("gap_s") <= TRANSITION_GAP_MIN * 60)
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            eround(F.col("n_transitions") / F.col("_tot").cast("double"), 4)
+            .alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_Q185_ORACLE = f"""
+    WITH pairs AS (
+      SELECT lag(event_type) OVER w AS from_type,
+             event_type AS to_type,
+             epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM pairs
+      WHERE from_type IS NOT NULL
+        AND gap_s <= {TRANSITION_GAP_MIN} * 60
+      GROUP BY from_type, to_type
+    ),
+    totals AS (
+      SELECT from_type, sum(n_transitions) AS tot
+      FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type,
+           CAST(c.n_transitions AS BIGINT) AS n_transitions,
+           round(c.n_transitions / CAST(t.tot AS DOUBLE), 4) AS p
+    FROM counts c JOIN totals t USING (from_type)
+    ORDER BY c.from_type, c.to_type
+"""
+
+
 def erase_users(events: DataFrame, user_ids: DataFrame) -> DataFrame:
     """The erasure ACTION: every event belonging to a listed user is
     dropped. Broadcast left-anti join — the stream never shuffles on
@@ -757,6 +828,7 @@ def erase_users(events: DataFrame, user_ids: DataFrame) -> DataFrame:
 
 
 QUERIES = {
+    "q185_transition_matrix": q185_transition_matrix,
     "q177_user_erasure": q177_user_erasure,
     "q151_bot_signals": q151_bot_signals,
     "q166_event_drift": q166_event_drift,
@@ -778,6 +850,7 @@ ORACLES = {
     "q151_bot_signals": _Q151_ORACLE,
     "q166_event_drift": _Q166_ORACLE,
     "q177_user_erasure": _Q177_ORACLE,
+    "q185_transition_matrix": _Q185_ORACLE,
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

@@ -614,3 +614,38 @@ def test_incremental_shards_old_immutable(spark, sf_dir, tmp_path):
     new_ids = sorted(r.shard_id for r in got if r.is_new == 1)
     assert new_ids and new_ids[0] == base
     assert max(r.shard_id for r in got if r.is_new == 0) < base
+
+
+def test_transition_matrix_planted(spark, tmp_path):
+    """q185 semantics on crafted events: user 1 emits A->B->B inside
+    the gap (transitions A->B and B->B), user 2's A->B pair straddles
+    a 31-minute silence and must NOT count, and each from_type's
+    probabilities sum to 1."""
+    from datetime import datetime, timedelta
+
+    from synthetic_data_pipeline_spark.operators.events import (
+        q185_transition_matrix,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "A", 0.0, "{}"),
+        (2, t0 + timedelta(minutes=5), 1, "B", 0.0, "{}"),
+        (3, t0 + timedelta(minutes=10), 1, "B", 0.0, "{}"),
+        (4, t0, 2, "A", 0.0, "{}"),
+        (5, t0 + timedelta(minutes=31), 2, "B", 0.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {(r.from_type, r.to_type): r
+           for r in q185_transition_matrix(spark, sf_dir).collect()}
+    assert set(got) == {("A", "B"), ("B", "B")}
+    assert got[("A", "B")].n_transitions == 1  # user 2's pair excluded
+    assert got[("B", "B")].n_transitions == 1
+    assert abs(got[("A", "B")].p - 1.0) < 1e-9
+    assert abs(got[("B", "B")].p - 1.0) < 1e-9

@@ -24,7 +24,7 @@ R2_UNCHECKED = [
                           164, 165, 166, 167, 168, 169,    # born round 11
                           170, 171, 172, 173, 174, 175,
                           176, 177, 178, 179, 180, 181, 182, 183,
-                          184,
+                          184, 185,
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
                           # q77 to q182, q79 to q183, q13 to q184 —
@@ -33,8 +33,9 @@ R2_UNCHECKED = [
                           # q76 the rollup/grouping-sets family,
                           # q72/q78 the multi-join revenue family,
                           # q169 the percentile/histogram family,
-                          # q116 the running-aggregation family)
-                          2, 12,
+                          # q116 the running-aggregation family,
+                          # q02 ceded to q185 — q12 keeps top-k)
+                          12,
                           22, 27, 54, 72,
                           74, 75, 76, 78,
                           98, 99,
