@@ -2406,6 +2406,62 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
 
 
+def bm25_index_update(
+    spark: SparkSession, index_dir: str, batch_df: DataFrame
+) -> None:
+    """Incremental index maintenance — the q118/q163 evolving-state
+    pattern applied to retrieval: a batch of new documents lands in
+    the persisted BM25 index WITHOUT rebuilding it. BM25's index state
+    is purely ADDITIVE in documents: tf and dlen rows append verbatim,
+    dfreq is the per-token SUM of old and batch counts (rewritten
+    through a staging dir — never read-and-overwrite in one lineage),
+    and stats recomputes from the persisted dlen (one |docs|-row agg).
+    Because every table lands exactly as a full rebuild would compute
+    it, retrieval through the updated index EQUALS retrieval through a
+    from-scratch rebuild — pinned row-for-row by
+    test_bm25_index_update_equals_rebuild (note: existing docs'
+    scores legitimately shift as df/avgdl move; the parity is
+    index-vs-rebuilt, not score stability). Per-batch work: tokenize
+    the batch + one vocab-keyed merge — the corpus is never re-read.
+
+    RETRY-SAFE: docs already in the index (anti-join on the persisted
+    dlen's doc_ids — one row per doc, the cheapest id table) are
+    dropped from the batch first, so a replayed micro-batch appends
+    nothing and the dfreq/stats rewrites recompute the same values —
+    pinned by test_bm25_index_update_replay_idempotent."""
+    indexed = spark.read.parquet(f"{index_dir}/dlen").select("doc_id")
+    batch_df = batch_df.join(indexed, "doc_id", "anti")
+    toks = batch_df.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("arr")
+    ).select("doc_id", "source", F.explode(_bigram_array()).alias("token"))
+    tf_new = toks.groupBy("doc_id", "source", "token").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint(eager=False)  # batch-bounded; feeds two writes
+    dlen_new = tf_new.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    tf_new.write.mode("append").parquet(f"{index_dir}/tf")
+    dlen_new.write.mode("append").parquet(f"{index_dir}/dlen")
+    dfreq_old = spark.read.parquet(f"{index_dir}/dfreq")
+    dfreq_merged = (
+        dfreq_old.unionByName(
+            tf_new.groupBy("token").agg(F.count("*").alias("df"))
+        )
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+    )
+    pending = f"{index_dir}/_dfreq_pending"
+    dfreq_merged.write.mode("overwrite").parquet(pending)
+    spark.read.parquet(pending).write.mode("overwrite").parquet(
+        f"{index_dir}/dfreq"
+    )
+    stats = spark.read.parquet(f"{index_dir}/dlen").agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    stats.write.mode("overwrite").parquet(f"{index_dir}/_stats_pending")
+    spark.read.parquet(f"{index_dir}/_stats_pending").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/stats")
+
+
 def bm25_from_index(
     spark: SparkSession, index_dir: str, new_docs: DataFrame
 ) -> DataFrame:

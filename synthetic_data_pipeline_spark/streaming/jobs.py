@@ -617,6 +617,44 @@ def shard_append_stream(
     )
 
 
+def bm25_index_maintenance_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of bm25_index_update: arriving documents land in
+    the persisted BM25 index micro-batch by micro-batch (the q163
+    evolving-state pattern for retrieval). Each batch appends only its
+    own tf/dlen rows (replay-safe via the anti-join on indexed
+    doc_ids) and merges dfreq/stats; after the drain the index EQUALS
+    a from-scratch rebuild over everything ingested — pinned by
+    test_bm25_index_maintenance_stream. Returns the batch count."""
+    from ..operators import textops as tx
+    from ..operators.dedup import INGEST_MOD
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % INGEST_MOD == 0
+    )
+    n_batches = {"n": 0}
+
+    def _update(batch_df: DataFrame, _batch_id: int) -> None:
+        tx.bm25_index_update(spark, index_dir, batch_df)
+        n_batches["n"] += 1
+
+    q = (
+        incoming.writeStream.foreachBatch(_update)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="sdps_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def run_foreach_batch_parquet(
     df: DataFrame,
     out_dir: str,

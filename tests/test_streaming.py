@@ -645,3 +645,37 @@ def test_shard_append_two_batches_evolving_offset(spark, sf_dir, tmp_path):
     # (its own batch=0 snapshot is overwritten with the same value).
     r1_replay = shard_append_batch(spark, state, b1, 0).collect()
     assert sorted(map(tuple, r1_replay)) == sorted(map(tuple, r1))
+
+
+def test_bm25_index_maintenance_stream(spark, sf_dir, tmp_path):
+    """The index-maintenance streaming twin: after draining the
+    arrival slice into an index seeded from the old corpus, retrieval
+    through the evolved index must equal the full-scan q164 exactly
+    (== a from-scratch rebuild, by the bm25_index_update parity)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+    from synthetic_data_pipeline_spark.operators.textops import (
+        BM25_QUERY_MOD,
+        bm25_from_index,
+        q164_bm25_retrieval,
+        write_bm25_index,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        bm25_index_maintenance_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_dir = str(tmp_path / "old_corpus")
+    docs.filter(F.col("doc_id") % INGEST_MOD != 0).write.parquet(
+        f"{old_dir}/documents.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    write_bm25_index(spark, old_dir, idx)
+    n = bm25_index_maintenance_stream(spark, sf_dir, idx)
+    assert n >= 1
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+    got = sorted(map(tuple, bm25_from_index(spark, idx, queries).collect()))
+    want = sorted(map(tuple, q164_bm25_retrieval(spark, sf_dir).collect()))
+    assert got == want and len(want) > 0

@@ -1440,3 +1440,84 @@ def test_compression_signal_semantics(spark):
         for r in compression_signal(docs.repartition(7)).collect()
     }
     assert again == {k: v.ratio for k, v in got.items()}
+
+
+def test_bm25_index_update_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental BM25 index maintenance: appending a batch via
+    bm25_index_update must leave the index EQUAL to a from-scratch
+    rebuild over the union corpus — retrieval through both is
+    row-for-row identical (and equals the full-scan q164). BM25 state
+    is additive in documents, and dl/df/avgdl arithmetic is exact
+    integer (avg = bigint-sum / count), so the parity is exact, not
+    approximate."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+    from synthetic_data_pipeline_spark.operators.textops import (
+        BM25_QUERY_MOD,
+        bm25_from_index,
+        bm25_index_update,
+        q164_bm25_retrieval,
+        write_bm25_index,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_dir = str(tmp_path / "old_corpus")
+    docs.filter(F.col("doc_id") % INGEST_MOD != 0).write.parquet(
+        f"{old_dir}/documents.parquet"
+    )
+    idx = str(tmp_path / "idx_incremental")
+    write_bm25_index(spark, old_dir, idx)
+    bm25_index_update(
+        spark, idx, docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    )
+
+    idx2 = str(tmp_path / "idx_rebuilt")
+    write_bm25_index(spark, sf_dir, idx2)
+
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+    got = sorted(
+        map(tuple, bm25_from_index(spark, idx, queries).collect())
+    )
+    want = sorted(
+        map(tuple, bm25_from_index(spark, idx2, queries).collect())
+    )
+    full = sorted(map(tuple, q164_bm25_retrieval(spark, sf_dir).collect()))
+    assert got == want == full and len(full) > 0
+
+
+def test_bm25_index_update_replay_idempotent(spark, sf_dir, tmp_path):
+    """A replayed update batch (same docs, second call) must leave the
+    index byte-identical in content: the anti-join on indexed doc_ids
+    drops everything, nothing appends, and the merged dfreq/stats
+    recompute the same values."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+    from synthetic_data_pipeline_spark.operators.textops import (
+        bm25_index_update,
+        write_bm25_index,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_dir = str(tmp_path / "old_corpus")
+    docs.filter(F.col("doc_id") % INGEST_MOD != 0).write.parquet(
+        f"{old_dir}/documents.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    write_bm25_index(spark, old_dir, idx)
+    batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    bm25_index_update(spark, idx, batch)
+
+    def snapshot():
+        return {
+            t: sorted(map(tuple,
+                          spark.read.parquet(f"{idx}/{t}").collect()))
+            for t in ("tf", "dlen", "dfreq", "stats")
+        }
+
+    before = snapshot()
+    bm25_index_update(spark, idx, batch)  # replay
+    assert snapshot() == before
