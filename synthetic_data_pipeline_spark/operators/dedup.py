@@ -1241,6 +1241,33 @@ def write_dedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
+def dedup_index_update(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> None:
+    """Append a checked batch's shingles + band signatures to the
+    persisted dedup index — the bm25_index_update pattern for the
+    MinHash tier, turning q118's static-index stream into an EVOLVING
+    one: once a batch is admitted, the NEXT batch's candidates include
+    it, so near-dups that straddle micro-batch boundaries are caught
+    (the cross-batch pair q118's static semantics deliberately skips).
+    RETRY-SAFE: docs already indexed (anti-join on the band table's
+    doc_ids) are dropped first, so a replayed batch appends nothing —
+    pinned by test_dedup_index_update_replay_idempotent. Per-batch
+    work: shingle + sign the batch, two appends; the index is never
+    rewritten (both tables are append-only by construction)."""
+    indexed = (
+        spark.read.parquet(f"{path}/bands").select("doc_id").distinct()
+    )
+    fresh = new_docs.join(indexed, "doc_id", "anti")
+    tokens = distinct_shingles(fresh).localCheckpoint(
+        eager=False
+    )  # batch-bounded; feeds both appends
+    tokens.write.mode("append").parquet(f"{path}/tokens")
+    minhash_signatures_from_tokens(tokens).write.mode("append").parquet(
+        f"{path}/bands"
+    )
+
+
 def incremental_dedup_from_index(
     spark: SparkSession, path: str, new_docs: DataFrame
 ) -> DataFrame:

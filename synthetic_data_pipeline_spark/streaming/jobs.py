@@ -244,6 +244,46 @@ def incremental_dedup_stream(
     return run_foreach_batch_parquet(incoming, out_dir, transform=check)
 
 
+def incremental_dedup_stream_evolving(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """q118's stream with an EVOLVING index (the stronger semantics a
+    continuously-ingesting lake wants): each micro-batch is checked
+    against everything indexed SO FAR — the original corpus plus every
+    previously admitted batch — and then appended to the index
+    (dedup_index_update, retry-safe), so near-dup pairs that straddle
+    batch boundaries are flagged on the later doc. With a single
+    availableNow batch this equals q118 exactly (the index at check
+    time is just the original corpus); the cross-batch catch is pinned
+    by test_evolving_dedup_catches_cross_batch_dup. Returns the number
+    of micro-batches."""
+    from ..operators import dedup as ddp
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="sdps_dedup_idx_")
+        ddp.write_dedup_index(spark, sf_dir, index_dir)
+
+    incoming = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % ddp.INGEST_MOD == 0
+    )
+
+    def check_then_admit(batch_df: DataFrame, _batch_id: int) -> DataFrame:
+        hits = ddp.incremental_dedup_from_index(
+            spark, index_dir, batch_df
+        ).localCheckpoint()  # materialize BEFORE the index evolves
+        ddp.dedup_index_update(spark, index_dir, batch_df)
+        return hits
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=check_then_admit,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def pipeline_funnel_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -679,3 +679,106 @@ def test_bm25_index_maintenance_stream(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, bm25_from_index(spark, idx, queries).collect()))
     want = sorted(map(tuple, q164_bm25_retrieval(spark, sf_dir).collect()))
     assert got == want and len(want) > 0
+
+
+def test_evolving_dedup_catches_cross_batch_dup(spark, tmp_path):
+    """The evolving-index stream's reason to exist: two near-identical
+    docs arriving in DIFFERENT batches must be flagged on the later
+    one (q118's static index cannot see the pair), while a single
+    full drain equals the static q118 semantics. Driven through
+    dedup_index_update + incremental_dedup_from_index directly with
+    explicit batches — the same calls the foreachBatch twin makes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        dedup_index_update,
+        incremental_dedup_from_index,
+    )
+
+    # indexed corpus: one unique doc; arrivals: twin docs A (batch 1)
+    # and B (batch 2) sharing their full shingle set.
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    base_rows = [(1, " ".join(f"u{i}" for i in range(40)), "s")]
+    schema = "doc_id long, text string, source string"
+    idx = str(tmp_path / "idx")
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        distinct_shingles,
+        minhash_signatures_from_tokens,
+    )
+
+    base = spark.createDataFrame(base_rows, schema)
+    toks = distinct_shingles(base)
+    toks.write.parquet(f"{idx}/tokens")
+    minhash_signatures_from_tokens(toks).write.parquet(f"{idx}/bands")
+
+    b1 = spark.createDataFrame([(20, dup, "s")], schema)
+    b2 = spark.createDataFrame([(40, dup + " tail", "s")], schema)
+
+    hits1 = incremental_dedup_from_index(spark, idx, b1).collect()
+    dedup_index_update(spark, idx, b1)
+    hits2 = incremental_dedup_from_index(spark, idx, b2).collect()
+    dedup_index_update(spark, idx, b2)
+
+    assert hits1 == []  # nothing like doc 20 indexed yet
+    assert [(r.new_doc_id, r.dup_of) for r in hits2] == [(40, 20)]
+
+
+def test_dedup_index_update_replay_idempotent(spark, tmp_path):
+    """A replayed admit batch appends nothing: the band/token tables
+    are identical before and after the second call."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        dedup_index_update,
+        distinct_shingles,
+        minhash_signatures_from_tokens,
+    )
+
+    schema = "doc_id long, text string, source string"
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(40)), "s")], schema
+    )
+    toks = distinct_shingles(base)
+    toks.write.parquet(f"{idx}/tokens")
+    minhash_signatures_from_tokens(toks).write.parquet(f"{idx}/bands")
+
+    batch = spark.createDataFrame(
+        [(20, " ".join(f"w{i}" for i in range(40)), "s")], schema
+    )
+    dedup_index_update(spark, idx, batch)
+
+    def snap():
+        return {
+            t: sorted(map(tuple, spark.read.parquet(f"{idx}/{t}").collect()))
+            for t in ("tokens", "bands")
+        }
+
+    before = snap()
+    dedup_index_update(spark, idx, batch)  # replay
+    assert snap() == before
+
+
+def test_evolving_dedup_stream_single_drain_equals_q118(
+    spark, sf_dir, tmp_path
+):
+    """With one availableNow batch, the evolving stream's landed rows
+    equal batch q118 exactly — the index at check time is just the
+    original corpus."""
+    from synthetic_data_pipeline_spark.operators.dedup import (
+        q118_incremental_dedup,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        incremental_dedup_stream_evolving,
+    )
+
+    out = str(tmp_path / "hits")
+    n = incremental_dedup_stream_evolving(spark, sf_dir, out)
+    assert n >= 1
+    got = sorted(
+        (r.new_doc_id, r.dup_of, r.jaccard)
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    want = sorted(
+        (r.new_doc_id, r.dup_of, r.jaccard)
+        for r in q118_incremental_dedup(spark, sf_dir).collect()
+    )
+    assert got == want
