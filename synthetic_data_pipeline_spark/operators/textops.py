@@ -2428,7 +2428,13 @@ def bm25_index_update(
     dlen's doc_ids — one row per doc, the cheapest id table) are
     dropped from the batch first, so a replayed micro-batch appends
     nothing and the dfreq/stats rewrites recompute the same values —
-    pinned by test_bm25_index_update_replay_idempotent."""
+    pinned by test_bm25_index_update_replay_idempotent.
+
+    CRASH WINDOW (documented, repairable): tf appends FIRST, so a
+    death between the tf and dlen appends makes the replay filter
+    re-admit the batch and duplicate its tf rows exactly; every such
+    state is recovered by repair_bm25_index (distinct tf, rebuild the
+    derived tables) — pinned by test_bm25_repair_after_crash."""
     indexed = spark.read.parquet(f"{index_dir}/dlen").select("doc_id")
     batch_df = batch_df.join(indexed, "doc_id", "anti")
     toks = batch_df.select(
@@ -2453,6 +2459,46 @@ def bm25_index_update(
     spark.read.parquet(pending).write.mode("overwrite").parquet(
         f"{index_dir}/dfreq"
     )
+    stats = spark.read.parquet(f"{index_dir}/dlen").agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    stats.write.mode("overwrite").parquet(f"{index_dir}/_stats_pending")
+    spark.read.parquet(f"{index_dir}/_stats_pending").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/stats")
+
+
+def repair_bm25_index(spark: SparkSession, index_dir: str) -> None:
+    """Recover a crashed-mid-update index. ``tf`` is the single source
+    of truth: bm25_index_update appends it FIRST, so every crash
+    window leaves tf either complete or carrying exact-duplicate rows
+    (a replay re-appends identical (doc_id, source, token, cnt) rows
+    when the crash hit before the dlen append that feeds the replay
+    filter), and the three derived tables (dlen, dfreq, stats) at
+    worst stale. Repair is therefore deterministic: distinct-rewrite
+    tf through a staging dir, then rebuild every derived table from
+    it — after which retrieval equals a from-scratch rebuild
+    (test_bm25_repair_after_crash). This is the honest recovery story
+    for the one protocol window the update's docstring documents; a
+    lake with table-format transactions (Delta/Iceberg MERGE) gets it
+    for free."""
+    tf = spark.read.parquet(f"{index_dir}/tf").distinct()
+    pending = f"{index_dir}/_tf_pending"
+    tf.write.mode("overwrite").parquet(pending)
+    spark.read.parquet(pending).write.mode("overwrite").parquet(
+        f"{index_dir}/tf"
+    )
+    tf = spark.read.parquet(f"{index_dir}/tf")
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    dlen.write.mode("overwrite").parquet(f"{index_dir}/_dlen_pending")
+    spark.read.parquet(f"{index_dir}/_dlen_pending").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/dlen")
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dfreq.write.mode("overwrite").parquet(f"{index_dir}/_dfreq_pending")
+    spark.read.parquet(f"{index_dir}/_dfreq_pending").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/dfreq")
     stats = spark.read.parquet(f"{index_dir}/dlen").agg(
         F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
     )

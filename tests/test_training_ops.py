@@ -1521,3 +1521,51 @@ def test_bm25_index_update_replay_idempotent(spark, sf_dir, tmp_path):
     before = snapshot()
     bm25_index_update(spark, idx, batch)  # replay
     assert snapshot() == before
+
+
+def test_bm25_repair_after_crash(spark, sf_dir, tmp_path):
+    """Worst documented crash window: the update died between the tf
+    append and the dlen append, AND a replay re-appended the batch's
+    tf rows (exact duplicates), leaving dlen/dfreq/stats stale.
+    repair_bm25_index must restore the index to exactly the
+    from-scratch rebuild — retrieval row-for-row equal."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
+    from synthetic_data_pipeline_spark.operators.textops import (
+        BM25_QUERY_MOD,
+        _bigram_array,
+        _tokens,
+        bm25_from_index,
+        repair_bm25_index,
+        write_bm25_index,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_dir = str(tmp_path / "old_corpus")
+    docs.filter(F.col("doc_id") % INGEST_MOD != 0).write.parquet(
+        f"{old_dir}/documents.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    write_bm25_index(spark, old_dir, idx)
+
+    # simulate the crash: the batch's tf rows land TWICE, nothing else
+    batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    toks = batch.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("arr")
+    ).select("doc_id", "source", F.explode(_bigram_array()).alias("token"))
+    tf_new = toks.groupBy("doc_id", "source", "token").agg(
+        F.count("*").alias("cnt")
+    )
+    tf_new.write.mode("append").parquet(f"{idx}/tf")
+    tf_new.write.mode("append").parquet(f"{idx}/tf")  # the replay
+
+    repair_bm25_index(spark, idx)
+
+    idx2 = str(tmp_path / "idx_rebuilt")
+    write_bm25_index(spark, sf_dir, idx2)
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+    got = sorted(map(tuple, bm25_from_index(spark, idx, queries).collect()))
+    want = sorted(map(tuple, bm25_from_index(spark, idx2, queries).collect()))
+    assert got == want and len(want) > 0
