@@ -1235,36 +1235,84 @@ def write_dedup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     tokens = token_state(spark, sf_dir).filter(
         F.col("doc_id") % INGEST_MOD != 0
     )
-    tokens.write.mode("overwrite").parquet(f"{path}/tokens")
+    # batch=-1 hive partitions so incremental batches (dedup_index_
+    # update) can claim their own idempotent partitions
+    tokens.write.mode("overwrite").parquet(f"{path}/tokens/batch=-1")
     minhash_signatures_from_tokens(tokens).write.mode("overwrite").parquet(
-        f"{path}/bands"
+        f"{path}/bands/batch=-1"
     )
 
 
 def dedup_index_update(
-    spark: SparkSession, path: str, new_docs: DataFrame
+    spark: SparkSession, path: str, new_docs: DataFrame,
+    batch_id: int = 0,
 ) -> None:
-    """Append a checked batch's shingles + band signatures to the
+    """Admit a checked batch's shingles + band signatures into the
     persisted dedup index — the bm25_index_update pattern for the
     MinHash tier, turning q118's static-index stream into an EVOLVING
     one: once a batch is admitted, the NEXT batch's candidates include
     it, so near-dups that straddle micro-batch boundaries are caught
     (the cross-batch pair q118's static semantics deliberately skips).
-    RETRY-SAFE: docs already indexed (anti-join on the band table's
-    doc_ids) are dropped first, so a replayed batch appends nothing —
-    pinned by test_dedup_index_update_replay_idempotent. Per-batch
-    work: shingle + sign the batch, two appends; the index is never
-    rewritten (both tables are append-only by construction)."""
-    indexed = (
-        spark.read.parquet(f"{path}/bands").select("doc_id").distinct()
+
+    CRASH-SAFE BY CONSTRUCTION (hardened after the round-11 review
+    found the plain-append protocol could duplicate token rows on
+    replay — which silently DEFLATES exact Jaccard and suppresses true
+    dup detections forever): both tables land as idempotent OVERWRITES
+    of the batch's own hive partitions (tokens/batch={batch_id},
+    bands/batch={batch_id}) — a replayed micro-batch rewrites the
+    identical partitions; docs re-sent under a DIFFERENT batch id are
+    dropped by an anti-join on the other partitions' doc_ids. Unlike
+    BM25 there are no global derived tables, so no rebuild step
+    exists and every crash point is healed by the replay itself —
+    pinned by test_dedup_index_update_replay_idempotent."""
+    indexed_other = (
+        spark.read.parquet(f"{path}/bands")
+        .filter(F.col("batch") != batch_id)
+        .select("doc_id")
+        .distinct()
     )
-    fresh = new_docs.join(indexed, "doc_id", "anti")
+    fresh = new_docs.join(indexed_other, "doc_id", "anti")
     tokens = distinct_shingles(fresh).localCheckpoint(
         eager=False
-    )  # batch-bounded; feeds both appends
-    tokens.write.mode("append").parquet(f"{path}/tokens")
-    minhash_signatures_from_tokens(tokens).write.mode("append").parquet(
-        f"{path}/bands"
+    )  # batch-bounded; feeds both writes
+    tokens.write.mode("overwrite").parquet(f"{path}/tokens/batch={batch_id}")
+    minhash_signatures_from_tokens(tokens).write.mode("overwrite").parquet(
+        f"{path}/bands/batch={batch_id}"
+    )
+
+
+def within_batch_dups(new_docs: DataFrame) -> DataFrame:
+    """Near-dup pairs INSIDE one batch (band self-join over the
+    batch's own signatures, exact-Jaccard verify) — the piece that
+    makes the evolving stream's coverage independent of micro-batch
+    boundaries: two twins arriving together are flagged here, twins
+    split across batches by the index probe. Output matches
+    incremental_dedup_from_index's schema: the LATER doc (larger id)
+    is the flagged one."""
+    new_tokens = distinct_shingles(new_docs)
+    sigs = minhash_signatures_from_tokens(new_tokens)
+    cands = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        token_jaccard(new_tokens, cands)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_b").alias("new_doc_id"),
+            F.col("doc_a").alias("dup_of"),
+            "jaccard",
+        )
     )
 
 
@@ -1277,8 +1325,15 @@ def incremental_dedup_from_index(
     The indexed corpus's text is never read, let alone re-shingled —
     provable from the plan (no documents scan; see
     test_incremental_from_persisted_index)."""
-    idx_tokens = spark.read.parquet(f"{path}/tokens")
-    idx_bands = spark.read.parquet(f"{path}/bands")
+    # explicit column selects: the index tables carry a hive `batch`
+    # partition column (the idempotent-update layout) that must not
+    # leak into the union/join schemas
+    idx_tokens = spark.read.parquet(f"{path}/tokens").select(
+        "doc_id", "token"
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        "doc_id", "band", "minhash"
+    )
     new_tokens = distinct_shingles(new_docs)
     cands = (
         minhash_signatures_from_tokens(new_tokens)

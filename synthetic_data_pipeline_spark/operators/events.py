@@ -755,8 +755,11 @@ _Q177_ORACLE = f"""
 # count stage hits — this is the dense |types|^2 summary that stays
 # readable at any corpus size. Plan: one per-user bounded lag window
 # (q151's class — never global), a |types|^2-key count, a |types|-key
-# total join; boundary discipline — the 30-min gap compares integer
-# epoch seconds (exact in both engines) and p is eround-ed 4dp.
+# total join; boundary discipline — the 30-min gap compares TRUNCATED
+# integer epoch seconds on both engines (Spark cast('long') truncates,
+# so the oracle uses floor(epoch(ts)) — DuckDB's bare epoch() is a
+# fractional DOUBLE that would flip boundary pairs; the q32 pairing)
+# and p is eround-ed 4dp.
 TRANSITION_GAP_MIN = 30
 
 
@@ -795,7 +798,7 @@ _Q185_ORACLE = f"""
     WITH pairs AS (
       SELECT lag(event_type) OVER w AS from_type,
              event_type AS to_type,
-             epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+             floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS gap_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),

@@ -2397,115 +2397,114 @@ def q164_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the q164 query slice through the index path, and its oracle
 # IS q164's full-scan SQL — a green driver row proves
 # from-index == full-recompute, the q163 pinning trick.
+def _staged_overwrite(
+    spark: SparkSession, df: DataFrame, index_dir: str, table: str
+) -> None:
+    """Rewrite ``{index_dir}/{table}`` through a staging dir (never
+    read-and-overwrite in one lineage), then drop the staging copy on
+    local filesystems — the one definition of the dance the index
+    maintainers share."""
+    import shutil
+
+    pending = f"{index_dir}/_{table}_pending"
+    df.write.mode("overwrite").parquet(pending)
+    spark.read.parquet(pending).write.mode("overwrite").parquet(
+        f"{index_dir}/{table}"
+    )
+    if "://" not in pending:
+        shutil.rmtree(pending, ignore_errors=True)
+
+
+def _rebuild_bm25_derived(spark: SparkSession, index_dir: str) -> None:
+    """Rebuild dlen/dfreq/stats from the persisted tf — the single
+    source of truth. Idempotent: safe to run at any point, from any
+    crash state."""
+    tf = spark.read.parquet(f"{index_dir}/tf")
+    _staged_overwrite(
+        spark,
+        tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl")),
+        index_dir,
+        "dlen",
+    )
+    _staged_overwrite(
+        spark,
+        tf.groupBy("token").agg(F.count("*").alias("df")),
+        index_dir,
+        "dfreq",
+    )
+    _staged_overwrite(
+        spark,
+        spark.read.parquet(f"{index_dir}/dlen").agg(
+            F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+        ),
+        index_dir,
+        "stats",
+    )
+
+
 def write_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Initial index build. tf lands under a batch=-1 hive partition
+    so later incremental batches (bm25_index_update) can claim their
+    own idempotent partitions."""
     docs = load_table(spark, sf_dir, "documents")
     tf, dlen, stats, dfreq = bm25_stats(docs)
-    tf.write.mode("overwrite").parquet(f"{path}/tf")
+    tf.write.mode("overwrite").parquet(f"{path}/tf/batch=-1")
     dlen.write.mode("overwrite").parquet(f"{path}/dlen")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
 
 
 def bm25_index_update(
-    spark: SparkSession, index_dir: str, batch_df: DataFrame
+    spark: SparkSession, index_dir: str, batch_df: DataFrame,
+    batch_id: int = 0,
 ) -> None:
     """Incremental index maintenance — the q118/q163 evolving-state
     pattern applied to retrieval: a batch of new documents lands in
-    the persisted BM25 index WITHOUT rebuilding it. BM25's index state
-    is purely ADDITIVE in documents: tf and dlen rows append verbatim,
-    dfreq is the per-token SUM of old and batch counts (rewritten
-    through a staging dir — never read-and-overwrite in one lineage),
-    and stats recomputes from the persisted dlen (one |docs|-row agg).
-    Because every table lands exactly as a full rebuild would compute
-    it, retrieval through the updated index EQUALS retrieval through a
+    the persisted BM25 index WITHOUT re-reading the corpus. Because
+    every table lands exactly as a full rebuild would compute it,
+    retrieval through the updated index EQUALS retrieval through a
     from-scratch rebuild — pinned row-for-row by
-    test_bm25_index_update_equals_rebuild (note: existing docs'
-    scores legitimately shift as df/avgdl move; the parity is
-    index-vs-rebuilt, not score stability). Per-batch work: tokenize
-    the batch + one vocab-keyed merge — the corpus is never re-read.
+    test_bm25_index_update_equals_rebuild (existing docs' scores
+    legitimately shift as df/avgdl move; the parity is
+    index-vs-rebuilt, not score stability).
 
-    RETRY-SAFE: docs already in the index (anti-join on the persisted
-    dlen's doc_ids — one row per doc, the cheapest id table) are
-    dropped from the batch first, so a replayed micro-batch appends
-    nothing and the dfreq/stats rewrites recompute the same values —
-    pinned by test_bm25_index_update_replay_idempotent.
-
-    CRASH WINDOW (documented, repairable): tf appends FIRST, so a
-    death between the tf and dlen appends makes the replay filter
-    re-admit the batch and duplicate its tf rows exactly; every such
-    state is recovered by repair_bm25_index (distinct tf, rebuild the
-    derived tables) — pinned by test_bm25_repair_after_crash."""
-    indexed = spark.read.parquet(f"{index_dir}/dlen").select("doc_id")
-    batch_df = batch_df.join(indexed, "doc_id", "anti")
-    toks = batch_df.select(
-        "doc_id", "source", _tokens(F.col("text")).alias("arr")
-    ).select("doc_id", "source", F.explode(_bigram_array()).alias("token"))
-    tf_new = toks.groupBy("doc_id", "source", "token").agg(
-        F.count("*").alias("cnt")
-    ).localCheckpoint(eager=False)  # batch-bounded; feeds two writes
-    dlen_new = tf_new.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
-    tf_new.write.mode("append").parquet(f"{index_dir}/tf")
-    dlen_new.write.mode("append").parquet(f"{index_dir}/dlen")
-    dfreq_old = spark.read.parquet(f"{index_dir}/dfreq")
-    dfreq_merged = (
-        dfreq_old.unionByName(
-            tf_new.groupBy("token").agg(F.count("*").alias("df"))
-        )
-        .groupBy("token")
-        .agg(F.sum("df").alias("df"))
+    CRASH-SAFE BY CONSTRUCTION (hardened after the round-11 review
+    found the append+anti-join protocol had silently-corrupting replay
+    windows): the batch's tf rows land as an idempotent OVERWRITE of
+    their own hive partition (tf/batch={batch_id} — a replayed
+    micro-batch rewrites the identical partition, the
+    run_foreach_batch_parquet sink trick applied to state), docs
+    re-sent under a DIFFERENT batch id are dropped by an anti-join
+    against the other partitions' doc_ids, and the three derived
+    tables are rebuilt from the persisted tf afterwards
+    (_rebuild_bm25_derived — idempotent from any crash point; a death
+    between the tf write and the rebuild is healed by the replay's own
+    rebuild, pinned by test_bm25_repair_after_crash). The price of
+    exactness under at-least-once replay is that the derived rebuild
+    aggregates the whole tf per batch — a lake with transactional
+    tables (Delta/Iceberg MERGE) pays an incremental merge instead;
+    repair_bm25_index exposes the same rebuild for manual recovery."""
+    tf_all = spark.read.parquet(f"{index_dir}/tf")
+    indexed_other = (
+        tf_all.filter(F.col("batch") != batch_id)
+        .select("doc_id")
+        .distinct()
     )
-    pending = f"{index_dir}/_dfreq_pending"
-    dfreq_merged.write.mode("overwrite").parquet(pending)
-    spark.read.parquet(pending).write.mode("overwrite").parquet(
-        f"{index_dir}/dfreq"
+    fresh = batch_df.join(indexed_other, "doc_id", "anti")
+    tf_new, _dlen, _stats, _dfreq = bm25_stats(fresh)
+    tf_new.write.mode("overwrite").parquet(
+        f"{index_dir}/tf/batch={batch_id}"
     )
-    stats = spark.read.parquet(f"{index_dir}/dlen").agg(
-        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
-    )
-    stats.write.mode("overwrite").parquet(f"{index_dir}/_stats_pending")
-    spark.read.parquet(f"{index_dir}/_stats_pending").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/stats")
+    _rebuild_bm25_derived(spark, index_dir)
 
 
 def repair_bm25_index(spark: SparkSession, index_dir: str) -> None:
-    """Recover a crashed-mid-update index. ``tf`` is the single source
-    of truth: bm25_index_update appends it FIRST, so every crash
-    window leaves tf either complete or carrying exact-duplicate rows
-    (a replay re-appends identical (doc_id, source, token, cnt) rows
-    when the crash hit before the dlen append that feeds the replay
-    filter), and the three derived tables (dlen, dfreq, stats) at
-    worst stale. Repair is therefore deterministic: distinct-rewrite
-    tf through a staging dir, then rebuild every derived table from
-    it — after which retrieval equals a from-scratch rebuild
-    (test_bm25_repair_after_crash). This is the honest recovery story
-    for the one protocol window the update's docstring documents; a
-    lake with table-format transactions (Delta/Iceberg MERGE) gets it
-    for free."""
-    tf = spark.read.parquet(f"{index_dir}/tf").distinct()
-    pending = f"{index_dir}/_tf_pending"
-    tf.write.mode("overwrite").parquet(pending)
-    spark.read.parquet(pending).write.mode("overwrite").parquet(
-        f"{index_dir}/tf"
-    )
-    tf = spark.read.parquet(f"{index_dir}/tf")
-    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
-    dlen.write.mode("overwrite").parquet(f"{index_dir}/_dlen_pending")
-    spark.read.parquet(f"{index_dir}/_dlen_pending").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/dlen")
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    dfreq.write.mode("overwrite").parquet(f"{index_dir}/_dfreq_pending")
-    spark.read.parquet(f"{index_dir}/_dfreq_pending").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/dfreq")
-    stats = spark.read.parquet(f"{index_dir}/dlen").agg(
-        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
-    )
-    stats.write.mode("overwrite").parquet(f"{index_dir}/_stats_pending")
-    spark.read.parquet(f"{index_dir}/_stats_pending").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/stats")
+    """Manual recovery surface: rebuild every derived table from the
+    persisted tf partitions. With batch-keyed tf overwrites duplicates
+    are structurally impossible, so repair == derived rebuild — after
+    it, retrieval equals a from-scratch rebuild
+    (test_bm25_repair_after_crash)."""
+    _rebuild_bm25_derived(spark, index_dir)
 
 
 def bm25_from_index(

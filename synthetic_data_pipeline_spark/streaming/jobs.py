@@ -251,16 +251,21 @@ def incremental_dedup_stream_evolving(
     index_dir: str | None = None,
     checkpoint_dir: str | None = None,
 ) -> int:
-    """q118's stream with an EVOLVING index (the stronger semantics a
-    continuously-ingesting lake wants): each micro-batch is checked
-    against everything indexed SO FAR — the original corpus plus every
-    previously admitted batch — and then appended to the index
-    (dedup_index_update, retry-safe), so near-dup pairs that straddle
-    batch boundaries are flagged on the later doc. With a single
-    availableNow batch this equals q118 exactly (the index at check
-    time is just the original corpus); the cross-batch catch is pinned
-    by test_evolving_dedup_catches_cross_batch_dup. Returns the number
-    of micro-batches."""
+    """q118's stream with an EVOLVING index and boundary-independent
+    coverage: each micro-batch is checked against everything indexed
+    SO FAR (minus itself — see below) AND against its own members
+    (within_batch_dups), then admitted to the index
+    (dedup_index_update's idempotent batch partitions) — so a near-dup
+    pair is flagged on the later doc whether the two arrive in the
+    same micro-batch or different ones, the boundary nondeterminism
+    the round-11 review flagged. REPLAY-CLEAN: the index probe
+    anti-joins its hits against the batch's own doc_ids, so a replayed
+    batch (whose partitions the index already holds) emits exactly the
+    rows a no-crash run would — no self-pairs, no doubled intra-batch
+    pairs (the within-batch detector owns those). With a single
+    availableNow batch the landed rows equal q118 ∪
+    within_batch_dups(arrivals) exactly. Returns the number of
+    micro-batches."""
     from ..operators import dedup as ddp
 
     if index_dir is None:
@@ -271,11 +276,17 @@ def incremental_dedup_stream_evolving(
         F.col("doc_id") % ddp.INGEST_MOD == 0
     )
 
-    def check_then_admit(batch_df: DataFrame, _batch_id: int) -> DataFrame:
-        hits = ddp.incremental_dedup_from_index(
+    def check_then_admit(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        own_ids = batch_df.select(F.col("doc_id").alias("dup_of"))
+        idx_hits = ddp.incremental_dedup_from_index(
             spark, index_dir, batch_df
-        ).localCheckpoint()  # materialize BEFORE the index evolves
-        ddp.dedup_index_update(spark, index_dir, batch_df)
+        ).join(own_ids, "dup_of", "anti")
+        hits = (
+            idx_hits.select("new_doc_id", "dup_of", "jaccard")
+            .unionByName(ddp.within_batch_dups(batch_df))
+            .localCheckpoint()  # materialize BEFORE the index evolves
+        )
+        ddp.dedup_index_update(spark, index_dir, batch_df, batch_id)
         return hits
 
     return run_foreach_batch_parquet(
@@ -678,8 +689,8 @@ def bm25_index_maintenance_stream(
     )
     n_batches = {"n": 0}
 
-    def _update(batch_df: DataFrame, _batch_id: int) -> None:
-        tx.bm25_index_update(spark, index_dir, batch_df)
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        tx.bm25_index_update(spark, index_dir, batch_df, batch_id)
         n_batches["n"] += 1
 
     q = (

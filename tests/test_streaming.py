@@ -682,50 +682,71 @@ def test_bm25_index_maintenance_stream(spark, sf_dir, tmp_path):
 
 
 def test_evolving_dedup_catches_cross_batch_dup(spark, tmp_path):
-    """The evolving-index stream's reason to exist: two near-identical
-    docs arriving in DIFFERENT batches must be flagged on the later
-    one (q118's static index cannot see the pair), while a single
-    full drain equals the static q118 semantics. Driven through
-    dedup_index_update + incremental_dedup_from_index directly with
-    explicit batches — the same calls the foreachBatch twin makes."""
-    from pyspark.sql import functions as F  # noqa: F401
+    """Boundary-independent coverage, driven through the same calls
+    the stream's transform makes: twins arriving in the SAME batch are
+    flagged by within_batch_dups, twins split ACROSS batches by the
+    index probe — and re-running a batch's check after its own
+    admission (the replay case) emits exactly the same rows (no
+    self-pairs, no doubled intra-batch pairs)."""
+    from pyspark.sql import functions as F
 
     from synthetic_data_pipeline_spark.operators.dedup import (
         dedup_index_update,
+        distinct_shingles,
         incremental_dedup_from_index,
+        minhash_signatures_from_tokens,
+        within_batch_dups,
     )
 
-    # indexed corpus: one unique doc; arrivals: twin docs A (batch 1)
-    # and B (batch 2) sharing their full shingle set.
     dup = "alpha beta gamma delta epsilon zeta eta theta " * 4
-    base_rows = [(1, " ".join(f"u{i}" for i in range(40)), "s")]
+    dup2 = "kappa lam mu nu xi omicron pi rho " * 4
     schema = "doc_id long, text string, source string"
     idx = str(tmp_path / "idx")
-    from synthetic_data_pipeline_spark.operators.dedup import (
-        distinct_shingles,
-        minhash_signatures_from_tokens,
+    base = spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(40)), "s")], schema
+    )
+    toks = distinct_shingles(base)
+    toks.write.parquet(f"{idx}/tokens/batch=-1")
+    minhash_signatures_from_tokens(toks).write.parquet(
+        f"{idx}/bands/batch=-1"
     )
 
-    base = spark.createDataFrame(base_rows, schema)
-    toks = distinct_shingles(base)
-    toks.write.parquet(f"{idx}/tokens")
-    minhash_signatures_from_tokens(toks).write.parquet(f"{idx}/bands")
+    # batch 1: same-batch twins (20, 21) + unique doc 30
+    b1 = spark.createDataFrame(
+        [(20, dup, "s"), (21, dup + " tail", "s"), (30, dup2, "s")], schema
+    )
+    # batch 2: doc 40 twins batch 1's doc 30 (cross-batch)
+    b2 = spark.createDataFrame([(40, dup2 + " coda", "s")], schema)
 
-    b1 = spark.createDataFrame([(20, dup, "s")], schema)
-    b2 = spark.createDataFrame([(40, dup + " tail", "s")], schema)
+    def check(batch_df):
+        own = batch_df.select(F.col("doc_id").alias("dup_of"))
+        idx_hits = incremental_dedup_from_index(
+            spark, idx, batch_df
+        ).join(own, "dup_of", "anti")
+        return sorted(
+            (r.new_doc_id, r.dup_of)
+            for r in idx_hits.select("new_doc_id", "dup_of", "jaccard")
+            .unionByName(within_batch_dups(batch_df))
+            .collect()
+        )
 
-    hits1 = incremental_dedup_from_index(spark, idx, b1).collect()
-    dedup_index_update(spark, idx, b1)
-    hits2 = incremental_dedup_from_index(spark, idx, b2).collect()
-    dedup_index_update(spark, idx, b2)
+    hits1 = check(b1)
+    dedup_index_update(spark, idx, b1, batch_id=0)
+    assert hits1 == [(21, 20)]  # same-batch twins caught
 
-    assert hits1 == []  # nothing like doc 20 indexed yet
-    assert [(r.new_doc_id, r.dup_of) for r in hits2] == [(40, 20)]
+    hits2 = check(b2)
+    dedup_index_update(spark, idx, b2, batch_id=1)
+    assert hits2 == [(40, 30)]  # cross-batch twins caught
+
+    # replay: batch 1's partitions are already in the index — the
+    # check must emit the SAME rows, not self-pairs/doubled twins
+    assert check(b1) == hits1
 
 
 def test_dedup_index_update_replay_idempotent(spark, tmp_path):
-    """A replayed admit batch appends nothing: the band/token tables
-    are identical before and after the second call."""
+    """A replayed admit batch rewrites its own partitions with the
+    identical rows: the band/token tables are equal before and after
+    the second call."""
     from synthetic_data_pipeline_spark.operators.dedup import (
         dedup_index_update,
         distinct_shingles,
@@ -738,13 +759,15 @@ def test_dedup_index_update_replay_idempotent(spark, tmp_path):
         [(1, " ".join(f"u{i}" for i in range(40)), "s")], schema
     )
     toks = distinct_shingles(base)
-    toks.write.parquet(f"{idx}/tokens")
-    minhash_signatures_from_tokens(toks).write.parquet(f"{idx}/bands")
+    toks.write.parquet(f"{idx}/tokens/batch=-1")
+    minhash_signatures_from_tokens(toks).write.parquet(
+        f"{idx}/bands/batch=-1"
+    )
 
     batch = spark.createDataFrame(
         [(20, " ".join(f"w{i}" for i in range(40)), "s")], schema
     )
-    dedup_index_update(spark, idx, batch)
+    dedup_index_update(spark, idx, batch, batch_id=0)
 
     def snap():
         return {
@@ -753,19 +776,24 @@ def test_dedup_index_update_replay_idempotent(spark, tmp_path):
         }
 
     before = snap()
-    dedup_index_update(spark, idx, batch)  # replay
+    dedup_index_update(spark, idx, batch, batch_id=0)  # replay
     assert snap() == before
 
 
 def test_evolving_dedup_stream_single_drain_equals_q118(
     spark, sf_dir, tmp_path
 ):
-    """With one availableNow batch, the evolving stream's landed rows
-    equal batch q118 exactly — the index at check time is just the
-    original corpus."""
+    """With one availableNow batch the landed rows equal batch q118
+    UNION the arrivals' within-batch pairs — the boundary-independent
+    semantics, stated exactly."""
+    from pyspark.sql import functions as F
+
     from synthetic_data_pipeline_spark.operators.dedup import (
+        INGEST_MOD,
         q118_incremental_dedup,
+        within_batch_dups,
     )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
     from synthetic_data_pipeline_spark.streaming.jobs import (
         incremental_dedup_stream_evolving,
     )
@@ -777,8 +805,17 @@ def test_evolving_dedup_stream_single_drain_equals_q118(
         (r.new_doc_id, r.dup_of, r.jaccard)
         for r in spark.read.option("basePath", out).parquet(out).collect()
     )
+    arrivals = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INGEST_MOD == 0
+    )
     want = sorted(
-        (r.new_doc_id, r.dup_of, r.jaccard)
-        for r in q118_incremental_dedup(spark, sf_dir).collect()
+        [
+            (r.new_doc_id, r.dup_of, r.jaccard)
+            for r in q118_incremental_dedup(spark, sf_dir).collect()
+        ]
+        + [
+            (r.new_doc_id, r.dup_of, r.jaccard)
+            for r in within_batch_dups(arrivals).collect()
+        ]
     )
     assert got == want

@@ -1524,19 +1524,20 @@ def test_bm25_index_update_replay_idempotent(spark, sf_dir, tmp_path):
 
 
 def test_bm25_repair_after_crash(spark, sf_dir, tmp_path):
-    """Worst documented crash window: the update died between the tf
-    append and the dlen append, AND a replay re-appended the batch's
-    tf rows (exact duplicates), leaving dlen/dfreq/stats stale.
-    repair_bm25_index must restore the index to exactly the
-    from-scratch rebuild — retrieval row-for-row equal."""
+    """Crash window under the batch-keyed protocol: the update died
+    AFTER writing its tf/batch=0 partition but BEFORE the derived
+    rebuild, leaving dlen/dfreq/stats stale. Both recovery routes must
+    restore exact rebuild parity: (a) the foreachBatch replay calling
+    bm25_index_update again (its own derived rebuild heals), and
+    (b) the manual repair_bm25_index."""
     from pyspark.sql import functions as F
 
     from synthetic_data_pipeline_spark.operators.dedup import INGEST_MOD
     from synthetic_data_pipeline_spark.operators.textops import (
         BM25_QUERY_MOD,
-        _bigram_array,
-        _tokens,
         bm25_from_index,
+        bm25_index_update,
+        bm25_stats,
         repair_bm25_index,
         write_bm25_index,
     )
@@ -1547,25 +1548,27 @@ def test_bm25_repair_after_crash(spark, sf_dir, tmp_path):
     docs.filter(F.col("doc_id") % INGEST_MOD != 0).write.parquet(
         f"{old_dir}/documents.parquet"
     )
-    idx = str(tmp_path / "idx")
-    write_bm25_index(spark, old_dir, idx)
-
-    # simulate the crash: the batch's tf rows land TWICE, nothing else
     batch = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
-    toks = batch.select(
-        "doc_id", "source", _tokens(F.col("text")).alias("arr")
-    ).select("doc_id", "source", F.explode(_bigram_array()).alias("token"))
-    tf_new = toks.groupBy("doc_id", "source", "token").agg(
-        F.count("*").alias("cnt")
-    )
-    tf_new.write.mode("append").parquet(f"{idx}/tf")
-    tf_new.write.mode("append").parquet(f"{idx}/tf")  # the replay
-
-    repair_bm25_index(spark, idx)
-
+    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
     idx2 = str(tmp_path / "idx_rebuilt")
     write_bm25_index(spark, sf_dir, idx2)
-    queries = docs.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
-    got = sorted(map(tuple, bm25_from_index(spark, idx, queries).collect()))
     want = sorted(map(tuple, bm25_from_index(spark, idx2, queries).collect()))
-    assert got == want and len(want) > 0
+
+    def crashed_index(name):
+        idx = str(tmp_path / name)
+        write_bm25_index(spark, old_dir, idx)
+        # simulate the crash: the batch's tf partition landed, the
+        # derived rebuild never ran
+        tf_new, _d, _s, _f = bm25_stats(batch)
+        tf_new.write.mode("overwrite").parquet(f"{idx}/tf/batch=0")
+        return idx
+
+    idx_a = crashed_index("idx_replay")
+    bm25_index_update(spark, idx_a, batch, batch_id=0)  # the replay
+    got_a = sorted(map(tuple, bm25_from_index(spark, idx_a, queries).collect()))
+    assert got_a == want and len(want) > 0
+
+    idx_b = crashed_index("idx_manual")
+    repair_bm25_index(spark, idx_b)
+    got_b = sorted(map(tuple, bm25_from_index(spark, idx_b, queries).collect()))
+    assert got_b == want
