@@ -99,20 +99,30 @@ DRIVER_WINDOW = [
     "q180_memorization_risk", "q181_doremi_mixture",
     "q182_audio_afp_dups", "q183_incremental_shards",
     "q184_containment_pairs", "q185_transition_matrix",
+    # wave 6 (session 2): source keyness, the hourly anomaly monitor,
+    # and the snapshot diff. Evictions with in-window cousins:
+    # q72->q74/q78 (the multi-join revenue family stays covered),
+    # q98->q99 (the generation-validation family stays covered),
+    # q22->q187/q166 (the time-bucket-aggregation family stays
+    # covered), q54->q130/q107/q168 (the embedding-similarity family
+    # stays covered, and q189 itself is the family's newest member),
+    # q106->q162/q180 (the repetition family stays covered),
+    # q105->q160/q172 (the decontamination family stays covered),
+    # q101->q176/q122 (the funnel retention/action family stays
+    # covered).
+    "q186_source_keyness", "q187_hourly_anomalies",
+    "q188_snapshot_diff", "q189_incremental_ivf",
+    "q190_calibrated_quality", "q191_label_noise",
+    "q192_stage_overlap",
     # the r8-stale rows (23 of 47 — the 24 ceded rows lead the r12
     # rotation; authoritative inventory = r8-stale set minus this list)
     "q12_top_orders_per_customer",
-    "q22_monthly_sales",
     "q27_price_bucket_range_join",
-    "q54_cosine_near_dups",
-    "q72_top_revenue_nation",
     "q74_disjunctive_revenue",
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
     "q78_brand_revenue_share",
-    "q98_validation_failures",
-    "q99_redact_generated", "q101_deduped_corpus",
+    "q99_redact_generated",
     "q102_training_prep", "q104_ngram_jaccard_join",
-    "q105_decontaminate", "q106_repetition_signals",
     "q107_quantized_knn", "q116_length_curriculum",
     "q128_bpe_merges", "q129_bpe_compression",
     "q130_semantic_prune", "q131_duplicated_spans",

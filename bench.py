@@ -104,6 +104,30 @@ HEADLINE = [
     # q185 transition matrix: one per-user bounded lag window +
     # |types|^2-key agg
     "q185_transition_matrix",
+    # q186 source keyness: one (source, token) hash agg + vocab-bounded
+    # marginals/top-K window — q121's shuffle class with a term table
+    "q186_source_keyness",
+    # q187 hourly anomalies: raw events collapse to hours×types in one
+    # map-side-combined shuffle; both median passes run on that frame
+    "q187_hourly_anomalies",
+    # q188 snapshot diff: two md5 manifest projections + one narrow
+    # doc_id-keyed full-outer join + |sources|-key agg
+    "q188_snapshot_diff",
+    # q189 incremental IVF: one (label, dim) centroid agg over the old
+    # side, batch×|labels| broadcast assignment fold, one (list, dim)
+    # member-mean agg — the old corpus is never re-scanned for
+    # assignment
+    "q189_incremental_ivf",
+    # q190 calibrated quality: q111's two-pass class — per-doc score
+    # scan feeding |sources|+1 percentile aggs, broadcast back into one
+    # conditional agg
+    "q190_calibrated_quality",
+    # q191 label noise: q54's band-bucket candidate join + a top-K
+    # window bounded by bucket occupancy, |labels|-key agg
+    "q191_label_noise",
+    # q192 stage overlap: rides the memoized LP funnel (q176's class)
+    # + one narrow quality-flag projection, |sources|-key agg
+    "q192_stage_overlap",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

@@ -95,6 +95,13 @@ SHOWCASE = [
     ("q183_incremental_shards", "incremental shard append: two range-bucketed cumsums, 1-row base scalar broadcast — old shards never re-packed"),
     ("q184_containment_pairs", "containment pairs: df-capped posting join (no prefix slice), exact array_intersect verify over candidate docs only"),
     ("q185_transition_matrix", "transition matrix: per-user bounded lag window, |types|^2-key count, |types|-key normalization join"),
+    ("q186_source_keyness", "source keyness: one (source, token) hash agg, vocab-bounded marginals + broadcast joins, top-K window over the scored vocab frame"),
+    ("q187_hourly_anomalies", "hourly anomalies: one map-side-combined hours×types agg, two median passes on the tiny frame, broadcast baseline joins"),
+    ("q188_snapshot_diff", "snapshot diff: two narrow md5 manifests, one doc_id-keyed full-outer join, |sources|-key agg — text never crosses the shuffle"),
+    ("q189_incremental_ivf", "incremental IVF: checkpointed (label, dim) centroid agg, batch-side broadcast assignment, one (list, dim) member-mean agg for drift"),
+    ("q190_calibrated_quality", "calibrated quality: per-doc score scan, |sources|+1 exact-percentile aggs broadcast back, one conditional agg"),
+    ("q191_label_noise", "label noise: band-bucket candidate join (never all-pairs), per-vector top-K window over candidates, |labels|-key agg"),
+    ("q192_stage_overlap", "stage overlap: memoized funnel drop list left-joined onto one quality-flag projection, |sources|-key Venn agg"),
 ]
 
 

@@ -161,6 +161,24 @@ PROBE = [
     # q185: per-user bounded lag window (q151's probed class) +
     # |types|^2-key agg
     "q185_transition_matrix",
+    # session 2: q186 is q121's (source, token) shuffle class plus
+    # vocab-bounded marginals; q187 collapses to hours×types in one
+    # agg (the hour count is the only corpus term); q188's growing
+    # term is the doc_id-keyed manifest SMJ (md5 projections are
+    # narrow maps); q189's corpus terms are the old-side centroid agg
+    # and the batch assignment fold; q190 is q111's two-pass
+    # percentile class with |sources|+1 keys
+    "q186_source_keyness",
+    "q187_hourly_anomalies",
+    "q188_snapshot_diff",
+    "q189_incremental_ivf",
+    "q190_calibrated_quality",
+    # q191's corpus term is the band-bucket pair join (q54's probed
+    # class — the isometry-scaled embeddings keep cross-copy vectors
+    # out of shared buckets); q192 rides the probed LP funnel plus one
+    # narrow flag projection
+    "q191_label_noise",
+    "q192_stage_overlap",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

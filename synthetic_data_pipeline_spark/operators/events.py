@@ -830,8 +830,133 @@ def erase_users(events: DataFrame, user_ids: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dels), "user_id", "anti")
 
 
+# --- q187: robust hourly anomaly scores (round 11) — the rate-spike
+# monitor an event pipeline runs continuously: hourly counts per
+# event_type scored against a per-(event_type, hour-of-day) baseline
+# (median + MAD — robust to the very outliers being hunted, unlike the
+# mean/stddev z-score, and seasonal because the baseline is
+# hour-of-day-conditioned). Complements q166 (distribution drift
+# between two corpus halves) with a point-in-time "WHICH hour spiked"
+# table. Scale shape: raw events collapse to an hours×types frame in
+# ONE map-side-combined shuffle; both median passes aggregate that
+# tiny frame on a |types|×24 key; joins back are broadcasts. Exact
+# `percentile` keeps the DuckDB oracle bit-matched (quantile_cont,
+# same interpolation — the q111 pairing); at 100 TB you'd swap in
+# approx_percentile with the identical plan shape. Determinism: counts
+# are integers, so med is a multiple of 0.5 and mad of 0.25 — all
+# exactly representable; the 3·MAD flag comparison is float-exact on
+# both engines, no knife edge.
+ANOMALY_K = 3.0  # flag hours beyond K robust sigmas
+ANOMALY_MAD_FLOOR = 1.0  # quiet types: don't divide by a ~0 MAD
+
+
+def _hour_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hour_ts, n) — additive partial, so hours split
+    across micro-batches re-aggregate exactly (the streaming twin's
+    per-batch unit)."""
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").alias("n"))
+
+
+def _anomaly_baseline(counts: DataFrame) -> DataFrame:
+    """(event_type, hod, med, mad) robust baseline from an hourly-count
+    frame. Exact `percentile` ↔ DuckDB quantile_cont (the q111
+    pairing); approx_percentile is the 100 TB drop-in."""
+    counts = counts.withColumn("hod", F.hour("hour_ts"))
+    med = counts.groupBy("event_type", "hod").agg(
+        F.expr("percentile(n, 0.5D)").alias("med")
+    )
+    return (
+        counts.join(F.broadcast(med), ["event_type", "hod"])
+        .withColumn("adev", F.abs(F.col("n") - F.col("med")))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(adev, 0.5D)").alias("mad"),
+        )
+    )
+
+
+def _anomaly_score(counts: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Score an hourly-count frame against a (med, mad) baseline."""
+    scored = counts.withColumn("hod", F.hour("hour_ts")).join(
+        F.broadcast(baseline), ["event_type", "hod"]
+    )
+    scale = F.greatest(F.col("mad"), F.lit(ANOMALY_MAD_FLOOR))
+    return scored.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "med",
+        "mad",
+        eround(1e-9 + (F.col("n") - F.col("med")) / scale, 4).alias("score"),
+        (F.abs(F.col("n") - F.col("med")) > ANOMALY_K * scale).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "hour_ts")
+
+
+def q187_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # hours×types-bounded frame consumed three times (both baseline
+    # median passes + the scoring join) — the lazy checkpoint keeps the
+    # raw-event scan to ONE pass (the q152 signature-frame class)
+    counts = _hour_counts(events).localCheckpoint(eager=False)
+    return _anomaly_score(counts, _anomaly_baseline(counts))
+
+
+def write_anomaly_baseline(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the (event_type, hod, med, mad) robust baseline — the
+    fixed reference window the streaming monitor scores against."""
+    counts = _hour_counts(load_table(spark, sf_dir, "events"))
+    _anomaly_baseline(counts).write.mode("overwrite").parquet(path)
+
+
+def anomaly_report_from(
+    spark: SparkSession, counts_dir: str, baseline_dir: str
+) -> DataFrame:
+    """q187's table from a sink of additive per-batch partial counts +
+    the persisted baseline (the streaming twin's read side)."""
+    parts = spark.read.parquet(counts_dir)
+    counts = parts.groupBy("event_type", "hour_ts").agg(
+        F.sum("n").alias("n")
+    )
+    return _anomaly_score(counts, spark.read.parquet(baseline_dir))
+
+
+_Q187_ORACLE = f"""
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+             hour(date_trunc('hour', ts)) AS hod
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, hod, quantile_cont(n, 0.5) AS med
+      FROM counts GROUP BY 1, 2
+    ),
+    dev AS (
+      SELECT c.*, m.med, abs(c.n - m.med) AS adev
+      FROM counts c JOIN med m USING (event_type, hod)
+    ),
+    mad AS (
+      SELECT event_type, hod, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.hour_ts, d.n, d.med, t.mad,
+           round(1e-9 + (d.n - d.med)
+                 / greatest(t.mad, {ANOMALY_MAD_FLOOR}), 4) AS score,
+           abs(d.n - d.med)
+             > {ANOMALY_K} * greatest(t.mad, {ANOMALY_MAD_FLOOR})
+             AS is_anomaly
+    FROM dev d JOIN mad t USING (event_type, hod)
+    ORDER BY d.event_type, d.hour_ts
+"""
+
+
 QUERIES = {
     "q185_transition_matrix": q185_transition_matrix,
+    "q187_hourly_anomalies": q187_hourly_anomalies,
     "q177_user_erasure": q177_user_erasure,
     "q151_bot_signals": q151_bot_signals,
     "q166_event_drift": q166_event_drift,
@@ -854,6 +979,7 @@ ORACLES = {
     "q166_event_drift": _Q166_ORACLE,
     "q177_user_erasure": _Q177_ORACLE,
     "q185_transition_matrix": _Q185_ORACLE,
+    "q187_hourly_anomalies": _Q187_ORACLE,
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

@@ -985,6 +985,518 @@ def q168_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # run side by side — 255 (int8) and 15 (int4) — because the int8 tier
 # alone is indistinguishable from exact on this corpus (recall 1.0);
 # the int4 tier is where the trade becomes visible (recall ~0.78).
+# --- q191: label-noise audit via kNN disagreement (round 11,
+# session 2) — the Confident-Learning/deep-kNN curation screen: a
+# vector whose nearest neighbors mostly carry a DIFFERENT label is a
+# suspected mislabel. Complements q110, which flags geometric outliers
+# by centroid distance — a mislabeled point sitting comfortably inside
+# ANOTHER label's cluster passes q110 (it's near a centroid, just the
+# wrong one) and is exactly what kNN disagreement catches. Neighbor
+# candidates ride q54's hyperplane-band funnel (equi-join on (band,
+# sig) — never all-pairs; the per-vector top-K window runs over the
+# candidate list, bounded by bucket occupancy, q54's documented
+# class; IVF lists are the measured 100 TB alternative). Determinism:
+# the rank key is the 6dp-rounded cosine with a neighbor-id tiebreak;
+# per-vector disagreement is a ratio of small ints, and the > 0.5
+# suspect cut never lands on a representability edge both engines
+# could split on. NOTE the synthetic corpus's labels are nearly
+# geometry-free (expected disagreement for random labels over 10
+# classes is 0.9; the table reads ~0.83–0.93), so the registry output
+# honestly reports "these labels are noise" — the planted test
+# (interloper inside the other cluster is the ONLY suspect) pins the
+# discriminating behavior this audit exists for.
+KNN_NOISE_K = 5
+NOISE_DISAGREE = 0.5
+
+
+def q191_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb_n = emb.select("vec_id", "label", "v", nrm.alias("nrm"))
+    sigs = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*band_signatures(F.col("v")))).alias(
+            "band", "sig"
+        ),
+    )
+    sa = sigs.select(F.col("vec_id").alias("va"), "band", "sig")
+    sb = sigs.select(F.col("vec_id").alias("vb"), "band", "sig")
+    cand = (
+        sa.join(sb, ["band", "sig"])
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    ea = emb_n.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("v").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb_n.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_pairs = (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .select(
+            "va",
+            "vb",
+            "la",
+            "lb",
+            eround(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))
+    per_vec = (
+        scored_pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_NOISE_K)
+        .groupBy("va", "la")
+        .agg(
+            F.avg(
+                F.when(F.col("la") != F.col("lb"), 1.0).otherwise(0.0)
+            ).alias("disagree")
+        )
+    )
+    lab = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    scored = per_vec.select(
+        F.col("la").alias("label"), "va", "disagree"
+    )
+    return (
+        lab.join(scored, "label", "left")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.count("va").alias("n_scored"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("disagree") > NOISE_DISAGREE, 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_suspect"),
+            F.when(F.count("va") == 0, None)
+            .otherwise(
+                eround(
+                    1e-9
+                    + F.sum(
+                        F.when(
+                            F.col("disagree") > NOISE_DISAGREE, 1
+                        ).otherwise(0)
+                    )
+                    / F.count("va").cast("double"),
+                    4,
+                )
+            )
+            .alias("suspect_share"),
+            F.when(F.count("va") == 0, None)
+            .otherwise(eround(1e-9 + F.avg("disagree"), 4))
+            .alias("avg_disagree"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q191_ORACLE = f"""
+    WITH weights AS (
+      SELECT p.range AS p, d.range AS d,
+             CASE WHEN ascii(substr(md5(concat(p.range, ':', d.range)), 32, 1)) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(0, {N_HYPERPLANES}) p, range(0, {EMB_DIM}) d
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT m.vec_id, w.p, round(sum(m.x * w.w), 6) AS proj
+      FROM dims m JOIN weights w ON m.d = w.d
+      GROUP BY m.vec_id, w.p
+    ),
+    bandsigs AS (
+      SELECT vec_id, CAST(p // {N_HYPERPLANES // N_BANDS} AS INTEGER) AS band,
+             CAST(sum(CASE WHEN proj > 0
+                           THEN power(2, p % {N_HYPERPLANES // N_BANDS})
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM proj GROUP BY vec_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM bandsigs a
+      JOIN bandsigs b ON a.band = b.band AND a.sig = b.sig
+                     AND a.vec_id <> b.vec_id
+    ),
+    pairs AS (
+      SELECT c.va, c.vb, a.label AS la, b.label AS lb,
+             round(
+               list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               6) AS cos
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.va
+      JOIN embeddings b ON b.vec_id = c.vb
+    ),
+    topk AS (
+      SELECT va, la, lb FROM (
+        SELECT va, la, lb,
+               row_number() OVER (
+                 PARTITION BY va ORDER BY cos DESC, vb ASC
+               ) AS rk
+        FROM pairs
+      ) WHERE rk <= {KNN_NOISE_K}
+    ),
+    per_vec AS (
+      SELECT va, la,
+             avg(CASE WHEN la <> lb THEN 1.0 ELSE 0.0 END) AS disagree
+      FROM topk GROUP BY va, la
+    ),
+    lab AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT l.label, l.n_vecs,
+           CAST(count(p.va) AS BIGINT) AS n_scored,
+           CAST(coalesce(sum(CASE WHEN p.disagree > {NOISE_DISAGREE}
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_suspect,
+           (CASE WHEN count(p.va) = 0 THEN NULL
+                 ELSE round(1e-9 + sum(CASE WHEN p.disagree > {NOISE_DISAGREE}
+                                       THEN 1 ELSE 0 END)
+                            / CAST(count(p.va) AS DOUBLE), 4) END)
+             AS suspect_share,
+           (CASE WHEN count(p.va) = 0 THEN NULL
+                 ELSE round(1e-9 + avg(p.disagree), 4) END) AS avg_disagree
+    FROM lab l LEFT JOIN per_vec p ON p.la = l.label
+    GROUP BY l.label, l.n_vecs
+    ORDER BY l.label
+"""
+
+
+# --- q189: incremental IVF index maintenance (round 11, session 2) —
+# the last index family without an evolving-state path (BM25 q171,
+# dedup q118, spans q132, clusters q163, shards q183 — IVF closed
+# here). Production story: an ANN deployment does NOT re-cluster when
+# a batch of new vectors lands; it assigns them to the FROZEN coarse
+# quantizer (one batch×|centroids| broadcast fold — the old corpus is
+# never re-scanned for assignment) and appends to the lists, while a
+# drift monitor watches each list's member-mean pull away from its
+# frozen centroid and flags the recluster. The registry query
+# simulates the arriving batch deterministically (u16(vec_id)%10 == 0
+# — the q177/q188 stand-in pattern); `write_ivf_index` /
+# `ivf_index_append` / `ivf_drift_report` is the persisted production
+# path (bm25_index_update's idempotent hive-partition protocol).
+# Determinism: assignment ranks the 6dp-rounded centroid cosine with
+# a label tiebreak (the eround-ed-rank-key rule), and the recluster
+# flag compares the 6dp-rounded drift — no float knife edge. Scale
+# shape: centroids are a (label, dim) map-side-combined agg over the
+# old side ONCE (|labels|×dim rows, checkpointed, broadcast
+# everywhere); member means are one (list, dim) agg; everything else
+# is |labels|-sized.
+IVF_BATCH_MOD = 10  # u16(vec_id) % 10 == 0 → the arriving batch
+IVF_DRIFT_COS = 0.96  # recluster when a list's drift cosine dips below
+
+
+def _ivf_assign(batch_dims: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, list_label): each batch vector → nearest frozen
+    centroid by 6dp-rounded cosine, label tiebreak. batch×|labels|
+    rows, bounded by the batch."""
+    cent_norm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnrm")
+    )
+    bnorm = batch_dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("bnrm")
+    )
+    ccos = (
+        batch_dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+        .join(F.broadcast(cent_norm), "label")
+        .join(bnorm, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            eround(F.col("dot") / (F.col("bnrm") * F.col("cnrm")), 6).alias(
+                "ccos"
+            ),
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
+    return (
+        ccos.withColumn("pr", F.row_number().over(wa))
+        .filter(F.col("pr") == 1)
+        .select("vec_id", F.col("label").alias("list_label"))
+    )
+
+
+def ivf_maintenance_report(old: DataFrame, batch: DataFrame) -> DataFrame:
+    """Per-list occupancy growth + centroid drift after assigning
+    ``batch`` to the coarse quantizer frozen from ``old``. Both inputs:
+    (vec_id, label, v double array)."""
+    old_dims = old.select("label", F.posexplode("v").alias("dim", "x"))
+    # |labels|×dim frame consumed by assignment, the drift dot, and its
+    # norm — checkpoint so the old corpus is scanned once
+    cent = (
+        old_dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    batch_dims = batch.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    assigned = _ivf_assign(batch_dims, cent).localCheckpoint(eager=False)
+    members = old_dims.select(
+        F.col("label").alias("list_label"), "dim", "x"
+    ).unionByName(
+        batch_dims.join(assigned, "vec_id").select("list_label", "dim", "x")
+    )
+    mmean = members.groupBy("list_label", "dim").agg(F.avg("x").alias("m"))
+    cent_r = cent.select(
+        F.col("label").alias("clab"), F.col("dim").alias("cdim"), "c"
+    )
+    drift = (
+        mmean.join(
+            F.broadcast(cent_r),
+            (F.col("list_label") == F.col("clab"))
+            & (F.col("dim") == F.col("cdim")),
+        )
+        .groupBy("list_label")
+        .agg(
+            F.sum(F.col("m") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mnrm"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnrm"),
+        )
+        .select(
+            "list_label",
+            eround(F.col("dot") / (F.col("mnrm") * F.col("cnrm")), 6).alias(
+                "drift_cos"
+            ),
+        )
+    )
+    n_old = old.groupBy(F.col("label").alias("list_label")).agg(
+        F.count("*").alias("n_old")
+    )
+    n_new = assigned.groupBy("list_label").agg(F.count("*").alias("n_new"))
+    rep = (
+        n_old.join(n_new, "list_label", "left")
+        .na.fill({"n_new": 0})
+        .join(drift, "list_label")
+    )
+    return rep.select(
+        F.col("list_label").alias("label"),
+        "n_old",
+        "n_new",
+        F.when(F.col("n_old") == 0, None)
+        .otherwise(
+            eround(1e-9 + F.col("n_new") / F.col("n_old").cast("double"), 4)
+        )
+        .alias("growth"),
+        "drift_cos",
+        (F.col("drift_cos") < IVF_DRIFT_COS).alias("recluster"),
+    ).orderBy("label")
+
+
+def q189_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    b = expand_u16(hash_u16("CAST(vec_id AS STRING)", "ivfbatch"), "spark")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("_new", F.expr(f"{b} % {IVF_BATCH_MOD} = 0"))
+    )
+    return ivf_maintenance_report(
+        emb.filter(~F.col("_new")).drop("_new"),
+        emb.filter(F.col("_new")).drop("_new"),
+    )
+
+
+def _q189_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    b = expand_u16(hash_u16("CAST(vec_id AS STRING)", "ivfbatch"), "duckdb")
+    return f"""
+    WITH tagged AS (
+      SELECT vec_id, label, embedding,
+             ({b} % {IVF_BATCH_MOD} = 0) AS is_new
+      FROM embeddings
+    ),
+    old_dims AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM tagged WHERE NOT is_new
+    ),
+    cent AS (
+      SELECT label, dim, avg(x) AS c FROM old_dims GROUP BY label, dim
+    ),
+    cent_norm AS (
+      SELECT label, sqrt(sum(c * c)) AS cnrm FROM cent GROUP BY label
+    ),
+    batch_dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM tagged WHERE is_new
+    ),
+    bnorm AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS bnrm FROM batch_dims GROUP BY vec_id
+    ),
+    dotc AS (
+      SELECT b.vec_id, c.label, sum(b.x * c.c) AS dot
+      FROM batch_dims b JOIN cent c USING (dim)
+      GROUP BY b.vec_id, c.label
+    ),
+    ccos AS (
+      SELECT d.vec_id, d.label,
+             round(d.dot / (bn.bnrm * cn.cnrm), 6) AS ccos
+      FROM dotc d
+      JOIN bnorm bn ON bn.vec_id = d.vec_id
+      JOIN cent_norm cn ON cn.label = d.label
+    ),
+    assigned AS (
+      SELECT vec_id, label AS list_label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY ccos DESC, label ASC
+               ) AS pr
+        FROM ccos
+      ) WHERE pr = 1
+    ),
+    members AS (
+      SELECT label AS list_label, dim, x FROM old_dims
+      UNION ALL
+      SELECT a.list_label, b.dim, b.x
+      FROM batch_dims b JOIN assigned a USING (vec_id)
+    ),
+    mmean AS (
+      SELECT list_label, dim, avg(x) AS m FROM members GROUP BY list_label, dim
+    ),
+    drift AS (
+      SELECT m.list_label,
+             round(sum(m.m * c.c)
+                   / (sqrt(sum(m.m * m.m)) * sqrt(sum(c.c * c.c))), 6)
+               AS drift_cos
+      FROM mmean m JOIN cent c ON c.label = m.list_label AND c.dim = m.dim
+      GROUP BY m.list_label
+    ),
+    n_old AS (
+      SELECT label AS list_label, count(*) AS n_old
+      FROM tagged WHERE NOT is_new GROUP BY label
+    ),
+    n_new AS (
+      SELECT list_label, count(*) AS n_new FROM assigned GROUP BY list_label
+    )
+    SELECT o.list_label AS label,
+           o.n_old,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           (CASE WHEN o.n_old = 0 THEN NULL
+                 ELSE round(1e-9 + coalesce(n.n_new, 0)
+                            / CAST(o.n_old AS DOUBLE), 4) END) AS growth,
+           d.drift_cos,
+           (d.drift_cos < {IVF_DRIFT_COS}) AS recluster
+    FROM n_old o
+    LEFT JOIN n_new n USING (list_label)
+    JOIN drift d USING (list_label)
+    ORDER BY label
+"""
+
+
+def write_ivf_index(emb: DataFrame, path: str) -> None:
+    """Initial IVF index build: frozen coarse-quantizer centroids +
+    the base lists under a batch=-1 hive partition (bm25's layout, so
+    ivf_index_append can claim idempotent partitions). List rows carry
+    the vector so drift reports and serving never re-read the corpus
+    table. Initial lists are the own-label assignment (q55's scan
+    semantics)."""
+    dims = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    emb.select(
+        "vec_id", F.col("label").alias("list_label"), "v"
+    ).write.mode("overwrite").parquet(f"{path}/lists/batch=-1")
+
+
+def ivf_index_append(
+    spark: SparkSession, path: str, batch: DataFrame, batch_id: int = 0
+) -> None:
+    """Assign a batch to the FROZEN centroids and land it as an
+    idempotent overwrite of its own lists/batch={batch_id} partition
+    (a replayed micro-batch rewrites the identical partition); vectors
+    re-sent under a DIFFERENT batch id are dropped by an anti-join
+    against the other partitions — bm25_index_update's crash-safe
+    protocol. Centroids are deliberately NOT updated: the index serves
+    with the quantizer it was built with until ivf_drift_report flags
+    a recluster."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    existing = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("batch") != batch_id)
+        .select("vec_id")
+    )
+    fresh = batch.join(existing, "vec_id", "anti")
+    bdims = fresh.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    assigned = _ivf_assign(bdims, cent)
+    fresh.join(assigned, "vec_id").select(
+        "vec_id", "list_label", "v"
+    ).write.mode("overwrite").parquet(f"{path}/lists/batch={batch_id}")
+
+
+def ivf_drift_report(spark: SparkSession, path: str) -> DataFrame:
+    """Occupancy + drift of the persisted index: per list, base (batch
+    -1) vs appended counts and the member-mean-vs-frozen-centroid
+    cosine — the monitor that decides when the quantizer is stale."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    mdims = lists.select(
+        "list_label", "batch", F.posexplode("v").alias("dim", "x")
+    )
+    mmean = mdims.groupBy("list_label", "dim").agg(F.avg("x").alias("m"))
+    cent_r = cent.select(
+        F.col("label").alias("clab"), F.col("dim").alias("cdim"), "c"
+    )
+    drift = (
+        mmean.join(
+            F.broadcast(cent_r),
+            (F.col("list_label") == F.col("clab"))
+            & (F.col("dim") == F.col("cdim")),
+        )
+        .groupBy("list_label")
+        .agg(
+            F.sum(F.col("m") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mnrm"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnrm"),
+        )
+        .select(
+            "list_label",
+            eround(F.col("dot") / (F.col("mnrm") * F.col("cnrm")), 6).alias(
+                "drift_cos"
+            ),
+        )
+    )
+    counts = lists.groupBy("list_label").agg(
+        F.sum(F.when(F.col("batch") == -1, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("batch") != -1, 1).otherwise(0)).alias("n_new"),
+    )
+    return (
+        counts.join(drift, "list_label")
+        .select(
+            F.col("list_label").alias("label"),
+            "n_old",
+            "n_new",
+            F.when(F.col("n_old") == 0, None)
+            .otherwise(
+                eround(1e-9 + F.col("n_new") / F.col("n_old").cast("double"), 4)
+            )
+            .alias("growth"),
+            "drift_cos",
+            (F.col("drift_cos") < IVF_DRIFT_COS).alias("recluster"),
+        )
+        .orderBy("label")
+    )
+
+
 QUANT_LEVELS = (255, 15)
 
 
@@ -1523,6 +2035,8 @@ QUERIES = {
     "q54_cosine_near_dups": q54_cosine_near_dups,
     "q55_ivf_ann": q55_ivf_ann,
     "q168_ivf_probe_sweep": q168_ivf_probe_sweep,
+    "q189_incremental_ivf": q189_incremental_ivf,
+    "q191_label_noise": q191_label_noise,
     "q56_kmeans": q56_kmeans,
     "q51_label_centroids": q51_label_centroids,
     "q52_norm_stats": q52_norm_stats,
@@ -1644,6 +2158,8 @@ ORACLES = {
         FROM ranked WHERE rk <= {HARD_NEG_K}
         ORDER BY query_id, rk
     """,
+    "q189_incremental_ivf": _q189_oracle(),
+    "q191_label_noise": _Q191_ORACLE,
     "q168_ivf_probe_sweep": f"""
         WITH dims AS MATERIALIZED (
           SELECT vec_id, label,

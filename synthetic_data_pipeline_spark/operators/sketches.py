@@ -358,6 +358,101 @@ def _dedup_roi_oracle() -> str:
     """
 
 
+# --- q192: pipeline-stage overlap audit (round 11, session 2) — the
+# Venn behind the "filter first or dedup first?" ordering debate every
+# large pipeline has: per source, how many docs each stage drops ALONE
+# vs how many BOTH drop. A high overlap_rate (share of dedup's drops
+# the quality filter would have removed anyway) means running the
+# cheap per-row filter first saves that fraction of the expensive
+# near-dup verify work; a low one means order barely matters. Rides
+# the memoized LP funnel (q176's class) + q97's drop flag
+# (textops.quality_drop_expr — the SAME expression q97 applies, so
+# the audit can't drift from the filter); corpus touched once for the
+# flag projection, dropped list left-joined (bounded).
+def q192_stage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import quality_drop_expr
+
+    labels = _lp_labels(spark, sf_dir)
+    dropped = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("ddrop")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    flags = quality_drop_expr(docs).join(dropped, "doc_id", "left").select(
+        "source",
+        "qdrop",
+        F.coalesce("ddrop", F.lit(False)).alias("ddrop"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("ddrop") & ~F.col("qdrop"), 1).otherwise(0)
+        ).alias("n_dedup_only"),
+        F.sum(
+            F.when(F.col("qdrop") & ~F.col("ddrop"), 1).otherwise(0)
+        ).alias("n_quality_only"),
+        F.sum(
+            F.when(F.col("qdrop") & F.col("ddrop"), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when(~F.col("qdrop") & ~F.col("ddrop"), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+    n_dedup = F.col("n_dedup_only") + F.col("n_both")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dedup_only",
+        "n_quality_only",
+        "n_both",
+        "n_kept",
+        F.when(n_dedup == 0, None)
+        .otherwise(
+            eround(1e-9 + F.col("n_both") / n_dedup.cast("double"), 4)
+        )
+        .alias("overlap_rate"),
+    ).orderBy("source")
+
+
+def _stage_overlap_oracle() -> str:
+    from .textops import QF_MIN_DISTINCT, QF_MIN_TOKENS
+
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body},
+      dropped AS (
+        SELECT node AS doc_id, TRUE AS ddrop FROM {final}
+        WHERE node != label
+      ),
+      q AS (
+        SELECT doc_id, source,
+               (len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  < {QF_MIN_TOKENS}
+                OR CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                   / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  < {QF_MIN_DISTINCT}) AS qdrop
+        FROM documents
+      ),
+      flags AS (
+        SELECT q.source, q.qdrop, coalesce(x.ddrop, FALSE) AS ddrop
+        FROM q LEFT JOIN dropped x USING (doc_id)
+      ),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN ddrop AND NOT qdrop THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_only,
+               CAST(sum(CASE WHEN qdrop AND NOT ddrop THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_only,
+               CAST(sum(CASE WHEN qdrop AND ddrop THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN NOT qdrop AND NOT ddrop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM flags GROUP BY source
+      )
+      SELECT source, n_docs, n_dedup_only, n_quality_only, n_both, n_kept,
+             (CASE WHEN n_dedup_only + n_both = 0 THEN NULL
+                   ELSE round(1e-9 + n_both
+                              / CAST(n_dedup_only + n_both AS DOUBLE), 4)
+              END) AS overlap_rate
+      FROM agg ORDER BY source
+    """
+
+
 def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION applied end-to-end: anti-join the corpus
     against the q95 retention list (drop every non-canonical cluster
@@ -1178,6 +1273,7 @@ QUERIES = {
     "q95_dedup_retention": q95_dedup_retention,
     "q101_deduped_corpus": q101_deduped_corpus,
     "q176_dedup_roi": q176_dedup_roi,
+    "q192_stage_overlap": q192_stage_overlap,
     "q144_cluster_representatives": q144_cluster_representatives,
     "q145_cluster_aware_split": q145_cluster_aware_split,
     "q103_lp_convergence": q103_lp_convergence,
@@ -1206,6 +1302,7 @@ def _oracles() -> dict[str, str]:
         "q95_dedup_retention": _dedup_retention_oracle(),
         "q101_deduped_corpus": _deduped_corpus_oracle(),
         "q176_dedup_roi": _dedup_roi_oracle(),
+        "q192_stage_overlap": _stage_overlap_oracle(),
         "q144_cluster_representatives": _cluster_representatives_oracle(),
         "q145_cluster_aware_split": _cluster_aware_split_oracle(),
         "q103_lp_convergence": _lp_convergence_oracle(),

@@ -323,6 +323,23 @@ def q94_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Thresholds compare per-row double divisions, which are bit-identical
 # across engines (single IEEE op on the same ints — no summation-order
 # knife edge).
+QF_MIN_TOKENS = 25  # shared with q192's stage-overlap accounting
+QF_MIN_DISTINCT = 0.32
+
+
+def quality_drop_expr(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, qdrop) — q97's drop decision as a flag frame,
+    shared by q192's stage-overlap audit so the two can't drift."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "source",
+        ((n_tokens < QF_MIN_TOKENS) | (dr < QF_MIN_DISTINCT)).alias("qdrop"),
+    )
+
+
 def q97_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
@@ -330,8 +347,8 @@ def q97_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     per_doc = docs.select("doc_id", n_tokens.alias("n_tokens"), dr.alias("dr"))
     reason = (
-        F.when(F.col("n_tokens") < 25, "too_short")
-        .when(F.col("dr") < 0.32, "low_diversity")
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short")
+        .when(F.col("dr") < QF_MIN_DISTINCT, "low_diversity")
     )
     return (
         per_doc.select("doc_id", reason.alias("reason"))
@@ -3275,6 +3292,358 @@ def _q181_oracle() -> str:
 """
 
 
+# --- q190: per-source quality-threshold calibration (round 11,
+# session 2) — the fairness table behind a corpus-wide quality cut:
+# quality scores are NOT comparable across sources (a source whose
+# style runs low-diversity would be wiped out by a global cutoff), so
+# real pipelines calibrate per-domain percentiles (CCNet's
+# per-language-bucket perplexity split is this move). Per source: the
+# LOCAL p10 threshold of the q42 diversity score, docs dropped under
+# it, and — side by side — docs the GLOBAL p10 would drop, so the
+# imbalance a global cut causes is visible per source. Scale shape:
+# q111's two-pass class — pass 1 computes the per-doc score and the
+# percentile aggregates (|sources| keys + one 1-row global, both
+# broadcast back), pass 2 is one conditional agg; exact `percentile`
+# ↔ quantile_cont (approx_percentile is the 100 TB drop-in). The
+# score is a ratio of integers (identical doubles on both engines), so
+# the `<` threshold comparisons have no cross-engine knife edge.
+QUALITY_DROP_Q = 0.10
+
+
+def q190_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    per_doc = docs.select("source", score.alias("score"))
+    loc = per_doc.groupBy("source").agg(
+        F.expr(f"percentile(score, {QUALITY_DROP_Q}D)").alias("thr_local")
+    )
+    glob = per_doc.agg(
+        F.expr(f"percentile(score, {QUALITY_DROP_Q}D)").alias("thr_global")
+    )
+    return (
+        per_doc.join(F.broadcast(loc), "source")
+        .crossJoin(F.broadcast(glob))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            eround(1e-9 + F.first("thr_local"), 6).alias("thr_local"),
+            F.sum(
+                F.when(F.col("score") < F.col("thr_local"), 1).otherwise(0)
+            ).alias("n_drop_local"),
+            F.sum(
+                F.when(F.col("score") < F.col("thr_global"), 1).otherwise(0)
+            ).alias("n_drop_global"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "thr_local",
+            "n_drop_local",
+            "n_drop_global",
+            eround(
+                1e-9 + F.col("n_drop_local") / F.col("n_docs").cast("double"), 4
+            ).alias("local_share"),
+            eround(
+                1e-9 + F.col("n_drop_global") / F.col("n_docs").cast("double"), 4
+            ).alias("global_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q190_ORACLE = f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS score
+      FROM documents
+    ),
+    loc AS (
+      SELECT source, quantile_cont(score, {QUALITY_DROP_Q}) AS thr_local
+      FROM per_doc GROUP BY source
+    ),
+    gbl AS (
+      SELECT quantile_cont(score, {QUALITY_DROP_Q}) AS thr_global FROM per_doc
+    )
+    SELECT p.source,
+           count(*) AS n_docs,
+           round(1e-9 + any_value(l.thr_local), 6) AS thr_local,
+           CAST(sum(CASE WHEN p.score < l.thr_local THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_local,
+           CAST(sum(CASE WHEN p.score < g.thr_global THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_global,
+           round(1e-9 + sum(CASE WHEN p.score < l.thr_local THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS local_share,
+           round(1e-9 + sum(CASE WHEN p.score < g.thr_global THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS global_share
+    FROM per_doc p JOIN loc l USING (source) CROSS JOIN gbl g
+    GROUP BY p.source
+    ORDER BY p.source
+"""
+
+
+# --- q188: corpus snapshot diff (round 11, session 2) — the data-
+# versioning audit a recurring-crawl pipeline runs between releases:
+# which docs were added / removed / changed / unchanged since the last
+# snapshot, rolled up per source with a churn share. The diff runs on
+# FINGERPRINT MANIFESTS (doc_id, source, md5(text)) — never on text —
+# so at 100 TB the join moves ~48 bytes/doc: ONE doc_id-keyed
+# full-outer SMJ between two narrow manifests, then a |sources|-key
+# agg. The registry query simulates the previous snapshot
+# deterministically from the current corpus (the q177 ERASE_USER_MOD
+# stand-in pattern): u16(doc_id)%20 == 0 → doc is newly added (absent
+# from prev), == 1 → changed (prev text lacked the first token),
+# == 2 → a prev-only tombstone row (-(doc_id+1)) that reads as
+# removed. The persisted-artifact path (`write_snapshot_manifest` +
+# `diff_vs_manifest`) is the production form — pinned by pytest
+# (planted add/remove/change, and manifest(v2) vs v2 → all unchanged).
+SNAPSHOT_MOD = 20
+
+
+def snapshot_manifest(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, fp) fingerprint manifest — the ~48-byte/doc
+    artifact snapshots are diffed on (q43's md5 class)."""
+    return docs.select("doc_id", "source", F.md5(F.col("text")).alias("fp"))
+
+
+def snapshot_diff(cur_m: DataFrame, prev_m: DataFrame) -> DataFrame:
+    """Per-source added/removed/changed/unchanged counts + churn share
+    from two manifests. One full-outer join on doc_id (narrow), one
+    |sources|-key aggregate."""
+    cur = cur_m.select(
+        F.col("doc_id"), F.col("source").alias("src_c"), F.col("fp").alias("fp_c")
+    )
+    prev = prev_m.select(
+        F.col("doc_id"), F.col("source").alias("src_p"), F.col("fp").alias("fp_p")
+    )
+    j = cur.join(prev, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_p").isNull(), "added")
+        .when(F.col("fp_c").isNull(), "removed")
+        .when(F.col("fp_c") != F.col("fp_p"), "changed")
+        .otherwise("unchanged")
+    )
+    agg = (
+        j.select(
+            F.coalesce("src_c", "src_p").alias("source"), status.alias("status")
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias(
+                "n_changed"
+            ),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).alias(
+                "n_unchanged"
+            ),
+        )
+    )
+    n_prev = F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged")
+    churn = (
+        F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+    ).cast("double") / n_prev
+    return agg.select(
+        "source",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.when(n_prev == 0, None).otherwise(eround(1e-9 + churn, 4)).alias("churn"),
+    ).orderBy("source")
+
+
+def _prev_snapshot_sim(docs: DataFrame) -> DataFrame:
+    """Deterministic previous-snapshot stand-in (see q188 header)."""
+    from ..functions.xsql import expand_u16, hash_u16
+
+    b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "spark")
+    kept = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"CASE WHEN {b} % {SNAPSHOT_MOD} = 1 "
+        "THEN regexp_replace(text, '^\\\\S+\\\\s', '') ELSE text END AS text",
+        f"{b} % {SNAPSHOT_MOD} AS _b",
+    ).filter(F.col("_b") != 0)
+    tombs = kept.filter(F.col("_b") == 2).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "source", "text"
+    )
+    return kept.drop("_b").unionByName(tombs)
+
+
+def q188_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return snapshot_diff(
+        snapshot_manifest(docs), snapshot_manifest(_prev_snapshot_sim(docs))
+    )
+
+
+def _q188_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+
+    b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "duckdb")
+    return f"""
+    WITH cur AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source,
+             CASE WHEN {b} % {SNAPSHOT_MOD} = 1
+                  THEN regexp_replace(text, '^\\S+\\s', '')
+                  ELSE text END AS text,
+             {b} % {SNAPSHOT_MOD} AS _b
+      FROM documents
+      WHERE {b} % {SNAPSHOT_MOD} <> 0
+    ),
+    prev AS (
+      SELECT doc_id, source, md5(text) AS fp FROM kept
+      UNION ALL
+      SELECT -(doc_id + 1) AS doc_id, source, md5(text) AS fp
+      FROM kept WHERE _b = 2
+    ),
+    j AS (
+      SELECT coalesce(c.source, p.source) AS source,
+             (CASE WHEN p.fp IS NULL THEN 'added'
+                   WHEN c.fp IS NULL THEN 'removed'
+                   WHEN c.fp <> p.fp THEN 'changed'
+                   ELSE 'unchanged' END) AS status
+      FROM cur c FULL OUTER JOIN prev p USING (doc_id)
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      FROM j GROUP BY source
+    )
+    SELECT source, n_added, n_removed, n_changed, n_unchanged,
+           (CASE WHEN n_removed + n_changed + n_unchanged = 0 THEN NULL
+                 ELSE round(1e-9 + CAST(n_added + n_removed + n_changed AS DOUBLE)
+                            / (n_removed + n_changed + n_unchanged), 4)
+            END) AS churn
+    FROM agg ORDER BY source
+"""
+
+
+def write_snapshot_manifest(docs: DataFrame, path: str) -> None:
+    """Persist the release fingerprint manifest (the production form of
+    q188's simulated prev side)."""
+    snapshot_manifest(docs).write.mode("overwrite").parquet(path)
+
+
+def diff_vs_manifest(spark: SparkSession, docs: DataFrame, path: str) -> DataFrame:
+    """Diff the live corpus against a persisted release manifest."""
+    return snapshot_diff(snapshot_manifest(docs), spark.read.parquet(path))
+
+
+# --- q186: source keyness — Dunning (1993) log-likelihood ratio of
+# term frequencies, source vs rest-of-corpus: the corpus-linguistics
+# "what vocabulary makes this source DIFFERENT" table a mixture curator
+# reads before weighting sources (complements q121, which scores each
+# source's divergence as ONE number — this names the terms driving it,
+# and q67, which is per-DOC tf-idf). Scale shape: tokenize once →
+# (source, token) counts (ONE shuffle on a |sources|×vocab-bounded
+# key, map-side combine), token totals (vocab-bounded agg), per-source
+# totals (|sources| rows, broadcast), corpus total (1-row broadcast);
+# the top-K window partitions over the vocab-bounded scored frame
+# (q136's class — never corpus-sized). Determinism: the
+# overrepresentation filter is integer cross-multiplication
+# (a·N > c_t·n1 — no float boundary), and the rank key is the
+# eround-ed LLR with a token tiebreak (q146's ulp-proof pattern).
+KEYNESS_TOP_K = 5
+
+
+def q186_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    # |sources|×vocab-bounded (Zipf) frame consumed four times (both
+    # marginals, the corpus total, and the scored join) — the lazy
+    # checkpoint keeps the corpus tokenize to ONE pass
+    st = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    tt = st.groupBy("token").agg(F.sum("a").alias("c_t"))
+    srct = st.groupBy("source").agg(F.sum("a").alias("n1"))
+    n = st.agg(F.sum("a").alias("nn"))
+    scored = (
+        st.join(tt, "token")
+        .join(F.broadcast(srct), "source")
+        .crossJoin(F.broadcast(n))
+        # overrepresented only: a/n1 > c_t/N, integer-exact
+        .filter(F.col("a") * F.col("nn") > F.col("c_t") * F.col("n1"))
+    )
+    b = F.col("c_t") - F.col("a")
+    n2 = F.col("nn") - F.col("n1")
+    term_a = F.col("a") * F.log(
+        F.col("a") * F.col("nn").cast("double")
+        / (F.col("n1") * F.col("c_t")).cast("double")
+    )
+    term_b = F.when(b == 0, F.lit(0.0)).otherwise(
+        b * F.log(b * F.col("nn").cast("double") / (n2 * F.col("c_t")).cast("double"))
+    )
+    llr = scored.select(
+        "source",
+        "token",
+        F.col("a").alias("n_in_source"),
+        eround(1e-9 + 2.0 * (term_a + term_b), 4).alias("llr"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("llr"), F.asc("token"))
+    return (
+        llr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KEYNESS_TOP_K)
+        .select("source", "rk", "token", "n_in_source", "llr")
+        .orderBy("source", "rk")
+    )
+
+
+_Q186_ORACLE = f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    st AS (SELECT source, token, count(*) AS a FROM toks GROUP BY 1, 2),
+    tt AS (SELECT token, sum(a) AS c_t FROM st GROUP BY 1),
+    srct AS (SELECT source, sum(a) AS n1 FROM st GROUP BY 1),
+    n AS (SELECT sum(a) AS nn FROM st),
+    scored AS (
+      SELECT st.source, st.token, st.a, tt.c_t, srct.n1, n.nn,
+             (tt.c_t - st.a) AS b, (n.nn - srct.n1) AS n2
+      FROM st
+      JOIN tt USING (token)
+      JOIN srct ON st.source = srct.source
+      CROSS JOIN n
+      WHERE st.a * n.nn > tt.c_t * srct.n1
+    ),
+    llr AS (
+      SELECT source, token, a AS n_in_source,
+             round(1e-9 + 2.0 * (
+               a * ln(a * CAST(nn AS DOUBLE) / CAST(n1 * c_t AS DOUBLE))
+               + (CASE WHEN b = 0 THEN 0.0
+                  ELSE b * ln(b * CAST(nn AS DOUBLE) / CAST(n2 * c_t AS DOUBLE))
+                  END)
+             ), 4) AS llr
+      FROM scored
+    )
+    SELECT source, rk, token, n_in_source, llr FROM (
+      SELECT source, token, n_in_source, llr,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY llr DESC, token
+             ) AS INT) AS rk
+      FROM llr
+    ) WHERE rk <= {KEYNESS_TOP_K}
+    ORDER BY source, rk
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q169_dataset_card": q169_dataset_card,
@@ -3312,6 +3681,9 @@ QUERIES = {
     "q178_hybrid_rrf": q178_hybrid_rrf,
     "q179_quality_training_set": q179_quality_training_set,
     "q181_doremi_mixture": q181_doremi_mixture,
+    "q186_source_keyness": q186_source_keyness,
+    "q188_snapshot_diff": q188_snapshot_diff,
+    "q190_calibrated_quality": q190_calibrated_quality,
 }
 
 
@@ -3371,6 +3743,9 @@ ORACLES = {
     "q178_hybrid_rrf": _q178_oracle(),
     "q179_quality_training_set": _q179_oracle(),
     "q181_doremi_mixture": _q181_oracle(),
+    "q186_source_keyness": _Q186_ORACLE,
+    "q188_snapshot_diff": _q188_oracle(),
+    "q190_calibrated_quality": _Q190_ORACLE,
     "q169_dataset_card": _Q169_ORACLE,
     "q121_source_divergence": _Q121_ORACLE,
     "q126_dsir_weights": _q126_oracle(),

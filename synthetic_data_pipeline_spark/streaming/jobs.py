@@ -210,6 +210,65 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (schema from a
+    batch read, like ``stream_events``)."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def ivf_maintenance_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of ivf_index_append: arriving vectors (the
+    u16(vec_id) % IVF_BATCH_MOD == 0 slice, q189's deterministic batch
+    stand-in) land in the persisted IVF index micro-batch by
+    micro-batch — assignment against the FROZEN centroids only, each
+    batch claiming its own idempotent lists/batch=N partition
+    (replay-safe; cross-batch resends anti-joined). After the drain
+    the drift report EQUALS q189's in-memory old+batch report —
+    pinned by test_ivf_maintenance_stream_equals_batch. Returns the
+    batch count."""
+    from ..functions.xsql import expand_u16, hash_u16
+    from ..operators import similarity as sim
+
+    b = expand_u16(hash_u16("CAST(vec_id AS STRING)", "ivfbatch"), "spark")
+    incoming = (
+        stream_embeddings(spark, sf_dir)
+        .selectExpr(
+            "vec_id", "label",
+            "CAST(embedding AS array<double>) AS v",
+            f"({b} % {sim.IVF_BATCH_MOD} = 0) AS _new",
+        )
+        .filter(F.col("_new"))
+        .drop("_new")
+    )
+    n_batches = {"n": 0}
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        sim.ivf_index_append(spark, index_dir, batch_df, batch_id)
+        n_batches["n"] += 1
+
+    q = (
+        incoming.writeStream.foreachBatch(_update)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="sdps_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def incremental_dedup_stream(
     spark: SparkSession, sf_dir: str, out_dir: str, index_dir: str | None = None
 ) -> int:
@@ -554,6 +613,40 @@ def drift_monitor_stream(
 
     def apply(batch_df: DataFrame) -> DataFrame:
         return ev._day_type_counts(batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
+def hourly_anomaly_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    baseline_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q187's robust anomaly monitor: the
+    (event_type, hour-of-day) median+MAD baseline is PERSISTED state
+    (events.write_anomaly_baseline — trained on a reference window,
+    held fixed), each micro-batch lands only its own partial
+    (event_type, hour_ts) counts (additive, so hours split across
+    batches re-aggregate exactly), and events.anomaly_report_from
+    scores the re-aggregated counts against the baseline — equal to
+    the batch q187 whenever the baseline came from the same data
+    (test_hourly_anomaly_stream_equals_batch). Per-batch state is the
+    hours×types count table — fixed-width, corpus-size-independent.
+    Returns the number of micro-batches."""
+    from ..operators import events as ev
+
+    if baseline_dir is None:
+        baseline_dir = tempfile.mkdtemp(prefix="sdps_anomaly_baseline_")
+        ev.write_anomaly_baseline(spark, sf_dir, baseline_dir)
+
+    incoming = stream_events(spark, sf_dir)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return ev._hour_counts(batch_df)
 
     return run_foreach_batch_parquet(
         incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir

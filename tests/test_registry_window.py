@@ -25,6 +25,19 @@ R2_UNCHECKED = [
                           170, 171, 172, 173, 174, 175,
                           176, 177, 178, 179, 180, 181, 182, 183,
                           184, 185,
+                          186, 187,  # session 2 (q72 ceded to q186 —
+                          # q74/q78 keep the revenue family; q98 ceded
+                          # to q187 — q99 keeps generation-validation)
+                          188,  # (q22 ceded — q187/q166 keep the
+                          # time-bucket-aggregation family)
+                          189,  # (q54 ceded — q130/q107/q168 keep the
+                          # embedding-similarity family)
+                          190,  # (q106 ceded — q162/q180 keep the
+                          # repetition family)
+                          191,  # (q105 ceded — q160/q172 keep the
+                          # decontamination family)
+                          192,  # (q101 ceded — q176/q122 keep the
+                          # funnel retention/action family)
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
                           # q77 to q182, q79 to q183, q13 to q184 —
@@ -36,10 +49,10 @@ R2_UNCHECKED = [
                           # q116 the running-aggregation family,
                           # q02 ceded to q185 — q12 keeps top-k)
                           12,
-                          22, 27, 54, 72,
+                          27,
                           74, 75, 76, 78,
-                          98, 99,
-                          101, 102, 104, 105, 106, 107,
+                          99,
+                          102, 104, 107,
                           116, 128, 129, 130, 131, 132]
 ]
 

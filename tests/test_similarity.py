@@ -341,3 +341,121 @@ def test_ivf_probe_sweep_clustered_corpus(spark, tmp_path):
     got = {r.n_probe: r for r in q168_ivf_probe_sweep(spark, sf_dir).collect()}
     assert got[1].avg_recall == 1.0  # one list already holds every true neighbor
     assert got[1].avg_scan_frac < 0.5
+
+
+def test_ivf_maintenance_planted_assignment_and_drift(spark):
+    """Two well-separated old clusters; a batch vector lands in its
+    nearest frozen list, growth counts are exact, the pulled list
+    drifts below the recluster threshold while the untouched list
+    stays at drift_cos 1.0 / no flag."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        ivf_maintenance_report,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    old = spark.createDataFrame(
+        [
+            (10, 0, vec(1.0, 0.0)),
+            (11, 0, vec(1.0, 0.1)),
+            (20, 1, vec(0.0, 1.0)),
+            (21, 1, vec(0.1, 1.0)),
+        ],
+        "vec_id long, label int, v array<double>",
+    )
+    # near cluster 0 in angle but pulls the member mean hard sideways
+    batch = spark.createDataFrame(
+        [(30, 9, vec(5.0, 3.0))], "vec_id long, label int, v array<double>"
+    )
+    got = {r.label: r for r in ivf_maintenance_report(old, batch).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0].n_old, got[0].n_new) == (2, 1)
+    assert (got[1].n_old, got[1].n_new) == (2, 0)
+    assert abs(got[0].growth - 0.5) < 1e-9 and abs(got[1].growth) < 1e-9
+    # eround's boundary nudge (+1e-6) makes an exact 1.0 read 1.000001
+    assert abs(got[1].drift_cos - 1.0) < 1e-5 and not got[1].recluster
+    assert got[0].drift_cos < 0.96 and got[0].recluster
+
+
+def test_ivf_index_append_idempotent_and_matches_report(spark, tmp_path):
+    """The persisted path: append == the in-memory report; a replayed
+    batch_id rewrites its partition (no duplicates); the same vectors
+    re-sent under a NEW batch id are anti-joined away."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        ivf_drift_report,
+        ivf_index_append,
+        ivf_maintenance_report,
+        write_ivf_index,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    old = spark.createDataFrame(
+        [
+            (10, 0, vec(1.0, 0.0)),
+            (11, 0, vec(1.0, 0.1)),
+            (20, 1, vec(0.0, 1.0)),
+            (21, 1, vec(0.1, 1.0)),
+        ],
+        "vec_id long, label int, v array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(30, 9, vec(5.0, 3.0)), (31, 9, vec(0.0, 0.9))],
+        "vec_id long, label int, v array<double>",
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(old, path)
+    ivf_index_append(spark, path, batch, batch_id=0)
+    want = sorted(
+        map(tuple, ivf_maintenance_report(old, batch).collect())
+    )
+    got = sorted(map(tuple, ivf_drift_report(spark, path).collect()))
+    assert got == want
+
+    # replay: identical partition rewrite, report unchanged
+    ivf_index_append(spark, path, batch, batch_id=0)
+    assert sorted(map(tuple, ivf_drift_report(spark, path).collect())) == want
+    # resend under a new id: anti-join drops the already-indexed vecs
+    ivf_index_append(spark, path, batch, batch_id=1)
+    assert sorted(map(tuple, ivf_drift_report(spark, path).collect())) == want
+
+
+def test_label_noise_planted_interloper(spark, monkeypatch):
+    """Two tight opposite clusters, correctly labeled — plus one vector
+    labeled A sitting INSIDE cluster B: it must be the only suspect
+    (all its neighbors disagree), B's members stay clean (one
+    disagreeing neighbor out of five), and no cross-cluster candidate
+    pollutes the buckets (opposite vectors land in complementary band
+    signatures)."""
+    from synthetic_data_pipeline_spark.operators import similarity as sim
+    from synthetic_data_pipeline_spark.sources import tables
+
+    def vec(sign, eps):
+        v = [0.0] * 64
+        v[0] = float(sign)
+        v[1] = eps
+        return v
+
+    rows = []
+    for i in range(6):  # cluster A, label 0
+        rows.append((10 + i, vec(1.0, 0.01 * (i + 1)), 0))
+    for i in range(6):  # cluster B, label 1
+        rows.append((20 + i, vec(-1.0, 0.01 * (i + 1)), 1))
+    rows.append((99, vec(-1.0, 0.005), 0))  # mislabeled: A inside B
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.createOrReplaceTempView("_noise_emb")
+    monkeypatch.setattr(
+        sim, "load_table",
+        lambda sp, sf, name: sp.table("_noise_emb") if name == "embeddings"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.label: r for r in sim.q191_label_noise(spark, "x").collect()}
+    # label 0 holds the interloper: exactly one suspect out of 7
+    assert got[0].n_vecs == 7 and got[0].n_suspect == 1
+    # B's members see at most 1/5 disagreement -> no suspects
+    assert got[1].n_vecs == 6 and got[1].n_suspect == 0
+    assert got[1].avg_disagree < 0.3

@@ -819,3 +819,66 @@ def test_evolving_dedup_stream_single_drain_equals_q118(
         ]
     )
     assert got == want
+
+
+def test_hourly_anomaly_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q187 streaming twin: anomaly rows scored from the streamed
+    partial-count sink + the persisted median/MAD baseline must equal
+    the batch query exactly — counts are additive, so an hour split
+    across micro-batches re-aggregates to the identical table."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        anomaly_report_from,
+        q187_hourly_anomalies,
+        write_anomaly_baseline,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        hourly_anomaly_stream,
+    )
+
+    out = str(tmp_path / "counts")
+    base = str(tmp_path / "baseline")
+    write_anomaly_baseline(spark, sf_dir, base)
+    n = hourly_anomaly_stream(spark, sf_dir, out, baseline_dir=base)
+    assert n >= 1
+    got = sorted(map(tuple, anomaly_report_from(spark, out, base).collect()))
+    want = sorted(map(tuple, q187_hourly_anomalies(spark, sf_dir).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_ivf_maintenance_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q189 streaming twin: vectors arriving through the stream
+    land in the persisted IVF index (frozen-quantizer assignment,
+    idempotent batch partitions), and the post-drain drift report
+    equals q189's in-memory old+batch report exactly."""
+    from synthetic_data_pipeline_spark.functions.xsql import (
+        expand_u16,
+        hash_u16,
+    )
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        _as_double,
+        ivf_drift_report,
+        ivf_maintenance_report,
+        write_ivf_index,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        ivf_maintenance_stream,
+    )
+
+    b = expand_u16(hash_u16("CAST(vec_id AS STRING)", "ivfbatch"), "spark")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+        .withColumn("_new", F.expr(f"{b} % {IVF_BATCH_MOD} = 0"))
+    )
+    old = emb.filter(~F.col("_new")).drop("_new")
+    new = emb.filter(F.col("_new")).drop("_new")
+
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(old, idx)
+    n = ivf_maintenance_stream(spark, sf_dir, idx)
+    assert n >= 1
+    got = sorted(map(tuple, ivf_drift_report(spark, idx).collect()))
+    want = sorted(map(tuple, ivf_maintenance_report(old, new).collect()))
+    assert got == want and len(want) > 0

@@ -1572,3 +1572,213 @@ def test_bm25_repair_after_crash(spark, sf_dir, tmp_path):
     repair_bm25_index(spark, idx_b)
     got_b = sorted(map(tuple, bm25_from_index(spark, idx_b, queries).collect()))
     assert got_b == want
+
+
+def test_source_keyness_planted_term(spark, monkeypatch):
+    """A term used heavily by one source and never by the others must
+    rank #1 for that source, and its LLR must match a pure-Python
+    Dunning (1993) computation on the same counts."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    rows = [
+        (0, "zebra zebra zebra one two", "en", "srcA", 0),
+        (1, "zebra zebra three four five", "en", "srcA", 0),
+        (2, "one two three four five", "en", "srcB", 0),
+        (3, "one two three four five", "en", "srcB", 0),
+        (4, "one two three four five", "en", "srcC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("_key_docs")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_key_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    got = tx.q186_source_keyness(spark, "unused").collect()
+    top_a = [r for r in got if r.source == "srcA" and r.rk == 1][0]
+    assert top_a.token == "zebra" and top_a.n_in_source == 5
+
+    # pure-Python Dunning LLR on the planted counts: a=5, c_t=5 (all
+    # zebras are in srcA), n1=10 tokens in srcA, N=25 corpus tokens
+    a, c_t, n1, nn = 5, 5, 10, 25
+    b, n2 = c_t - a, nn - n1
+    llr = 2.0 * (a * math.log(a * nn / (n1 * c_t)))  # b == 0 term drops
+    assert abs(top_a.llr - round(1e-9 + llr, 4)) < 1e-9
+    # every emitted term is overrepresented in its source (a/n1 > c_t/N)
+    # and ranks are dense 1..K per source
+    for src in {"srcA", "srcB", "srcC"}:
+        rks = sorted(r.rk for r in got if r.source == src)
+        assert rks == list(range(1, len(rks) + 1))
+
+
+def test_hourly_anomalies_planted_spike(spark, monkeypatch):
+    """Seven same-hour-of-day observations, six quiet (5 events) and
+    one spike (50): the spike hour must be the ONLY flagged row, the
+    MAD floor must engage (all-quiet baseline -> mad 0), and the score
+    must equal (50 - 5) / 1.0."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        n = 50 if day == 4 else 5
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2025, 3, day, 10, 0, i), eid % 7,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_spike_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_spike_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = ev_mod.q187_hourly_anomalies(spark, "unused").collect()
+    assert len(got) == 7
+    flagged = [r for r in got if r.is_anomaly]
+    assert len(flagged) == 1
+    spike = flagged[0]
+    assert spike.hour_ts == dt.datetime(2025, 3, 4, 10, 0, 0)
+    assert spike.n == 50 and spike.med == 5.0 and spike.mad == 0.0
+    assert abs(spike.score - 45.0) < 1e-9  # MAD floor 1.0 engaged
+    assert all(abs(r.score) < 1e-9 for r in got if not r.is_anomaly)
+
+
+def test_snapshot_manifest_diff_planted(spark, tmp_path):
+    """The production path: persist v1's manifest, diff v2 against it —
+    one added, one removed, one changed, bystanders unchanged; then
+    manifest(v2) vs v2 reads all-unchanged (idempotence)."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        diff_vs_manifest,
+        snapshot_diff,
+        snapshot_manifest,
+        write_snapshot_manifest,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    v1 = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s1", 0),
+            (1, "gamma delta", "en", "s1", 0),   # will be removed
+            (2, "epsilon zeta", "en", "s2", 0),  # will change
+            (3, "eta theta", "en", "s2", 0),
+        ],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s1", 0),
+            (2, "epsilon CHANGED", "en", "s2", 0),
+            (3, "eta theta", "en", "s2", 0),
+            (4, "iota kappa", "en", "s1", 0),    # added
+        ],
+        schema,
+    )
+    path = str(tmp_path / "manifest_v1")
+    write_snapshot_manifest(v1, path)
+    got = {r.source: r for r in diff_vs_manifest(spark, v2, path).collect()}
+    assert (got["s1"].n_added, got["s1"].n_removed, got["s1"].n_changed,
+            got["s1"].n_unchanged) == (1, 1, 0, 1)
+    assert (got["s2"].n_added, got["s2"].n_removed, got["s2"].n_changed,
+            got["s2"].n_unchanged) == (0, 0, 1, 1)
+    assert abs(got["s1"].churn - 1.0) < 1e-9  # (1+1+0)/2 prev rows
+
+    same = snapshot_diff(snapshot_manifest(v2), snapshot_manifest(v2)).collect()
+    assert all(
+        r.n_added == r.n_removed == r.n_changed == 0 and r.n_unchanged > 0
+        for r in same
+    )
+
+
+def test_calibrated_quality_local_vs_global(spark, monkeypatch):
+    """A systematically low-diversity source loses MORE docs to the
+    global cut than to its own calibrated decile, and a uniform source
+    loses nothing locally (its p10 equals every score, and the drop is
+    strict-below) — the imbalance q190 exists to expose."""
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    rows = []
+    # srcLOW: 10 docs, 10 tokens each, d distinct -> scores 0.1 .. 1.0
+    for i, d in enumerate(range(1, 11)):
+        toks = [f"w{j}" for j in range(d)] + ["pad"] * (10 - d)
+        # 'pad' collides with w-tokens only when d == 10 (then no pads)
+        text = " ".join(toks[:10])
+        rows.append((i, text, "en", "srcLOW", 0))
+    # srcHIGH: 10 docs, all-distinct tokens -> score 1.0 each
+    for i in range(10):
+        text = " ".join(f"u{i}_{j}" for j in range(10))
+        rows.append((100 + i, text, "en", "srcHIGH", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("_cal_docs")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_cal_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.source: r for r in tx.q190_calibrated_quality(spark, "x").collect()}
+    low, high = got["srcLOW"], got["srcHIGH"]
+    # scores 0.1+d/10... d distinct of 10 tokens (d<10 -> d distinct + pad
+    # = d+1 distinct? no: w0..w(d-1) plus 'pad' -> d+1 distinct for d<10)
+    # regardless of the exact grid: the global p10 sits INSIDE srcLOW's
+    # score range, so the global cut drops at least as many LOW docs as
+    # the local decile, and never touches srcHIGH
+    assert low.n_drop_global >= low.n_drop_local >= 1
+    assert high.n_drop_local == 0 and high.n_drop_global == 0
+    assert low.thr_local < high.thr_local
+
+
+def test_stage_overlap_reconciles_with_q95_and_q97(spark, sf_dir):
+    """q192's Venn must tie out exactly: per source, dedup drops ==
+    q95's retention list, quality drops == q97's reason list, and the
+    four cells partition the corpus."""
+    from collections import Counter
+
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        q95_dedup_retention,
+        q192_stage_overlap,
+    )
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q97_quality_filter,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    dedup_by_src = Counter(
+        src[r.doc_id] for r in q95_dedup_retention(spark, sf_dir).collect()
+    )
+    qual_by_src = Counter(
+        src[r.doc_id] for r in q97_quality_filter(spark, sf_dir).collect()
+    )
+    n_by_src = Counter(src.values())
+
+    got = q192_stage_overlap(spark, sf_dir).collect()
+    assert {r.source for r in got} == set(n_by_src)
+    for r in got:
+        assert r.n_dedup_only + r.n_both == dedup_by_src[r.source]
+        assert r.n_quality_only + r.n_both == qual_by_src[r.source]
+        assert (
+            r.n_dedup_only + r.n_quality_only + r.n_both + r.n_kept
+            == n_by_src[r.source] == r.n_docs
+        )
