@@ -109,23 +109,27 @@ DRIVER_WINDOW = [
     # q106->q162/q180 (the repetition family stays covered),
     # q105->q160/q172 (the decontamination family stays covered),
     # q101->q176/q122 (the funnel retention/action family stays
-    # covered).
+    # covered), q107->q168/q161/q189 (the embedding-audit family
+    # stays covered), q74->q75 (the subquery/semi-join family stays
+    # covered), q128->q129/q136/q137 (the BPE lineage stays covered),
+    # q131->q132/q157/q159 (the duplicated-span family stays covered).
     "q186_source_keyness", "q187_hourly_anomalies",
     "q188_snapshot_diff", "q189_incremental_ivf",
     "q190_calibrated_quality", "q191_label_noise",
-    "q192_stage_overlap",
+    "q192_stage_overlap", "q193_cohort_retention",
+    "q194_usage_concentration", "q195_cluster_chaining",
+    "q196_constraint_audit",
     # the r8-stale rows (23 of 47 — the 24 ceded rows lead the r12
     # rotation; authoritative inventory = r8-stale set minus this list)
     "q12_top_orders_per_customer",
     "q27_price_bucket_range_join",
-    "q74_disjunctive_revenue",
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
     "q78_brand_revenue_share",
     "q99_redact_generated",
     "q102_training_prep", "q104_ngram_jaccard_join",
-    "q107_quantized_knn", "q116_length_curriculum",
-    "q128_bpe_merges", "q129_bpe_compression",
-    "q130_semantic_prune", "q131_duplicated_spans",
+    "q116_length_curriculum",
+    "q129_bpe_compression",
+    "q130_semantic_prune",
     "q132_incremental_spans",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:

@@ -128,6 +128,18 @@ HEADLINE = [
     # q192 stage overlap: rides the memoized LP funnel (q176's class)
     # + one narrow quality-flag projection, |sources|-key agg
     "q192_stage_overlap",
+    # q193 cohort retention: distinct (user, day) + user-keyed first
+    # day, |days|^2-bounded matrix agg
+    "q193_cohort_retention",
+    # q194 usage concentration: one (type, user) shuffle + |types|-key
+    # exact-percentile agg + broadcast-back conditional agg — no window
+    "q194_usage_concentration",
+    # q195 cluster chaining: memoized funnel edges+labels, one
+    # label-keyed edge count, |sizes|-key agg
+    "q195_cluster_chaining",
+    # q196 constraint audit: 8 map-side-combined scan aggs / key-only
+    # anti-joins unioned into a pass/fail report
+    "q196_constraint_audit",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

@@ -102,6 +102,10 @@ SHOWCASE = [
     ("q190_calibrated_quality", "calibrated quality: per-doc score scan, |sources|+1 exact-percentile aggs broadcast back, one conditional agg"),
     ("q191_label_noise", "label noise: band-bucket candidate join (never all-pairs), per-vector top-K window over candidates, |labels|-key agg"),
     ("q192_stage_overlap", "stage overlap: memoized funnel drop list left-joined onto one quality-flag projection, |sources|-key Venn agg"),
+    ("q193_cohort_retention", "cohort retention: distinct (user, day) + user-keyed min, user-keyed join back, |days|²-bounded matrix agg"),
+    ("q194_usage_concentration", "usage concentration: (type, user) hash agg, |types|-key percentile agg broadcast back, window-free"),
+    ("q195_cluster_chaining", "cluster chaining: memoized funnel edges + labels, label-keyed edge count, |sizes|-key density agg"),
+    ("q196_constraint_audit", "constraint audit: 8 scan aggs / key-only anti-joins unioned — not-null, uniqueness, range, referential integrity in one report"),
 ]
 
 

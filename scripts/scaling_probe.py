@@ -179,6 +179,17 @@ PROBE = [
     # narrow flag projection
     "q191_label_noise",
     "q192_stage_overlap",
+    # q193/q194: user-keyed shuffle classes over the scaled events
+    # (10x users, same per-user structure — retention/concentration
+    # work scales linearly by construction)
+    "q193_cohort_retention",
+    "q194_usage_concentration",
+    # q195 rides the probed LP funnel; its own terms are label-keyed
+    # counts over the funnel's bounded edge/label frames
+    "q195_cluster_chaining",
+    # q196: scan aggs + key-only anti-joins over the scaled
+    # orders/lineitem — the FK build sides grow with the facts
+    "q196_constraint_audit",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

@@ -954,9 +954,176 @@ _Q187_ORACLE = f"""
 """
 
 
+# --- q193: cohort retention matrix (round 11, session 2) — the
+# product-analytics staple nothing in the events tier computed yet:
+# users grouped by first-seen day, and for each (cohort, day-offset)
+# the share still active. Complements q32/q124 (within-session
+# structure) and q151 (who is a bot) with the ACROSS-days comeback
+# curve. Scale shape: per-user first-day is ONE user-keyed agg over
+# the stream; activity collapses to distinct (user, day) in the same
+# shuffle class; the join back is user-keyed (never broadcast — users
+# can be billions) and the final agg is |days|²-bounded. Integer day
+# arithmetic only (date_diff on DATE values — no tz/DST knife edge);
+# retention is a ratio of exact ints, eround-ed 4dp.
+def q193_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = (
+        days.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            # ISO string, not DATE: pandas renders DuckDB dates as
+            # midnight timestamps, which would hash-mismatch
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            eround(
+                1e-9 + F.col("n_active") / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_Q193_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY cohort_day
+    ),
+    active AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, d.day) AS day_offset,
+             count(DISTINCT d.user_id) AS n_active
+      FROM days d JOIN first f USING (user_id)
+      GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.day)
+    )
+    SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(a.day_offset AS INTEGER) AS day_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(1e-9 + a.n_active / CAST(s.cohort_size AS DOUBLE), 4)
+             AS retention
+    FROM active a JOIN sizes s USING (cohort_day)
+    ORDER BY a.cohort_day, day_offset
+"""
+
+
+# --- q194: usage-concentration audit (round 11, session 2) — how
+# top-heavy is each event type's traffic? Per type: exact p50/p90/p99
+# of per-user event counts and the share of events produced by users
+# at-or-above the p90 cut (the "top decile" — ties included, so the
+# share can exceed 10% of users; documented, deterministic). The
+# number a capacity/abuse review reads next to q151's bot ranking: a
+# type whose p99 user produces 100× its median user is bot- or
+# whale-dominated. Window-free by design — a Gini needs a global
+# per-type rank (hot-reducer at billions of users); the percentile
+# formulation is one (type, user) map-side-combined shuffle + a
+# |types|-key exact-percentile agg (quantile_cont-paired; the q111
+# class, approx_percentile the 100 TB drop-in) + one broadcast-back
+# conditional agg. Counts are ints; thresholds are interpolated
+# halves (exactly representable); the >= cut has no knife edge.
+def q194_usage_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    pct = per_user.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.expr("percentile(n, 0.5D)").alias("p50"),
+        F.expr("percentile(n, 0.9D)").alias("p90"),
+        F.expr("percentile(n, 0.99D)").alias("p99"),
+    )
+    top = (
+        per_user.join(
+            F.broadcast(pct.select("event_type", "p90", "n_events")),
+            "event_type",
+        )
+        .filter(F.col("n") >= F.col("p90"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_top_users"),
+            F.sum("n").alias("top_events"),
+        )
+    )
+    return (
+        pct.join(top, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            eround(1e-9 + F.col("p50"), 4).alias("p50"),
+            eround(1e-9 + F.col("p90"), 4).alias("p90"),
+            eround(1e-9 + F.col("p99"), 4).alias("p99"),
+            "n_top_users",
+            eround(
+                1e-9 + F.col("top_events") / F.col("n_events").cast("double"),
+                4,
+            ).alias("top_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q194_ORACLE = """
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    pct AS (
+      SELECT event_type, count(*) AS n_users, sum(n) AS n_events,
+             quantile_cont(n, 0.5) AS p50,
+             quantile_cont(n, 0.9) AS p90,
+             quantile_cont(n, 0.99) AS p99
+      FROM per_user GROUP BY event_type
+    ),
+    top AS (
+      SELECT u.event_type, count(*) AS n_top_users, sum(u.n) AS top_events
+      FROM per_user u JOIN pct p USING (event_type)
+      WHERE u.n >= p.p90
+      GROUP BY u.event_type
+    )
+    SELECT p.event_type,
+           CAST(p.n_users AS BIGINT) AS n_users,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           round(1e-9 + p.p50, 4) AS p50,
+           round(1e-9 + p.p90, 4) AS p90,
+           round(1e-9 + p.p99, 4) AS p99,
+           CAST(t.n_top_users AS BIGINT) AS n_top_users,
+           round(1e-9 + t.top_events / CAST(p.n_events AS DOUBLE), 4)
+             AS top_share
+    FROM pct p JOIN top t USING (event_type)
+    ORDER BY p.event_type
+"""
+
+
 QUERIES = {
     "q185_transition_matrix": q185_transition_matrix,
     "q187_hourly_anomalies": q187_hourly_anomalies,
+    "q193_cohort_retention": q193_cohort_retention,
+    "q194_usage_concentration": q194_usage_concentration,
     "q177_user_erasure": q177_user_erasure,
     "q151_bot_signals": q151_bot_signals,
     "q166_event_drift": q166_event_drift,
@@ -980,6 +1147,8 @@ ORACLES = {
     "q177_user_erasure": _Q177_ORACLE,
     "q185_transition_matrix": _Q185_ORACLE,
     "q187_hourly_anomalies": _Q187_ORACLE,
+    "q193_cohort_retention": _Q193_ORACLE,
+    "q194_usage_concentration": _Q194_ORACLE,
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

@@ -540,8 +540,137 @@ def q29_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("p_partkey") % 20 == 0)
 
 
+# --- q196: declarative constraint audit (round 11, session 2) — the
+# Great-Expectations-class data-quality gate a lake runs before
+# publishing tables: not-null, key uniqueness (single and composite),
+# value ranges, and referential integrity, each evaluated as ONE
+# aggregate or anti-join over its table and unioned into a pass/fail
+# report. The reference's validator tier checks CONTENT (q62/q90/q98);
+# this checks RELATIONAL INVARIANTS — the other half of pipeline QA.
+# Scale shape: each row is a map-side-combined scan agg; the FK checks
+# are anti-joins whose build side is the referenced KEY column only
+# (AQE broadcasts when it fits); the report is 8 one-row frames
+# unioned. All counts exact ints — no float anywhere.
+def q196_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def row(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_checked"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("n_violations"),
+        ).select(
+            F.lit(name).alias("constraint"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+
+    def uniq(name: str, df: DataFrame, key) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.countDistinct(key)).alias("n_violations"),
+        ).select(
+            F.lit(name).alias("constraint"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+
+    def fk(name: str, child: DataFrame, ckey: str, parent: DataFrame,
+           pkey: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)).distinct(), ckey, "anti"
+        )
+        n = child.agg(F.count("*").alias("n_checked"))
+        v = orphans.agg(F.count("*").alias("n_violations"))
+        return n.crossJoin(v).select(
+            F.lit(name).alias("constraint"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+
+    composite = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    reports = [
+        uniq("customer_custkey_unique", customer, F.col("c_custkey")),
+        fk("lineitem_orderkey_fk", lineitem, "l_orderkey", orders,
+           "o_orderkey"),
+        uniq("lineitem_orderline_unique", lineitem, composite),
+        row("lineitem_discount_range", lineitem,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        row("lineitem_quantity_positive", lineitem, F.col("l_quantity") < 1),
+        fk("orders_custkey_fk", orders, "o_custkey", customer, "c_custkey"),
+        row("orders_orderdate_not_null", orders,
+            F.col("o_orderdate").isNull()),
+        row("orders_totalprice_positive", orders,
+            F.col("o_totalprice") <= 0),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("constraint")
+
+
+_Q196_ORACLE = """
+    SELECT * FROM (
+      SELECT 'customer_custkey_unique' AS "constraint",
+             count(*) AS n_checked,
+             count(*) - count(DISTINCT c_custkey) AS n_violations,
+             (count(*) - count(DISTINCT c_custkey)) = 0 AS ok
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk', count(*),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem_orderline_unique', count(*),
+             count(*) - count(DISTINCT concat(CAST(l_orderkey AS VARCHAR), ':',
+                                              CAST(l_linenumber AS VARCHAR))),
+             (count(*) - count(DISTINCT concat(CAST(l_orderkey AS VARCHAR), ':',
+                                               CAST(l_linenumber AS VARCHAR)))) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_discount_range', count(*),
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                 THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_quantity_positive', count(*),
+             CAST(sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_custkey_fk', count(*),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+      FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o2.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'orders_orderdate_not_null', count(*),
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_positive', count(*),
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+      FROM orders
+    ) ORDER BY "constraint"
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q196_constraint_audit": q196_constraint_audit,
     "q28_trailing_30d_spend": q28_trailing_30d_spend,
     "q29_price_analytics": q29_price_analytics,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -573,6 +702,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q196_constraint_audit": _Q196_ORACLE,
     "q28_trailing_30d_spend": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice) OVER w, 2) AS spend_30d,

@@ -453,6 +453,90 @@ def _stage_overlap_oracle() -> str:
     """
 
 
+# --- q195: cluster-chaining audit (round 11, session 2) — the risk
+# hiding inside every connected-component dedup (q58/q95): CC merges
+# A~B and B~C into one cluster even when A and C share nothing
+# (transitive chaining), so the keeper rule may drop documents that
+# are NOT near-dups of the kept canonical. Per cluster size, the edge
+# DENSITY of the candidate graph that built the clusters
+# (2·edges/(k·(k−1))): density 1.0 = clique (safe to keep one copy),
+# low density = chain (the drop decision is riskier the longer the
+# chain). Rides the memoized LP funnel — edges and labels are already
+# persisted; the audit is one label-keyed edge count + a
+# |cluster-sizes|-key agg. Both endpoints of every funnel edge share
+# a label by construction (the edges ARE what CC connected), pinned
+# by the reconciliation test.
+def edge_density_by_cluster(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """q195's core: per cluster size, edge density of the
+    (both-directions) candidate graph under a (node, label) clustering.
+    Factored out so the chain-vs-clique discrimination is testable on
+    planted graphs."""
+    # undirected edge count per cluster: edges holds both directions,
+    # so count(a<b) gives each edge once; label via the a-endpoint
+    e_cnt = (
+        edges.filter(F.col("doc_a") < F.col("doc_b"))
+        .join(labels, edges["doc_a"] == labels["node"])
+        .groupBy("label")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("k"))
+    dens = (
+        sizes.join(e_cnt, "label")
+        .withColumn(
+            "density",
+            eround(
+                1e-9
+                + 2.0 * F.col("n_edges")
+                / (F.col("k") * (F.col("k") - 1)).cast("double"),
+                4,
+            ),
+        )
+    )
+    return (
+        dens.groupBy(F.col("k").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_edges").alias("n_edges"),
+            eround(1e-9 + F.avg("density"), 4).alias("avg_density"),
+            F.min("density").alias("min_density"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def q195_cluster_chaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lp_state(spark, sf_dir)
+    return edge_density_by_cluster(edges, labels)
+
+
+def _cluster_chaining_oracle() -> str:
+    body, final = _lp_with_body()
+    return f"""
+      WITH {body},
+      e_cnt AS (
+        SELECT l.label, count(*) AS n_edges
+        FROM edges e JOIN {final} l ON e.doc_a = l.node
+        WHERE e.doc_a < e.doc_b
+        GROUP BY l.label
+      ),
+      sizes AS (
+        SELECT label, count(*) AS k FROM {final} GROUP BY label
+      ),
+      dens AS (
+        SELECT s.label, s.k, c.n_edges,
+               round(1e-9 + 2.0 * c.n_edges
+                     / CAST(s.k * (s.k - 1) AS DOUBLE), 4) AS density
+        FROM sizes s JOIN e_cnt c USING (label)
+      )
+      SELECT CAST(k AS BIGINT) AS cluster_size,
+             count(*) AS n_clusters,
+             CAST(sum(n_edges) AS BIGINT) AS n_edges,
+             round(1e-9 + avg(density), 4) AS avg_density,
+             min(density) AS min_density
+      FROM dens GROUP BY k ORDER BY cluster_size
+    """
+
+
 def q101_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup ACTION applied end-to-end: anti-join the corpus
     against the q95 retention list (drop every non-canonical cluster
@@ -1274,6 +1358,7 @@ QUERIES = {
     "q101_deduped_corpus": q101_deduped_corpus,
     "q176_dedup_roi": q176_dedup_roi,
     "q192_stage_overlap": q192_stage_overlap,
+    "q195_cluster_chaining": q195_cluster_chaining,
     "q144_cluster_representatives": q144_cluster_representatives,
     "q145_cluster_aware_split": q145_cluster_aware_split,
     "q103_lp_convergence": q103_lp_convergence,
@@ -1303,6 +1388,7 @@ def _oracles() -> dict[str, str]:
         "q101_deduped_corpus": _deduped_corpus_oracle(),
         "q176_dedup_roi": _dedup_roi_oracle(),
         "q192_stage_overlap": _stage_overlap_oracle(),
+        "q195_cluster_chaining": _cluster_chaining_oracle(),
         "q144_cluster_representatives": _cluster_representatives_oracle(),
         "q145_cluster_aware_split": _cluster_aware_split_oracle(),
         "q103_lp_convergence": _lp_convergence_oracle(),

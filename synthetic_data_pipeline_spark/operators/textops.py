@@ -3292,6 +3292,42 @@ def _q181_oracle() -> str:
 """
 
 
+def write_dataset_cards(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Materialize q169's per-source dataset cards as one markdown file
+    per source (the publishable artifact a dataset release ships; q169
+    computes the numbers, this renders them). Rendering is a pure
+    column expression over the |sources|-row card table; files land via
+    the S9 one-file-per-row sink — no driver-side loop."""
+    from ..sources.renditions import write_files_per_row
+
+    card = q169_dataset_card(spark, sf_dir)
+    md = F.concat(
+        F.lit("# Dataset card: "), F.col("source"), F.lit("\n\n"),
+        F.lit("| metric | value |\n|---|---|\n"),
+        F.lit("| documents | "), F.col("n_docs").cast("string"), F.lit(" |\n"),
+        F.lit("| tokens | "), F.col("n_tokens").cast("string"), F.lit(" |\n"),
+        F.lit("| avg tokens/doc | "), F.col("avg_tokens").cast("string"),
+        F.lit(" |\n"),
+        F.lit("| p50 tokens | "), F.col("p50_tokens").cast("string"),
+        F.lit(" |\n"),
+        F.lit("| p90 tokens | "), F.col("p90_tokens").cast("string"),
+        F.lit(" |\n"),
+        F.lit("| avg type-token ratio | "), F.col("avg_ttr").cast("string"),
+        F.lit(" |\n"),
+        F.lit("| exact-dup share | "), F.col("dup_share").cast("string"),
+        F.lit(" |\n"),
+        F.lit("| languages | "), F.col("n_langs").cast("string"), F.lit(" |\n"),
+        F.lit("| top language | "), F.col("top_lang"), F.lit(" |\n"),
+    )
+    write_files_per_row(
+        card.select(
+            F.concat(F.col("source"), F.lit(".md")).alias("filename"),
+            md.alias("data"),
+        ),
+        out_dir,
+    )
+
+
 # --- q190: per-source quality-threshold calibration (round 11,
 # session 2) — the fairness table behind a corpus-wide quality cut:
 # quality scores are NOT comparable across sources (a source whose

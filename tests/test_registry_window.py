@@ -38,6 +38,14 @@ R2_UNCHECKED = [
                           # decontamination family)
                           192,  # (q101 ceded — q176/q122 keep the
                           # funnel retention/action family)
+                          193,  # (q107 ceded — q168/q161/q189 keep
+                          # the embedding-audit family)
+                          194,  # (q74 ceded — q75 keeps the
+                          # subquery/semi-join family)
+                          195,  # (q128 ceded — q129/q136/q137 keep
+                          # the BPE lineage)
+                          196,  # (q131 ceded — q132/q157/q159 keep
+                          # the duplicated-span family)
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
                           # q77 to q182, q79 to q183, q13 to q184 —
@@ -50,10 +58,10 @@ R2_UNCHECKED = [
                           # q02 ceded to q185 — q12 keeps top-k)
                           12,
                           27,
-                          74, 75, 76, 78,
+                          75, 76, 78,
                           99,
-                          102, 104, 107,
-                          116, 128, 129, 130, 131, 132]
+                          102, 104,
+                          116, 129, 130, 132]
 ]
 
 

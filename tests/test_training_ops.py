@@ -1782,3 +1782,191 @@ def test_stage_overlap_reconciles_with_q95_and_q97(spark, sf_dir):
             r.n_dedup_only + r.n_quality_only + r.n_both + r.n_kept
             == n_by_src[r.source] == r.n_docs
         )
+
+
+def test_cohort_retention_planted(spark, monkeypatch):
+    """Three users: A active on days 0/1/2 of their cohort, B only on
+    day 0, C first seen a day later and active days 0/2 — the matrix
+    must read exact cohort sizes, offsets, and comeback rates (a user
+    inactive on day 1 but back on day 2 counts at offset 2 only)."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    d0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for day in (0, 1, 2):  # user A, cohort 6/1
+        rows.append((eid, d0 + dt.timedelta(days=day), 1, "click", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, d0, 2, "view", 1.0, "{}"))  # user B, cohort 6/1
+    eid += 1
+    for day in (1, 3):  # user C, cohort 6/2, active offsets 0 and 2
+        rows.append((eid, d0 + dt.timedelta(days=day), 3, "click", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_cohort_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_cohort_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in ev_mod.q193_cohort_retention(spark, "x").collect()
+    }
+    assert got[("2025-06-01", 0)] == (2, 2, 1.0)
+    assert got[("2025-06-01", 1)][0] == 1 and abs(
+        got[("2025-06-01", 1)][2] - 0.5
+    ) < 1e-9
+    assert got[("2025-06-01", 2)] == (1, 2, 0.5)
+    assert got[("2025-06-02", 0)] == (1, 1, 1.0)
+    assert ("2025-06-02", 1) not in got  # inactive day emits NO row
+    assert got[("2025-06-02", 2)] == (1, 1, 1.0)
+
+
+def test_usage_concentration_whale(spark, monkeypatch):
+    """Nine organic users (1..9 events) plus one 91-event whale: the
+    p90 cut isolates the whale, whose share of traffic is exact; p50
+    interpolates the organic middle."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    t0 = dt.datetime(2025, 7, 1)
+    rows, eid = [], 0
+    for uid in range(1, 10):  # user u produces u events
+        for i in range(uid):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), uid,
+                         "click", 1.0, "{}"))
+            eid += 1
+    for i in range(91):  # the whale
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 99,
+                     "click", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_whale_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_whale_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = ev_mod.q194_usage_concentration(spark, "x").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_users, r.n_events) == (10, 136)
+    assert abs(r.p50 - 5.5) < 1e-3       # (5+6)/2
+    assert abs(r.p90 - 17.2) < 1e-3      # 9 + 0.1*(91-9)
+    assert r.n_top_users == 1            # only the whale clears 17.2
+    assert abs(r.top_share - round(91 / 136, 4)) < 1e-3
+
+
+def test_cluster_chaining_discriminates_chain_from_clique(spark):
+    """A 4-node path (chain) and a 4-node clique both read as one
+    size-4 cluster under CC — the density audit is what tells them
+    apart: 0.5 for the chain (3 of 6 possible edges), 1.0 for the
+    clique."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        edge_density_by_cluster,
+    )
+
+    chain = [(1, 2), (2, 3), (3, 4)]
+    clique = [
+        (11, 12), (11, 13), (11, 14), (12, 13), (12, 14), (13, 14)
+    ]
+    und = chain + clique
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "doc_a long, doc_b long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3, 4)]
+        + [(n, 11) for n in (11, 12, 13, 14)],
+        "node long, label long",
+    )
+    got = {r.cluster_size: r for r in
+           edge_density_by_cluster(edges, labels).collect()}
+    assert got[4].n_clusters == 2 and got[4].n_edges == 9
+    assert abs(got[4].min_density - 0.5) < 1e-3   # the chain
+    assert abs(got[4].avg_density - 0.75) < 1e-3  # (0.5 + 1.0) / 2
+
+
+def test_constraint_audit_planted_violations(spark, monkeypatch):
+    """Injected violations are counted exactly: one duplicate custkey,
+    one FK orphan on each side, one null orderdate, one non-positive
+    price, one out-of-range discount, one zero quantity."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import relational as rel
+    from synthetic_data_pipeline_spark.sources import tables
+
+    d = dt.datetime(2025, 1, 1)
+    customer = spark.createDataFrame(
+        [(1, "a", 1, 0.0, "B"), (2, "b", 1, 0.0, "B"),
+         (2, "b2", 1, 0.0, "B")],  # dup custkey
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, d, "1-URGENT"),
+         (11, 99, "O", -1.0, None, "1-URGENT")],  # orphan + null + <=0
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1, 1, 1, 5.0, 1.0, 0.1, 0.0, "N", "O", d),
+         (10, 1, 1, 1, 5.0, 1.0, 1.5, 0.0, "N", "O", d),  # dup line + disc
+         (77, 1, 1, 2, 0.0, 1.0, 0.1, 0.0, "N", "O", d)],  # orphan + qty 0
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    views = {"customer": customer, "orders": orders, "lineitem": lineitem}
+    monkeypatch.setattr(
+        rel, "load_table",
+        lambda sp, sf, name: views[name] if name in views
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.constraint: r for r in
+           rel.q196_constraint_audit(spark, "x").collect()}
+    assert got["customer_custkey_unique"].n_violations == 1
+    assert got["orders_custkey_fk"].n_violations == 1
+    assert got["orders_orderdate_not_null"].n_violations == 1
+    assert got["orders_totalprice_positive"].n_violations == 1
+    assert got["lineitem_orderkey_fk"].n_violations == 1
+    assert got["lineitem_orderline_unique"].n_violations == 1
+    assert got["lineitem_discount_range"].n_violations == 1
+    assert got["lineitem_quantity_positive"].n_violations == 1
+    assert not any(r.ok for r in got.values())
+
+
+def test_dataset_cards_render_and_reconcile(spark, sf_dir, tmp_path):
+    """write_dataset_cards lands one markdown file per source whose
+    numbers reconcile with q169's card table."""
+    import os
+
+    from synthetic_data_pipeline_spark.operators.textops import (
+        q169_dataset_card,
+        write_dataset_cards,
+    )
+
+    out = str(tmp_path / "cards")
+    write_dataset_cards(spark, sf_dir, out)
+    card = {r.source: r for r in q169_dataset_card(spark, sf_dir).collect()}
+    files = sorted(os.listdir(out))
+    assert files == sorted(f"{s}.md" for s in card)
+    for s, r in card.items():
+        body = open(os.path.join(out, f"{s}.md")).read()
+        assert body.startswith(f"# Dataset card: {s}\n")
+        assert f"| documents | {r.n_docs} |" in body
+        assert f"| tokens | {r.n_tokens} |" in body
+        assert f"| top language | {r.top_lang} |" in body
