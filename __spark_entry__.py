@@ -112,13 +112,14 @@ DRIVER_WINDOW = [
     # covered), q107->q168/q161/q189 (the embedding-audit family
     # stays covered), q74->q75 (the subquery/semi-join family stays
     # covered), q128->q129/q136/q137 (the BPE lineage stays covered),
-    # q131->q132/q157/q159 (the duplicated-span family stays covered).
+    # q131->q132/q157/q159 (the duplicated-span family stays covered),
+    # q102->q192/q116 (the composed-prep family stays covered).
     "q186_source_keyness", "q187_hourly_anomalies",
     "q188_snapshot_diff", "q189_incremental_ivf",
     "q190_calibrated_quality", "q191_label_noise",
     "q192_stage_overlap", "q193_cohort_retention",
     "q194_usage_concentration", "q195_cluster_chaining",
-    "q196_constraint_audit",
+    "q196_constraint_audit", "q197_join_skew_audit",
     # the r8-stale rows (23 of 47 — the 24 ceded rows lead the r12
     # rotation; authoritative inventory = r8-stale set minus this list)
     "q12_top_orders_per_customer",
@@ -126,7 +127,7 @@ DRIVER_WINDOW = [
     "q75_wealthy_inactive_customers", "q76_grouping_sets",
     "q78_brand_revenue_share",
     "q99_redact_generated",
-    "q102_training_prep", "q104_ngram_jaccard_join",
+    "q104_ngram_jaccard_join",
     "q116_length_curriculum",
     "q129_bpe_compression",
     "q130_semantic_prune",

@@ -140,6 +140,9 @@ HEADLINE = [
     # q196 constraint audit: 8 map-side-combined scan aggs / key-only
     # anti-joins unioned into a pass/fail report
     "q196_constraint_audit",
+    # q197 join-skew audit: per audited key one map-side-combined
+    # count + a 1-row percentile agg over the |keys|-sized frame
+    "q197_join_skew_audit",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

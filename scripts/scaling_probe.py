@@ -190,6 +190,10 @@ PROBE = [
     # q196: scan aggs + key-only anti-joins over the scaled
     # orders/lineitem — the FK build sides grow with the facts
     "q196_constraint_audit",
+    # q197: per-key counts over the scaled fact keys — the |keys|
+    # frame grows 10x while per-key fan-out stays constant by
+    # construction (the probe's key-remapping guarantees it)
+    "q197_join_skew_audit",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear

@@ -965,11 +965,15 @@ _Q187_ORACLE = f"""
 # can be billions) and the final agg is |days|²-bounded. Integer day
 # arithmetic only (date_diff on DATE values — no tz/DST knife edge);
 # retention is a ratio of exact ints, eround-ed 4dp.
-def q193_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    days = events.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+def user_day_activity(events: DataFrame) -> DataFrame:
+    """Distinct (user_id, day) — q193's unit of state. Idempotent under
+    re-union (distinct of a union of per-batch distincts == distinct of
+    the whole), which is what makes the streaming twin exact."""
+    return events.select("user_id", F.to_date("ts").alias("day")).distinct()
+
+
+def retention_matrix(days: DataFrame) -> DataFrame:
+    """q193's core over a distinct (user_id, day) frame."""
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     cohort_sizes = first.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
@@ -1000,6 +1004,17 @@ def q193_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def q193_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_matrix(user_day_activity(load_table(spark, sf_dir, "events")))
+
+
+def retention_from_sink(spark: SparkSession, activity_dir: str) -> DataFrame:
+    """q193's matrix from a sink of per-batch (user_id, day) partials —
+    the streaming twin's read side (re-distinct, then the same core)."""
+    parts = spark.read.parquet(activity_dir).select("user_id", "day")
+    return retention_matrix(parts.distinct())
 
 
 _Q193_ORACLE = """

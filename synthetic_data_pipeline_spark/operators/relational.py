@@ -668,9 +668,84 @@ _Q196_ORACLE = """
 """
 
 
+# --- q197: join-key skew audit (round 11, session 2) — the pre-flight
+# a 100 TB join runs before choosing a strategy: per (table, key), the
+# per-key row-count distribution (avg, p99, max) and the skew factor
+# max/avg. A skew factor in the tens means the hottest key's partition
+# dominates the stage wall-clock — the number that decides between a
+# plain shuffle join, AQE skew splitting, and q92's salting. Scale
+# shape: one map-side-combined (key) count per audited column, then a
+# 1-row percentile agg over the per-key frame (per-key counts are
+# |keys|-sized — far smaller than the table); three audits unioned.
+# Exact percentile ↔ quantile_cont (q111 pairing).
+_SKEW_AUDITS = (  # (label, table, key column)
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+def q197_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for label, table, key in _SKEW_AUDITS:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count("*").alias("n"))
+        )
+        outs.append(
+            per_key.agg(
+                F.sum("n").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.expr("percentile(n, 0.99D)").alias("_p99"),
+                F.max("n").alias("max_rows"),
+            ).select(
+                F.lit(label).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                eround(
+                    1e-9 + F.col("n_rows") / F.col("n_keys").cast("double"), 4
+                ).alias("avg_rows_per_key"),
+                eround(1e-9 + F.col("_p99"), 4).alias("p99_rows"),
+                "max_rows",
+                eround(
+                    1e-9
+                    + F.col("max_rows")
+                    / (F.col("n_rows") / F.col("n_keys").cast("double")),
+                    4,
+                ).alias("skew_factor"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("join_key")
+
+
+def _q197_oracle() -> str:
+    parts = []
+    for label, table, key in _SKEW_AUDITS:
+        parts.append(f"""
+      SELECT '{label}' AS join_key,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             count(*) AS n_keys,
+             round(1e-9 + sum(n) / CAST(count(*) AS DOUBLE), 4)
+               AS avg_rows_per_key,
+             round(1e-9 + quantile_cont(n, 0.99), 4) AS p99_rows,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             round(1e-9 + max(n)
+                   / (sum(n) / CAST(count(*) AS DOUBLE)), 4) AS skew_factor
+      FROM (SELECT {key} AS k, count(*) AS n FROM {table} GROUP BY {key})""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts)
+        + ") ORDER BY join_key"
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q196_constraint_audit": q196_constraint_audit,
+    "q197_join_skew_audit": q197_join_skew_audit,
     "q28_trailing_30d_spend": q28_trailing_30d_spend,
     "q29_price_analytics": q29_price_analytics,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -703,6 +778,7 @@ QUERIES = {
 
 ORACLES = {
     "q196_constraint_audit": _Q196_ORACLE,
+    "q197_join_skew_audit": _q197_oracle(),
     "q28_trailing_30d_spend": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice) OVER w, 2) AS spend_30d,

@@ -1005,56 +1005,176 @@ def q168_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # honestly reports "these labels are noise" — the planted test
 # (interloper inside the other cluster is the ONLY suspect) pins the
 # discriminating behavior this audit exists for.
+#
+# A/B (this round, min-of-2 per arm): the first cut computed every
+# within-bucket pairwise cosine through the expression fold —
+# SCALING_r11 measured per-row ratio 0.836 at 10x (23.4 s), the
+# heaviest newborn. The adopted arrow tier reshapes q54's per-bucket
+# BLAS kernel from threshold-filter to per-row top-k (output ~k rows
+# per vector instead of k² per bucket): 1x 3.77→2.87 s (1.31x), 10x
+# 26.3→2.95 s (8.9x, per-row ratio 0.836→~0.10). Exactness argument
+# for the kernel's keep-margin is at _KNN_KEEP_MARGIN; the fold tier
+# stays as the oversized-bucket fallback and the cross-proof
+# (test_label_noise_arrow_matches_fold).
 KNN_NOISE_K = 5
 NOISE_DISAGREE = 0.5
+# kernel keep-margin: a pair more than 2e-6 of raw cosine below the
+# k-th best cannot round (6dp, +1e-6 eround nudge) to a value that
+# ties or beats it — rounding contracts a gap by at most one 1e-6
+# grid step — so pruning below kth-2e-6 provably never changes the
+# engine-side final ranking (the q54 pre-filter-margin argument)
+_KNN_KEEP_MARGIN = 2e-6
 
 
-def q191_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
+def _bucket_knn_fn(k: int):
+    """pandas kernel: per (band, sig) bucket, each vector's candidate
+    neighbors within the keep-margin of its k-th best raw cosine —
+    chunked BLAS matmul (the q54 kernel reshaped from threshold-filter
+    to per-row top-k), output ~k rows per vector instead of k² per
+    bucket."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"va": pd.Series(dtype="int64"),
+         "vb": pd.Series(dtype="int64"),
+         "cos_raw": pd.Series(dtype="float64")}
     )
-    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    emb_n = emb.select("vec_id", "label", "v", nrm.alias("nrm"))
-    sigs = emb.select(
-        "vec_id",
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        m = np.stack(pdf["v"].to_numpy())
+        nr = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        outs = []
+        chunk = max(64, min(_ARROW_CHUNK, _ARROW_SLAB_ELEMS // n))
+        kk = min(k, n - 1)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            cos = (m[s:e] @ m.T) / np.outer(nr[s:e], nr)
+            cos[np.arange(e - s), np.arange(s, e)] = -np.inf  # self
+            kth = np.partition(cos, n - kk, axis=1)[:, n - kk]
+            ii, jj = np.nonzero(cos >= (kth - _KNN_KEEP_MARGIN)[:, None])
+            if len(ii):
+                outs.append(pd.DataFrame(
+                    {"va": ids[ii + s], "vb": ids[jj],
+                     "cos_raw": cos[ii, jj]}
+                ))
+        return pd.concat(outs) if outs else empty
+
+    return fn
+
+
+def _label_noise_pairs(emb_n: DataFrame, arrow: bool = True) -> DataFrame:
+    """(va, vb, cos) candidate-neighbor pairs for the kNN-disagreement
+    audit. ``arrow=True`` (default): per-bucket BLAS top-k kernel with
+    the q54 oversized-bucket fallback — A/B'd at 1x/10x (see q191
+    docstring); ``arrow=False``: the expression-fold tier over distinct
+    bucket candidates, kept as the cross-proof
+    (test_label_noise_arrow_matches_fold)."""
+    buckets = emb_n.select(
+        "vec_id", "v", "nrm",
         F.posexplode(F.array(*band_signatures(F.col("v")))).alias(
             "band", "sig"
         ),
-    )
-    sa = sigs.select(F.col("vec_id").alias("va"), "band", "sig")
-    sb = sigs.select(F.col("vec_id").alias("vb"), "band", "sig")
-    cand = (
-        sa.join(sb, ["band", "sig"])
-        .filter(F.col("va") != F.col("vb"))
-        .select("va", "vb")
-        .distinct()
-    )
-    ea = emb_n.select(
-        F.col("vec_id").alias("va"),
-        F.col("label").alias("la"),
-        F.col("v").alias("xa"),
-        F.col("nrm").alias("na"),
-    )
-    eb = emb_n.select(
-        F.col("vec_id").alias("vb"),
-        F.col("label").alias("lb"),
-        F.col("v").alias("xb"),
-        F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("xa", "xb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if arrow:
+        oversized = F.broadcast(
+            buckets.groupBy("band", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > _MAX_ARROW_BUCKET)
+            .select("band", "sig")
+        )
+        small = (
+            buckets.join(oversized, ["band", "sig"], "left_anti")
+            .groupBy("band", "sig")
+            .applyInPandas(
+                _bucket_knn_fn(KNN_NOISE_K),
+                "va long, vb long, cos_raw double",
+            )
+        )
+        big = buckets.join(oversized, ["band", "sig"], "left_semi")
+        big_raw = (
+            big.select(
+                "band", "sig", F.col("vec_id").alias("va"),
+                F.col("v").alias("xa"), F.col("nrm").alias("na"),
+            )
+            .join(
+                big.select(
+                    "band", "sig", F.col("vec_id").alias("vb"),
+                    F.col("v").alias("xb"), F.col("nrm").alias("nb"),
+                ),
+                ["band", "sig"],
+            )
+            .filter(F.col("va") != F.col("vb"))
+            .select(
+                "va", "vb", (dot / (F.col("na") * F.col("nb"))).alias("cos_raw")
+            )
+        )
+        raw = small.unionByName(big_raw)
+    else:
+        sa = buckets.select(F.col("vec_id").alias("va"), "band", "sig")
+        sb = buckets.select(F.col("vec_id").alias("vb"), "band", "sig")
+        cand = (
+            sa.join(sb, ["band", "sig"])
+            .filter(F.col("va") != F.col("vb"))
+            .select("va", "vb")
+            .distinct()
+        )
+        raw = (
+            cand.join(
+                emb_n.select(
+                    F.col("vec_id").alias("va"),
+                    F.col("v").alias("xa"), F.col("nrm").alias("na"),
+                ),
+                "va",
+            )
+            .join(
+                emb_n.select(
+                    F.col("vec_id").alias("vb"),
+                    F.col("v").alias("xb"), F.col("nrm").alias("nb"),
+                ),
+                "vb",
+            )
+            .select(
+                "va", "vb", (dot / (F.col("na") * F.col("nb"))).alias("cos_raw")
+            )
+        )
+    # cross-band duplicates collapse on max(cos_raw) — the two copies
+    # differ by at most summation-order ulps, which the eround absorbs
+    return (
+        raw.groupBy("va", "vb")
+        .agg(F.max("cos_raw").alias("cos_raw"))
+        .select("va", "vb", eround(F.col("cos_raw"), 6).alias("cos"))
+    )
+
+
+def q191_label_noise(
+    spark: SparkSession, sf_dir: str, arrow: bool = True
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb_n = emb.select("vec_id", "label", "v", nrm.alias("nrm"))
+    pairs = _label_noise_pairs(emb_n, arrow=arrow)
+    labs = emb.select("vec_id", "label")
     scored_pairs = (
-        cand.join(ea, "va")
-        .join(eb, "vb")
-        .select(
+        pairs.join(
+            labs.select(F.col("vec_id").alias("va"), F.col("label").alias("la")),
             "va",
+        )
+        .join(
+            labs.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb")),
             "vb",
-            "la",
-            "lb",
-            eround(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
     )
     wk = Window.partitionBy("va").orderBy(F.desc("cos"), F.asc("vb"))

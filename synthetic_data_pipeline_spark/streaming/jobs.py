@@ -653,6 +653,32 @@ def hourly_anomaly_stream(
     )
 
 
+def cohort_retention_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q193: each micro-batch lands only its own
+    distinct (user_id, day) activity rows, and events.retention_from_sink
+    re-distincts the union and computes the matrix — EXACT because
+    distinct-of-union-of-distincts equals distinct-of-the-whole (no
+    count is split across batches the way an additive sum would be; a
+    user's first-seen day is a min over the re-unioned state, so batch
+    boundaries can't move cohorts). Per-batch state is the batch's own
+    users×days frame. Returns the number of micro-batches."""
+    from ..operators import events as ev
+
+    incoming = stream_events(spark, sf_dir)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return ev.user_day_activity(batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def bm25_retrieval_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -46,6 +46,8 @@ R2_UNCHECKED = [
                           # the BPE lineage)
                           196,  # (q131 ceded — q132/q157/q159 keep
                           # the duplicated-span family)
+                          197,  # (q102 ceded — q192/q116 keep the
+                          # composed-prep family)
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
                           # q77 to q182, q79 to q183, q13 to q184 —
@@ -60,7 +62,7 @@ R2_UNCHECKED = [
                           27,
                           75, 76, 78,
                           99,
-                          102, 104,
+                          104,
                           116, 129, 130, 132]
 ]
 

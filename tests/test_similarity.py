@@ -459,3 +459,16 @@ def test_label_noise_planted_interloper(spark, monkeypatch):
     # B's members see at most 1/5 disagreement -> no suspects
     assert got[1].n_vecs == 6 and got[1].n_suspect == 0
     assert got[1].avg_disagree < 0.3
+
+
+def test_label_noise_arrow_matches_fold(spark, sf_dir):
+    """The adopted per-bucket BLAS top-k kernel must reproduce the
+    expression-fold tier's q191 table exactly — the keep-margin
+    exactness proof exercised end-to-end (LSH bucketing included)."""
+    from synthetic_data_pipeline_spark.operators.similarity import (
+        q191_label_noise,
+    )
+
+    a = sorted(map(tuple, q191_label_noise(spark, sf_dir, arrow=True).collect()))
+    b = sorted(map(tuple, q191_label_noise(spark, sf_dir, arrow=False).collect()))
+    assert a == b and len(a) > 0

@@ -882,3 +882,24 @@ def test_ivf_maintenance_stream_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, ivf_drift_report(spark, idx).collect()))
     want = sorted(map(tuple, ivf_maintenance_report(old, new).collect()))
     assert got == want and len(want) > 0
+
+
+def test_cohort_retention_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q193 streaming twin: retention matrix computed from the
+    streamed per-batch (user, day) activity sink must equal the batch
+    query exactly — distinct-of-union-of-distincts is the whole
+    distinct, so batch boundaries can't move cohorts or offsets."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        q193_cohort_retention,
+        retention_from_sink,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        cohort_retention_stream,
+    )
+
+    out = str(tmp_path / "activity")
+    n = cohort_retention_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = sorted(map(tuple, retention_from_sink(spark, out).collect()))
+    want = sorted(map(tuple, q193_cohort_retention(spark, sf_dir).collect()))
+    assert got == want and len(want) > 0

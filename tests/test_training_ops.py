@@ -1970,3 +1970,38 @@ def test_dataset_cards_render_and_reconcile(spark, sf_dir, tmp_path):
         assert f"| documents | {r.n_docs} |" in body
         assert f"| tokens | {r.n_tokens} |" in body
         assert f"| top language | {r.top_lang} |" in body
+
+
+def test_join_skew_audit_planted_hot_key(spark, monkeypatch):
+    """A synthetic hot key (90 of 100 rows on one orderkey, the rest
+    spread) must read max_rows 90 and a skew factor of 90/avg —
+    exactly the signal that routes a join to salting/AQE."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import relational as rel
+    from synthetic_data_pipeline_spark.sources import tables
+
+    d = dt.datetime(2025, 1, 1)
+    li_rows = [(1, i, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+               for i in range(90)]
+    li_rows += [(k, 0, 1, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+                for k in range(2, 12)]
+    lineitem = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    views = {"lineitem": lineitem}
+    monkeypatch.setattr(
+        rel, "load_table",
+        lambda sp, sf, name: views[name] if name in views
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.join_key: r for r in
+           rel.q197_join_skew_audit(spark, "/root/testdata/sf0.001").collect()}
+    r = got["lineitem.l_orderkey"]
+    assert (r.n_rows, r.n_keys, r.max_rows) == (100, 11, 90)
+    avg = 100 / 11
+    assert abs(r.skew_factor - round(1e-9 + 90 / avg, 4)) < 1e-3
