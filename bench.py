@@ -464,6 +464,32 @@ def _funnel_reuse(spark, sf_dir: str) -> dict:
     }
 
 
+def _incr_base_reuse(spark, sf_dir: str) -> dict:
+    """Cold vs warm cost of q163's memoized old-side base clusters
+    (sketches._incr_base_labels — the persisted state a lake holds
+    between ingest batches): the headline q163 time reads the memo,
+    so this extra records the one-time base-CC build a fresh session
+    pays (cold) vs the per-batch merge cost afterwards (warm)."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    sketches.clear_lp_cache()
+    t0 = time.perf_counter()
+    sketches.q163_incremental_clusters(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sketches.q163_incremental_clusters(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    warm = time.perf_counter() - t0
+    return {
+        "incr_base_cold_sec": round(cold, 3),
+        "incr_base_warm_sec": round(warm, 3),
+        "incr_base_reuse_x": round(cold / warm, 1),
+    }
+
+
 def _gen_scan_reuse(spark, sf_dir: str) -> dict:
     """Cold vs warm cost of the shared generate→render→regex-scan
     table (generation._scanned_pairs): q62/q91/q98 headline times read
@@ -586,6 +612,11 @@ def main() -> None:
         extras.update(_gen_scan_reuse(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_gen_scan_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_incr_base_reuse(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_incr_base_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a

@@ -26,9 +26,16 @@ N_BUCKETS = 200
 PRICE_LO, PRICE_HI = 800.0, 600_000.0  # o_totalprice domain padding
 
 
-# --- q79: quantiles from a fixed histogram.
-def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+# --- q79: quantiles from a fixed histogram. Factored into an ADDITIVE
+# partial (price_hist — mergeable across batches/partitions/streams,
+# the property t-digest needs merge logic for and this gets for free)
+# and a read side (quantiles_from_hist), so the same core serves the
+# batch query, a persisted incremental index, and the streaming twin
+# (streaming/jobs.py::hist_index_stream) — the evolving-state pattern
+# (BM25/dedup/spans/clusters/shards/IVF) extended to ORDER STATISTICS.
+def price_hist(orders: DataFrame) -> DataFrame:
+    """(bucket, n) fixed-width histogram partial — additive: the hist
+    of a union is the bucket-wise sum of the hists."""
     width = (PRICE_HI - PRICE_LO) / N_BUCKETS
     bucket = F.least(
         F.lit(N_BUCKETS - 1),
@@ -37,8 +44,15 @@ def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("o_totalprice") - PRICE_LO) / width).cast("int"),
         ),
     )
-    hist = orders.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
-    total = orders.count()
+    return orders.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+def quantiles_from_hist(hist: DataFrame) -> DataFrame:
+    """q79's read side over any (bucket, n) frame. The cumulative
+    window runs over the ≤N_BUCKETS-row hist (the documented
+    bounded-input exception to the no-global-window rule)."""
+    width = (PRICE_HI - PRICE_LO) / N_BUCKETS
+    total_df = hist.agg(F.sum("n").alias("total"))
     cum = hist.withColumn(
         "cum",
         F.sum("n").over(
@@ -46,16 +60,15 @@ def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.unboundedPreceding, Window.currentRow
             )
         ),
-    )
+    ).crossJoin(F.broadcast(total_df))
     out = []
     # threshold via exact integer arithmetic with floor semantics; the
     # oracle mirrors with CAST(floor(t * q) AS BIGINT) — float
     # truncation (int(15000*0.99)=14849) vs decimal rounding would
     # otherwise put the two engines one bucket apart on exact landings.
     for q, num, den in ((0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)):
-        thresh = (total * num) // den
         est = (
-            cum.filter(F.col("cum") >= F.lit(thresh))
+            cum.filter(F.col("cum") >= F.expr(f"(total * {num}) DIV {den}"))
             .agg(F.min("bucket").alias("b"))
             .select(
                 F.lit(q).alias("q"),
@@ -69,6 +82,19 @@ def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.orderBy("q")
+
+
+def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantiles_from_hist(price_hist(load_table(spark, sf_dir, "orders")))
+
+
+def quantiles_from_sink(spark: SparkSession, hist_dir: str) -> DataFrame:
+    """q79's table from a sink of additive per-batch hist partials —
+    the streaming twin's read side (bucket-wise re-sum, same core)."""
+    parts = spark.read.parquet(hist_dir)
+    return quantiles_from_hist(
+        parts.groupBy("bucket").agg(F.sum("n").alias("n"))
+    )
 
 
 # --- q80: deterministic Bernoulli + stratified sampling.

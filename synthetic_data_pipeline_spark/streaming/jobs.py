@@ -653,6 +653,42 @@ def hourly_anomaly_stream(
     )
 
 
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders parquet (schema from a batch
+    read, like ``stream_events``)."""
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def hist_index_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q79's histogram-quantile index: each
+    micro-batch lands only its own (bucket, n) hist partial — additive,
+    so rows split across batches re-sum exactly — and
+    reshaping.quantiles_from_sink reads the re-summed index. The
+    evolving-state pattern extended to order statistics: fixed-width
+    state (≤N_BUCKETS rows per batch) regardless of corpus size.
+    Returns the number of micro-batches."""
+    from ..operators import reshaping as rs
+
+    incoming = stream_orders(spark, sf_dir)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return rs.price_hist(batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def cohort_retention_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -903,3 +903,25 @@ def test_cohort_retention_stream_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, retention_from_sink(spark, out).collect()))
     want = sorted(map(tuple, q193_cohort_retention(spark, sf_dir).collect()))
     assert got == want and len(want) > 0
+
+
+def test_hist_index_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q79 streaming twin: quantiles read from the streamed
+    additive hist-partial sink must equal the batch query exactly —
+    the hist of a union is the bucket-wise sum of the hists."""
+    from synthetic_data_pipeline_spark.operators.reshaping import (
+        q79_histogram_quantiles,
+        quantiles_from_sink,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        hist_index_stream,
+    )
+
+    out = str(tmp_path / "hist")
+    n = hist_index_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = sorted(map(tuple, quantiles_from_sink(spark, out).collect()))
+    want = sorted(
+        map(tuple, q79_histogram_quantiles(spark, sf_dir).collect())
+    )
+    assert got == want and len(want) == 3

@@ -2005,3 +2005,25 @@ def test_join_skew_audit_planted_hot_key(spark, monkeypatch):
     assert (r.n_rows, r.n_keys, r.max_rows) == (100, 11, 90)
     avg = 100 / 11
     assert abs(r.skew_factor - round(1e-9 + 90 / avg, 4)) < 1e-3
+
+
+def test_price_hist_additive(spark, sf_dir):
+    """Mergeability: hist(half A) + hist(half B) re-summed bucket-wise
+    equals hist(whole), so quantiles from merged partials equal q79 —
+    the property that makes the histogram a distributable index."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.operators.reshaping import (
+        price_hist,
+        q79_histogram_quantiles,
+        quantiles_from_hist,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = price_hist(orders.filter(F.col("o_orderkey") % 2 == 0))
+    b = price_hist(orders.filter(F.col("o_orderkey") % 2 == 1))
+    merged = a.unionByName(b).groupBy("bucket").agg(F.sum("n").alias("n"))
+    got = sorted(map(tuple, quantiles_from_hist(merged).collect()))
+    want = sorted(map(tuple, q79_histogram_quantiles(spark, sf_dir).collect()))
+    assert got == want
