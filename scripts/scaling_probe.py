@@ -265,6 +265,15 @@ PROBE_100 = [
     "q100_media_features",
     "q148_image_phash_dups",
     "q152_simhash_hamming_join",
+    # session 2: the three newborns with a plausible second-decade
+    # risk — q191's bucket-occupancy growth (the q54/q46 class; the
+    # BLAS top-k kernel's per-bucket cost is k·chunk-bounded but
+    # candidate volume still tracks occupancy²), q196's FK anti-join
+    # build sides grow with the facts, q197's per-key count frames
+    # grow with the key space
+    "q191_label_noise",
+    "q196_constraint_audit",
+    "q197_join_skew_audit",
 ]
 # Media corpus sizes for the scaled tiers (media_n_for sentinel): the
 # 1x base dir is read-only testdata with no sentinel, so 1x stays 60.
