@@ -143,6 +143,9 @@ HEADLINE = [
     # q197 join-skew audit: per audited key one map-side-combined
     # count + a 1-row percentile agg over the |keys|-sized frame
     "q197_join_skew_audit",
+    # q198 embedding dispersion: exact n²-pair statistic from TWO
+    # aggregates via the sum-of-squares identity — zero pair joins
+    "q198_embedding_dispersion",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

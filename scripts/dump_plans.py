@@ -107,6 +107,7 @@ SHOWCASE = [
     ("q195_cluster_chaining", "cluster chaining: memoized funnel edges + labels, label-keyed edge count, |sizes|-key density agg"),
     ("q196_constraint_audit", "constraint audit: 8 scan aggs / key-only anti-joins unioned — not-null, uniqueness, range, referential integrity in one report"),
     ("q197_join_skew_audit", "join-skew audit: per key one map-side count, 1-row percentile agg over the |keys|-sized frame — the pre-flight before picking a join strategy"),
+    ("q198_embedding_dispersion", "embedding dispersion: exact mean pairwise distance² from two aggregates (sum-of-squares identity) — zero pair joins"),
 ]
 
 

@@ -190,6 +190,9 @@ PROBE = [
     # q196: scan aggs + key-only anti-joins over the scaled
     # orders/lineitem — the FK build sides grow with the facts
     "q196_constraint_audit",
+    # q198: two O(n·d) aggregates — the identity keeps the n²-pair
+    # statistic pair-join-free at any scale
+    "q198_embedding_dispersion",
     # q197: per-key counts over the scaled fact keys — the |keys|
     # frame grows 10x while per-key fan-out stays constant by
     # construction (the probe's key-remapping guarantees it)

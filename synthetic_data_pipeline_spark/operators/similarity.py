@@ -1298,6 +1298,87 @@ _Q191_ORACLE = f"""
 """
 
 
+# --- q198: embedding dispersion per label (round 11, session 2) —
+# semantic-diversity measurement for embedded corpora: the EXACT mean
+# pairwise squared L2 distance within each label, computed from TWO
+# aggregates and zero pair joins via the algebraic identity
+#   Σ_{i,j} ||x_i − x_j||² = 2·(n·Σ||x_i||² − ||Σ x_i||²)
+# (expand the square; cross terms collapse to the squared norm of the
+# sum). The n²-pair statistic every diversity report wants, at O(n·d)
+# aggregate cost — the cleanest instance of the repo's
+# algebra-instead-of-pair-join discipline, worth a named row.
+# Complements q143 (token-level distinct-n diversity) and q52 (norm
+# stats) with the geometric spread; low dispersion = semantically
+# collapsed label (a SemDeDup candidate before any pair is scored).
+# Determinism: Σ||x||² and the per-dim sums are engine-ordered float
+# sums — the eround nudge absorbs summation-order ulps (the q121
+# class).
+def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    sq = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    # Σ||x||² and n: a narrow fold per row, |labels|-key agg — no explode
+    b = (
+        emb.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(F.sum("sq").alias("sum_sq"), F.count("*").alias("n"))
+    )
+    # ||Σx||²: one (label, dim) map-side-combined shuffle, then the
+    # per-label sum of squared per-dim sums
+    a = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").alias("sx"))
+        .groupBy("label")
+        .agg(F.sum(F.col("sx") * F.col("sx")).alias("norm_sum_sq"))
+    )
+    agg = b.join(F.broadcast(a), "label")
+    disp = (
+        2.0
+        * (F.col("n") * F.col("sum_sq") - F.col("norm_sum_sq"))
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    return agg.select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        eround(1e-9 + F.sqrt(F.col("sum_sq") / F.col("n")), 4).alias(
+            "rms_norm"
+        ),
+        eround(1e-9 + disp, 4).alias("dispersion"),
+    ).orderBy("label")
+
+
+_Q198_ORACLE = """
+    WITH dims AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT label, vec_id, sum(x * x) AS sq FROM dims GROUP BY label, vec_id
+    ),
+    sums AS (
+      SELECT label, dim, sum(x) AS sx FROM dims GROUP BY label, dim
+    ),
+    a AS (
+      SELECT label, sum(sx * sx) AS norm_sum_sq FROM sums GROUP BY label
+    ),
+    b AS (
+      SELECT label, sum(sq) AS sum_sq, count(*) AS n
+      FROM per_vec GROUP BY label
+    )
+    SELECT b.label,
+           CAST(b.n AS BIGINT) AS n_vecs,
+           round(1e-9 + sqrt(b.sum_sq / b.n), 4) AS rms_norm,
+           round(1e-9 + 2.0 * (b.n * b.sum_sq - a.norm_sum_sq)
+                 / (CAST(b.n AS DOUBLE) * b.n), 4) AS dispersion
+    FROM b JOIN a USING (label)
+    ORDER BY b.label
+"""
+
+
 # --- q189: incremental IVF index maintenance (round 11, session 2) —
 # the last index family without an evolving-state path (BM25 q171,
 # dedup q118, spans q132, clusters q163, shards q183 — IVF closed
@@ -2157,6 +2238,7 @@ QUERIES = {
     "q168_ivf_probe_sweep": q168_ivf_probe_sweep,
     "q189_incremental_ivf": q189_incremental_ivf,
     "q191_label_noise": q191_label_noise,
+    "q198_embedding_dispersion": q198_embedding_dispersion,
     "q56_kmeans": q56_kmeans,
     "q51_label_centroids": q51_label_centroids,
     "q52_norm_stats": q52_norm_stats,
@@ -2280,6 +2362,7 @@ ORACLES = {
     """,
     "q189_incremental_ivf": _q189_oracle(),
     "q191_label_noise": _Q191_ORACLE,
+    "q198_embedding_dispersion": _Q198_ORACLE,
     "q168_ivf_probe_sweep": f"""
         WITH dims AS MATERIALIZED (
           SELECT vec_id, label,

@@ -48,6 +48,8 @@ R2_UNCHECKED = [
                           # the duplicated-span family)
                           197,  # (q102 ceded — q192/q116 keep the
                           # composed-prep family)
+                          198,  # (q130 ceded — q165/q175 keep the
+                          # funnel-verify family)
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
                           # q77 to q182, q79 to q183, q13 to q184 —
@@ -63,7 +65,7 @@ R2_UNCHECKED = [
                           75, 76, 78,
                           99,
                           104,
-                          116, 129, 130, 132]
+                          116, 129, 132]
 ]
 
 

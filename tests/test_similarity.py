@@ -472,3 +472,44 @@ def test_label_noise_arrow_matches_fold(spark, sf_dir):
     a = sorted(map(tuple, q191_label_noise(spark, sf_dir, arrow=True).collect()))
     b = sorted(map(tuple, q191_label_noise(spark, sf_dir, arrow=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_embedding_dispersion_identity_vs_bruteforce(spark, monkeypatch):
+    """The two-aggregate identity must equal the brute-force mean
+    pairwise squared distance, and a tight cluster must read far
+    smaller dispersion than a spread one."""
+    import itertools
+
+    from synthetic_data_pipeline_spark.operators import similarity as sim
+    from synthetic_data_pipeline_spark.sources import tables
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    tight = [vec(1.0, 0.001 * i) for i in range(5)]          # label 0
+    spread = [vec(i, 5.0 - i) for i in range(5)]             # label 1
+    rows = [(i, v, 0) for i, v in enumerate(tight)]
+    rows += [(10 + i, v, 1) for i, v in enumerate(spread)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.createOrReplaceTempView("_disp_emb")
+    monkeypatch.setattr(
+        sim, "load_table",
+        lambda sp, sf, name: sp.table("_disp_emb") if name == "embeddings"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.label: r for r in
+           sim.q198_embedding_dispersion(spark, "x").collect()}
+
+    def brute(vs):
+        n = len(vs)
+        tot = sum(
+            sum((a - b) ** 2 for a, b in zip(u, w))
+            for u, w in itertools.product(vs, vs)
+        )
+        return tot / (n * n)
+
+    assert abs(got[0].dispersion - round(1e-9 + brute(tight), 4)) < 1e-3
+    assert abs(got[1].dispersion - round(1e-9 + brute(spread), 4)) < 1e-3
+    assert got[0].dispersion < got[1].dispersion / 100
