@@ -115,14 +115,16 @@ DRIVER_WINDOW = [
     # q131->q132/q157/q159 (the duplicated-span family stays covered),
     # q102->q192/q116 (the composed-prep family stays covered),
     # q130->q165/q175 (the funnel-verify family stays covered; q189/
-    # q168/q161 keep the embedding-audit family).
+    # q168/q161 keep the embedding-audit family), q129->q136/q137/
+    # q141 (the BPE merge lineage is their shared input — the apply
+    # side exercises the train side end-to-end).
     "q186_source_keyness", "q187_hourly_anomalies",
     "q188_snapshot_diff", "q189_incremental_ivf",
     "q190_calibrated_quality", "q191_label_noise",
     "q192_stage_overlap", "q193_cohort_retention",
     "q194_usage_concentration", "q195_cluster_chaining",
     "q196_constraint_audit", "q197_join_skew_audit",
-    "q198_embedding_dispersion",
+    "q198_embedding_dispersion", "q199_decayed_activity",
     # the r8-stale rows (23 of 47 — the 24 ceded rows lead the r12
     # rotation; authoritative inventory = r8-stale set minus this list)
     "q12_top_orders_per_customer",
@@ -132,7 +134,6 @@ DRIVER_WINDOW = [
     "q99_redact_generated",
     "q104_ngram_jaccard_join",
     "q116_length_curriculum",
-    "q129_bpe_compression",
     "q132_incremental_spans",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:

@@ -146,6 +146,9 @@ HEADLINE = [
     # q198 embedding dispersion: exact n²-pair statistic from TWO
     # aggregates via the sum-of-squares identity — zero pair joins
     "q198_embedding_dispersion",
+    # q199 decayed activity: 1-row reference broadcast + one
+    # user-keyed agg + TakeOrdered top-k
+    "q199_decayed_activity",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

@@ -108,6 +108,7 @@ SHOWCASE = [
     ("q196_constraint_audit", "constraint audit: 8 scan aggs / key-only anti-joins unioned — not-null, uniqueness, range, referential integrity in one report"),
     ("q197_join_skew_audit", "join-skew audit: per key one map-side count, 1-row percentile agg over the |keys|-sized frame — the pre-flight before picking a join strategy"),
     ("q198_embedding_dispersion", "embedding dispersion: exact mean pairwise distance² from two aggregates (sum-of-squares identity) — zero pair joins"),
+    ("q199_decayed_activity", "decayed activity: 1-row reference broadcast, one user-keyed agg, TakeOrdered top-k — freshness weighting without a window"),
 ]
 
 

@@ -193,6 +193,8 @@ PROBE = [
     # q198: two O(n·d) aggregates — the identity keeps the n²-pair
     # statistic pair-join-free at any scale
     "q198_embedding_dispersion",
+    # q199: one user-keyed exp-decay agg over the scaled events
+    "q199_decayed_activity",
     # q197: per-key counts over the scaled fact keys — the |keys|
     # frame grows 10x while per-key fan-out stays constant by
     # construction (the probe's key-remapping guarantees it)

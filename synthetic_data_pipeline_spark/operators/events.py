@@ -17,6 +17,8 @@ hottest user).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1134,11 +1136,70 @@ _Q194_ORACLE = """
 """
 
 
+# --- q199: time-decayed activity scores (round 11, session 2) — the
+# freshness weighting a behavioral sampler applies before drawing
+# training events: each event contributes exp(-ln2·age_days/half_life)
+# (7-day half-life), so a user's score is their activity RECENCY-
+# weighted — two users with equal counts separate by when they were
+# active (complements q194's volume view and q151's regularity view).
+# Scale shape: the reference time is a 1-row max broadcast; the score
+# is ONE map-side-combined user-keyed agg; top-20 via TakeOrdered
+# (ranked_topk — never a global window). Determinism: age computed on
+# integer microseconds; exp() differs across engines by ≤ ulps and
+# the per-user sum by ~n·ulp — absorbed by the eround nudge (the
+# q109/q121 exp/ln class); the rank key is the 4dp-rounded score with
+# a user_id tiebreak.
+DECAY_HALF_LIFE_DAYS = 7.0
+DECAY_TOP_K = 20
+
+
+def q199_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import ranked_topk
+
+    events = load_table(spark, sf_dir, "events")
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    age_days = (F.col("ref_us") - F.unix_micros("ts")).cast("double") / 86400e6
+    lam = math.log(2.0) / DECAY_HALF_LIFE_DAYS
+    scored = (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            eround(1e-9 + F.sum(F.exp(-lam * age_days)), 4).alias("score"),
+        )
+    )
+    return ranked_topk(
+        scored, [F.desc("score"), F.asc("user_id")], DECAY_TOP_K
+    ).select("rk", "user_id", "n_events", "score")
+
+
+def _q199_oracle() -> str:
+    lam = math.log(2.0) / DECAY_HALF_LIFE_DAYS
+    return f"""
+    WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+    scored AS (
+      SELECT user_id, count(*) AS n_events,
+             round(1e-9 + sum(exp(-{lam!r} *
+                   ((r.ref_us - epoch_us(ts)) / 86400e6))), 4) AS score
+      FROM events CROSS JOIN ref r
+      GROUP BY user_id
+    )
+    SELECT rk, user_id, n_events, score FROM (
+      SELECT user_id, n_events, score,
+             CAST(row_number() OVER (ORDER BY score DESC, user_id ASC)
+                  AS INTEGER) AS rk
+      FROM scored
+    ) WHERE rk <= {DECAY_TOP_K}
+    ORDER BY rk
+"""
+
+
 QUERIES = {
     "q185_transition_matrix": q185_transition_matrix,
     "q187_hourly_anomalies": q187_hourly_anomalies,
     "q193_cohort_retention": q193_cohort_retention,
     "q194_usage_concentration": q194_usage_concentration,
+    "q199_decayed_activity": q199_decayed_activity,
     "q177_user_erasure": q177_user_erasure,
     "q151_bot_signals": q151_bot_signals,
     "q166_event_drift": q166_event_drift,
@@ -1164,6 +1225,7 @@ ORACLES = {
     "q187_hourly_anomalies": _Q187_ORACLE,
     "q193_cohort_retention": _Q193_ORACLE,
     "q194_usage_concentration": _Q194_ORACLE,
+    "q199_decayed_activity": _q199_oracle(),
     "q123_dense_hourly": _Q123_ORACLE,
     "q124_session_sequences": _Q124_ORACLE,
     "q108_click_error_interval": f"""

@@ -50,6 +50,8 @@ R2_UNCHECKED = [
                           # composed-prep family)
                           198,  # (q130 ceded — q165/q175 keep the
                           # funnel-verify family)
+                          199,  # (q129 ceded — q136/q137/q141 keep
+                          # the BPE merge lineage)
                           # r8-stale (q15 ceded its slot to q178,
                           # q73 to q179, q10 to q180, q03 to q181,
                           # q77 to q182, q79 to q183, q13 to q184 —
@@ -65,7 +67,7 @@ R2_UNCHECKED = [
                           75, 76, 78,
                           99,
                           104,
-                          116, 129, 132]
+                          116, 132]
 ]
 
 

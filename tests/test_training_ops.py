@@ -2027,3 +2027,50 @@ def test_price_hist_additive(spark, sf_dir):
     got = sorted(map(tuple, quantiles_from_hist(merged).collect()))
     want = sorted(map(tuple, q79_histogram_quantiles(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_decayed_activity_recency_beats_volume(spark, monkeypatch):
+    """Two users with equal event counts must separate by recency: the
+    recent user's score approaches their count, the stale user's
+    decays toward zero; a recent-but-smaller user outranks a stale
+    whale. Scores cross-checked against pure-Python exp decay."""
+    import datetime as dt
+    import math
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.operators.events import (
+        DECAY_HALF_LIFE_DAYS,
+    )
+    from synthetic_data_pipeline_spark.sources import tables
+
+    T = dt.datetime(2025, 9, 1)
+    rows, eid = [], 0
+    for i in range(10):  # recent user 1: all within the last day
+        rows.append((eid, T - dt.timedelta(hours=i), 1, "click", 1.0, "{}"))
+        eid += 1
+    for i in range(30):  # stale whale user 2: 10 weeks old
+        rows.append((eid, T - dt.timedelta(days=70, hours=i), 2,
+                     "click", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_decay_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_decay_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.user_id: r for r in
+           ev_mod.q199_decayed_activity(spark, "x").collect()}
+    assert got[1].rk == 1 and got[2].rk == 2  # recency beats volume
+    lam = math.log(2.0) / DECAY_HALF_LIFE_DAYS
+    want1 = sum(math.exp(-lam * (h / 24.0)) for h in range(10))
+    want2 = sum(
+        math.exp(-lam * (70 + h / 24.0)) for h in range(30)
+    )
+    assert abs(got[1].score - round(1e-9 + want1, 4)) < 1e-3
+    assert abs(got[2].score - round(1e-9 + want2, 4)) < 1e-3
+    assert got[2].score < 0.05  # ten half-lives: the whale is dust
