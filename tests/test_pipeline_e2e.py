@@ -105,3 +105,58 @@ def test_generate_render_extract_validate_loop(spark, tmp_path):
             n_fp += 1
             assert not real, f"doc {v.doc_id} {v.sit_id}: FP flagged after round trip"
     assert n_tp > 30 and n_fp > 30
+
+
+def test_build_release_end_to_end(spark, sf_dir, tmp_path):
+    """The one-call release pipeline: every stage's accounting must
+    reconcile with the individually-verified queries it composes, and
+    every artifact must land."""
+    import json
+    import os
+
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        q95_dedup_retention,
+    )
+    from synthetic_data_pipeline_spark.operators.textops import (
+        quality_drop_expr,
+    )
+    from synthetic_data_pipeline_spark.plans.release import build_release
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    out = str(tmp_path / "release")
+    s = build_release(spark, sf_dir, out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert s["n_raw_docs"] == docs.count()
+    # stage 1 reconciles with q95's retention list
+    dropped = {r.doc_id for r in q95_dedup_retention(spark, sf_dir).collect()}
+    assert s["n_dedup_dropped"] == len(dropped)
+    # stage 2 reconciles with q97's drop flag on the post-dedup frame
+    from pyspark.sql import functions as F
+
+    kept1 = docs.filter(~F.col("doc_id").isin(dropped)) if dropped else docs
+    n_q = quality_drop_expr(kept1).filter(F.col("qdrop")).count()
+    assert s["n_quality_dropped"] == n_q
+    assert (
+        s["n_curated_docs"]
+        == s["n_raw_docs"] - s["n_dedup_dropped"] - s["n_quality_dropped"]
+    )
+    assert sum(s["split_counts"].values()) == s["n_curated_docs"]
+    assert s["n_shards"] >= 1
+
+    # artifacts on disk
+    for d in ("retention", "corpus", "training", "manifest", "cards"):
+        assert os.path.isdir(os.path.join(out, d)), d
+    assert json.load(open(f"{out}/RELEASE.json")) == s
+    # the staged corpus is sf_dir-shaped: load_table reads it back
+    staged = load_table(spark, out + "/corpus", "documents")
+    assert staged.count() == s["n_curated_docs"]
+    # manifest rows == curated docs (the q188 diff base)
+    assert (
+        spark.read.parquet(f"{out}/manifest").count() == s["n_curated_docs"]
+    )
+    # one card per surviving source
+    srcs = {r.source for r in staged.select("source").distinct().collect()}
+    assert sorted(os.listdir(f"{out}/cards")) == sorted(
+        f"{x}.md" for x in srcs
+    )
