@@ -1307,6 +1307,9 @@ _Q191_ORACLE = f"""
 # sum). The n²-pair statistic every diversity report wants, at O(n·d)
 # aggregate cost — the cleanest instance of the repo's
 # algebra-instead-of-pair-join discipline, worth a named row.
+# The mean is over DISTINCT ordered pairs — divide by n·(n−1), not n²,
+# so the n zero self-pairs never dilute it (ADVICE r11); a singleton
+# label has no pairs and reads NULL rather than a fabricated 0.
 # Complements q143 (token-level distinct-n diversity) and q52 (norm
 # stats) with the geometric spread; low dispersion = semantically
 # collapsed label (a SemDeDup candidate before any pair is scored).
@@ -1337,7 +1340,7 @@ def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     disp = (
         2.0
         * (F.col("n") * F.col("sum_sq") - F.col("norm_sum_sq"))
-        / (F.col("n").cast("double") * F.col("n"))
+        / (F.col("n").cast("double") * (F.col("n") - F.lit(1)))
     )
     return agg.select(
         "label",
@@ -1345,7 +1348,7 @@ def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         eround(1e-9 + F.sqrt(F.col("sum_sq") / F.col("n")), 4).alias(
             "rms_norm"
         ),
-        eround(1e-9 + disp, 4).alias("dispersion"),
+        F.when(F.col("n") > 1, eround(1e-9 + disp, 4)).alias("dispersion"),
     ).orderBy("label")
 
 
@@ -1372,8 +1375,10 @@ _Q198_ORACLE = """
     SELECT b.label,
            CAST(b.n AS BIGINT) AS n_vecs,
            round(1e-9 + sqrt(b.sum_sq / b.n), 4) AS rms_norm,
-           round(1e-9 + 2.0 * (b.n * b.sum_sq - a.norm_sum_sq)
-                 / (CAST(b.n AS DOUBLE) * b.n), 4) AS dispersion
+           (CASE WHEN b.n > 1
+                 THEN round(1e-9 + 2.0 * (b.n * b.sum_sq - a.norm_sum_sq)
+                            / (CAST(b.n AS DOUBLE) * (b.n - 1)), 4)
+            END) AS dispersion
     FROM b JOIN a USING (label)
     ORDER BY b.label
 """

@@ -592,7 +592,7 @@ def drift_monitor_stream(
     out_dir: str,
     baseline_dir: str | None = None,
     checkpoint_dir: str | None = None,
-) -> int:
+) -> tuple[int, str]:
     """Streaming twin of q166's drift monitor: the event-type baseline
     is PERSISTED state (events.write_type_baseline — trained on a
     reference window, held fixed), each micro-batch lands only its own
@@ -602,7 +602,10 @@ def drift_monitor_stream(
     the baseline came from the same data
     (test_drift_monitor_stream_equals_batch). Per-batch state is the
     days×types count table — fixed-width, corpus-size-independent.
-    Returns the number of micro-batches."""
+    Returns (n_micro_batches, baseline_dir) — the baseline path is
+    part of the contract so a default-arg caller can hand it straight
+    to events.drift_report_from (ADVICE r11: a tempdir baseline the
+    caller can't find is work lost)."""
     from ..operators import events as ev
 
     if baseline_dir is None:
@@ -614,9 +617,10 @@ def drift_monitor_stream(
     def apply(batch_df: DataFrame) -> DataFrame:
         return ev._day_type_counts(batch_df)
 
-    return run_foreach_batch_parquet(
+    n = run_foreach_batch_parquet(
         incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
     )
+    return n, baseline_dir
 
 
 def hourly_anomaly_stream(
@@ -625,7 +629,7 @@ def hourly_anomaly_stream(
     out_dir: str,
     baseline_dir: str | None = None,
     checkpoint_dir: str | None = None,
-) -> int:
+) -> tuple[int, str]:
     """Streaming twin of q187's robust anomaly monitor: the
     (event_type, hour-of-day) median+MAD baseline is PERSISTED state
     (events.write_anomaly_baseline — trained on a reference window,
@@ -636,7 +640,10 @@ def hourly_anomaly_stream(
     the batch q187 whenever the baseline came from the same data
     (test_hourly_anomaly_stream_equals_batch). Per-batch state is the
     hours×types count table — fixed-width, corpus-size-independent.
-    Returns the number of micro-batches."""
+    Returns (n_micro_batches, baseline_dir) — the baseline path is
+    part of the contract so a default-arg caller can hand it straight
+    to events.anomaly_report_from (ADVICE r11: a tempdir baseline the
+    caller can't find is work lost)."""
     from ..operators import events as ev
 
     if baseline_dir is None:
@@ -648,9 +655,10 @@ def hourly_anomaly_stream(
     def apply(batch_df: DataFrame) -> DataFrame:
         return ev._hour_counts(batch_df)
 
-    return run_foreach_batch_parquet(
+    n = run_foreach_batch_parquet(
         incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
     )
+    return n, baseline_dir
 
 
 def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -490,6 +490,7 @@ def test_embedding_dispersion_identity_vs_bruteforce(spark, monkeypatch):
     spread = [vec(i, 5.0 - i) for i in range(5)]             # label 1
     rows = [(i, v, 0) for i, v in enumerate(tight)]
     rows += [(10 + i, v, 1) for i, v in enumerate(spread)]
+    rows += [(20, vec(3.0, 4.0), 2)]  # singleton label: no pairs
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
@@ -503,13 +504,16 @@ def test_embedding_dispersion_identity_vs_bruteforce(spark, monkeypatch):
            sim.q198_embedding_dispersion(spark, "x").collect()}
 
     def brute(vs):
+        # distinct ordered pairs — self-pairs excluded (they're zero
+        # anyway; the denominator n*(n-1) is what excludes them)
         n = len(vs)
         tot = sum(
             sum((a - b) ** 2 for a, b in zip(u, w))
             for u, w in itertools.product(vs, vs)
         )
-        return tot / (n * n)
+        return tot / (n * (n - 1))
 
     assert abs(got[0].dispersion - round(1e-9 + brute(tight), 4)) < 1e-3
     assert abs(got[1].dispersion - round(1e-9 + brute(spread), 4)) < 1e-3
     assert got[0].dispersion < got[1].dispersion / 100
+    assert got[2].dispersion is None and got[2].n_vecs == 1

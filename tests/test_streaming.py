@@ -499,8 +499,8 @@ def test_drift_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
     out = str(tmp_path / "counts")
     base = str(tmp_path / "baseline")
     write_type_baseline(spark, sf_dir, base)
-    n = drift_monitor_stream(spark, sf_dir, out, baseline_dir=base)
-    assert n >= 1
+    n, base_out = drift_monitor_stream(spark, sf_dir, out, baseline_dir=base)
+    assert n >= 1 and base_out == base
     got = sorted(map(tuple, drift_report_from(spark, out, base).collect()))
     want = sorted(map(tuple, q166_event_drift(spark, sf_dir).collect()))
     assert got == want and len(want) > 0
@@ -829,17 +829,16 @@ def test_hourly_anomaly_stream_equals_batch(spark, sf_dir, tmp_path):
     from synthetic_data_pipeline_spark.operators.events import (
         anomaly_report_from,
         q187_hourly_anomalies,
-        write_anomaly_baseline,
     )
     from synthetic_data_pipeline_spark.streaming.jobs import (
         hourly_anomaly_stream,
     )
 
     out = str(tmp_path / "counts")
-    base = str(tmp_path / "baseline")
-    write_anomaly_baseline(spark, sf_dir, base)
-    n = hourly_anomaly_stream(spark, sf_dir, out, baseline_dir=base)
-    assert n >= 1
+    # default-arg path: the stream trains its own baseline and MUST
+    # return where it put it, or the scorer can't run (ADVICE r11)
+    n, base = hourly_anomaly_stream(spark, sf_dir, out)
+    assert n >= 1 and base
     got = sorted(map(tuple, anomaly_report_from(spark, out, base).collect()))
     want = sorted(map(tuple, q187_hourly_anomalies(spark, sf_dir).collect()))
     assert got == want and len(want) > 0
