@@ -261,6 +261,31 @@ def redact_df(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def redacted_frame(docs: DataFrame) -> DataFrame:
+    """``docs`` plus a ``_red`` column holding the scrubbed text — the
+    shared core of q93's chain (which hashes it) and the release
+    pipeline's PII stage (which SHIPS it). Digit-guard corpus split +
+    catalog-order ``regexp_replace`` chain; see :func:`redact_chain_df`
+    for why this shape wins on Spark's regex engine."""
+
+    def chain(frame: DataFrame, only_non_digit: bool) -> DataFrame:
+        col = F.col("text")
+        for sit_id, _name, regex, _tcs in SIT_CATALOG:
+            if sit_id not in RE2_SAFE_IDS:
+                continue
+            if only_non_digit and _GUARD_KIND.get(sit_id, "digit") == "digit":
+                continue
+            col = F.regexp_replace(col, F.lit(regex), F.lit(f"[{sit_id}]"))
+        return frame.withColumn("_red", col)
+
+    has_digit = (
+        F.length(F.translate("text", "0123456789", "")) < F.length("text")
+    )
+    return chain(docs.filter(has_digit), only_non_digit=False).unionByName(
+        chain(docs.filter(~has_digit), only_non_digit=True)
+    )
+
+
 def redact_chain_df(docs: DataFrame) -> DataFrame:
     """The literal catalog-order ``regexp_replace`` chain — the FASTER
     shape on Spark's backtracking regex engine (see :func:`redact_df`
@@ -279,23 +304,7 @@ def redact_chain_df(docs: DataFrame) -> DataFrame:
     never run. (A per-pass when(guard, replace(col)).otherwise(col)
     chain is NOT an option: referencing col twice per level doubles
     the expression tree 34 times.)"""
-
-    def chain(frame: DataFrame, only_non_digit: bool) -> DataFrame:
-        col = F.col("text")
-        for sit_id, _name, regex, _tcs in SIT_CATALOG:
-            if sit_id not in RE2_SAFE_IDS:
-                continue
-            if only_non_digit and _GUARD_KIND.get(sit_id, "digit") == "digit":
-                continue
-            col = F.regexp_replace(col, F.lit(regex), F.lit(f"[{sit_id}]"))
-        return frame.withColumn("_red", col)
-
-    has_digit = (
-        F.length(F.translate("text", "0123456789", "")) < F.length("text")
-    )
-    both = chain(docs.filter(has_digit), only_non_digit=False).unionByName(
-        chain(docs.filter(~has_digit), only_non_digit=True)
-    )
+    both = redacted_frame(docs)
     col = F.col("_red")
     n_red = (
         (F.length(col) - F.length(F.replace(col, F.lit("[SIT_"), F.lit(""))))

@@ -933,7 +933,8 @@ _Q149_ORACLE = f"""
 # threshold is ONE row); pass 2 flags each doc against the broadcast
 # threshold. Exact `percentile` keeps the DuckDB oracle bit-matched
 # (quantile_cont, same interpolation) — at 100 TB you'd swap in
-# approx_percentile and keep the identical plan shape. Both compare
+# approx_percentile and keep the identical plan shape (accuracy/cost
+# measured by q201 + SCALING pctl_ab rows). Both compare
 # sides are rounded first: ppl and threshold differ by ~n·ulp between
 # engines, and the doc sitting exactly AT the percentile is a
 # knife-edge otherwise.
@@ -1860,14 +1861,24 @@ def _pos_ngrams(docs: DataFrame, n: int = DECON_N) -> DataFrame:
     )
 
 
-def boilerplate_clean(docs: DataFrame) -> DataFrame:
+def boilerplate_clean(
+    docs: DataFrame, gram_docs: DataFrame | None = None
+) -> DataFrame:
     """Per-TOUCHED-doc materialization: (doc_id, source, tokens_before,
     tokens_removed, clean_text) for every document containing at least
     one flagged boilerplate gram; untouched docs pass through a real
-    pipeline unchanged so they are omitted here."""
+    pipeline unchanged so they are omitted here.
+
+    ``gram_docs`` lets a caller pin the boilerplate DEFINITION to a
+    different (usually larger) corpus than the one being rewritten:
+    the release pipeline computes the gram set from the full raw
+    corpus so its stage-3 strip agrees with q155's corpus-wide
+    definition even though it rewrites only the post-dedup subset
+    (ADVICE r11). Default (None) = derive grams from ``docs`` itself,
+    the q155/q156 behavior."""
     from .dedup import _rewrite_without_spans
 
-    bp = _boilerplate_gram_set(docs)
+    bp = _boilerplate_gram_set(docs if gram_docs is None else gram_docs)
     flagged = (
         _pos_ngrams(docs)
         .join(F.broadcast(bp), ["source", "g"])
@@ -2663,7 +2674,9 @@ _Q164_ORACLE = f"""
 # / model-card practice): per source, volume (docs, tokens), length
 # shape (mean / exact p50 / p90 — `percentile` ↔ DuckDB
 # `quantile_cont`, same interpolation, the q111 pairing; at 100 TB
-# you'd swap approx_percentile into the same plan), language makeup
+# you'd swap approx_percentile into the same plan — the swap's rank
+# error and wall-clock are measured, not assumed: q201 + SCALING
+# pctl_ab), language makeup
 # (count + dominant language via the q144 two-pass argmax — max
 # count, then min lang, window-free and tie-deterministic), lexical
 # health (mean within-doc TTR), and the exact-duplicate share
@@ -3340,7 +3353,8 @@ def write_dataset_cards(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
 # q111's two-pass class — pass 1 computes the per-doc score and the
 # percentile aggregates (|sources| keys + one 1-row global, both
 # broadcast back), pass 2 is one conditional agg; exact `percentile`
-# ↔ quantile_cont (approx_percentile is the 100 TB drop-in). The
+# ↔ quantile_cont (approx_percentile is the 100 TB drop-in — its
+# rank-error bound and cost measured by q201 + SCALING pctl_ab). The
 # score is a ratio of integers (identical doubles on both engines), so
 # the `<` threshold comparisons have no cross-engine knife edge.
 QUALITY_DROP_Q = 0.10

@@ -137,15 +137,21 @@ def test_build_release_end_to_end(spark, sf_dir, tmp_path):
     kept1 = docs.filter(~F.col("doc_id").isin(dropped)) if dropped else docs
     n_q = quality_drop_expr(kept1).filter(F.col("qdrop")).count()
     assert s["n_quality_dropped"] == n_q
+    # stage 3 holds out the entire benchmark source from the release
+    assert s["n_benchmark_held_out"] > 0
     assert (
         s["n_curated_docs"]
         == s["n_raw_docs"] - s["n_dedup_dropped"] - s["n_quality_dropped"]
+        - s["n_benchmark_held_out"]
     )
     assert sum(s["split_counts"].values()) == s["n_curated_docs"]
     assert s["n_shards"] >= 1
 
     # artifacts on disk
-    for d in ("retention", "corpus", "training", "manifest", "cards"):
+    for d in (
+        "retention", "bench_grams", "labels", "corpus", "training",
+        "manifest", "cards",
+    ):
         assert os.path.isdir(os.path.join(out, d)), d
     assert json.load(open(f"{out}/RELEASE.json")) == s
     # the staged corpus is sf_dir-shaped: load_table reads it back
@@ -160,3 +166,48 @@ def test_build_release_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(os.listdir(f"{out}/cards")) == sorted(
         f"{x}.md" for x in srcs
     )
+    # the benchmark source never ships
+    from synthetic_data_pipeline_spark.operators.textops import (
+        DECON_BENCH_SOURCE,
+        distinct_ngrams,
+    )
+
+    assert DECON_BENCH_SOURCE not in srcs
+
+    # PUBLISHABILITY GATES (VERDICT r11 #2):
+    # (a) zero q105-detectable contamination: no staged doc shares a
+    #     word 4-gram with the persisted benchmark gram index
+    bench = spark.read.parquet(f"{out}/bench_grams")
+    n_contam = (
+        distinct_ngrams(staged).join(bench.select("g"), "g").count()
+    )
+    assert n_contam == 0
+    # (b) zero real SIT matches survive: the q93 scrub is idempotent
+    #     on the staged text — a second pass changes nothing
+    from synthetic_data_pipeline_spark.operators.sitscan import (
+        redacted_frame,
+    )
+
+    assert (
+        redacted_frame(staged).filter(F.col("_red") != F.col("text")).count()
+        == 0
+    )
+    assert s["n_pii_redactions"] >= 0
+    # (c) cluster-aware split: no near-dup cluster straddles a split
+    #     boundary (vacuously safe post-retention — one member per
+    #     cluster survives — but the gkey mechanism keeps it true
+    #     under ANY retention policy; mechanism pinned non-vacuously
+    #     by test_cluster_aware_split_no_straddling on the full corpus)
+    labels = spark.read.parquet(f"{out}/labels")
+    straddle = (
+        staged.join(labels.withColumnRenamed("node", "doc_id"), "doc_id")
+        .groupBy("label")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # boilerplate/decon accounting: a touched doc loses at least one
+    # full 4-gram span's worth of tokens
+    assert s["n_boilerplate_tokens_removed"] >= 4 * s["n_boilerplate_docs_touched"]
+    assert s["n_decon_tokens_removed"] >= 4 * s["n_decon_docs_touched"]
