@@ -25,6 +25,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# HEADLINE inclusion policy (VERDICT r11 #6): every registry query
+# that (a) exercises a distinct physical-plan family (join/agg/window/
+# funnel/index/media/stream-twin shape) or (b) ran ≥ ~0.5 s at sf0.1
+# when it landed. Excluded: sub-second relational variants and stats
+# twins whose plan is a strict subset of an included row (their
+# correctness is gated every round regardless); each exclusion keeps a
+# cousin here so every plan family has a wall-clock artifact.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -45,6 +52,9 @@ HEADLINE = [
     "q104_ngram_jaccard_join",
     "q118_incremental_dedup",
     "q125_fuzzy_prefix_dedup",
+    # r12: q152 reads the memoized signature frame (dedup.simhash_state,
+    # shared with q170) — its headline is warm-state; pre-r12 rounds
+    # compare against extras.simhash_sig_cold_sec
     "q152_simhash_hamming_join",
     "q131_duplicated_spans",
     "q132_incremental_spans",
@@ -61,6 +71,11 @@ HEADLINE = [
     "q160_decontaminate_strip",
     "q161_matryoshka_audit",
     "q162_self_repetition_strip",
+    # SEMANTICS CHANGE r11 (ADVICE r11): q163's headline reads the
+    # _incr_base_labels session memo (warm-path merge only) since r11
+    # — do NOT compare its headline against pre-r11 rounds, which
+    # timed the cold base-CC build too; the cold/warm split lives in
+    # extras.incr_base_{cold,warm}_sec
     "q163_incremental_clusters",
     # round 11: BM25 sparse retrieval (bigram posting lists, df-capped
     # broadcast join), MinHash calibration (rides q46's memoized
@@ -73,12 +88,13 @@ HEADLINE = [
     "q167_pii_density",
     "q168_ivf_probe_sweep",
     "q169_dataset_card",
-    # wave 2: q170 rides the memoized funnel + one signature pass;
-    # q172 is the BM25 stack pointed at the benchmark source. q171
-    # (persisted-index ingest) is deliberately NOT benched: its cost
-    # is write_bm25_index (one corpus pass) + q164's join, both
-    # measured already — parity is pinned by its driver oracle.
+    # wave 2: q170 rides the memoized funnel + the shared memoized
+    # signature frame (r12 — previously one signature pass per call);
+    # q172 is the BM25 stack pointed at the benchmark source; q171
+    # (r12, VERDICT r11 #6) is the persisted-index path end-to-end —
+    # write_bm25_index (one corpus pass) + the ingest-slice join.
     "q170_detector_agreement",
+    "q171_bm25_ingest",
     "q172_retrieval_decon",
     # q178 fuses the q50 dense arm with the BM25 lexical arm (RRF) —
     # its cost is both arms plus a corpus-independent full-outer join.
@@ -149,6 +165,12 @@ HEADLINE = [
     # q199 decayed activity: 1-row reference broadcast + one
     # user-keyed agg + TakeOrdered top-k
     "q199_decayed_activity",
+    # round 12: q200 mergeable quantile sketch (one log-bucket hash
+    # agg + sketch-guided exact arm over the picked buckets only);
+    # q201 approx_percentile accuracy audit (two single-pass aggs —
+    # the exact arm is deliberately the expensive one)
+    "q200_quantile_sketch",
+    "q201_percentile_accuracy",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",
@@ -210,6 +232,8 @@ HEADLINE = [
     # q139 recomputes q58's histogram by star contraction over the
     # same memoized pair graph — its number is the iteration cost
     "q139_cc_star_clusters",
+    "q100_media_features",
+    "q133_video_frame_features",
     "q148_image_phash_dups",
     "q153_image_thumbnails",
     "q154_audio_features",
@@ -496,6 +520,33 @@ def _incr_base_reuse(spark, sf_dir: str) -> dict:
     }
 
 
+def _simhash_reuse(spark, sf_dir: str) -> dict:
+    """Cold vs warm cost of the shared 60-bit SimHash signature frame
+    (dedup.simhash_state — round 12: q152 and q170 each built it per
+    call before). Cold = q152 with the cache cleared (pays the shingle
+    explode + bit votes); warm = q152 again on the memoized frame. The
+    q152 headline number below is therefore WARM-state; historical
+    comparisons against pre-r12 rounds should use simhash_sig_cold_sec."""
+    from synthetic_data_pipeline_spark.operators import dedup
+
+    dedup.clear_shingle_cache()
+    t0 = time.perf_counter()
+    dedup.q152_simhash_hamming_join(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dedup.q152_simhash_hamming_join(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    warm = time.perf_counter() - t0
+    return {
+        "simhash_sig_cold_sec": round(cold, 3),
+        "simhash_sig_warm_sec": round(warm, 3),
+        "simhash_sig_reuse_x": round(cold / warm, 1),
+    }
+
+
 def _gen_scan_reuse(spark, sf_dir: str) -> dict:
     """Cold vs warm cost of the shared generate→render→regex-scan
     table (generation._scanned_pairs): q62/q91/q98 headline times read
@@ -623,6 +674,11 @@ def main() -> None:
         extras.update(_incr_base_reuse(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_incr_base_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_simhash_reuse(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_simhash_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a

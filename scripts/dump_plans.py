@@ -109,6 +109,8 @@ SHOWCASE = [
     ("q197_join_skew_audit", "join-skew audit: per key one map-side count, 1-row percentile agg over the |keys|-sized frame — the pre-flight before picking a join strategy"),
     ("q198_embedding_dispersion", "embedding dispersion: exact mean pairwise distance² from two aggregates (sum-of-squares identity) — zero pair joins"),
     ("q199_decayed_activity", "decayed activity: 1-row reference broadcast, one user-keyed agg, TakeOrdered top-k — freshness weighting without a window"),
+    ("q200_quantile_sketch", "quantile sketch: one log-bucket hash agg (range-bounded, mergeable), sketch-guided exact arm sorts ONLY the picked buckets"),
+    ("q201_percentile_accuracy", "percentile accuracy audit: two single-pass aggs (exact+GK sketches, then 18 rank predicates vs collected scalars), 9-row literal result"),
 ]
 
 

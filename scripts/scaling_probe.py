@@ -199,6 +199,12 @@ PROBE = [
     # frame grows 10x while per-key fan-out stays constant by
     # construction (the probe's key-remapping guarantees it)
     "q197_join_skew_audit",
+    # round 12 newborns: q200's log-bucket agg is corpus-linear with a
+    # range-bounded (NOT row-bounded) driver collect — the property the
+    # probe verifies; q201's exact arm is the known-expensive audit
+    # (sort/buffer-based percentile), its growth is the measurement
+    "q200_quantile_sketch",
+    "q201_percentile_accuracy",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -279,6 +285,21 @@ PROBE_100 = [
     "q191_label_noise",
     "q196_constraint_audit",
     "q197_join_skew_audit",
+    # round 12 (VERDICT r11 #3): the five rows whose 10x ratios were
+    # the round's worst without a second-decade row — q92 IS the
+    # salted-agg skew path (the one most worth probing deep), q186's
+    # integer cross-multiplication frame is vocab×|sources|, q03's
+    # fact-fact SMJ grows on both sides, q172/q184 are posting-join
+    # candidate-volume risks (q164/q104's class)
+    "q92_salted_event_stats",
+    "q186_source_keyness",
+    "q03_regional_revenue",
+    "q172_retrieval_decon",
+    "q184_containment_pairs",
+    # round 12 newborns at the second decade: the range-bounded
+    # collect (q200) and the exact-arm growth curve (q201)
+    "q200_quantile_sketch",
+    "q201_percentile_accuracy",
 ]
 # Media corpus sizes for the scaled tiers (media_n_for sentinel): the
 # 1x base dir is read-only testdata with no sentinel, so 1x stays 60.
@@ -445,6 +466,45 @@ def time_queries(
     return out
 
 
+def pctl_ab(spark: SparkSession, sf_dir: str) -> dict:
+    """Exact ``percentile`` vs ``approx_percentile`` A/B (VERDICT r11
+    #4): wall-clock of each arm plus the approx arm's max relative
+    value error vs exact, at this tier, over lineitem.l_extendedprice.
+    This is the measurement behind every "approx_percentile is the
+    100 TB drop-in" docstring (q111/q169/q187/q190/q194) — the exact
+    arm buffers per-group value counts in the aggregation state (the
+    thing that stops scaling), the approx arm is a fixed-size GK
+    sketch. q201 is the per-round rank-error correctness gate; this is
+    the cost curve."""
+    from pyspark.sql import functions as F
+
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    qs = [0.5, 0.9, 0.99]
+    t0 = time.perf_counter()
+    exact = li.agg(
+        *[F.expr(f"percentile(x, {q!r})").alias(f"e{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    exact_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    approx = li.agg(
+        F.percentile_approx("x", qs, 10000).alias("a")
+    ).collect()[0].a
+    approx_sec = time.perf_counter() - t0
+    max_rel_err = max(
+        abs(approx[i] / exact[f"e{i}"] - 1) for i in range(len(qs))
+    )
+    return {
+        "exact_sec": round(exact_sec, 3),
+        "approx_sec": round(approx_sec, 3),
+        "speedup_x": round(exact_sec / max(approx_sec, 1e-9), 2),
+        "max_rel_err_acc10000": round(max_rel_err, 6),
+    }
+
+
 def simham_band_ab(spark: SparkSession, sf_dir: str) -> dict:
     """q152 band-width A/B (VERDICT r9 Next #4): the default 60-bit /
     4-band signature (15-bit bands) against a 40-bit / 4-band one
@@ -583,8 +643,11 @@ def main() -> None:
     build_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES}x corpus in {build_sec}s -> {dst}", file=sys.stderr)
     t0 = time.perf_counter()
+    # orders joined the 100x tier in round 12: q03 (fact-fact SMJ) and
+    # q200 (orders-sourced sketch) got second-decade rows
     _build_if_stale(dst100, COPIES_2,
-                    ("lineitem", "documents", "events", "embeddings"))
+                    ("orders", "lineitem", "documents", "events",
+                     "embeddings"))
     build100_sec = round(time.perf_counter() - t0, 1)
     print(f"built {COPIES_2}x corpus in {build100_sec}s -> {dst100}",
           file=sys.stderr)
@@ -612,10 +675,10 @@ def main() -> None:
         for name in PROBE
     }
 
-    # Second decade: 100x on the headline subset (lineitem, documents
-    # and events scale — q108 reads events; nothing in PROBE_100 reads
-    # scaled orders — the rest symlink at 1x, the realistic "dims
-    # don't grow with facts" shape).
+    # Second decade: 100x on the headline subset (orders, lineitem,
+    # documents, events and embeddings scale — q108 reads events,
+    # q03/q200 read orders since r12; dims symlink at 1x, the
+    # realistic "dims don't grow with facts" shape).
     spark = get_spark(app_name="sdp-scaling-100x")
     t_100x = time_queries(spark, dst100, probe=PROBE_100)
     rows100 = {
@@ -638,6 +701,14 @@ def main() -> None:
     # for no new information, so the arms only run when
     # SPARK_GRAFT_AB=1 is set explicitly.
     ab = {}
+    # round 12 (VERDICT r11 #4): the exact-vs-approx percentile cost
+    # curve, every tier — cheap (two aggregates per tier) relative to
+    # the gated band/IVF arms, and it's the first round measuring it
+    spark = get_spark(app_name="sdp-scaling-pctl-ab")
+    ab["pctl_ab_1x"] = pctl_ab(spark, src)
+    ab["pctl_ab_10x"] = pctl_ab(spark, dst)
+    ab["pctl_ab_100x"] = pctl_ab(spark, dst100)
+    spark.stop()
     if os.environ.get("SPARK_GRAFT_AB") == "1":
         spark = get_spark(app_name="sdp-scaling-ab-1x")
         ab["simham_band_ab_1x"] = simham_band_ab(spark, src)

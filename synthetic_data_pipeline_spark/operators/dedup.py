@@ -143,6 +143,10 @@ def minhash_signatures_from_tokens(
 # that only needs tokens doesn't pay the candidate build.
 _TOKEN_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# The 60-bit SimHash signature frame is built identically by q152 and
+# q170 (VERDICT r11 #5: both paid the build per call); one narrow row
+# per doc, so it memoizes on the same terms as the token table.
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHINGLE_CACHE_MAX = 3
 
 
@@ -155,6 +159,9 @@ def clear_shingle_cache() -> None:
     for tokens in _TOKEN_CACHE.values():
         _safe_unpersist(tokens)
     _TOKEN_CACHE.clear()
+    for sig in _SIMHASH_CACHE.values():
+        _safe_unpersist(sig)
+    _SIMHASH_CACHE.clear()
 
 
 def token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,6 +223,35 @@ def shingle_state(
         _su(old_pairs)
     _SHINGLE_CACHE[key] = (tokens, pairs)
     return tokens, pairs
+
+
+def simhash_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted 60-bit SimHash signature frame (doc_id, h) —
+    ONE narrow row per doc, shared by q152 (Hamming-radius join) and
+    q170 (detector agreement), which previously each built it per call
+    (VERDICT r11 #5). Cold/warm split published in bench extras
+    (``simhash_sig_*``); results are identical either way (same
+    lineage, same determinism)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SIMHASH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    # same under-partitioned-scan fan-out as token_state: the signature
+    # build is shingle-explode CPU, worthless on one core
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    sig = simhash60(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()  # materialize before anyone forks the lineage
+    while len(_SIMHASH_CACHE) >= _SHINGLE_CACHE_MAX:
+        from .sketches import _safe_unpersist as _su
+
+        _su(_SIMHASH_CACHE.pop(next(iter(_SIMHASH_CACHE))))
+    _SIMHASH_CACHE[key] = sig
+    return sig
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
@@ -860,12 +896,11 @@ def q152_simhash_hamming_join(
     never an all-pairs comparison. The signature frame (ONE narrow row
     per doc — the per-doc-score-table class the checkpoint policy
     allows, unlike corpus-sized gram tables) is referenced three times
-    (bands + both verify sides), so it earns a lazy localCheckpoint:
-    interleaved A/B at sf0.1 measured 4.98 s recompute vs 3.30 s
-    checkpointed."""
-    sig = simhash60(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
+    (bands + both verify sides) AND shared with q170, so it comes from
+    the session memo (simhash_state; the per-call lazy localCheckpoint
+    it replaces measured 4.98 s recompute vs 3.30 s checkpointed at
+    sf0.1 — the memo additionally removes the rebuild q170 paid)."""
+    sig = simhash_state(spark, sf_dir)
     return (
         simhash_hamming_pairs(sig, SIMHAM_BITS, SIMHAM_BANDS)
         .groupBy("hamming")
@@ -1032,9 +1067,7 @@ def q170_detector_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     tokens, mcand = shingle_state(spark, sf_dir)
-    sig = simhash60(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
+    sig = simhash_state(spark, sf_dir)
     sh = (
         simhash_hamming_pairs(sig, SIMHAM_BITS, SIMHAM_BANDS)
         .select("doc_a", "doc_b")

@@ -844,7 +844,8 @@ def erase_users(events: DataFrame, user_ids: DataFrame) -> DataFrame:
 # tiny frame on a |types|×24 key; joins back are broadcasts. Exact
 # `percentile` keeps the DuckDB oracle bit-matched (quantile_cont,
 # same interpolation — the q111 pairing); at 100 TB you'd swap in
-# approx_percentile with the identical plan shape. Determinism: counts
+# approx_percentile with the identical plan shape (accuracy/cost
+# measured by q201 + SCALING pctl_ab rows). Determinism: counts
 # are integers, so med is a multiple of 0.5 and mad of 0.25 — all
 # exactly representable; the 3·MAD flag comparison is float-exact on
 # both engines, no knife edge.
@@ -864,7 +865,8 @@ def _hour_counts(events: DataFrame) -> DataFrame:
 def _anomaly_baseline(counts: DataFrame) -> DataFrame:
     """(event_type, hod, med, mad) robust baseline from an hourly-count
     frame. Exact `percentile` ↔ DuckDB quantile_cont (the q111
-    pairing); approx_percentile is the 100 TB drop-in."""
+    pairing); approx_percentile is the 100 TB drop-in (accuracy/cost
+    measured by q201 + SCALING pctl_ab rows)."""
     counts = counts.withColumn("hod", F.hour("hour_ts"))
     med = counts.groupBy("event_type", "hod").agg(
         F.expr("percentile(n, 0.5D)").alias("med")
@@ -1058,7 +1060,8 @@ _Q193_ORACLE = """
 # per-type rank (hot-reducer at billions of users); the percentile
 # formulation is one (type, user) map-side-combined shuffle + a
 # |types|-key exact-percentile agg (quantile_cont-paired; the q111
-# class, approx_percentile the 100 TB drop-in) + one broadcast-back
+# class, approx_percentile the 100 TB drop-in — measured by q201 +
+# SCALING pctl_ab) + one broadcast-back
 # conditional agg. Counts are ints; thresholds are interpolated
 # halves (exactly representable); the >= cut has no knife edge.
 def q194_usage_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -433,6 +433,109 @@ def q24_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q201: approx_percentile accuracy audit (round 12, VERDICT r11
+# #4) — the measured basis for every "swap exact percentile for
+# approx_percentile at scale" claim (q111/q169/q187/q190/q194 cite
+# this row instead of asserting it). Spark's percentile_approx is a
+# Greenwald-Khanna sketch whose contract is RANK error ≤ n/accuracy;
+# per (accuracy × quantile) cell the audit computes the estimate's
+# actual rank window (#{x < v}, #{x ≤ v} — duplicates make rank an
+# interval) and checks it against the target rank ± n/accuracy (+1
+# interpolation slack). The approx VALUES are engine-specific (like
+# q25's HLL state) so the hashable contract is (exact percentile,
+# within_bound) — a Spark GK regression flips the boolean and fails
+# the driver hash match. Wall-clock A/B of the two arms lives in
+# scripts/scaling_probe.py (``pctl_ab`` rows at 1×/10×/100×).
+#
+# Scale shape: two single-pass aggregates over lineitem (one carrying
+# the exact + GK sketches, one counting 6 rank predicates against 6
+# collected scalars) + a 9-row literal frame; the exact arm is the
+# expensive audit (sort-based percentile), the approx arm is the
+# production path — exactly the trade the audit prices.
+_PCTL_QS = (("p50", 0.5, "1, 2"), ("p90", 0.9, "9, 10"), ("p99", 0.99, "99, 100"))
+_PCTL_ACCS = (100, 1000, 10000)
+
+
+def q201_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    qs = [q for _, q, _ in _PCTL_QS]
+    aggs = [F.count("x").alias("n")] + [
+        F.expr(f"percentile(x, {q!r})").alias(f"ex_{i}")
+        for i, (_, q, _) in enumerate(_PCTL_QS)
+    ]
+    for acc in _PCTL_ACCS:
+        aggs.append(
+            F.percentile_approx("x", qs, acc).alias(f"ap_{acc}")
+        )
+    one = li.agg(*aggs).collect()[0]  # 1 row
+    n = one["n"]
+    cells = []  # (accuracy, label, q, approx_value)
+    rank_aggs = []
+    for acc in _PCTL_ACCS:
+        for i, (label, q, _) in enumerate(_PCTL_QS):
+            v = one[f"ap_{acc}"][i]
+            j = len(cells)
+            cells.append((acc, label, q, v))
+            rank_aggs.append(
+                F.sum(F.when(F.col("x") < F.lit(v), 1).otherwise(0))
+                .alias(f"lt_{j}")
+            )
+            rank_aggs.append(
+                F.sum(F.when(F.col("x") <= F.lit(v), 1).otherwise(0))
+                .alias(f"le_{j}")
+            )
+    ranks = li.agg(*rank_aggs).collect()[0]  # 1 row, 18 scalars
+    rows = []
+    for j, (acc, label, q, _v) in enumerate(cells):
+        target = q * (n - 1) + 1  # percentile_cont's continuous rank
+        tol = n / acc + 1
+        ok = (ranks[f"lt_{j}"] + 1 <= math.ceil(target) + tol) and (
+            ranks[f"le_{j}"] >= math.floor(target) - tol
+        )
+        i = qs.index(q)
+        rows.append(
+            (acc, label, n, round(1e-9 + one[f"ex_{i}"], 4), bool(ok))
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "accuracy int, quantile string, n long, exact double,"
+        " within_bound boolean",
+    )
+
+
+def _q201_oracle() -> str:
+    arows = ", ".join(f"({a})" for a in _PCTL_ACCS)
+    cols = ", ".join(
+        f"round(1e-9 + quantile_cont(x, {q!r}), 4) AS {L}"
+        for L, q, _ in _PCTL_QS
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT '{L}' AS label, n, {L} AS exact FROM ex"
+        for L, _, _ in _PCTL_QS
+    )
+    return f"""
+      WITH v AS MATERIALIZED (SELECT l_extendedprice AS x FROM lineitem),
+      accs(accuracy) AS (VALUES {arows}),
+      ex AS MATERIALIZED (
+        SELECT count(*) AS n, {cols} FROM v
+      ),
+      exl AS (
+        {unions}
+      )
+      SELECT CAST(a.accuracy AS INTEGER) AS accuracy,
+             e.label AS quantile,
+             CAST(e.n AS BIGINT) AS n,
+             e.exact,
+             TRUE AS within_bound
+      FROM accs a, exl e
+      ORDER BY accuracy, quantile
+    """
+
+
 # q25: the HLL sketch value itself is engine-specific, so the checkable
 # contract is the ESTIMATE'S ERROR BOUND: |approx - exact| ≤ 3·rsd·exact
 # (rsd 0.05 → P(violation) ~ erfc(3/√2), negligible). The oracle expects
@@ -771,6 +874,7 @@ QUERIES = {
     "q22_monthly_sales": q22_monthly_sales,
     "q23_conditional_agg": q23_conditional_agg,
     "q24_price_percentiles": q24_price_percentiles,
+    "q201_percentile_accuracy": q201_percentile_accuracy,
     "q25_approx_distinct_customers": q25_approx_distinct_customers,
     "q26_exact_distinct_customers": q26_exact_distinct_customers,
     "q27_price_bucket_range_join": q27_price_bucket_range_join,
@@ -1000,6 +1104,7 @@ ORACLES = {
                round(1e-9 + CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90_price
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    "q201_percentile_accuracy": _q201_oracle(),
     # q25 intentionally absent: approximate sketches (HLL) are
     # engine-specific — driver records the weaker rows-only check.
     # q25: DuckDB can't reproduce Spark's HLL value, but it CAN assert

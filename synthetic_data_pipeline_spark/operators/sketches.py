@@ -1387,9 +1387,181 @@ def _cms_oracle() -> str:
     )
 
 
+# --- q200: mergeable relative-error quantile sketch (round 12) — the
+# approx partner of q79's fixed-width hist index, completing the
+# sketch tier next to Bloom (q57) / CMS (q117) / HLL (q25). Shape is
+# the log-bucket histogram of the DDSketch paper (Masson, Rim, Lee,
+# VLDB 2019 — "DDSketch: a fast and fully-mergeable quantile sketch
+# with relative-error guarantees"): bucket(x) = ceil(ln(x)/ln(γ)) with
+# γ = (1+α)/(1−α), so every value in bucket i lies within relative
+# distance α of the bucket midpoint 2γ^i/(γ+1). The sketch is the
+# (bucket, n) count table — ADDITIVE, hence mergeable across
+# partitions, batches and streams for free (the same property q79's
+# hist index and the BM25/IVF evolving-state paths ride), and its size
+# is bounded by the VALUE RANGE, not the row count: ln(max/min)/α
+# buckets (~330 for the o_totalprice domain at α = 1%).
+#
+# Guarantee (why within_bound is an invariant, not a hope): the k-th
+# smallest value x_k lies in the first bucket whose cumulative count
+# reaches k (bucketing is monotone), and every value in that bucket is
+# within α of the midpoint estimate — so |est/x_k − 1| ≤ α BY
+# CONSTRUCTION. The oracle recomputes the whole sketch in SQL, so the
+# hash match pins the estimate itself, not just the bound (stronger
+# than q25's HLL contract, where the sketch state is engine-specific).
+#
+# Exact-verification arm (the audit column): the sketch itself says
+# which bucket holds rank k, so the exact order statistic needs a sort
+# of ONLY that bucket's members (a 2α-wide value band) — never a
+# global sort. The per-bucket row_number window is partition-bounded;
+# a point-mass distribution could still concentrate a bucket, which is
+# why the audit arm is optional at scale (the α bound holds without
+# it). Driver-side state: the ≤ln(max/min)/α-row histogram and 3 exact
+# scalars — both bounded-by-construction collects (ranking.py's class).
+#
+# Determinism: ln(x)/ln(γ) is rounded to 9dp before ceil on BOTH
+# engines, absorbing libm last-ulp differences at bucket boundaries
+# (the eround discipline applied to a bucketing key).
+DDS_ALPHA = 0.01
+_DDS_GAMMA = (1 + DDS_ALPHA) / (1 - DDS_ALPHA)
+_DDS_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def dds_bucket(col: str):
+    """The log-bucket index expression (Spark side)."""
+    import math
+
+    return F.ceil(
+        F.round(F.log(F.col(col)) / F.lit(math.log(_DDS_GAMMA)), 9)
+    ).cast("long")
+
+
+def dds_hist(df: DataFrame, value_col: str = "o_totalprice") -> DataFrame:
+    """(bucket, n) log-bucket histogram partial — additive: the sketch
+    of a union is the bucket-wise sum of the sketches (pinned by
+    test_dds_hist_mergeable)."""
+    return (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(dds_bucket(value_col).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hist = sorted(
+        (r.bucket, r.n) for r in dds_hist(orders).collect()
+    )  # bounded: ≤ ln(max/min)/α buckets
+    n = sum(c for _, c in hist)
+    picks = []  # (label, k, bucket, cum_prev)
+    for label, num, den in _DDS_QUANTILES:
+        k = (n * num + den - 1) // den  # ceil(q·n), exact integers
+        cum = 0
+        for b, c in hist:
+            if cum + c >= k:
+                picks.append((label, k, b, cum))
+                break
+            cum += c
+    # exact arm: rank only the picked buckets' members
+    from pyspark.sql import Window
+
+    want = {(b, k - cum_prev) for _, k, b, cum_prev in picks}
+    cand = orders.filter(F.col("o_totalprice") > 0).select(
+        F.col("o_totalprice").alias("x"), dds_bucket("o_totalprice").alias("bucket")
+    ).filter(F.col("bucket").isin([b for b, _ in want]))
+    ranked = cand.withColumn(
+        "lr", F.row_number().over(Window.partitionBy("bucket").orderBy("x"))
+    ).filter(
+        F.struct("bucket", "lr").isin(
+            [
+                F.struct(
+                    F.lit(b).cast("long"), F.lit(lr).cast("int")
+                )
+                for b, lr in want
+            ]
+        )
+    )
+    exact = {(r.bucket, r.lr): r.x for r in ranked.collect()}  # ≤3 rows
+    g = _DDS_GAMMA
+    rows = []
+    for label, k, b, cum_prev in picks:
+        est = 2 * g**b / (g + 1)
+        ex = exact[(b, k - cum_prev)]
+        rows.append(
+            (
+                label,
+                n,
+                b,
+                round(1e-9 + est, 4),
+                round(ex, 2),
+                abs(est / ex - 1) <= DDS_ALPHA + 1e-9,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "quantile string, n long, bucket long, est double, exact double,"
+        " within_bound boolean",
+    )
+
+
+def _q200_oracle() -> str:
+    import math
+
+    lng = repr(math.log(_DDS_GAMMA))
+    g = repr(_DDS_GAMMA)
+    qrows = ", ".join(f"('{L}', {num}, {den})" for L, num, den in _DDS_QUANTILES)
+    return f"""
+      WITH bvals AS MATERIALIZED (
+        SELECT o_totalprice AS x,
+               CAST(ceil(round(ln(o_totalprice) / {lng}, 9)) AS BIGINT)
+                 AS bucket
+        FROM orders WHERE o_totalprice > 0
+      ),
+      hist AS MATERIALIZED (
+        SELECT bucket, count(*) AS n FROM bvals GROUP BY bucket
+      ),
+      cum AS MATERIALIZED (
+        SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum FROM hist
+      ),
+      tot AS (SELECT sum(n) AS n FROM hist),
+      qs(label, num, den) AS (VALUES {qrows}),
+      ks AS (
+        SELECT q.label, t.n,
+               CAST(floor((t.n * q.num + q.den - 1) / q.den) AS BIGINT) AS k
+        FROM qs q, tot t
+      ),
+      pick AS (
+        SELECT ks.label, ks.n, ks.k, min(c.bucket) AS bucket
+        FROM ks JOIN cum c ON c.cum >= ks.k
+        GROUP BY ks.label, ks.n, ks.k
+      ),
+      prev AS (
+        SELECT p.*,
+               coalesce((SELECT max(c2.cum) FROM cum c2
+                         WHERE c2.bucket < p.bucket), 0) AS cum_prev
+        FROM pick p
+      ),
+      ranked AS MATERIALIZED (
+        SELECT x, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY x) AS lr
+        FROM bvals WHERE bucket IN (SELECT bucket FROM prev)
+      )
+      SELECT p.label AS quantile,
+             CAST(p.n AS BIGINT) AS n,
+             p.bucket,
+             round(1e-9 + 2 * pow({g}, p.bucket) / ({g} + 1.0), 4) AS est,
+             round(r.x, 2) AS exact,
+             (abs((2 * pow({g}, p.bucket) / ({g} + 1.0)) / r.x - 1)
+              <= {DDS_ALPHA!r} + 1e-9) AS within_bound
+      FROM prev p
+      JOIN ranked r ON r.bucket = p.bucket AND r.lr = p.k - p.cum_prev
+      ORDER BY quantile
+    """
+
+
 QUERIES = {
     "q57_bloom_membership": q57_bloom_membership,
     "q117_cms_heavy_hitters": q117_cms_heavy_hitters,
+    "q200_quantile_sketch": q200_quantile_sketch,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
@@ -1411,6 +1583,7 @@ def _oracles() -> dict[str, str]:
     return {
         "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
         "q117_cms_heavy_hitters": _cms_oracle(),
+        "q200_quantile_sketch": _q200_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
         # star contraction converges to the exact components; on any
         # corpus where the LP unroll also converged (q103 n_changed=0

@@ -169,6 +169,85 @@ def test_curriculum_phases_cover_corpus(spark):
         assert a.max_tokens <= b.min_tokens
 
 
+def test_dds_hist_mergeable(spark):
+    """The q200 sketch partial is ADDITIVE: the sketch of the whole
+    equals the bucket-wise sum of the halves' sketches — the property
+    that makes it mergeable across partitions, batches and streams."""
+    from synthetic_data_pipeline_spark.operators import sketches
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    whole = {
+        r.bucket: r.n for r in sketches.dds_hist(orders).collect()
+    }
+    h1 = sketches.dds_hist(orders.filter("o_orderkey % 2 = 0"))
+    h2 = sketches.dds_hist(orders.filter("o_orderkey % 2 = 1"))
+    merged: dict = {}
+    for r in h1.collect() + h2.collect():
+        merged[r.bucket] = merged.get(r.bucket, 0) + r.n
+    assert merged == whole and len(whole) > 10
+
+
+def test_dds_quantile_guarantee_on_planted_data(spark):
+    """q200's α relative-error bound vs numpy ground truth on a skewed
+    planted distribution (lognormal-ish via squared uniforms), and the
+    bucket count stays within the ln(max/min)/α bound."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    vals = [((i * 2654435761) % 99991 + 1) ** 2 / 1000.0 for i in range(5000)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "o_totalprice double"
+    )
+    hist = sorted(
+        (r.bucket, r.n) for r in sketches.dds_hist(df).collect()
+    )
+    g = sketches._DDS_GAMMA
+    assert len(hist) <= math.log(max(vals) / min(vals)) / sketches.DDS_ALPHA + 2
+    n = len(vals)
+    svals = sorted(vals)
+    for _, num, den in ((None, 1, 2), (None, 9, 10), (None, 99, 100)):
+        k = (n * num + den - 1) // den
+        cum = 0
+        for b, c in hist:
+            if cum + c >= k:
+                est = 2 * g**b / (g + 1)
+                break
+            cum += c
+        exact = svals[k - 1]
+        assert abs(est / exact - 1) <= sketches.DDS_ALPHA + 1e-9
+
+
+def test_percentile_accuracy_audit_bounds(spark):
+    """q201: every (accuracy × quantile) cell must read within_bound
+    (the GK rank guarantee), the exact column must equal numpy's
+    linear-interpolation percentile, and coarser accuracy must never
+    produce MORE cells."""
+    import numpy as np
+
+    from synthetic_data_pipeline_spark.operators import relational
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    rows = relational.q201_percentile_accuracy(spark, SF_DIR).collect()
+    assert len(rows) == len(relational._PCTL_ACCS) * len(relational._PCTL_QS)
+    x = np.array(
+        [
+            r.x
+            for r in load_table(spark, SF_DIR, "lineitem")
+            .selectExpr("l_extendedprice AS x")
+            .collect()
+        ]
+    )
+    want = {
+        L: round(1e-9 + float(np.percentile(x, q * 100)), 4)
+        for L, q, _ in relational._PCTL_QS
+    }
+    for r in rows:
+        assert r.within_bound, r
+        assert abs(r.exact - want[r.quantile]) < 1e-6, (r, want[r.quantile])
+
+
 def test_cms_estimates_never_undercount(spark):
     """CMS property: min-over-rows estimate ≥ exact count, and the
     top-K set equals the exact top-K by (count desc, token)."""
