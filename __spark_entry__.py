@@ -27,114 +27,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-11 window. Composition — after this round NO registry
-# query's last driver row is older than r9:
-#   * the FIVE round-10 newborns born after r10's 50 slots were
-#     spoken for (the exact q151–q154 precedent): q159 incremental
-#     span strip, q160 decontamination strip, q161 matryoshka audit,
-#     q162 within-doc self-repetition strip, q163 incremental cluster
-#     maintenance (its oracle IS the full recompute, so the row pins
-#     incremental==batch);
-#   * round-11 newborns as they land (each claims a slot immediately,
-#     evicting an r8-stale row that leaves an in-window cousin);
-#   * the r8-stale rows (last driver row = CORRECTNESS_r08). The full
-#     r8-stale set is 47; 23 hold window slots below and the other 24
-#     ceded theirs to the round-11 newborns, each with an in-window
-#     cousin on the same module/pattern (per-eviction rationale at the
-#     wave comments below). Every ceded row stays hash-checked by the
-#     full-registry local gate (CORRECTNESS_LOCAL_r11) and leads the
-#     r12 rotation — the authoritative "still stale" inventory is
-#     (r8-stale set) minus (this list), not any comment's enumeration.
-# 5 + 22 + 23 = 50 exactly.
+# Round-12 window (VERDICT r11 Next #1). Composition — after this
+# round NO registry query's last driver row is older than r9, and the
+# r8 tier is fully cleared (the authoritative staleness inventory is
+# computed from the CORRECTNESS_r* artifacts themselves — see
+# tests/test_registry_window.py::R2_UNCHECKED — which shows the TRUE
+# r8-stale set is 38 rows, not the 34 the r11 VERDICT prose
+# enumerated: q47/q52/q71/q82 were r8-stale too):
+#   * the two round-12 newborns (q200 mergeable quantile sketch, q201
+#     approx_percentile accuracy audit) claim slots immediately — the
+#     standing newborn rule;
+#   * three changed-path anchors that MUST re-gate externally this
+#     round: q198 (dispersion denominator changed n² → n·(n−1),
+#     ADVICE r11 — its r11 row pinned the OLD semantics), and
+#     q152/q170 (both now read the shared memoized signature frame
+#     dedup.simhash_state — same lineage, but the rewiring deserves a
+#     fresh row);
+#   * ALL 38 r8-stale rows (every query whose last external row is
+#     CORRECTNESS_r08);
+#   * 7 head-start rows from the r9 tier (last row CORRECTNESS_r09,
+#     the tier r13 must finish): the release pipeline's dependency
+#     queries first (q145 cluster-aware split + q147 boilerplate grams
+#     + q103 LP labels — build_release now composes all three), the
+#     funnel capstone q122, the two media rows q100/q133 newly added
+#     to bench HEADLINE, and the flagship q90 (entry() rides it and
+#     the redaction refactor touched its module).
+# 2 + 3 + 38 + 7 = 50 exactly.
 #
-# --- Round-10 window rationale kept for the audit trail:
-# Round-10 window (VERDICT r9 "Next round" #1): the four r9 newborns
-# q151–q154, the four r10 newborns q155–q158, and ALL 42 r7-stale
-# rows the r9 VERDICT enumerated — recorded green 50/50 in
-# CORRECTNESS_r10.json; q159–q163 deliberately stayed out and claim
-# slots now.
+# --- Round-11 window rationale kept for the audit trail: five r10
+# newborns (q159-q163), all 36 r11 newborns as they landed (each
+# evicting an r8-stale row that left an in-window cousin — the full
+# per-eviction rationale is in git history at 73d990c), and 23 of the
+# r8-stale rows; recorded green 50/50 in CORRECTNESS_r11.json.
 DRIVER_WINDOW = [
-    # never driver-checked: round-10 newborns first (the r10 promise)
-    "q159_incremental_span_strip", "q160_decontaminate_strip",
-    "q161_matryoshka_audit", "q162_self_repetition_strip",
-    "q163_incremental_clusters",
-    # round-11 newborns (claim slots immediately — the r9 precedent):
-    # BM25 sparse retrieval, MinHash calibration audit, event-drift
-    # monitor (+ streaming twin), PII density by source. Each evicted
-    # an r8-stale row with an in-window cousin: q05->q75 (anti-join),
-    # q08->q02/q03/q10 (agg family), q14->q13 (window family),
-    # q70->q71/q72 (same subquery module).
-    "q164_bm25_retrieval", "q165_minhash_calibration",
-    "q166_event_drift", "q167_pii_density",
-    "q168_ivf_probe_sweep", "q169_dataset_card",
-    # wave 2: detector agreement matrix, persisted-BM25 ingest (its
-    # oracle IS q164's full-scan SQL — green pins index==recompute),
-    # retrieval-based decontamination. Evictions with in-window
-    # cousins: q91->q98 (generation-validation family), q92->q114
-    # (salted-agg family), q94->q112/q115/q119 (packing family).
-    "q170_detector_agreement", "q171_bm25_ingest",
-    "q172_retrieval_decon",
-    # wave 3 decision-table sweeps: temperature sampling, context
-    # length, dedup threshold. Evictions with in-window cousins:
-    # q95->q101 (funnel retention family), q96->q102/q145 (split
-    # family), q97->q102 (quality-filter composition).
-    "q173_temperature_sweep", "q174_context_length_sweep",
-    "q175_dedup_threshold_sweep",
-    # wave 4: dedup ROI pricing and the right-to-erasure cascade.
-    # Evictions with in-window cousins: q93->q99 (redaction family),
-    # q29->q116 (two-phase global-analytics infra).
-    "q176_dedup_roi", "q177_user_erasure",
-    # wave 5: hybrid RRF retrieval fusion (dense q50 arm + lexical
-    # BM25 arm) and the quality-classifier training-set export (the
-    # learned-filter tier; the fit itself is classifier.train_logreg,
-    # pinned by pytest). Evictions with in-window cousins:
-    # q15->q02/q12 (TakeOrdered/top-k family), q73->q74/q75 (the
-    # subquery/semi-join family stays covered), q10->q76 (the
-    # rollup/grouping-sets family), q03->q72 (the multi-join
-    # revenue-rollup family stays covered), q77->q72/q78 (same),
-    # q79->q169 (the percentile/histogram family stays covered),
-    # q13->q116 (the running-aggregation family stays covered),
-    # q02->q12 (the top-k family stays covered).
-    "q178_hybrid_rrf", "q179_quality_training_set",
-    "q180_memorization_risk", "q181_doremi_mixture",
-    "q182_audio_afp_dups", "q183_incremental_shards",
-    "q184_containment_pairs", "q185_transition_matrix",
-    # wave 6 (session 2): source keyness, the hourly anomaly monitor,
-    # and the snapshot diff. Evictions with in-window cousins:
-    # q72->q74/q78 (the multi-join revenue family stays covered),
-    # q98->q99 (the generation-validation family stays covered),
-    # q22->q187/q166 (the time-bucket-aggregation family stays
-    # covered), q54->q130/q107/q168 (the embedding-similarity family
-    # stays covered, and q189 itself is the family's newest member),
-    # q106->q162/q180 (the repetition family stays covered),
-    # q105->q160/q172 (the decontamination family stays covered),
-    # q101->q176/q122 (the funnel retention/action family stays
-    # covered), q107->q168/q161/q189 (the embedding-audit family
-    # stays covered), q74->q75 (the subquery/semi-join family stays
-    # covered), q128->q129/q136/q137 (the BPE lineage stays covered),
-    # q131->q132/q157/q159 (the duplicated-span family stays covered),
-    # q102->q192/q116 (the composed-prep family stays covered),
-    # q130->q165/q175 (the funnel-verify family stays covered; q189/
-    # q168/q161 keep the embedding-audit family), q129->q136/q137/
-    # q141 (the BPE merge lineage is their shared input — the apply
-    # side exercises the train side end-to-end).
-    "q186_source_keyness", "q187_hourly_anomalies",
-    "q188_snapshot_diff", "q189_incremental_ivf",
-    "q190_calibrated_quality", "q191_label_noise",
-    "q192_stage_overlap", "q193_cohort_retention",
-    "q194_usage_concentration", "q195_cluster_chaining",
-    "q196_constraint_audit", "q197_join_skew_audit",
-    "q198_embedding_dispersion", "q199_decayed_activity",
-    # the r8-stale rows (23 of 47 — the 24 ceded rows lead the r12
-    # rotation; authoritative inventory = r8-stale set minus this list)
-    "q12_top_orders_per_customer",
-    "q27_price_bucket_range_join",
-    "q75_wealthy_inactive_customers", "q76_grouping_sets",
-    "q78_brand_revenue_share",
-    "q99_redact_generated",
-    "q104_ngram_jaccard_join",
-    "q116_length_curriculum",
-    "q132_incremental_spans",
+    # round-12 newborns
+    "q200_quantile_sketch", "q201_percentile_accuracy",
+    # changed-path anchors (semantics / shared-state rewiring)
+    "q198_embedding_dispersion",
+    "q152_simhash_hamming_join", "q170_detector_agreement",
+    # the full r8-stale tier (38 rows — last external row = r8)
+    "q02_top_revenue_orders", "q03_regional_revenue",
+    "q05_customers_without_orders", "q08_parts_by_type",
+    "q10_rollup_orders", "q13_running_total",
+    "q14_order_gap_days", "q15_top_parts_by_price",
+    "q22_monthly_sales", "q29_price_analytics",
+    "q47_pairwise_jaccard_sample", "q52_norm_stats",
+    "q54_cosine_near_dups", "q70_cheapest_supplier_per_nation",
+    "q71_important_parts", "q72_top_revenue_nation",
+    "q73_large_quantity_orders", "q74_disjunctive_revenue",
+    "q77_nation_pair_volume", "q79_histogram_quantiles",
+    "q82_unpivot_nation_stats", "q91_sit_issue_list",
+    "q92_salted_event_stats", "q93_redact_documents",
+    "q94_token_chunks", "q95_dedup_retention",
+    "q96_dataset_split", "q97_quality_filter",
+    "q98_validation_failures", "q101_deduped_corpus",
+    "q102_training_prep", "q105_decontaminate",
+    "q106_repetition_signals", "q107_quantized_knn",
+    "q128_bpe_merges", "q129_bpe_compression",
+    "q130_semantic_prune", "q131_duplicated_spans",
+    # r9-tier head start (release-pipeline deps, funnel capstone,
+    # the two new bench media rows, the flagship)
+    "q145_cluster_aware_split", "q147_boilerplate_grams",
+    "q103_lp_convergence", "q122_pipeline_funnel",
+    "q100_media_features", "q133_video_frame_features",
+    "q90_flagship_sit_scan",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

@@ -14,60 +14,25 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-11 window: the five round-10
-# newborns that missed the r10 window (q159–q163 — the q151–q154
-# precedent), then the r8-stale rows (q47/q52 excepted — each left an
-# in-window cousin: q104 shares q47's token_jaccard verify stage,
-# q54/q107/q130 cover q52's module).
+# Queries that MUST occupy the round-12 window (VERDICT r11 Next #1):
+# the two r12 newborns, the three changed-path anchors (q198's
+# denominator change, q152/q170's shared simhash_state rewiring), the
+# FULL 38-row r8-stale tier (computed from the CORRECTNESS_r* artifacts
+# — the r11 VERDICT prose missed q47/q52/q71/q82), and 7 r9-tier
+# head-start rows (release-pipeline deps q145/q147/q103, the funnel
+# capstone q122, the two new bench media rows q100/q133, the flagship
+# q90). The remaining r9 tier rotates in r13.
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [159, 160, 161, 162, 163,         # born round 10
-                          164, 165, 166, 167, 168, 169,    # born round 11
-                          170, 171, 172, 173, 174, 175,
-                          176, 177, 178, 179, 180, 181, 182, 183,
-                          184, 185,
-                          186, 187,  # session 2 (q72 ceded to q186 —
-                          # q74/q78 keep the revenue family; q98 ceded
-                          # to q187 — q99 keeps generation-validation)
-                          188,  # (q22 ceded — q187/q166 keep the
-                          # time-bucket-aggregation family)
-                          189,  # (q54 ceded — q130/q107/q168 keep the
-                          # embedding-similarity family)
-                          190,  # (q106 ceded — q162/q180 keep the
-                          # repetition family)
-                          191,  # (q105 ceded — q160/q172 keep the
-                          # decontamination family)
-                          192,  # (q101 ceded — q176/q122 keep the
-                          # funnel retention/action family)
-                          193,  # (q107 ceded — q168/q161/q189 keep
-                          # the embedding-audit family)
-                          194,  # (q74 ceded — q75 keeps the
-                          # subquery/semi-join family)
-                          195,  # (q128 ceded — q129/q136/q137 keep
-                          # the BPE lineage)
-                          196,  # (q131 ceded — q132/q157/q159 keep
-                          # the duplicated-span family)
-                          197,  # (q102 ceded — q192/q116 keep the
-                          # composed-prep family)
-                          198,  # (q130 ceded — q165/q175 keep the
-                          # funnel-verify family)
-                          199,  # (q129 ceded — q136/q137/q141 keep
-                          # the BPE merge lineage)
-                          # r8-stale (q15 ceded its slot to q178,
-                          # q73 to q179, q10 to q180, q03 to q181,
-                          # q77 to q182, q79 to q183, q13 to q184 —
-                          # q02/q12 keep the top-k family in-window,
-                          # q74/q75 the subquery/semi-join family,
-                          # q76 the rollup/grouping-sets family,
-                          # q72/q78 the multi-join revenue family,
-                          # q169 the percentile/histogram family,
-                          # q116 the running-aggregation family,
-                          # q02 ceded to q185 — q12 keeps top-k)
-                          12,
-                          27,
-                          75, 76, 78,
-                          99,
-                          104,
-                          116, 132]
+    f"q{i:02d}" for i in [200, 201,                        # born round 12
+                          198, 152, 170,                   # changed paths
+                          # the full r8-stale tier
+                          2, 3, 5, 8, 10, 13, 14, 15, 22, 29,
+                          47, 52, 54, 70, 71, 72, 73, 74, 77, 79,
+                          82, 91, 92, 93, 94, 95, 96, 97, 98,
+                          101, 102, 105, 106, 107,
+                          128, 129, 130, 131,
+                          # r9 head start
+                          145, 147, 103, 122, 100, 133, 90]
 ]
 
 
