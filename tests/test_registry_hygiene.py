@@ -80,3 +80,21 @@ def test_every_query_has_an_oracle_or_documented_exception():
         "queries without a DuckDB oracle (add one, or document the "
         f"engine-specific exception in this test): {missing}"
     )
+
+
+def test_registry_index_is_fresh():
+    """REGISTRY.md is generated, never hand-edited (VERDICT r11 #7 —
+    hand-copied per-query tables drifted from artifacts within one
+    round). Regenerate in-memory and compare; a mismatch means a
+    registry/bench/probe/showcase change landed without re-running
+    scripts/registry_index.py."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import registry_index
+
+    with open(os.path.join(REPO, "REGISTRY.md")) as fh:
+        committed = fh.read()
+    assert committed == registry_index.generate(), (
+        "REGISTRY.md is stale — re-run scripts/registry_index.py"
+    )
