@@ -1446,25 +1446,57 @@ def dds_hist(df: DataFrame, value_col: str = "o_totalprice") -> DataFrame:
     )
 
 
-def q200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    hist = sorted(
-        (r.bucket, r.n) for r in dds_hist(orders).collect()
-    )  # bounded: ≤ ln(max/min)/α buckets
+def _dds_read(hist: list) -> tuple[int, list]:
+    """Sketch read side over a SORTED (bucket, n) list: total count and
+    [(label, k, bucket, cum_prev, est)] per target quantile — shared by
+    the batch query (which adds the exact arm) and the streaming twin's
+    sink reader (dds_quantiles_from_sink, estimate-only: the raw values
+    are gone by read time, which is the point of a sketch)."""
     n = sum(c for _, c in hist)
-    picks = []  # (label, k, bucket, cum_prev)
+    g = _DDS_GAMMA
+    picks = []
     for label, num, den in _DDS_QUANTILES:
         k = (n * num + den - 1) // den  # ceil(q·n), exact integers
         cum = 0
         for b, c in hist:
             if cum + c >= k:
-                picks.append((label, k, b, cum))
+                picks.append((label, k, b, cum, 2 * g**b / (g + 1)))
                 break
             cum += c
+    return n, picks
+
+
+def dds_quantiles_from_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """q200's estimates from a sink of additive per-batch sketch
+    partials — the streaming twin's read side (bucket-wise re-sum, then
+    the shared _dds_read): (quantile, n, bucket, est). Equal to the
+    batch q200's first four columns whenever the sink drained the same
+    rows (test_dds_sketch_stream_equals_batch)."""
+    parts = spark.read.parquet(sink_dir)
+    hist = sorted(
+        (r.bucket, r.n)
+        for r in parts.groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+    n, picks = _dds_read(hist)
+    return spark.createDataFrame(
+        sorted(
+            (label, n, b, round(1e-9 + est, 4))
+            for label, _k, b, _cp, est in picks
+        ),
+        "quantile string, n long, bucket long, est double",
+    )
+
+
+def q200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hist = sorted(
+        (r.bucket, r.n) for r in dds_hist(orders).collect()
+    )  # bounded: ≤ ln(max/min)/α buckets
+    n, picks = _dds_read(hist)
     # exact arm: rank only the picked buckets' members
     from pyspark.sql import Window
 
-    want = {(b, k - cum_prev) for _, k, b, cum_prev in picks}
+    want = {(b, k - cum_prev) for _, k, b, cum_prev, _e in picks}
     cand = orders.filter(F.col("o_totalprice") > 0).select(
         F.col("o_totalprice").alias("x"), dds_bucket("o_totalprice").alias("bucket")
     ).filter(F.col("bucket").isin([b for b, _ in want]))
@@ -1481,10 +1513,8 @@ def q200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = {(r.bucket, r.lr): r.x for r in ranked.collect()}  # ≤3 rows
-    g = _DDS_GAMMA
     rows = []
-    for label, k, b, cum_prev in picks:
-        est = 2 * g**b / (g + 1)
+    for label, k, b, cum_prev, est in picks:
         ex = exact[(b, k - cum_prev)]
         rows.append(
             (

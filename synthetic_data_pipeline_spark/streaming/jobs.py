@@ -697,6 +697,32 @@ def hist_index_stream(
     )
 
 
+def dds_sketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q200's mergeable quantile sketch: each
+    micro-batch lands only its own (bucket, n) log-bucket partial —
+    additive by the DDSketch construction, so rows split across batches
+    re-sum exactly — and sketches.dds_quantiles_from_sink reads the
+    re-summed sketch. Per-batch state is bounded by the VALUE RANGE
+    (ln(max/min)/α buckets), not the batch size; the estimate-only
+    read side is the production shape (the raw values are gone, which
+    is the point of a sketch). Returns the number of micro-batches."""
+    from ..operators import sketches as sk
+
+    incoming = stream_orders(spark, sf_dir)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        return sk.dds_hist(batch_df)
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def cohort_retention_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -904,6 +904,30 @@ def test_cohort_retention_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_dds_sketch_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q200 streaming twin: quantile estimates read from the
+    streamed additive log-bucket sink must equal the batch query's
+    estimate columns exactly — the DDSketch of a union is the
+    bucket-wise sum of the sketches."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        dds_quantiles_from_sink,
+        q200_quantile_sketch,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        dds_sketch_stream,
+    )
+
+    out = str(tmp_path / "dds")
+    n = dds_sketch_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = sorted(map(tuple, dds_quantiles_from_sink(spark, out).collect()))
+    want = sorted(
+        (r.quantile, r.n, r.bucket, r.est)
+        for r in q200_quantile_sketch(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) == 3
+
+
 def test_hist_index_stream_equals_batch(spark, sf_dir, tmp_path):
     """The q79 streaming twin: quantiles read from the streamed
     additive hist-partial sink must equal the batch query exactly —
