@@ -78,7 +78,18 @@ def _curation_stages(
     FULL raw corpus), decontamination strip (persisted benchmark gram
     index), PII redaction. Touched docs are rewritten, others pass
     verbatim through each strip; the redaction chain sees every
-    shipped byte."""
+    shipped byte.
+
+    Deliberately LAZY (A/B'd, round 12): eagerly localCheckpoint-ing
+    the two touched frames — so the accounting aggs, the next stage
+    and the staged write share one materialization — measured 90-124 s
+    vs 48 s lazy on the e2e test. Column pruning is why: the
+    accounting aggs never construct clean_text at all (only
+    tokens_removed survives pruning), so the "shared" materialization
+    pays the full rewrite THEN stores it, while the lazy plan's
+    recomputation is two cheap pruned passes. Revisit only if a
+    profile shows the positional-gram explode (not the rewrite)
+    dominating at the target scale."""
     from ..operators.sitscan import redacted_frame
     from ..operators.textops import (
         DECON_BENCH_SOURCE,
@@ -264,3 +275,36 @@ def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     with open(f"{out_dir}/RELEASE.json", "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)
     return summary
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: ``python -m synthetic_data_pipeline_spark.plans.release
+    <sf_dir> <out_dir>`` — the one-command analog of the reference's
+    end-to-end main() (generate → postprocess → validate → files on
+    disk), applied to curation: raw parquet corpus in, publishable
+    release directory + RELEASE.json accounting out."""
+    import argparse
+
+    from synthetic_data_pipeline_spark.session import get_spark
+
+    p = argparse.ArgumentParser(
+        description="Build a publishable training-data release."
+    )
+    p.add_argument("sf_dir", help="input corpus directory (sf_dir-shaped)")
+    p.add_argument("out_dir", help="release output directory")
+    p.add_argument(
+        "--master", default=None,
+        help="Spark master (default: session factory's choice)",
+    )
+    args = p.parse_args(argv)
+    kwargs = {"app_name": "sdp-release"}
+    if args.master:
+        kwargs["master"] = args.master
+    spark = get_spark(**kwargs)
+    summary = build_release(spark, args.sf_dir, args.out_dir)
+    print(json.dumps(summary, indent=1, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
