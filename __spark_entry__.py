@@ -45,14 +45,19 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     fresh row);
 #   * ALL 38 r8-stale rows (every query whose last external row is
 #     CORRECTNESS_r08);
-#   * 7 head-start rows from the r9 tier (last row CORRECTNESS_r09,
+#   * the round-12 release-funnel capstone q202 (build_release's
+#     stage accounting as a driver-gated row — it took the head-start
+#     slot q122 would have had: q202 IS the fresher member of the
+#     funnel-accounting family, and q122 stays green in the local
+#     gate and leads the r13 rotation with the rest of the r9 tier);
+#   * 6 head-start rows from the r9 tier (last row CORRECTNESS_r09,
 #     the tier r13 must finish): the release pipeline's dependency
 #     queries first (q145 cluster-aware split + q147 boilerplate grams
 #     + q103 LP labels — build_release now composes all three), the
-#     funnel capstone q122, the two media rows q100/q133 newly added
-#     to bench HEADLINE, and the flagship q90 (entry() rides it and
-#     the redaction refactor touched its module).
-# 2 + 3 + 38 + 7 = 50 exactly.
+#     two media rows q100/q133 newly added to bench HEADLINE, and the
+#     flagship q90 (entry() rides it and the redaction refactor
+#     touched its module).
+# 2 + 3 + 38 + 1 + 6 = 50 exactly.
 #
 # --- Round-11 window rationale kept for the audit trail: five r10
 # newborns (q159-q163), all 36 r11 newborns as they landed (each
@@ -62,6 +67,7 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 DRIVER_WINDOW = [
     # round-12 newborns
     "q200_quantile_sketch", "q201_percentile_accuracy",
+    "q202_release_accounting",
     # changed-path anchors (semantics / shared-state rewiring)
     "q198_embedding_dispersion",
     "q152_simhash_hamming_join", "q170_detector_agreement",
@@ -88,7 +94,7 @@ DRIVER_WINDOW = [
     # r9-tier head start (release-pipeline deps, funnel capstone,
     # the two new bench media rows, the flagship)
     "q145_cluster_aware_split", "q147_boilerplate_grams",
-    "q103_lp_convergence", "q122_pipeline_funnel",
+    "q103_lp_convergence",
     "q100_media_features", "q133_video_frame_features",
     "q90_flagship_sit_scan",
 ]

@@ -168,9 +168,12 @@ HEADLINE = [
     # round 12: q200 mergeable quantile sketch (one log-bucket hash
     # agg + sketch-guided exact arm over the picked buckets only);
     # q201 approx_percentile accuracy audit (two single-pass aggs —
-    # the exact arm is deliberately the expensive one)
+    # the exact arm is deliberately the expensive one); q202 release
+    # accounting (memoized LP funnel + one quality-flag scan — the
+    # marginal cost of driver-gating RELEASE.json's numbers)
     "q200_quantile_sketch",
     "q201_percentile_accuracy",
+    "q202_release_accounting",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",

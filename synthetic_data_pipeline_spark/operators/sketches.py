@@ -1387,6 +1387,88 @@ def _cms_oracle() -> str:
     )
 
 
+# --- q202: release-funnel accounting (round 12) — the stage math of
+# plans/release.py::build_release as ONE oracle-checked row, so the
+# external driver gate hash-pins the numbers RELEASE.json reports
+# (previously pytest-reconciled only): raw corpus → q95 dedup drop →
+# q97 quality drop → benchmark holdout → curated. The strips (q155/
+# q160) and redaction (q93) rewrite text but never drop documents, so
+# n_curated_docs here IS the staged corpus count — asserted against a
+# real build_release run in the e2e test. Scale shape: the memoized LP
+# funnel + one quality-flag scan + three 1-row aggregates crossJoined.
+def q202_release_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import DECON_BENCH_SOURCE, quality_drop_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = q95_dedup_retention(spark, sf_dir).select("doc_id")
+    kept1 = docs.join(dropped, "doc_id", "anti")
+    flags = kept1.join(
+        quality_drop_expr(kept1).select("doc_id", "qdrop"), "doc_id"
+    )
+    is_bench = F.col("source") == DECON_BENCH_SOURCE
+    body = flags.agg(
+        F.sum(F.when(F.col("qdrop"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_dropped"),
+        F.sum(F.when(~F.col("qdrop") & is_bench, 1).otherwise(0))
+        .cast("long")
+        .alias("n_benchmark_held_out"),
+        F.sum(F.when(~F.col("qdrop") & ~is_bench, 1).otherwise(0))
+        .cast("long")
+        .alias("n_curated_docs"),
+    )
+    return (
+        docs.agg(F.count("*").alias("n_raw_docs"))
+        .crossJoin(dropped.agg(F.count("*").alias("n_dedup_dropped")))
+        .crossJoin(body)
+        .select(
+            "n_raw_docs",
+            "n_dedup_dropped",
+            "n_quality_dropped",
+            "n_benchmark_held_out",
+            "n_curated_docs",
+        )
+    )
+
+
+def _release_accounting_oracle() -> str:
+    from .textops import (
+        DECON_BENCH_SOURCE,
+        QF_MIN_DISTINCT,
+        QF_MIN_TOKENS,
+    )
+
+    body, final = _lp_with_body()
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    return f"""
+      WITH {body},
+      dropped AS MATERIALIZED (
+        SELECT node AS doc_id FROM {final} WHERE node != label
+      ),
+      flags AS (
+        SELECT source,
+               (len({toks}) < {QF_MIN_TOKENS}
+                OR CAST(len(list_distinct({toks})) AS DOUBLE)
+                   / len({toks}) < {QF_MIN_DISTINCT}) AS qdrop
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      )
+      SELECT (SELECT count(*) FROM documents) AS n_raw_docs,
+             (SELECT count(*) FROM dropped) AS n_dedup_dropped,
+             CAST(sum(CASE WHEN qdrop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_dropped,
+             CAST(sum(CASE WHEN NOT qdrop
+                           AND source = '{DECON_BENCH_SOURCE}'
+                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_benchmark_held_out,
+             CAST(sum(CASE WHEN NOT qdrop
+                           AND source != '{DECON_BENCH_SOURCE}'
+                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_curated_docs
+      FROM flags
+    """
+
+
 # --- q200: mergeable relative-error quantile sketch (round 12) — the
 # approx partner of q79's fixed-width hist index, completing the
 # sketch tier next to Bloom (q57) / CMS (q117) / HLL (q25). Shape is
@@ -1592,6 +1674,7 @@ QUERIES = {
     "q57_bloom_membership": q57_bloom_membership,
     "q117_cms_heavy_hitters": q117_cms_heavy_hitters,
     "q200_quantile_sketch": q200_quantile_sketch,
+    "q202_release_accounting": q202_release_accounting,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
@@ -1614,6 +1697,7 @@ def _oracles() -> dict[str, str]:
         "q57_bloom_membership": expand_u16(_BLOOM_SQL, "duckdb"),
         "q117_cms_heavy_hitters": _cms_oracle(),
         "q200_quantile_sketch": _q200_oracle(),
+        "q202_release_accounting": _release_accounting_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
         # star contraction converges to the exact components; on any
         # corpus where the LP unroll also converged (q103 n_changed=0

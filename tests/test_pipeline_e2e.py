@@ -211,3 +211,15 @@ def test_build_release_end_to_end(spark, sf_dir, tmp_path):
     # full 4-gram span's worth of tokens
     assert s["n_boilerplate_tokens_removed"] >= 4 * s["n_boilerplate_docs_touched"]
     assert s["n_decon_tokens_removed"] >= 4 * s["n_decon_docs_touched"]
+    # q202 is the same funnel as a driver-gated registry row: its
+    # single row must equal what build_release just reported
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        q202_release_accounting,
+    )
+
+    acct = q202_release_accounting(spark, sf_dir).collect()[0]
+    for k in (
+        "n_raw_docs", "n_dedup_dropped", "n_quality_dropped",
+        "n_benchmark_held_out", "n_curated_docs",
+    ):
+        assert getattr(acct, k) == s[k], (k, getattr(acct, k), s[k])

@@ -15,15 +15,20 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 DRIVER_CAP = 50
 
 # Queries that MUST occupy the round-12 window (VERDICT r11 Next #1):
-# the two r12 newborns, the three changed-path anchors (q198's
-# denominator change, q152/q170's shared simhash_state rewiring), the
-# FULL 38-row r8-stale tier (computed from the CORRECTNESS_r* artifacts
-# — the r11 VERDICT prose missed q47/q52/q71/q82), and 7 r9-tier
-# head-start rows (release-pipeline deps q145/q147/q103, the funnel
-# capstone q122, the two new bench media rows q100/q133, the flagship
-# q90). The remaining r9 tier rotates in r13.
+# the three r12 newborns (q202, the release-funnel capstone, took the
+# head-start slot q122 would have had), the three changed-path anchors
+# (q198's denominator change, q152/q170's shared simhash_state
+# rewiring), the FULL 38-row r8-stale tier (computed from the
+# CORRECTNESS_r* artifacts — the r11 VERDICT prose missed
+# q47/q52/q71/q82), and 6 r9-tier head-start rows (release-pipeline
+# deps q145/q147/q103, the two new bench media rows q100/q133, the
+# flagship q90). The remaining r9 tier rotates in r13.
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [200, 201,                        # born round 12
+    f"q{i:02d}" for i in [200, 201, 202,                   # born round 12
+                          # (q202 took the head-start slot q122 would
+                          # have had — q202 is the fresher member of
+                          # the funnel-accounting family; q122 stays
+                          # green locally and leads the r13 rotation)
                           198, 152, 170,                   # changed paths
                           # the full r8-stale tier
                           2, 3, 5, 8, 10, 13, 14, 15, 22, 29,
@@ -32,7 +37,7 @@ R2_UNCHECKED = [
                           101, 102, 105, 106, 107,
                           128, 129, 130, 131,
                           # r9 head start
-                          145, 147, 103, 122, 100, 133, 90]
+                          145, 147, 103, 100, 133, 90]
 ]
 
 
