@@ -223,3 +223,30 @@ def test_build_release_end_to_end(spark, sf_dir, tmp_path):
         "n_benchmark_held_out", "n_curated_docs",
     ):
         assert getattr(acct, k) == s[k], (k, getattr(acct, k), s[k])
+
+
+def test_release_reproducible_and_diffable(spark, sf_dir, tmp_path):
+    """The versioned-release user story: building the SAME corpus twice
+    yields byte-identical accounting, and diffing release N+1's staged
+    corpus against release N's persisted manifest (the q188 production
+    path) reads all-unchanged. A nondeterminism regression anywhere in
+    the pipeline (a rand() slipping into a stage, an unstable keeper
+    rule) breaks release reproducibility and fails here."""
+    from synthetic_data_pipeline_spark.operators.textops import (
+        diff_vs_manifest,
+    )
+    from synthetic_data_pipeline_spark.plans.release import build_release
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    s1 = build_release(spark, sf_dir, str(tmp_path / "v1"))
+    s2 = build_release(spark, sf_dir, str(tmp_path / "v2"))
+    assert s1 == s2
+    staged2 = load_table(spark, str(tmp_path / "v2" / "corpus"), "documents")
+    rows = diff_vs_manifest(
+        spark, staged2, str(tmp_path / "v1" / "manifest")
+    ).collect()
+    assert rows and all(
+        (r.n_added, r.n_removed, r.n_changed) == (0, 0, 0)
+        and r.n_unchanged > 0
+        for r in rows
+    )
