@@ -111,6 +111,7 @@ SHOWCASE = [
     ("q199_decayed_activity", "decayed activity: 1-row reference broadcast, one user-keyed agg, TakeOrdered top-k — freshness weighting without a window"),
     ("q200_quantile_sketch", "quantile sketch: one log-bucket hash agg (range-bounded, mergeable), sketch-guided exact arm sorts ONLY the picked buckets"),
     ("q201_percentile_accuracy", "percentile accuracy audit: two single-pass aggs (exact+GK sketches, then 18 rank predicates vs collected scalars), 9-row literal result"),
+    ("q202_release_accounting", "release accounting: memoized LP funnel anti-join + one quality-flag scan, three 1-row aggs crossJoined — RELEASE.json's math as a gated row"),
 ]
 
 

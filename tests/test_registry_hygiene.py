@@ -98,3 +98,29 @@ def test_registry_index_is_fresh():
     assert committed == registry_index.generate(), (
         "REGISTRY.md is stale — re-run scripts/registry_index.py"
     )
+
+
+def test_artifact_surface_lists_reference_registry_names():
+    """bench.HEADLINE, scaling_probe.PROBE/PROBE_100 and
+    dump_plans.SHOWCASE must only name registry queries — a renamed or
+    deleted query would otherwise fail at bench/probe RUNTIME (hours
+    into a round) instead of here."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    sys.path.insert(0, REPO)
+    import bench
+    import dump_plans
+    import scaling_probe
+
+    registry = set(all_queries())
+    for label, names in (
+        ("bench.HEADLINE", bench.HEADLINE),
+        ("scaling_probe.PROBE", scaling_probe.PROBE),
+        ("scaling_probe.PROBE_100", scaling_probe.PROBE_100),
+        ("dump_plans.SHOWCASE", [n for n, _ in dump_plans.SHOWCASE]),
+    ):
+        unknown = sorted(set(names) - registry)
+        assert not unknown, f"{label} names not in the registry: {unknown}"
+        dups = sorted({n for n in names if names.count(n) > 1})
+        assert not dups, f"{label} duplicate entries: {dups}"
