@@ -250,3 +250,72 @@ def test_release_reproducible_and_diffable(spark, sf_dir, tmp_path):
         and r.n_unchanged > 0
         for r in rows
     )
+
+
+def test_release_gates_on_planted_adversarial_corpus(spark, tmp_path):
+    """The publishability gates exercised NON-vacuously: a corpus
+    planted with a near-dup pair, a quality failure, live PII and a
+    benchmark-contaminated doc must come out of build_release with the
+    dup dropped, the junk dropped, the PII redacted to [SIT_*] tokens
+    and the contaminated 4-gram stripped — with exact accounting.
+    (On the generated testdata the PII gate is vacuous — documents.text
+    carries no real SIT matches — so this is the test that would catch
+    a broken redaction stage.)"""
+    import json
+
+    from synthetic_data_pipeline_spark.plans.release import build_release
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    def words(seed: str, n: int) -> str:
+        return " ".join(f"{seed}{i}tok" for i in range(n))
+
+    gram = "zebra quantum lattice harbor"
+    rows = [
+        # benchmark source (src0): held out, defines the decon grams
+        (0, f"{words('bench', 26)} {gram}", "en", "src0"),
+        (1, words("suite", 30), "en", "src0"),
+        # near-dup pair ACROSS sources (within-source would also trip
+        # the boilerplate df>=2 threshold — deliberately avoided here)
+        (2, words("story", 30) + " ending one", "en", "src1"),
+        (3, words("story", 30) + " ending two", "en", "src2"),
+        # quality failure: 30 tokens, 1 distinct -> low_diversity
+        (4, " ".join(["aa"] * 30), "en", "src1"),
+        # live PII that must not ship
+        (5, f"{words('memo', 26)} ssn 523-45-6789 mail bob.kay@nordwind-mail.net", "en", "src2"),
+        # benchmark-contaminated train doc
+        (6, f"{words('news', 26)} {gram} {words('tail', 3)}", "en", "src1"),
+        # clean background
+        (7, words("alpha", 30), "en", "src1"),
+        (8, words("beta", 30), "en", "src2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "corpus_in")
+    df.repartition(2).write.parquet(f"{src}/documents.parquet")
+
+    out = str(tmp_path / "release")
+    s = build_release(spark, src, out)
+
+    assert s["n_raw_docs"] == 9
+    assert s["n_dedup_dropped"] == 1       # doc 3 (keeper = min id 2)
+    assert s["n_quality_dropped"] == 1     # doc 4
+    assert s["n_benchmark_held_out"] == 2  # docs 0-1
+    assert s["n_curated_docs"] == 5        # docs 2, 5, 6, 7, 8
+    assert s["n_decon_docs_touched"] >= 1
+    assert s["n_pii_redactions"] >= 2      # the SSN + the email
+
+    staged = {
+        r.doc_id: r.text
+        for r in load_table(spark, out + "/corpus", "documents").collect()
+    }
+    assert set(staged) == {2, 5, 6, 7, 8}
+    # PII redacted to catalog tokens, raw values gone
+    assert "[SIT_SSN]" in staged[5] and "[SIT_EMAIL]" in staged[5]
+    assert "523-45-6789" not in staged[5]
+    assert "nordwind-mail.net" not in staged[5]
+    # the contaminated 4-gram is stripped from the shipped text
+    assert gram not in staged[6] and "news0tok" in staged[6]
+    # accounting on disk matches the return value
+    assert json.load(open(f"{out}/RELEASE.json")) == s
