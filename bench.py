@@ -12,6 +12,14 @@ The full per-query detail (every timing + extras + errors) is printed
 on an EARLIER line and also written to ``BENCH_DETAIL.json`` next to
 this file, so nothing is lost — it's just not in the tail-fragile spot.
 
+Artifact policy (VERDICT r12): ``BENCH_DETAIL.json`` holds whatever run
+was most recent — the official driver run may be load-inflated (r12 ran
+~+9% hot; compare ``extras.calibration_sec`` across rounds before
+reading totals). When an official run disagrees materially with a
+clean-window run, the clean-window per-query detail is preserved as
+``BENCH_DETAIL_CLEAN_r{N}.json`` and the official file carries an
+``extras.provenance`` note saying which is which.
+
 Each query is forced end-to-end with a noop-format write (full compute,
 no driver collect bottleneck).
 """
