@@ -27,76 +27,71 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-12 window (VERDICT r11 Next #1). Composition — after this
-# round NO registry query's last driver row is older than r9, and the
-# r8 tier is fully cleared (the authoritative staleness inventory is
-# computed from the CORRECTNESS_r* artifacts themselves — see
-# tests/test_registry_window.py::R2_UNCHECKED — which shows the TRUE
-# r8-stale set is 38 rows, not the 34 the r11 VERDICT prose
-# enumerated: q47/q52/q71/q82 were r8-stale too):
-#   * the two round-12 newborns (q200 mergeable quantile sketch, q201
-#     approx_percentile accuracy audit) claim slots immediately — the
-#     standing newborn rule;
-#   * three changed-path anchors that MUST re-gate externally this
-#     round: q198 (dispersion denominator changed n² → n·(n−1),
-#     ADVICE r11 — its r11 row pinned the OLD semantics), and
-#     q152/q170 (both now read the shared memoized signature frame
-#     dedup.simhash_state — same lineage, but the rewiring deserves a
-#     fresh row);
-#   * ALL 38 r8-stale rows (every query whose last external row is
-#     CORRECTNESS_r08);
-#   * the round-12 release-funnel capstone q202 (build_release's
-#     stage accounting as a driver-gated row — it took the head-start
-#     slot q122 would have had: q202 IS the fresher member of the
-#     funnel-accounting family, and q122 stays green in the local
-#     gate and leads the r13 rotation with the rest of the r9 tier);
-#   * 6 head-start rows from the r9 tier (last row CORRECTNESS_r09,
-#     the tier r13 must finish): the release pipeline's dependency
-#     queries first (q145 cluster-aware split + q147 boilerplate grams
-#     + q103 LP labels — build_release now composes all three), the
-#     two media rows q100/q133 newly added to bench HEADLINE, and the
-#     flagship q90 (entry() rides it and the redaction refactor
-#     touched its module).
-# 2 + 3 + 38 + 1 + 6 = 50 exactly.
+# Round-13 window (VERDICT r12 Next #2). Composition — after this
+# round NO registry query's last external driver row is older than
+# r10 (staleness inventory recomputed from the CORRECTNESS_r*
+# artifacts: 44 rows' newest row was r9; all 44 are in this window):
+#   * the round-13 newborn q203 (the delta-release classification
+#     funnel behind plans/release.py::update_release) — the standing
+#     newborn rule;
+#   * four changed-path anchors: q201 (its exact arm swapped from the
+#     full-sort percentile() aggregate to the q200 sketch-guided
+#     order statistic, VERDICT r12 #5 — values bit-identical, but the
+#     path is new), q200 (the exact column's rounding gained the
+#     1e-9 nudge on BOTH engines, ADVICE r12), and q155/q156 (the
+#     boilerplate gram-set computation was factored through
+#     source_gram_counts + boilerplate_threshold_filter so the
+#     incremental release can merge persisted counts — identical
+#     semantics, new code path);
+#   * ALL 44 r9-stale rows;
+#   * 1 head-start row from the r10 tier (49 rows, r14's rotation):
+#     q118 incremental dedup — the same evolving-state family the
+#     round's update_release work exercises.
+# 1 + 4 + 44 + 1 = 50 exactly.
 #
-# --- Round-11 window rationale kept for the audit trail: five r10
-# newborns (q159-q163), all 36 r11 newborns as they landed (each
-# evicting an r8-stale row that left an in-window cousin — the full
-# per-eviction rationale is in git history at 73d990c), and 23 of the
-# r8-stale rows; recorded green 50/50 in CORRECTNESS_r11.json.
+# --- Round-12 window rationale kept for the audit trail: newborns
+# q200/q201/q202, changed-path anchors q198/q152/q170, the FULL
+# 38-row r8-stale tier, and 6 r9 head-start rows
+# (q145/q147/q103/q100/q133/q90); recorded green 50/50 in
+# CORRECTNESS_r12.json. Round-11: five r10 newborns (q159-q163), all
+# 36 r11 newborns, 23 r8-stale rows; green 50/50 in CORRECTNESS_r11.
 DRIVER_WINDOW = [
-    # round-12 newborns
+    # round-13 newborn (update_release's gated funnel)
+    "q203_delta_release_classes",
+    # changed-path anchors: q201's exact arm now rides the q200
+    # sketch-guided order statistic (VERDICT r12 #5) and q200's
+    # exact column gained the 1e-9 rounding nudge on BOTH engines
+    # (ADVICE r12); q155/q156's gram-set path was refactored
+    # through source_gram_counts/boilerplate_threshold_filter for
+    # the incremental release (same semantics, new code path)
     "q200_quantile_sketch", "q201_percentile_accuracy",
-    "q202_release_accounting",
-    # changed-path anchors (semantics / shared-state rewiring)
-    "q198_embedding_dispersion",
-    "q152_simhash_hamming_join", "q170_detector_agreement",
-    # the full r8-stale tier (38 rows — last external row = r8)
-    "q02_top_revenue_orders", "q03_regional_revenue",
-    "q05_customers_without_orders", "q08_parts_by_type",
-    "q10_rollup_orders", "q13_running_total",
-    "q14_order_gap_days", "q15_top_parts_by_price",
-    "q22_monthly_sales", "q29_price_analytics",
-    "q47_pairwise_jaccard_sample", "q52_norm_stats",
-    "q54_cosine_near_dups", "q70_cheapest_supplier_per_nation",
-    "q71_important_parts", "q72_top_revenue_nation",
-    "q73_large_quantity_orders", "q74_disjunctive_revenue",
-    "q77_nation_pair_volume", "q79_histogram_quantiles",
-    "q82_unpivot_nation_stats", "q91_sit_issue_list",
-    "q92_salted_event_stats", "q93_redact_documents",
-    "q94_token_chunks", "q95_dedup_retention",
-    "q96_dataset_split", "q97_quality_filter",
-    "q98_validation_failures", "q101_deduped_corpus",
-    "q102_training_prep", "q105_decontaminate",
-    "q106_repetition_signals", "q107_quantized_knn",
-    "q128_bpe_merges", "q129_bpe_compression",
-    "q130_semantic_prune", "q131_duplicated_spans",
-    # r9-tier head start (release-pipeline deps, funnel capstone,
-    # the two new bench media rows, the flagship)
-    "q145_cluster_aware_split", "q147_boilerplate_grams",
-    "q103_lp_convergence",
-    "q100_media_features", "q133_video_frame_features",
-    "q90_flagship_sit_scan",
+    "q155_boilerplate_clean", "q156_boilerplate_clean_stats",
+    # the FULL 44-row r9-stale tier (last external row = r9,
+    # recomputed from the CORRECTNESS_r* artifacts — VERDICT r12 #2)
+    "q01_pricing_summary", "q19_entity_counts_by_nation",
+    "q20_exists_heavy_orders", "q24_price_percentiles",
+    "q28_trailing_30d_spend", "q46_minhash_near_dups",
+    "q55_ivf_ann", "q56_kmeans",
+    "q60_gen_meta_summary", "q61_gen_corpus_stats",
+    "q62_gen_validation_report", "q63_mapping_pack_roundtrip",
+    "q64_mapping_upsert", "q81_pivot_status",
+    "q108_click_error_interval", "q109_perplexity_proxy",
+    "q110_embedding_outliers", "q111_adaptive_quality",
+    "q112_sequence_packing", "q113_domain_mixture",
+    "q114_stratified_sample", "q115_packed_shards",
+    "q117_cms_heavy_hitters", "q119_token_shards",
+    "q122_pipeline_funnel", "q123_dense_hourly",
+    "q124_session_sequences", "q126_dsir_weights",
+    "q127_leakage_matrix", "q134_longest_dup_span",
+    "q135_incremental_span_gate", "q136_bpe_vocab",
+    "q137_bpe_encode", "q138_hard_negatives",
+    "q139_cc_star_clusters", "q140_token_budget_waterfill",
+    "q141_tokenizer_fertility", "q142_centroid_similarity",
+    "q143_corpus_diversity", "q144_cluster_representatives",
+    "q146_weighted_sample", "q148_image_phash_dups",
+    "q149_bigram_lm_export", "q150_padding_audit",
+    # r10-tier head start: the delta-release theme's dedup row
+    "q118_incremental_dedup",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

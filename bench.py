@@ -175,13 +175,20 @@ HEADLINE = [
     "q199_decayed_activity",
     # round 12: q200 mergeable quantile sketch (one log-bucket hash
     # agg + sketch-guided exact arm over the picked buckets only);
-    # q201 approx_percentile accuracy audit (two single-pass aggs —
-    # the exact arm is deliberately the expensive one); q202 release
-    # accounting (memoized LP funnel + one quality-flag scan — the
-    # marginal cost of driver-gating RELEASE.json's numbers)
+    # q201 approx_percentile accuracy audit (GK+count agg, 18 rank
+    # predicates; since r13 the exact arm rides q200's sketch-guided
+    # order statistic instead of a full-sort percentile — VERDICT r12
+    # #5, 8.3 s → ~3.8 s); q202 release accounting (memoized LP
+    # funnel + one quality-flag scan — the marginal cost of
+    # driver-gating RELEASE.json's numbers)
     "q200_quantile_sketch",
     "q201_percentile_accuracy",
     "q202_release_accounting",
+    # round 13: q203 delta-release classification (memoized shingle/
+    # pair state + batch contraction merge + ONE distinct-gram explode
+    # reused for both decades' counts/bench sets/affected flags +
+    # broadcast flip joins — update_release's funnel as a gated row)
+    "q203_delta_release_classes",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",
@@ -612,6 +619,37 @@ def time_queries(
     return times, errors
 
 
+def _release_timings(spark, sf_dir: str) -> dict:
+    """Wall-clock for the engine's flagship one-call products (VERDICT
+    r12 #6): a full build_release at this sf, then update_release
+    seeded from it on the SAME corpus — the zero-delta steady state, so
+    release_update_noop_sec is the FLOOR a weekly incremental run pays
+    (manifest diff, index merges, carried-corpus rewrite) with no docs
+    reprocessed. The r12 lazy-vs-checkpoint A/B lives in the
+    plans/release.py docstring (lazy won 48 s vs 90-124 s)."""
+    import shutil
+    import tempfile
+
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    out = tempfile.mkdtemp(prefix="sdp_bench_release_")
+    try:
+        t0 = time.perf_counter()
+        build_release(spark, sf_dir, f"{out}/v1")
+        t1 = time.perf_counter()
+        update_release(spark, f"{out}/v1", sf_dir, f"{out}/v2")
+        t2 = time.perf_counter()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return {
+        "release_build_sec": round(t1 - t0, 3),
+        "release_update_noop_sec": round(t2 - t1, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -690,6 +728,11 @@ def main() -> None:
         extras.update(_simhash_reuse(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_simhash_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_release_timings(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_release_timings"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Normalize the two regex-scan headliners by work units (docs ×
     # scanned patterns) so catalog growth between rounds reads as a

@@ -112,6 +112,7 @@ SHOWCASE = [
     ("q200_quantile_sketch", "quantile sketch: one log-bucket hash agg (range-bounded, mergeable), sketch-guided exact arm sorts ONLY the picked buckets"),
     ("q201_percentile_accuracy", "percentile accuracy audit: two single-pass aggs (exact+GK sketches, then 18 rank predicates vs collected scalars), 9-row literal result"),
     ("q202_release_accounting", "release accounting: memoized LP funnel anti-join + one quality-flag scan, three 1-row aggs crossJoined — RELEASE.json's math as a gated row"),
+    ("q203_delta_release_classes", "delta-release classes: memoized pairs filtered to the old slice + batch contraction merge, ONE distinct-gram explode reused for both decades' counts/bench sets/affected flags, broadcast flip joins — update_release's funnel as a gated row"),
 ]
 
 

@@ -11,6 +11,12 @@ artifacts — so it cannot drift; tests/test_registry_hygiene.py
 regenerates it and fails if the committed file is stale.
 
 Usage: python scripts/registry_index.py   (rewrites REGISTRY.md)
+
+Coupling (ADVICE r12): the driver-row column scans every
+CORRECTNESS_r*.json on disk, tracked or not. A new round artifact must
+therefore land in the SAME commit as a regenerated REGISTRY.md, or
+test_registry_index_is_fresh goes red at HEAD — that is the intended
+behavior (the freshness test forcing the regeneration), not a bug.
 """
 
 from __future__ import annotations

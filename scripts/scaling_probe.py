@@ -201,10 +201,17 @@ PROBE = [
     "q197_join_skew_audit",
     # round 12 newborns: q200's log-bucket agg is corpus-linear with a
     # range-bounded (NOT row-bounded) driver collect — the property the
-    # probe verifies; q201's exact arm is the known-expensive audit
-    # (sort/buffer-based percentile), its growth is the measurement
+    # probe verifies; q201's exact arm rides the q200 sketch-guided
+    # order statistic since r13 (VERDICT r12 #5) — the probe now
+    # measures the GK aggregate plus the picked-bucket rank, not a
+    # full-sort percentile
     "q200_quantile_sketch",
     "q201_percentile_accuracy",
+    # round 13 newborn: the delta-release funnel — its risk terms are
+    # the distinct-gram explode (q105's class), the batch-vs-lake band
+    # join (q163's class) and the old-slice cc_star; the probe watches
+    # the composition
+    "q203_delta_release_classes",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -300,6 +307,17 @@ PROBE_100 = [
     # collect (q200) and the exact-arm growth curve (q201)
     "q200_quantile_sketch",
     "q201_percentile_accuracy",
+    # round 13 (VERDICT r12 #4): the three worst 10x ratios without a
+    # 100x row — q193's cohort self-join key space grows with users,
+    # q178 runs BOTH retrieval arms (q164's posting-join class plus
+    # the ANN probe scan), q175's sweep rides the memoized verified
+    # pairs whose volume tracks candidate growth
+    "q193_cohort_retention",
+    "q178_hybrid_rrf",
+    "q175_dedup_threshold_sweep",
+    # round 13 newborn at the second decade: the gram explode + band
+    # join composition is exactly the class the 100x tier exists for
+    "q203_delta_release_classes",
 ]
 # Media corpus sizes for the scaled tiers (media_n_for sentinel): the
 # 1x base dir is read-only testdata with no sentinel, so 1x stays 60.
@@ -701,15 +719,17 @@ def main() -> None:
     # for no new information, so the arms only run when
     # SPARK_GRAFT_AB=1 is set explicitly.
     ab = {}
-    # round 12 (VERDICT r11 #4): the exact-vs-approx percentile cost
-    # curve, every tier — cheap (two aggregates per tier) relative to
-    # the gated band/IVF arms, and it's the first round measuring it
-    spark = get_spark(app_name="sdp-scaling-pctl-ab")
-    ab["pctl_ab_1x"] = pctl_ab(spark, src)
-    ab["pctl_ab_10x"] = pctl_ab(spark, dst)
-    ab["pctl_ab_100x"] = pctl_ab(spark, dst100)
-    spark.stop()
     if os.environ.get("SPARK_GRAFT_AB") == "1":
+        # round 12 measured the exact-vs-approx percentile cost curve
+        # (SCALING_r12.json: approx 20.7×/23.6× cheaper at 10×/100×,
+        # max rel err 7e-5) — a settled decision, so from r13 the arm
+        # is gated like the band/IVF arms (ADVICE r12); q201 remains
+        # the per-round correctness gate for the GK bound itself.
+        spark = get_spark(app_name="sdp-scaling-pctl-ab")
+        ab["pctl_ab_1x"] = pctl_ab(spark, src)
+        ab["pctl_ab_10x"] = pctl_ab(spark, dst)
+        ab["pctl_ab_100x"] = pctl_ab(spark, dst100)
+        spark.stop()
         spark = get_spark(app_name="sdp-scaling-ab-1x")
         ab["simham_band_ab_1x"] = simham_band_ab(spark, src)
         ab["q130_ivf_ab_1x"] = q130_ivf_ab(spark, src, run_verify=True)

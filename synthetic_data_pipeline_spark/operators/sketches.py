@@ -100,6 +100,7 @@ def _safe_unpersist(df: DataFrame) -> None:
 # move as the LP-funnel memo, with the cold build visible to any
 # cold-probe via clear_lp_cache's cascade.
 _INCR_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DELTA_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _incr_base_labels(spark: SparkSession, sf_dir: str, sig: DataFrame) -> DataFrame:
@@ -135,6 +136,9 @@ def clear_lp_cache() -> None:
     for labels in _INCR_BASE_CACHE.values():
         _safe_unpersist(labels)
     _INCR_BASE_CACHE.clear()
+    for labels in _DELTA_BASE_CACHE.values():
+        _safe_unpersist(labels)
+    _DELTA_BASE_CACHE.clear()
     clear_shingle_cache()
     from .similarity import clear_cosine_pairs_cache
 
@@ -231,9 +235,14 @@ def q95_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lp_with_body(iters: int = LP_ITERS) -> tuple[str, str]:
+def _lp_with_body(
+    iters: int = LP_ITERS, src: str = "documents", prefix: str = ""
+) -> tuple[str, str]:
     """(WITH-clause body, final-labels CTE name) shared by the q58,
-    q95, q101 and (with one extra probe round) q103 oracles."""
+    q95, q101 and (with one extra probe round) q103 oracles. ``src``
+    re-points the shingle scan at a filtered relation and ``prefix``
+    namespaces every CTE so TWO funnels (e.g. q203's release-N old
+    slice and release-N+1 full corpus) coexist in one WITH chain."""
     from .dedup import _SHINGLES_SQL, BAND_ROWS, N_HASHES
 
     # Every round references the previous one TWICE (self + the
@@ -242,46 +251,47 @@ def _lp_with_body(iters: int = LP_ITERS) -> tuple[str, str]:
     # measured 245 s for the 6-round q103 probe at sf0.01 vs ~4 s
     # materialized. Spark is unaffected (its side persists the funnel
     # via the session memo).
+    p = prefix
     steps = []
-    prev = "l0"
+    prev = f"{p}l0"
     for it in range(1, iters + 1):
         steps.append(
-            f"""l{it} AS MATERIALIZED (
+            f"""{p}l{it} AS MATERIALIZED (
               SELECT l.node,
                      least(l.label, coalesce(n.nlabel, l.label)) AS label
               FROM {prev} l
               LEFT JOIN (
                 SELECT e.doc_a, min(x.label) AS nlabel
-                FROM edges e JOIN {prev} x ON e.doc_b = x.node
+                FROM {p}edges e JOIN {prev} x ON e.doc_b = x.node
                 GROUP BY e.doc_a
               ) n ON l.node = n.doc_a
             )"""
         )
-        prev = f"l{it}"
+        prev = f"{p}l{it}"
     body = f"""
-      tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src="documents")}),
-      mins AS MATERIALIZED (
+      {p}tokens AS MATERIALIZED ({_SHINGLES_SQL.format(src=src)}),
+      {p}mins AS MATERIALIZED (
         SELECT doc_id,
                {", ".join(f"min(md5(concat(token, ':', {h}))) AS m{h}" for h in range(N_HASHES))}
-        FROM tokens GROUP BY doc_id
+        FROM {p}tokens GROUP BY doc_id
       ),
-      banded AS MATERIALIZED (
+      {p}banded AS MATERIALIZED (
         {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM mins"
+          f"SELECT doc_id, {b} AS band, concat(m{b * BAND_ROWS}, m{b * BAND_ROWS + 1}) AS minhash FROM {p}mins"
           for b in range(N_HASHES // BAND_ROWS)
         )}
       ),
-      pairs AS MATERIALIZED (
+      {p}pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
+        FROM {p}banded a JOIN {p}banded b
           ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
       ),
-      edges AS MATERIALIZED (
-        SELECT doc_a, doc_b FROM pairs
-        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+      {p}edges AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM {p}pairs
+        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM {p}pairs
       ),
-      l0 AS MATERIALIZED (
-        SELECT DISTINCT doc_a AS node, doc_a AS label FROM edges
+      {p}l0 AS MATERIALIZED (
+        SELECT DISTINCT doc_a AS node, doc_a AS label FROM {p}edges
       ),
       {", ".join(steps)}"""
     return body, prev
@@ -1469,6 +1479,285 @@ def _release_accounting_oracle() -> str:
     """
 
 
+# --- q203: delta-release classification (round 13, VERDICT r12 #7) —
+# the per-doc funnel behind plans/release.py::update_release, as a
+# driver-gated registry row. Release N is the doc_id % DELTA_MOD != 0
+# slice (a deterministic split in the q118/q163 spirit, but on a
+# modulus that spans every source — see DELTA_MOD), release N+1 the
+# full corpus; every doc that WOULD ship in N+1 is classified by what the
+# incremental release must do with it:
+#   new              — arrived in the batch; never curated
+#   reprocessed_gram — old doc whose gram-level inputs changed: a
+#                      boilerplate gram flipped across the df >=
+#                      max(2, ceil(n_docs/20)) threshold as the corpus
+#                      grew (either direction), or a gram the new
+#                      benchmark docs added to the decon index
+#   carried          — old doc whose curated text carries forward
+# plus newly_dropped — shipped in N, retention-dropped in N+1 (the
+# batch bridged its cluster to a smaller-id canonical).
+# Scale shape: the signature frame and old-slice labels ride the
+# session memos (one shingle pass, q163's base-state pattern); the
+# batch merges in by contraction (incremental_cluster_labels — never a
+# full re-cluster); the gram DEFINITIONS are index-scale aggregates of
+# ONE distinct-gram explode reused for both decades' counts, the
+# benchmark sets and the affected-doc flags; the flip sets broadcast
+# (boundary-crossers by construction). Output: ≤4 rows.
+# The oracle replays the whole funnel in SQL — TWO prefixed LP chains
+# (_lp_with_body src/prefix params), both gram-count decades, the
+# threshold filters, the symmetric differences and the classification
+# — so the driver hash pins the delta math itself, the same contract
+# q202 pins for the full-release funnel.
+DELTA_MOD = 7  # q203's batch split: %7 spans every source (the
+# %INGEST_MOD residues coincide with whole sources in the generated
+# ids — %20==0 IS the benchmark source — which would make the 'new'
+# class vacuous and the benchmark delta degenerate)
+
+
+def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import (
+        minhash_signatures_from_tokens,
+        shingle_state,
+        token_state,
+    )
+    from .textops import (
+        DECON_BENCH_SOURCE,
+        boilerplate_threshold_filter,
+        distinct_ngrams,
+        quality_drop_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % DELTA_MOD == 0
+    old_docs = docs.filter(~is_new)
+
+    # retention, old and new. Old-slice candidate pairs are the
+    # memoized FULL-corpus pairs filtered to both-old endpoints (a
+    # bucket collision between two old docs cannot depend on the
+    # batch), so no second LSH join; the batch merges in by
+    # contraction (incremental_cluster_labels).
+    sig = minhash_signatures_from_tokens(token_state(spark, sf_dir))
+    sig = sig.localCheckpoint(eager=False)
+    # release N's label state rides a session memo (q163's
+    # _incr_base_labels precedent — the lake holds these between
+    # releases; recomputing the base CC per call is the demo
+    # simplification, not the measured path)
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    old_labels = _DELTA_BASE_CACHE.get(key)
+    if old_labels is None:
+        _, pairs = shingle_state(spark, sf_dir)
+        old_pairs = pairs.filter(
+            (F.col("doc_a") % DELTA_MOD != 0)
+            & (F.col("doc_b") % DELTA_MOD != 0)
+        )
+        old_labels = cc_star_labels(old_pairs).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        old_labels.count()  # materialize before the lineage forks
+        while len(_DELTA_BASE_CACHE) >= _LP_CACHE_MAX:
+            _safe_unpersist(
+                _DELTA_BASE_CACHE.pop(next(iter(_DELTA_BASE_CACHE)))
+            )
+        _DELTA_BASE_CACHE[key] = old_labels
+    labels_new = incremental_cluster_labels(
+        sig, sig.filter(F.col("doc_id") % DELTA_MOD == 0), old_labels
+    )
+    ret_old = old_labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    ret_new = labels_new.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    # gram definitions at both decades off ONE aggregated count frame:
+    # the explode is the corpus-linear term, so BOTH decades' dfs ride
+    # one conditional aggregate (df_old = rows from old docs) and the
+    # benchmark gram sets fall out of the same frame — the index-scale
+    # result is lazily checkpointed for its four consumers instead of
+    # re-exploding the corpus per consumer (first cut measured 17 s at
+    # sf0.1 from exactly that; this shape is ~7 s)
+    grams = distinct_ngrams(docs)
+    cnt = (
+        grams.groupBy("source", "g")
+        .agg(
+            F.count("*").alias("df_new"),
+            F.sum(
+                F.when(F.col("doc_id") % DELTA_MOD != 0, 1).otherwise(0)
+            ).alias("df_old"),
+        )
+        .localCheckpoint(eager=False)  # index-scale: distinct grams
+    )
+    nd_new = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    nd_old = old_docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    bp_new = boilerplate_threshold_filter(
+        cnt.select("source", "g", F.col("df_new").alias("df")), nd_new
+    )
+    bp_old = boilerplate_threshold_filter(
+        cnt.filter(F.col("df_old") > 0).select(
+            "source", "g", F.col("df_old").alias("df")
+        ),
+        nd_old,
+    )
+    flipped = bp_new.join(bp_old, ["source", "g"], "anti").unionByName(
+        bp_old.join(bp_new, ["source", "g"], "anti")
+    )
+    is_bench_src = F.col("source") == DECON_BENCH_SOURCE
+    bench_new = cnt.filter(is_bench_src).select("g")
+    bench_old = cnt.filter(is_bench_src & (F.col("df_old") > 0)).select("g")
+    bench_delta = bench_new.join(bench_old, "g", "anti").unionByName(
+        bench_old.join(bench_new, "g", "anti")
+    )
+    old_grams = grams.filter(F.col("doc_id") % DELTA_MOD != 0)
+    affected = (
+        old_grams.join(F.broadcast(flipped), ["source", "g"])
+        .select("doc_id")
+        .unionByName(
+            old_grams.join(F.broadcast(bench_delta), "g").select("doc_id")
+        )
+        .distinct()
+    )
+
+    # ship sets at both decades (quality + holdout are per-doc stable)
+    keep = quality_drop_expr(docs).filter(~F.col("qdrop")).select("doc_id")
+    ship_base = docs.select("doc_id", "source", is_new.alias("is_new")).join(
+        keep, "doc_id"
+    ).filter(F.col("source") != DECON_BENCH_SOURCE)
+    ship_new = ship_base.join(ret_new, "doc_id", "anti")
+    ship_old = ship_base.filter(~F.col("is_new")).join(
+        ret_old, "doc_id", "anti"
+    )
+    classed = ship_new.join(
+        affected.withColumn("aff", F.lit(True)), "doc_id", "left"
+    ).select(
+        F.when(F.col("is_new"), "new")
+        .when(F.col("aff"), "reprocessed_gram")
+        .otherwise("carried")
+        .alias("status")
+    ).unionByName(
+        ship_old.join(ship_new.select("doc_id"), "doc_id", "anti").select(
+            F.lit("newly_dropped").alias("status")
+        )
+    )
+    return (
+        classed.groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+def _delta_release_oracle() -> str:
+    from .textops import (
+        DECON_BENCH_SOURCE,
+        DECON_N,
+        QF_MIN_DISTINCT,
+        QF_MIN_TOKENS,
+    )
+
+    mod = DELTA_MOD
+    body_old, final_old = _lp_with_body(
+        src=f"(SELECT * FROM documents WHERE doc_id % {mod} != 0)",
+        prefix="o_",
+    )
+    body_new, final_new = _lp_with_body(prefix="f_")
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    thr = "greatest(2, CAST(floor((n.n_docs + 19) / 20.0) AS BIGINT))"
+    return f"""
+      WITH {body_old},
+      {body_new},
+      ret_old AS MATERIALIZED (
+        SELECT node AS doc_id FROM {final_old} WHERE node != label
+      ),
+      ret_new AS MATERIALIZED (
+        SELECT node AS doc_id FROM {final_new} WHERE node != label
+      ),
+      base AS MATERIALIZED (
+        SELECT doc_id, source, {toks} AS arr FROM documents
+      ),
+      grams AS MATERIALIZED (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(
+                 range(1, len(arr) - {DECON_N - 2}),
+                 i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')
+               )) AS g
+        FROM base WHERE len(arr) >= {DECON_N}
+      ),
+      nd_new AS (SELECT source, count(*) AS n_docs FROM documents
+                 GROUP BY source),
+      nd_old AS (SELECT source, count(*) AS n_docs FROM documents
+                 WHERE doc_id % {mod} != 0 GROUP BY source),
+      cnt_new AS (SELECT source, g, count(*) AS df FROM grams
+                  GROUP BY source, g),
+      cnt_old AS (SELECT source, g, count(*) AS df FROM grams
+                  WHERE doc_id % {mod} != 0 GROUP BY source, g),
+      bp_new AS MATERIALIZED (
+        SELECT c.source, c.g FROM cnt_new c JOIN nd_new n USING (source)
+        WHERE c.df >= {thr}
+      ),
+      bp_old AS MATERIALIZED (
+        SELECT c.source, c.g FROM cnt_old c JOIN nd_old n USING (source)
+        WHERE c.df >= {thr}
+      ),
+      flipped AS MATERIALIZED (
+        (SELECT source, g FROM bp_new EXCEPT SELECT source, g FROM bp_old)
+        UNION
+        (SELECT source, g FROM bp_old EXCEPT SELECT source, g FROM bp_new)
+      ),
+      bench_new AS (SELECT DISTINCT g FROM grams
+                    WHERE source = '{DECON_BENCH_SOURCE}'),
+      bench_old AS (SELECT DISTINCT g FROM grams
+                    WHERE source = '{DECON_BENCH_SOURCE}'
+                      AND doc_id % {mod} != 0),
+      bench_delta AS MATERIALIZED (
+        (SELECT g FROM bench_new EXCEPT SELECT g FROM bench_old)
+        UNION
+        (SELECT g FROM bench_old EXCEPT SELECT g FROM bench_new)
+      ),
+      aff AS MATERIALIZED (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN flipped f
+          ON f.source = gr.source AND f.g = gr.g
+        WHERE gr.doc_id % {mod} != 0
+        UNION
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN bench_delta b ON b.g = gr.g
+        WHERE gr.doc_id % {mod} != 0
+      ),
+      qkeep AS (
+        SELECT doc_id FROM base
+        WHERE NOT (len(arr) < {QF_MIN_TOKENS}
+                   OR CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr)
+                      < {QF_MIN_DISTINCT})
+      ),
+      ship_new AS MATERIALIZED (
+        SELECT d.doc_id, (d.doc_id % {mod} = 0) AS is_new
+        FROM documents d
+        WHERE d.source != '{DECON_BENCH_SOURCE}'
+          AND d.doc_id IN (SELECT doc_id FROM qkeep)
+          AND d.doc_id NOT IN (SELECT doc_id FROM ret_new)
+      ),
+      ship_old AS (
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % {mod} != 0
+          AND d.source != '{DECON_BENCH_SOURCE}'
+          AND d.doc_id IN (SELECT doc_id FROM qkeep)
+          AND d.doc_id NOT IN (SELECT doc_id FROM ret_old)
+      ),
+      classed AS (
+        SELECT CASE WHEN is_new THEN 'new'
+                    WHEN doc_id IN (SELECT doc_id FROM aff)
+                      THEN 'reprocessed_gram'
+                    ELSE 'carried' END AS status
+        FROM ship_new
+        UNION ALL
+        SELECT 'newly_dropped' AS status FROM ship_old
+        WHERE doc_id NOT IN (SELECT doc_id FROM ship_new)
+      )
+      SELECT status, count(*) AS n_docs
+      FROM classed GROUP BY status ORDER BY status
+    """
+
+
 # --- q200: mergeable relative-error quantile sketch (round 12) — the
 # approx partner of q79's fixed-width hist index, completing the
 # sketch tier next to Bloom (q57) / CMS (q117) / HLL (q25). Shape is
@@ -1548,6 +1837,56 @@ def _dds_read(hist: list) -> tuple[int, list]:
     return n, picks
 
 
+def dds_order_statistics(df: DataFrame, value_col: str, ranks) -> dict:
+    """Exact k-th order statistics (1-based ranks over ascending
+    ``value_col``) WITHOUT a global sort: the DDSketch histogram says
+    which log-bucket holds each rank, so only the picked buckets (a
+    2α-wide value band each) are ranked — the per-bucket row_number
+    window is partition-bounded, never a single global partition.
+
+    Requires all values > 0 (the log-bucket domain); callers guard.
+    Returns {rank: value}. Driver-side state: the ≤ln(max/min)/α-row
+    histogram + len(ranks) scalars, both bounded by construction.
+    Shared by q200's audit arm and q201's exact arm (VERDICT r12 #5:
+    this replaced q201's full-sort ``percentile()`` aggregate)."""
+    from pyspark.sql import Window
+
+    hist = sorted((r.bucket, r.n) for r in dds_hist(df, value_col).collect())
+    want = {}  # (bucket, local_rank) -> [ranks]
+    cum = 0
+    it = iter(sorted(set(int(k) for k in ranks)))
+    k = next(it, None)
+    for b, c in hist:
+        while k is not None and cum + c >= k:
+            want.setdefault((b, k - cum), []).append(k)
+            k = next(it, None)
+        cum += c
+    if k is not None:
+        raise ValueError(f"rank {k} exceeds row count {cum}")
+    cand = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.col(value_col).alias("x"), dds_bucket(value_col).alias("bucket")
+        )
+        .filter(F.col("bucket").isin([b for b, _ in want]))
+    )
+    picked = cand.withColumn(
+        "lr", F.row_number().over(Window.partitionBy("bucket").orderBy("x"))
+    ).filter(
+        F.struct("bucket", "lr").isin(
+            [
+                F.struct(F.lit(b).cast("long"), F.lit(lr).cast("int"))
+                for b, lr in want
+            ]
+        )
+    )
+    out = {}
+    for r in picked.collect():  # ≤ len(ranks) rows
+        for k in want[(r.bucket, r.lr)]:
+            out[k] = r.x
+    return out
+
+
 def dds_quantiles_from_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     """q200's estimates from a sink of additive per-batch sketch
     partials — the streaming twin's read side (bucket-wise re-sum, then
@@ -1604,7 +1943,11 @@ def q200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n,
                 b,
                 round(1e-9 + est, 4),
-                round(ex, 2),
+                # same 1e-9 nudge convention as est (ADVICE r12):
+                # o_totalprice is 2dp by construction today, but a
+                # >2dp value column would hit the banker's-rounding
+                # vs half-away-from-zero knife edge without it
+                round(1e-9 + ex, 2),
                 abs(est / ex - 1) <= DDS_ALPHA + 1e-9,
             )
         )
@@ -1661,7 +2004,7 @@ def _q200_oracle() -> str:
              CAST(p.n AS BIGINT) AS n,
              p.bucket,
              round(1e-9 + 2 * pow({g}, p.bucket) / ({g} + 1.0), 4) AS est,
-             round(r.x, 2) AS exact,
+             round(1e-9 + r.x, 2) AS exact,
              (abs((2 * pow({g}, p.bucket) / ({g} + 1.0)) / r.x - 1)
               <= {DDS_ALPHA!r} + 1e-9) AS within_bound
       FROM prev p
@@ -1675,6 +2018,7 @@ QUERIES = {
     "q117_cms_heavy_hitters": q117_cms_heavy_hitters,
     "q200_quantile_sketch": q200_quantile_sketch,
     "q202_release_accounting": q202_release_accounting,
+    "q203_delta_release_classes": q203_delta_release_classes,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
@@ -1698,6 +2042,7 @@ def _oracles() -> dict[str, str]:
         "q117_cms_heavy_hitters": _cms_oracle(),
         "q200_quantile_sketch": _q200_oracle(),
         "q202_release_accounting": _release_accounting_oracle(),
+        "q203_delta_release_classes": _delta_release_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
         # star contraction converges to the exact components; on any
         # corpus where the LP unroll also converged (q103 n_changed=0

@@ -1793,25 +1793,42 @@ def q147_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_grams(load_table(spark, sf_dir, "documents"))
 
 
+def source_gram_counts(docs: DataFrame) -> DataFrame:
+    """(source, g, df) — document frequency of every distinct word
+    4-gram within its source. ADDITIVE over disjoint doc sets (df is a
+    per-doc-distinct count), so a persisted copy merges with a delta
+    batch by bucket-wise sum — the evolving-state index the
+    incremental release rides (plans/release.py::update_release), same
+    mergeability contract as q200's DDSketch partials."""
+    return distinct_ngrams(docs).groupBy("source", "g").agg(
+        F.count("*").alias("df")
+    )
+
+
+def boilerplate_threshold_filter(
+    counts: DataFrame, nd: DataFrame, with_df: bool = False
+) -> DataFrame:
+    """Apply the boilerplate threshold df >= max(2, ceil(n_docs/20))
+    (integer arithmetic) to a (source, g, df) count table given the
+    per-source (source, n_docs) table."""
+    thr = F.greatest(
+        F.lit(2), F.floor((F.col("n_docs") + F.lit(19)) / F.lit(20))
+    ).cast("long")
+    out = counts.join(F.broadcast(nd), "source").filter(F.col("df") >= thr)
+    cols = ["source", "g", "df"] if with_df else ["source", "g"]
+    return out.select(*cols)
+
+
 def _boilerplate_gram_set(docs: DataFrame, with_df: bool = False) -> DataFrame:
     """(source, g[, df]) — the within-source boilerplate 4-grams, the
     threshold being df >= max(2, ceil(n_docs/20)) in integer
     arithmetic. Shared by the detector (q147) and the cleaner
     (q155/q156) so the two can never disagree about what counts as
     boilerplate."""
-    grams = distinct_ngrams(docs)
     nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    thr = F.greatest(
-        F.lit(2), F.floor((F.col("n_docs") + F.lit(19)) / F.lit(20))
-    ).cast("long")
-    out = (
-        grams.groupBy("source", "g")
-        .agg(F.count("*").alias("df"))
-        .join(F.broadcast(nd), "source")
-        .filter(F.col("df") >= thr)
+    return boilerplate_threshold_filter(
+        source_gram_counts(docs), nd, with_df=with_df
     )
-    cols = ["source", "g", "df"] if with_df else ["source", "g"]
-    return out.select(*cols)
 
 
 # --- q155/q156: boilerplate REMOVAL — the action analog of q147 (the
@@ -1862,7 +1879,9 @@ def _pos_ngrams(docs: DataFrame, n: int = DECON_N) -> DataFrame:
 
 
 def boilerplate_clean(
-    docs: DataFrame, gram_docs: DataFrame | None = None
+    docs: DataFrame,
+    gram_docs: DataFrame | None = None,
+    gram_set: DataFrame | None = None,
 ) -> DataFrame:
     """Per-TOUCHED-doc materialization: (doc_id, source, tokens_before,
     tokens_removed, clean_text) for every document containing at least
@@ -1875,10 +1894,15 @@ def boilerplate_clean(
     corpus so its stage-3 strip agrees with q155's corpus-wide
     definition even though it rewrites only the post-dedup subset
     (ADVICE r11). Default (None) = derive grams from ``docs`` itself,
-    the q155/q156 behavior."""
+    the q155/q156 behavior. ``gram_set`` injects an already-computed
+    (source, g) flag table instead (the incremental release's merged
+    evolving-state counts) and wins over ``gram_docs``."""
     from .dedup import _rewrite_without_spans
 
-    bp = _boilerplate_gram_set(docs if gram_docs is None else gram_docs)
+    if gram_set is not None:
+        bp = gram_set.select("source", "g")
+    else:
+        bp = _boilerplate_gram_set(docs if gram_docs is None else gram_docs)
     flagged = (
         _pos_ngrams(docs)
         .join(F.broadcast(bp), ["source", "g"])

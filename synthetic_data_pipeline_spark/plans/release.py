@@ -71,6 +71,8 @@ def _curation_stages(
     sf_dir: str,
     retention_path: str,
     bench_gram_path: str,
+    only_ids: DataFrame | None = None,
+    bp_set: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Stages 1-6 as named frames so build_release can account each
     strip off the SAME lineage it ships: dedup anti-join, quality
@@ -89,7 +91,14 @@ def _curation_stages(
     pays the full rewrite THEN stores it, while the lazy plan's
     recomputation is two cheap pruned passes. Revisit only if a
     profile shows the positional-gram explode (not the rewrite)
-    dominating at the target scale."""
+    dominating at the target scale.
+
+    ``only_ids`` restricts the REWRITTEN set to the given (doc_id)
+    frame while the corpus-global definitions stay corpus-global —
+    the incremental release's reprocess subset. ``bp_set`` injects a
+    precomputed (source, g) boilerplate flag table (the merged
+    evolving-state counts) instead of recounting grams from the raw
+    corpus."""
     from ..operators.sitscan import redacted_frame
     from ..operators.textops import (
         DECON_BENCH_SOURCE,
@@ -102,12 +111,14 @@ def _curation_stages(
     kept = docs.join(
         spark.read.parquet(retention_path).select("doc_id"), "doc_id", "anti"
     )
+    if only_ids is not None:
+        kept = kept.join(only_ids.select("doc_id"), "doc_id", "semi")
     flags = quality_drop_expr(kept).filter(~F.col("qdrop")).select("doc_id")
     kept = kept.join(flags, "doc_id").filter(
         F.col("source") != DECON_BENCH_SOURCE
     )
     # stage 4: boilerplate strip — gram DEFINITION from the raw corpus
-    bp_touched = boilerplate_clean(kept, gram_docs=docs)
+    bp_touched = boilerplate_clean(kept, gram_docs=docs, gram_set=bp_set)
     bp = kept.join(
         bp_touched.select("doc_id", F.col("clean_text").alias("bp_text")),
         "doc_id",
@@ -151,6 +162,33 @@ def curated_corpus(
     return _curation_stages(
         spark, sf_dir, retention_path, bench_gram_path
     )["final"]
+
+
+def _write_delta_state(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the evolving-state artifacts an INCREMENTAL next release
+    merges against (update_release): the raw-corpus fingerprint
+    manifest (new/changed/removed detection), the minhash signature
+    frame (incremental_cluster_labels' lake side), the additive
+    (source, g, df) gram counts and the per-source doc counts (the
+    boilerplate threshold's inputs — both bucket-wise mergeable).
+    All four are index-scale (fingerprints, band signatures, distinct
+    grams), never corpus-text-scale."""
+    from ..operators.dedup import minhash_signatures_from_tokens, token_state
+    from ..operators.textops import snapshot_manifest, source_gram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot_manifest(docs).write.mode("overwrite").parquet(
+        f"{out_dir}/raw_manifest"
+    )
+    minhash_signatures_from_tokens(
+        token_state(spark, sf_dir)
+    ).write.mode("overwrite").parquet(f"{out_dir}/sigs")
+    source_gram_counts(docs).write.mode("overwrite").parquet(
+        f"{out_dir}/bp_gram_counts"
+    )
+    docs.groupBy("source").agg(F.count("*").alias("n_docs")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/source_counts")
 
 
 def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
@@ -201,6 +239,7 @@ def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     write_bench_gram_index(spark, sf_dir, bench_gram_path)
     label_path = f"{out_dir}/labels"
     write_label_index(spark, sf_dir, label_path)
+    _write_delta_state(spark, sf_dir, out_dir)
 
     stages = _curation_stages(spark, sf_dir, retention_path, bench_gram_path)
     curated = stages["final"]
@@ -264,6 +303,307 @@ def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "n_decon_docs_touched": dc_acct.n,
         "n_decon_tokens_removed": int(dc_acct.tok or 0),
         "n_pii_redactions": int(n_pii or 0),
+        "n_curated_docs": n_curated,
+        "split_counts": split_counts,
+        "n_shards": n_shards,
+        "artifacts": sorted(
+            d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))
+        ),
+    }
+    with open(f"{out_dir}/RELEASE.json", "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    return summary
+
+
+def update_release(
+    spark: SparkSession, prev_out: str, sf_dir: str, out_dir: str
+) -> dict:
+    """Incremental (delta) release — VERDICT r12 #7: given release N's
+    output directory (``prev_out``, with the evolving-state artifacts
+    ``_write_delta_state`` persists) and the GROWN corpus at
+    ``sf_dir``, produce release N+1 at ``out_dir`` rewriting ONLY the
+    documents whose curation inputs changed; everything else carries
+    its already-curated text forward from N's staged corpus. What a
+    100 TB pipeline runs weekly: the full rebuild recomputes the
+    world, this touches the delta.
+
+    The reprocess set is EXACT, derived from how each stage's inputs
+    can change:
+      * new/changed docs (raw-manifest fingerprint diff) — their text
+        was never curated / changed under them;
+      * docs containing a FLIPPED boilerplate gram — the threshold
+        df >= max(2, ceil(n_docs/20)) moves as the corpus grows, so
+        grams enter AND leave the flag set; both directions change an
+        old doc's stage-4 rewrite. Counts merge additively
+        (source_gram_counts), the flip set is the symmetric difference
+        of old/new flag sets, and affected docs come from ONE
+        distinct-gram scan against the broadcast flip set — skipped
+        entirely when nothing flipped (the steady state);
+      * docs containing a gram ADDED to the benchmark index (new
+        benchmark docs) — their stage-5 strip output changes;
+      * docs whose retention status flipped: newly dropped leave the
+        release (membership only, no rewrite), newly KEPT (possible
+        only under doc changes/removals) never had curated text and
+        must be rewritten.
+    Cluster labels merge via incremental_cluster_labels (the
+    q163-pinned contraction) in the append-only case; doc CHANGES or
+    REMOVALS break the monotone CC merge (clusters can split), so that
+    case falls back to a full relabel — the text rewrites stay
+    incremental either way, which is where the wall-clock lives.
+    Splits are re-derived for the WHOLE release from the new labels (a
+    metadata-scale hash, q145's mechanism), so a cluster merge moves
+    every member to one split together.
+
+    Equivalence contract (pinned by test_update_release_equals_full):
+    the staged corpus, splits and accounting equal build_release run
+    from scratch on the grown corpus. Returns the accounting dict
+    (also written as {out}/RELEASE.json) with carried/reprocessed
+    rows."""
+    from ..operators.dedup import (
+        distinct_shingles,
+        minhash_signatures_from_tokens,
+        token_state,
+    )
+    from ..operators.sketches import (
+        _lp_labels,
+        cluster_split_assignments,
+        incremental_cluster_labels,
+    )
+    from ..operators.textops import (
+        DECON_BENCH_SOURCE,
+        boilerplate_threshold_filter,
+        distinct_ngrams,
+        snapshot_manifest,
+        source_gram_counts,
+        write_dataset_cards,
+        write_snapshot_manifest,
+    )
+    from ..operators.assembly import write_training_shards
+
+    if os.path.abspath(prev_out) == os.path.abspath(out_dir):
+        raise ValueError(
+            "update_release: out_dir must differ from prev_out (state is "
+            "read from prev_out while out_dir is written)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+
+    # --- 1. classify the delta off the raw-fingerprint manifests
+    prev_raw = spark.read.parquet(f"{prev_out}/raw_manifest")
+    cur_raw = snapshot_manifest(docs)
+    j = cur_raw.select(
+        "doc_id", F.col("fp").alias("fp_c")
+    ).join(
+        prev_raw.select("doc_id", F.col("fp").alias("fp_p")),
+        "doc_id",
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("fp_p").isNull(), "added")
+        .when(F.col("fp_c").isNull(), "removed")
+        .when(F.col("fp_c") != F.col("fp_p"), "changed")
+        .otherwise("unchanged")
+    )
+    classed = j.select("doc_id", status.alias("st"))
+    st_counts = {
+        r.st: r.n
+        for r in classed.groupBy("st").agg(F.count("*").alias("n")).collect()
+    }  # ≤4 rows
+    n_added = st_counts.get("added", 0)
+    n_changed = st_counts.get("changed", 0)
+    n_removed = st_counts.get("removed", 0)
+    append_only = n_changed == 0 and n_removed == 0
+    delta_ids = classed.filter(F.col("st").isin("added", "changed")).select(
+        "doc_id"
+    )
+    removed_ids = classed.filter(F.col("st") == "removed").select("doc_id")
+    delta_docs = docs.join(delta_ids, "doc_id", "semi")
+
+    # --- 2. cluster labels + retention (incremental merge when the
+    # growth is append-only; doc edits/removals can SPLIT clusters,
+    # which the monotone contraction cannot express — full relabel)
+    if append_only:
+        sig_new = minhash_signatures_from_tokens(
+            distinct_shingles(delta_docs)
+        ).localCheckpoint(eager=False)  # batch-bounded
+        sig_old = spark.read.parquet(f"{prev_out}/sigs")
+        sig_all = sig_old.unionByName(sig_new)
+        labels = incremental_cluster_labels(
+            sig_all, sig_new, spark.read.parquet(f"{prev_out}/labels")
+        )
+    else:
+        sig_all = minhash_signatures_from_tokens(token_state(spark, sf_dir))
+        labels = _lp_labels(spark, sf_dir)
+    labels.write.mode("overwrite").parquet(f"{out_dir}/labels")
+    labels = spark.read.parquet(f"{out_dir}/labels")
+    sig_all.write.mode("overwrite").parquet(f"{out_dir}/sigs")
+    retention_path = f"{out_dir}/retention"
+    labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    ).write.mode("overwrite").parquet(retention_path)
+    retention = spark.read.parquet(retention_path).select("doc_id")
+    prev_retention = spark.read.parquet(f"{prev_out}/retention").select(
+        "doc_id"
+    )
+    newly_dropped = retention.join(prev_retention, "doc_id", "anti")
+    newly_kept = prev_retention.join(retention, "doc_id", "anti")
+    n_dedup_dropped = retention.count()
+
+    # --- 3. boilerplate gram counts: additive merge (or full recount
+    # under edits/removals, where old contributions must be retracted
+    # and the old text needed to do that is gone)
+    if append_only:
+        merged = (
+            spark.read.parquet(f"{prev_out}/bp_gram_counts")
+            .unionByName(source_gram_counts(delta_docs))
+            .groupBy("source", "g")
+            .agg(F.sum("df").alias("df"))
+        )
+        nd_new = (
+            spark.read.parquet(f"{prev_out}/source_counts")
+            .unionByName(
+                delta_docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+            )
+            .groupBy("source")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+    else:
+        merged = source_gram_counts(docs)
+        nd_new = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    merged.write.mode("overwrite").parquet(f"{out_dir}/bp_gram_counts")
+    merged = spark.read.parquet(f"{out_dir}/bp_gram_counts")
+    nd_new.write.mode("overwrite").parquet(f"{out_dir}/source_counts")
+    nd_new = spark.read.parquet(f"{out_dir}/source_counts")
+    bp_new = boilerplate_threshold_filter(merged, nd_new)
+    bp_old = boilerplate_threshold_filter(
+        spark.read.parquet(f"{prev_out}/bp_gram_counts"),
+        spark.read.parquet(f"{prev_out}/source_counts"),
+    )
+    flipped = bp_new.join(bp_old, ["source", "g"], "anti").unionByName(
+        bp_old.join(bp_new, ["source", "g"], "anti")
+    )
+
+    # --- 4. benchmark gram index: distinct-of-union == union-of-
+    # distinct, so append-only merges; either way the CHANGED grams
+    # (both directions) re-decontaminate the old docs containing them
+    prev_bench = spark.read.parquet(f"{prev_out}/bench_grams").select("g")
+    if append_only:
+        bench_new = prev_bench.unionByName(
+            distinct_ngrams(
+                delta_docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+            ).select("g")
+        ).distinct()
+    else:
+        bench_new = (
+            distinct_ngrams(
+                docs.filter(F.col("source") == DECON_BENCH_SOURCE)
+            )
+            .select("g")
+            .distinct()
+        )
+    bench_gram_path = f"{out_dir}/bench_grams"
+    bench_new.write.mode("overwrite").parquet(bench_gram_path)
+    bench_new = spark.read.parquet(bench_gram_path)
+    bench_delta = bench_new.join(prev_bench, "g", "anti").unionByName(
+        prev_bench.join(bench_new, "g", "anti")
+    )
+
+    # --- 5. old docs whose gram-level inputs changed: ONE distinct-
+    # gram scan against the broadcast flip sets, skipped in the steady
+    # state (no threshold crossings, benchmark unchanged). The flip
+    # sets are boundary-crossers — index-scale, broadcastable.
+    n_flipped_bp = flipped.count()
+    n_bench_delta = bench_delta.count()
+    if n_flipped_bp or n_bench_delta:
+        old_docs = docs.join(delta_ids, "doc_id", "anti")
+        grams = distinct_ngrams(old_docs)
+        aff_bp = grams.join(
+            F.broadcast(flipped.select("source", "g")), ["source", "g"]
+        ).select("doc_id")
+        aff_bench = grams.join(
+            F.broadcast(bench_delta.select("g")), "g"
+        ).select("doc_id")
+        affected = aff_bp.unionByName(aff_bench).distinct()
+    else:
+        affected = delta_ids.limit(0)
+
+    # --- 6. the exact reprocess set; everything else carries forward
+    reprocess_ids = (
+        delta_ids.unionByName(affected)
+        .unionByName(newly_kept)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stages = _curation_stages(
+        spark,
+        sf_dir,
+        retention_path,
+        bench_gram_path,
+        only_ids=reprocess_ids,
+        bp_set=bp_new,
+    )
+    reprocessed = stages["final"]
+    bp_acct = stages["bp_touched"].agg(
+        F.count("*").alias("n"), F.sum("tokens_removed").alias("tok")
+    ).collect()[0]
+    dc_acct = stages["dc_touched"].agg(
+        F.count("*").alias("n"), F.sum("tokens_removed").alias("tok")
+    ).collect()[0]
+
+    prev_staged = load_table(spark, prev_out + "/corpus", "documents")
+    carried = (
+        prev_staged.select("doc_id", "text", "lang", "source", "n_chars")
+        .join(reprocess_ids, "doc_id", "anti")
+        .join(newly_dropped, "doc_id", "anti")
+        .join(removed_ids, "doc_id", "anti")
+    )
+    n_carried = carried.count()
+    n_reprocessed = reprocessed.count()
+    corpus = carried.unionByName(reprocessed)
+
+    # --- 7. stage + downstream artifacts, identical to build_release
+    splits = cluster_split_assignments(corpus, labels).select(
+        "doc_id", "split"
+    )
+    corpus_dir = f"{out_dir}/corpus"
+    corpus.join(splits, "doc_id").write.mode("overwrite").parquet(
+        f"{corpus_dir}/documents.parquet"
+    )
+    staged = load_table(spark, corpus_dir, "documents")
+    n_curated = staged.count()
+    split_counts = {
+        r.split: r.n
+        for r in staged.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    write_training_shards(spark, corpus_dir, f"{out_dir}/training")
+    n_shards = spark.read.parquet(f"{out_dir}/training/_manifest").count()
+    write_snapshot_manifest(staged, f"{out_dir}/manifest")
+    write_dataset_cards(spark, corpus_dir, f"{out_dir}/cards")
+    cur_raw.write.mode("overwrite").parquet(f"{out_dir}/raw_manifest")
+
+    summary = {
+        "sf_dir": sf_dir,
+        "prev_out": prev_out,
+        "append_only": append_only,
+        "n_raw_docs": sum(
+            v for k, v in st_counts.items() if k != "removed"
+        ),
+        "n_added": n_added,
+        "n_changed": n_changed,
+        "n_removed": n_removed,
+        "n_dedup_dropped": n_dedup_dropped,
+        "n_newly_dropped": newly_dropped.count(),
+        "n_newly_kept": newly_kept.count(),
+        "n_flipped_boilerplate_grams": n_flipped_bp,
+        "n_changed_bench_grams": n_bench_delta,
+        "n_gram_affected_docs": affected.count(),
+        "n_reprocessed_docs": n_reprocessed,
+        "n_carried_docs": n_carried,
+        "n_boilerplate_docs_touched": bp_acct.n,
+        "n_boilerplate_tokens_removed": int(bp_acct.tok or 0),
+        "n_decon_docs_touched": dc_acct.n,
+        "n_decon_tokens_removed": int(dc_acct.tok or 0),
         "n_curated_docs": n_curated,
         "split_counts": split_counts,
         "n_shards": n_shards,

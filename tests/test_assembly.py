@@ -219,6 +219,35 @@ def test_dds_quantile_guarantee_on_planted_data(spark):
         assert abs(est / exact - 1) <= sketches.DDS_ALPHA + 1e-9
 
 
+def test_dds_order_statistics_exact(spark):
+    """dds_order_statistics returns the SAME values as a plain sort at
+    every requested rank — including duplicate-heavy data, first/last
+    rank, and two ranks landing in one bucket — while ranking only the
+    picked buckets (q201's exact arm rides this, VERDICT r12 #5)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    vals = [1.0, 1.0, 1.0, 2.5, 2.5, 3.0, 40.0, 41.0, 500.0, 500.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ranks = [1, 2, 3, 5, 6, 9, 10]
+    got = sketches.dds_order_statistics(df, "x", ranks)
+    want = {k: sorted(vals)[k - 1] for k in ranks}
+    assert got == want
+    with pytest.raises(ValueError):
+        sketches.dds_order_statistics(df, "x", [11])
+    # and on a real column: rank k == the k-th smallest via sort
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_totalprice").alias("x")
+    )
+    n = orders.count()
+    ks = [1, n // 2, n]
+    got = sketches.dds_order_statistics(orders, "x", ks)
+    srt = orders.orderBy("x").collect()
+    assert got == {k: srt[k - 1].x for k in ks}
+
+
 def test_percentile_accuracy_audit_bounds(spark):
     """q201: every (accuracy × quantile) cell must read within_bound
     (the GK rank guarantee), the exact column must equal numpy's
@@ -241,7 +270,7 @@ def test_percentile_accuracy_audit_bounds(spark):
     )
     want = {
         L: round(1e-9 + float(np.percentile(x, q * 100)), 4)
-        for L, q, _ in relational._PCTL_QS
+        for L, q in relational._PCTL_QS
     }
     for r in rows:
         assert r.within_bound, r

@@ -319,3 +319,277 @@ def test_release_gates_on_planted_adversarial_corpus(spark, tmp_path):
     assert gram not in staged[6] and "news0tok" in staged[6]
     # accounting on disk matches the return value
     assert json.load(open(f"{out}/RELEASE.json")) == s
+
+
+def _delta_base_rows():
+    """Base corpus for the incremental-release tests. Every doc uses
+    distinct generated tokens so no 4-gram repeats within a source by
+    accident; the planted structures are exactly the delta classes
+    update_release must handle."""
+
+    def words(seed: str, n: int) -> str:
+        return " ".join(f"{seed}{i}tok" for i in range(n))
+
+    gram = "zebra quantum lattice harbor"
+    return words, gram, [
+        # benchmark source (src0): held out, defines the decon grams
+        (0, f"{words('bench', 26)} {gram}", "en", "src0"),
+        (1, words("suite", 30), "en", "src0"),
+        # near-dup cluster 1 across sources (3 dropped, 2 canonical)
+        (2, words("story", 30) + " ending one", "en", "src1"),
+        (3, words("story", 30) + " ending two", "en", "src2"),
+        # quality failure
+        (4, " ".join(["aa"] * 30), "en", "src1"),
+        # live PII, redacted in the base release
+        (5, f"{words('memo', 26)} ssn 523-45-6789 mail bob.kay@nordwind-mail.net", "en", "src2"),
+        # benchmark-contaminated doc, stripped in the base release
+        (6, f"{words('news', 26)} {gram} {words('tail', 3)}", "en", "src1"),
+        # carries a gram that a FUTURE doc pushes over the boilerplate
+        # threshold (df 1 -> 2 in src1)
+        (7, f"{words('alpha', 26)} omega delta pulse rune", "en", "src1"),
+        # carries a gram a FUTURE benchmark doc adds to the decon index
+        (8, f"{words('beta', 26)} harbor neon cactus drift", "en", "src2"),
+        # near-dup cluster 2 (10 dropped, 9 canonical) — a future
+        # bridge doc merges it into cluster 1
+        (9, words("poem", 30) + " closing one", "en", "src1"),
+        (10, words("poem", 30) + " closing two", "en", "src2"),
+    ]
+
+
+def _write_corpus(spark, rows, path):
+    df = spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.repartition(2).write.parquet(f"{path}/documents.parquet")
+
+
+def _staged_rows(spark, out):
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    return {
+        r.doc_id: (r.text, r.lang, r.source, r.n_chars, r.split)
+        for r in load_table(spark, out + "/corpus", "documents").collect()
+    }
+
+
+def test_update_release_equals_full(spark, tmp_path):
+    """The delta-release contract (VERDICT r12 #7): update_release on a
+    grown corpus produces EXACTLY the staged corpus, splits and totals
+    of build_release run from scratch — while rewriting only the docs
+    whose curation inputs changed. Exercises every append-only delta
+    class non-vacuously: plain new doc, new near-dup (dropped), a
+    BRIDGE doc merging two old clusters (an old canonical becomes
+    newly-dropped), a boilerplate-threshold flip re-cleaning an old
+    doc, and a benchmark addition re-decontaminating an old doc."""
+    import json
+
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    s1 = build_release(spark, base_dir, out1)
+    assert set(_staged_rows(spark, out1)) == {2, 5, 6, 7, 8, 9}
+
+    grown = base + [
+        # bridge: contains both dup clusters' full token+tail runs —
+        # in its OWN source so the duplicated runs don't ALSO flip
+        # within-source boilerplate thresholds (they would in src2:
+        # df=2 for every story/poem gram). Tail order matters: the
+        # 8-hash minhash is deterministic, and this arrangement is the
+        # one that LSH-collides with BOTH clusters (story-first
+        # variants only hit the poem side)
+        (20, words("poem", 30) + " closing one " + words("story", 30)
+         + " ending one", "en", "src3"),
+        # pushes 'omega delta pulse rune' to df=2 in src1
+        (21, f"{words('gamma', 26)} omega delta pulse rune", "en", "src1"),
+        # new benchmark doc: adds 'harbor neon cactus drift' to decon
+        (22, f"{words('quiz', 26)} harbor neon cactus drift", "en", "src0"),
+        # plain new clean doc
+        (23, words("nova", 30), "en", "src1"),
+    ]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, grown, grown_dir)
+
+    full_out = str(tmp_path / "rel_v2_full")
+    sf = build_release(spark, grown_dir, full_out)
+    delta_out = str(tmp_path / "rel_v2_delta")
+    sd = update_release(spark, out1, grown_dir, delta_out)
+
+    # the shipped product is identical, doc for doc, split included
+    assert _staged_rows(spark, delta_out) == _staged_rows(spark, full_out)
+    for k in ("n_raw_docs", "n_dedup_dropped", "n_curated_docs",
+              "split_counts", "n_shards"):
+        assert sd[k] == sf[k], (k, sd[k], sf[k])
+
+    # delta accounting: exactly the planted classes
+    assert sd["append_only"] is True
+    assert sd["n_added"] == 4 and sd["n_changed"] == 0 == sd["n_removed"]
+    # the bridge merged {2,3} and {9,10}: old canonical 9 is newly
+    # dropped (label moves to 2), as is the bridge doc itself; the new
+    # benchmark doc 22 also minhash-collides with doc 8 (a real 8-hash
+    # LSH false positive — the funnel has no verify stage by design,
+    # q95's contract) and drops with canonical 8
+    assert sd["n_newly_dropped"] == 3 and sd["n_newly_kept"] == 0
+    assert sd["n_flipped_boilerplate_grams"] == 1
+    # every 4-gram of the new benchmark doc joins the decon index;
+    # only 'harbor neon cactus drift' occurs in an old doc
+    assert sd["n_changed_bench_grams"] >= 1
+    assert sd["n_gram_affected_docs"] == 2  # docs 7 and 8
+    # reprocessed = the 4 new docs + 2 affected, minus the dropped
+    # bridge and the held-out benchmark doc; everything else carried
+    assert sd["n_reprocessed_docs"] == 4
+    assert sd["n_carried_docs"] == 3  # docs 2, 5, 6
+    assert sd["n_curated_docs"] == 7
+
+    staged = {k: v[0] for k, v in _staged_rows(spark, delta_out).items()}
+    # the flipped gram is stripped from BOTH its carriers
+    assert "omega delta pulse rune" not in staged[7]
+    assert "omega delta pulse rune" not in staged[21]
+    assert "alpha0tok" in staged[7] and "gamma0tok" in staged[21]
+    # the added benchmark gram is stripped from the old doc
+    assert "harbor neon cactus drift" not in staged[8]
+    assert "beta0tok" in staged[8]
+    # carried docs kept their curated text verbatim (PII still gone)
+    prev = {k: v[0] for k, v in _staged_rows(spark, out1).items()}
+    for d in (2, 5, 6):
+        assert staged[d] == prev[d]
+    # accounting on disk matches the return value
+    assert json.load(open(f"{delta_out}/RELEASE.json")) == sd
+    assert s1["n_curated_docs"] == 6
+
+
+def test_update_release_handles_changes_and_removals(spark, tmp_path):
+    """Doc edits and removals break the monotone cluster merge, so
+    update_release falls back to a full relabel — but the REWRITES
+    stay incremental and the staged corpus still equals the from-
+    scratch rebuild. Removing a dropped dup also exercises newly_kept:
+    its canonical partner's cluster dissolves."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+
+    changed = []
+    for (i, t, la, so) in base:
+        if i == 3:
+            continue  # removed: the dropped dup of doc 2
+        if i == 7:
+            t = t + " appended tail words"  # changed in place
+        changed.append((i, t, la, so))
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, changed, grown_dir)
+
+    full_out = str(tmp_path / "rel_v2_full")
+    sf = build_release(spark, grown_dir, full_out)
+    delta_out = str(tmp_path / "rel_v2_delta")
+    sd = update_release(spark, out1, grown_dir, delta_out)
+
+    assert sd["append_only"] is False
+    assert sd["n_added"] == 0
+    assert sd["n_changed"] == 1 and sd["n_removed"] == 1
+    assert _staged_rows(spark, delta_out) == _staged_rows(spark, full_out)
+    for k in ("n_raw_docs", "n_dedup_dropped", "n_curated_docs",
+              "split_counts", "n_shards"):
+        assert sd[k] == sf[k], (k, sd[k], sf[k])
+    staged = {k: v[0] for k, v in _staged_rows(spark, delta_out).items()}
+    assert "appended tail words" in staged[7]
+
+
+def test_q203_delta_classes_on_planted_corpus(spark, tmp_path):
+    """q203's four delta classes pinned doc-by-doc on a corpus where
+    each class is planted: batch ids are %DELTA_MOD==0, and the corpus
+    contains a new bench doc whose gram re-decontaminates an old doc,
+    a new doc pushing a gram over the boilerplate threshold, a new
+    near-dup with a SMALLER id than its old twin (the old canonical is
+    newly dropped), plain new docs, and untouched carried docs."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        DELTA_MOD,
+        q203_delta_release_classes,
+    )
+
+    assert DELTA_MOD == 7  # the planted ids below assume it
+
+    def words(seed: str, n: int) -> str:
+        return " ".join(f"{seed}{i}tok" for i in range(n))
+
+    H = "harbor neon cactus drift"
+    G = "omega delta pulse rune"
+    rows = [
+        # old benchmark doc (src0): defines the OLD bench gram set
+        (1, words("suite", 30), "en", "src0"),
+        # NEW benchmark doc: adds H to the decon index
+        (7, f"{words('quiz', 26)} {H}", "en", "src0"),
+        # old doc carrying H -> re-decontaminated
+        (2, f"{words('beta', 26)} {H}", "en", "src1"),
+        # old doc carrying G (df=1 in src2 at release N)
+        (3, f"{words('alpha', 26)} {G}", "en", "src2"),
+        # NEW doc pushing G to df=2 in src2 -> flip -> 3 reprocessed
+        (14, f"{words('gamma', 26)} {G}", "en", "src2"),
+        # old near-dup pair: 4 canonical, 5 dropped at BOTH decades
+        (4, words("story", 30) + " ending one", "en", "src1"),
+        (5, words("story", 30) + " ending two", "en", "src2"),
+        # NEW near-dup with a SMALLER id than its old twin: cluster
+        # {0, 6} takes label 0, so old canonical 6 is newly dropped
+        (6, words("poem", 30) + " closing one", "en", "src1"),
+        (0, words("poem", 30) + " closing two", "en", "src2"),
+        # plain new clean doc
+        (21, words("nova", 30), "en", "src1"),
+        # old quality failure: excluded from every decade
+        (10, " ".join(["aa"] * 30), "en", "src1"),
+        # old clean carried docs
+        (8, words("calm", 30), "en", "src1"),
+        (9, words("dawn", 30), "en", "src2"),
+    ]
+    src = str(tmp_path / "corpus")
+    _write_corpus(spark, rows, src)
+    got = {
+        r.status: r.n_docs
+        for r in q203_delta_release_classes(spark, src).collect()
+    }
+    # new: 0 (kept canonical), 14, 21 — the bench doc 7 is held out
+    # reprocessed_gram: 2 (bench add), 3 (threshold flip)
+    # carried: 4, 8, 9 — 5 dropped both decades, 10 quality-dropped
+    # newly_dropped: 6 (label moved to the new smaller id 0)
+    assert got == {
+        "new": 3,
+        "reprocessed_gram": 2,
+        "carried": 3,
+        "newly_dropped": 1,
+    }
+
+
+def test_update_release_zero_delta(spark, tmp_path):
+    """update_release on an UNCHANGED corpus — the steady state bench
+    times as release_update_noop_sec: nothing reprocessed, everything
+    carried, staged corpus byte-equal to release N's."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "v1")
+    s1 = build_release(spark, base_dir, out1)
+    out2 = str(tmp_path / "v2")
+    sd = update_release(spark, out1, base_dir, out2)
+    assert sd["append_only"] is True
+    assert sd["n_added"] == 0 == sd["n_changed"] == sd["n_removed"]
+    assert sd["n_reprocessed_docs"] == 0
+    assert sd["n_gram_affected_docs"] == 0
+    assert sd["n_newly_dropped"] == 0 == sd["n_newly_kept"]
+    assert sd["n_carried_docs"] == s1["n_curated_docs"]
+    assert _staged_rows(spark, out2) == _staged_rows(spark, out1)

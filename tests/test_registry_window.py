@@ -14,30 +14,28 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-12 window (VERDICT r11 Next #1):
-# the three r12 newborns (q202, the release-funnel capstone, took the
-# head-start slot q122 would have had), the three changed-path anchors
-# (q198's denominator change, q152/q170's shared simhash_state
-# rewiring), the FULL 38-row r8-stale tier (computed from the
-# CORRECTNESS_r* artifacts — the r11 VERDICT prose missed
-# q47/q52/q71/q82), and 6 r9-tier head-start rows (release-pipeline
-# deps q145/q147/q103, the two new bench media rows q100/q133, the
-# flagship q90). The remaining r9 tier rotates in r13.
+# Queries that MUST occupy the round-13 window (VERDICT r12 Next #2):
+# the r13 newborn q203 (update_release's gated funnel), four
+# changed-path anchors (q201's exact arm now rides the q200 sketch-
+# guided order statistic; q200's exact rounding gained the 1e-9 nudge
+# on both engines; q155/q156's gram-set path factored through
+# source_gram_counts/boilerplate_threshold_filter for the incremental
+# release), the FULL 44-row r9-stale tier (computed from the
+# CORRECTNESS_r* artifacts), and the q118 r10-tier head start (the
+# evolving-state dedup family this round's update_release exercises).
+# The r10 tier (49 rows) rotates in r14.
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [200, 201, 202,                   # born round 12
-                          # (q202 took the head-start slot q122 would
-                          # have had — q202 is the fresher member of
-                          # the funnel-accounting family; q122 stays
-                          # green locally and leads the r13 rotation)
-                          198, 152, 170,                   # changed paths
-                          # the full r8-stale tier
-                          2, 3, 5, 8, 10, 13, 14, 15, 22, 29,
-                          47, 52, 54, 70, 71, 72, 73, 74, 77, 79,
-                          82, 91, 92, 93, 94, 95, 96, 97, 98,
-                          101, 102, 105, 106, 107,
-                          128, 129, 130, 131,
-                          # r9 head start
-                          145, 147, 103, 100, 133, 90]
+    f"q{i:02d}" for i in [203,                             # born round 13
+                          200, 201, 155, 156,              # changed paths
+                          # the full r9-stale tier (44 rows)
+                          1, 19, 20, 24, 28, 46, 55, 56,
+                          60, 61, 62, 63, 64, 81,
+                          108, 109, 110, 111, 112, 113, 114, 115,
+                          117, 119, 122, 123, 124, 126, 127,
+                          134, 135, 136, 137, 138, 139,
+                          140, 141, 142, 143, 144, 146, 148, 149, 150,
+                          # r10-tier head start
+                          118]
 ]
 
 
