@@ -44,10 +44,11 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     incremental release can merge persisted counts — identical
 #     semantics, new code path);
 #   * ALL 44 r9-stale rows;
-#   * 1 head-start row from the r10 tier (49 rows, r14's rotation):
-#     q118 incremental dedup — the same evolving-state family the
-#     round's update_release work exercises.
-# 1 + 4 + 44 + 1 = 50 exactly.
+#   * the second round-13 newborn q204 (token-weighted length
+#     quantiles on the q200 sketch — VERDICT r12 #9, landed with its
+#     q112/q174 token-budget consumer) takes the last slot; the r10
+#     tier (49 rows) rotates wholesale in r14, led by q118.
+# 2 + 4 + 44 = 50 exactly.
 #
 # --- Round-12 window rationale kept for the audit trail: newborns
 # q200/q201/q202, changed-path anchors q198/q152/q170, the FULL
@@ -90,8 +91,8 @@ DRIVER_WINDOW = [
     "q143_corpus_diversity", "q144_cluster_representatives",
     "q146_weighted_sample", "q148_image_phash_dups",
     "q149_bigram_lm_export", "q150_padding_audit",
-    # r10-tier head start: the delta-release theme's dedup row
-    "q118_incremental_dedup",
+    # second r13 newborn: weighted quantiles on the q200 sketch
+    "q204_weighted_length_quantiles",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

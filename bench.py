@@ -626,7 +626,13 @@ def _release_timings(spark, sf_dir: str) -> dict:
     release_update_noop_sec is the FLOOR a weekly incremental run pays
     (manifest diff, index merges, carried-corpus rewrite) with no docs
     reprocessed. The r12 lazy-vs-checkpoint A/B lives in the
-    plans/release.py docstring (lazy won 48 s vs 90-124 s)."""
+    plans/release.py docstring (lazy won 48 s vs 90-124 s).
+
+    Caveat: this runs at BENCH-END, after 130 queries' caches and
+    checkpoints have accumulated — release_build_sec measured 23-72 s
+    across r13 runs at equal calibration while a fresh-session run is
+    ~40 s; compare rounds by the stable update_noop number (~14.5 s)
+    and treat build_sec as an order-of-magnitude row."""
     import shutil
     import tempfile
 

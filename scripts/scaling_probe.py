@@ -212,6 +212,9 @@ PROBE = [
     # join (q163's class) and the old-slice cc_star; the probe watches
     # the composition
     "q203_delta_release_classes",
+    # round 13 newborn: the weighted q200 sketch — same range-bounded
+    # state, plus a weighted-cumsum exact arm over the picked buckets
+    "q204_weighted_length_quantiles",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -315,9 +318,11 @@ PROBE_100 = [
     "q193_cohort_retention",
     "q178_hybrid_rrf",
     "q175_dedup_threshold_sweep",
-    # round 13 newborn at the second decade: the gram explode + band
-    # join composition is exactly the class the 100x tier exists for
+    # round 13 newborns at the second decade: q203's gram explode +
+    # band join composition is exactly the class the 100x tier exists
+    # for; q204 rides along with q200 (same sketch family, weighted)
     "q203_delta_release_classes",
+    "q204_weighted_length_quantiles",
 ]
 # Media corpus sizes for the scaled tiers (media_n_for sentinel): the
 # 1x base dir is read-only testdata with no sentinel, so 1x stays 60.

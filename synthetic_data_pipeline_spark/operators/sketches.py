@@ -1958,6 +1958,160 @@ def q200_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q204: token-WEIGHTED length quantiles on the q200 sketch
+# (round 13, VERDICT r12 #9 — landed because it has a real consumer:
+# the cutoffs that split a corpus into equal TOKEN budgets are what
+# q112's packing and q174's context-length sweep reason about, and
+# doc-COUNT percentiles get them wrong whenever length and mass
+# correlate, i.e. always). Same additive log-bucket state as q200
+# with sum(weight) per bucket instead of count — mergeability and the
+# α relative-error bound carry over verbatim (the k-th weighted order
+# statistic lives in the first bucket whose cumulative WEIGHT reaches
+# k, and every member is within α of the midpoint). Weights are
+# integer token counts, so k = ceil(q·W) stays exact integer
+# arithmetic — no float knife edge. The exact arm sorts only the
+# picked buckets and takes the first weighted-cumsum crossing (ties
+# share the same x, so the crossing value is permutation-proof). The
+# oracle recomputes the whole weighted sketch in SQL — the hash pins
+# the estimate itself, q200's contract.
+def dds_hist_weighted(
+    df: DataFrame, value_col: str, weight_col: str
+) -> DataFrame:
+    """(bucket, n) log-bucket histogram with n = sum(weight) — the
+    weighted q200 partial; additive over disjoint doc sets like
+    dds_hist (same groupBy-sum merge)."""
+    return (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(dds_bucket(value_col).alias("bucket"))
+        .agg(F.sum(weight_col).alias("n"))
+    )
+
+
+def q204_weighted_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textops import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(F.size(_tokens(F.col("text"))).alias("x"))
+    hist = sorted(
+        (r.bucket, r.n)
+        for r in dds_hist_weighted(
+            per_doc.withColumn("w", F.col("x")), "x", "w"
+        ).collect()
+    )  # bounded: ≤ ln(max/min)/α buckets
+    total, picks = _dds_read(hist)
+    # exact arm: weighted-cumsum crossing inside the picked buckets
+    want = {b: k - cum_prev for _, k, b, cum_prev, _e in picks}
+    cand = (
+        per_doc.filter(F.col("x") > 0)
+        .select("x", dds_bucket("x").alias("bucket"))
+        .filter(F.col("bucket").isin(list(want)))
+    )
+    cum = cand.withColumn(
+        "cw",
+        F.sum("x").over(
+            Window.partitionBy("bucket")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    krows = F.create_map(
+        *[x for b, lk in want.items() for x in (F.lit(b), F.lit(lk))]
+    )
+    crossing = (
+        cum.withColumn("lk", krows[F.col("bucket")])
+        .filter(
+            (F.col("cw") >= F.col("lk")) & (F.col("cw") - F.col("x") < F.col("lk"))
+        )
+        .select("bucket", "x")
+    )
+    exact = {r.bucket: r.x for r in crossing.collect()}  # ≤3 rows
+    rows = []
+    for label, k, b, _cum_prev, est in picks:
+        ex = exact[b]
+        rows.append(
+            (
+                label,
+                total,
+                b,
+                round(1e-9 + est, 4),
+                int(ex),  # token counts are integers — no rounding edge
+                abs(est / ex - 1) <= DDS_ALPHA + 1e-9,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "quantile string, total_tokens long, bucket long, est double,"
+        " exact long, within_bound boolean",
+    )
+
+
+def _q204_oracle() -> str:
+    import math
+
+    lng = repr(math.log(_DDS_GAMMA))
+    g = repr(_DDS_GAMMA)
+    qrows = ", ".join(
+        f"('{L}', {num}, {den})" for L, num, den in _DDS_QUANTILES
+    )
+    return f"""
+      WITH bvals AS MATERIALIZED (
+        SELECT x, x AS w,
+               CAST(ceil(round(ln(x) / {lng}, 9)) AS BIGINT) AS bucket
+        FROM (
+          SELECT len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS x
+          FROM documents
+        ) WHERE x > 0
+      ),
+      hist AS MATERIALIZED (
+        SELECT bucket, sum(w) AS n FROM bvals GROUP BY bucket
+      ),
+      cum AS MATERIALIZED (
+        SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum FROM hist
+      ),
+      tot AS (SELECT sum(n) AS n FROM hist),
+      qs(label, num, den) AS (VALUES {qrows}),
+      ks AS (
+        SELECT q.label, t.n,
+               CAST(floor((t.n * q.num + q.den - 1) / q.den) AS BIGINT) AS k
+        FROM qs q, tot t
+      ),
+      pick AS (
+        SELECT ks.label, ks.n, ks.k, min(c.bucket) AS bucket
+        FROM ks JOIN cum c ON c.cum >= ks.k
+        GROUP BY ks.label, ks.n, ks.k
+      ),
+      prev AS (
+        SELECT p.*,
+               coalesce((SELECT max(c2.cum) FROM cum c2
+                         WHERE c2.bucket < p.bucket), 0) AS cum_prev
+        FROM pick p
+      ),
+      wcum AS MATERIALIZED (
+        SELECT x, bucket,
+               sum(w) OVER (PARTITION BY bucket ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               w
+        FROM bvals WHERE bucket IN (SELECT bucket FROM prev)
+      )
+      SELECT p.label AS quantile,
+             CAST(p.n AS BIGINT) AS total_tokens,
+             p.bucket,
+             round(1e-9 + 2 * pow({g}, p.bucket) / ({g} + 1.0), 4) AS est,
+             CAST(r.x AS BIGINT) AS exact,
+             (abs((2 * pow({g}, p.bucket) / ({g} + 1.0)) / r.x - 1)
+              <= {DDS_ALPHA!r} + 1e-9) AS within_bound
+      FROM prev p
+      JOIN wcum r ON r.bucket = p.bucket
+                 AND r.cw >= p.k - p.cum_prev
+                 AND r.cw - r.w < p.k - p.cum_prev
+      ORDER BY quantile
+    """
+
+
 def _q200_oracle() -> str:
     import math
 
@@ -2019,6 +2173,7 @@ QUERIES = {
     "q200_quantile_sketch": q200_quantile_sketch,
     "q202_release_accounting": q202_release_accounting,
     "q203_delta_release_classes": q203_delta_release_classes,
+    "q204_weighted_length_quantiles": q204_weighted_length_quantiles,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
@@ -2043,6 +2198,7 @@ def _oracles() -> dict[str, str]:
         "q200_quantile_sketch": _q200_oracle(),
         "q202_release_accounting": _release_accounting_oracle(),
         "q203_delta_release_classes": _delta_release_oracle(),
+        "q204_weighted_length_quantiles": _q204_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
         # star contraction converges to the exact components; on any
         # corpus where the LP unroll also converged (q103 n_changed=0

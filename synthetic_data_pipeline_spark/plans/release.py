@@ -619,10 +619,13 @@ def update_release(
 
 def main(argv: list[str] | None = None) -> None:
     """CLI: ``python -m synthetic_data_pipeline_spark.plans.release
-    <sf_dir> <out_dir>`` — the one-command analog of the reference's
-    end-to-end main() (generate → postprocess → validate → files on
-    disk), applied to curation: raw parquet corpus in, publishable
-    release directory + RELEASE.json accounting out."""
+    <sf_dir> <out_dir> [--from PREV_OUT]`` — the one-command analog of
+    the reference's end-to-end main() (generate → postprocess →
+    validate → files on disk), applied to curation: raw parquet corpus
+    in, publishable release directory + RELEASE.json accounting out.
+    With ``--from``, builds the release INCREMENTALLY from a previous
+    release's persisted state (update_release) — the weekly-cadence
+    mode."""
     import argparse
 
     from synthetic_data_pipeline_spark.session import get_spark
@@ -633,6 +636,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("sf_dir", help="input corpus directory (sf_dir-shaped)")
     p.add_argument("out_dir", help="release output directory")
     p.add_argument(
+        "--from", dest="prev_out", default=None, metavar="PREV_OUT",
+        help="previous release directory: build incrementally from its "
+        "persisted state (update_release) instead of from scratch",
+    )
+    p.add_argument(
         "--master", default=None,
         help="Spark master (default: session factory's choice)",
     )
@@ -641,7 +649,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.master:
         kwargs["master"] = args.master
     spark = get_spark(**kwargs)
-    summary = build_release(spark, args.sf_dir, args.out_dir)
+    if args.prev_out:
+        summary = update_release(spark, args.prev_out, args.sf_dir, args.out_dir)
+    else:
+        summary = build_release(spark, args.sf_dir, args.out_dir)
     print(json.dumps(summary, indent=1, sort_keys=True))
     spark.stop()
 

@@ -757,3 +757,45 @@ def test_transition_matrix_planted(spark, tmp_path):
     assert got[("B", "B")].n_transitions == 1
     assert abs(got[("A", "B")].p - 1.0) < 1e-9
     assert abs(got[("B", "B")].p - 1.0) < 1e-9
+
+
+def test_weighted_quantiles_on_planted_corpus(spark):
+    """q204's weighted semantics pinned against a brute-force weighted
+    order statistic: on a corpus where one LONG doc carries most of the
+    token mass, the token-weighted median must land in the long doc's
+    length bucket while the doc-count median would not — the exact
+    column is the true weighted crossing, and the α bound holds."""
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    # 50 short docs (10 tokens) + 1 long doc (2000 tokens): the
+    # doc-count median length is 10, but >79% of TOKENS live in the
+    # long doc, so every token-weighted quantile >= p50 must be 2000
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)), "en", "s")
+            for i in range(50)]
+    rows.append((99, " ".join(f"long{j}" for j in range(2000)), "en", "s"))
+    df = spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    src = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{src}/documents.parquet")
+    out = {
+        r.quantile: r
+        for r in sketches.q204_weighted_length_quantiles(spark, src).collect()
+    }
+    assert out["p50"].total_tokens == 50 * 10 + 2000
+    for q in ("p50", "p90", "p99"):
+        assert out[q].exact == 2000, out[q]
+        assert out[q].within_bound
+    # brute-force weighted check at p50 on the raw numbers
+    masses = sorted([(10, 10)] * 50 + [(2000, 2000)])
+    total = sum(w for _, w in masses)
+    k = (total + 1) // 2
+    cum = 0
+    for x, w in masses:
+        cum += w
+        if cum >= k:
+            assert x == out["p50"].exact
+            break

@@ -593,3 +593,38 @@ def test_update_release_zero_delta(spark, tmp_path):
     assert sd["n_newly_dropped"] == 0 == sd["n_newly_kept"]
     assert sd["n_carried_docs"] == s1["n_curated_docs"]
     assert _staged_rows(spark, out2) == _staged_rows(spark, out1)
+
+
+def test_release_cli_dispatch(monkeypatch, capsys):
+    """The release CLI's two modes dispatch correctly: bare args run
+    build_release, --from PREV runs update_release — no Spark work
+    (both are stubbed), just the argparse contract."""
+    from synthetic_data_pipeline_spark.plans import release as R
+
+    calls = []
+
+    class _FakeSpark:
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        "synthetic_data_pipeline_spark.session.get_spark",
+        lambda **kw: _FakeSpark(),
+    )
+    monkeypatch.setattr(
+        R, "build_release",
+        lambda spark, sf, out: calls.append(("build", sf, out)) or {"m": 1},
+    )
+    monkeypatch.setattr(
+        R, "update_release",
+        lambda spark, prev, sf, out: calls.append(
+            ("update", prev, sf, out)
+        ) or {"m": 2},
+    )
+    R.main(["/in", "/out"])
+    R.main(["/in2", "/out2", "--from", "/prev"])
+    assert calls == [
+        ("build", "/in", "/out"),
+        ("update", "/prev", "/in2", "/out2"),
+    ]
+    assert '"m": 2' in capsys.readouterr().out

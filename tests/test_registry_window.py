@@ -21,11 +21,11 @@ DRIVER_CAP = 50
 # on both engines; q155/q156's gram-set path factored through
 # source_gram_counts/boilerplate_threshold_filter for the incremental
 # release), the FULL 44-row r9-stale tier (computed from the
-# CORRECTNESS_r* artifacts), and the q118 r10-tier head start (the
-# evolving-state dedup family this round's update_release exercises).
-# The r10 tier (49 rows) rotates in r14.
+# CORRECTNESS_r* artifacts), and the second r13 newborn q204
+# (token-weighted length quantiles on the q200 sketch, VERDICT r12
+# #9). The r10 tier (49 rows) rotates wholesale in r14, led by q118.
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [203,                             # born round 13
+    f"q{i:02d}" for i in [203, 204,                        # born round 13
                           200, 201, 155, 156,              # changed paths
                           # the full r9-stale tier (44 rows)
                           1, 19, 20, 24, 28, 46, 55, 56,
@@ -33,9 +33,7 @@ R2_UNCHECKED = [
                           108, 109, 110, 111, 112, 113, 114, 115,
                           117, 119, 122, 123, 124, 126, 127,
                           134, 135, 136, 137, 138, 139,
-                          140, 141, 142, 143, 144, 146, 148, 149, 150,
-                          # r10-tier head start
-                          118]
+                          140, 141, 142, 143, 144, 146, 148, 149, 150]
 ]
 
 
