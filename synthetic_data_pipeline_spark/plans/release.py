@@ -164,6 +164,21 @@ def curated_corpus(
     )["final"]
 
 
+# The staged corpus is hive-partitioned on pt = doc_id % N so a DELTA
+# release can rewrite ONLY the partitions containing touched docs and
+# carry the rest as directory copies — at 100 TB the weekly delta's
+# dominant cost would otherwise be REWRITING unchanged bytes, not
+# computing them (compute-incrementality alone still rewrites the
+# lake). A local copy is shutil.copytree; on an object store the same
+# step is a server-side copy / manifest pointer — either way no Spark
+# job touches untouched partitions' bytes.
+N_CORPUS_PARTITIONS = 32
+
+
+def _pt_col():
+    return F.pmod(F.col("doc_id"), F.lit(N_CORPUS_PARTITIONS)).cast("int")
+
+
 def _write_delta_state(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Persist the evolving-state artifacts an INCREMENTAL next release
     merges against (update_release): the raw-corpus fingerprint
@@ -257,9 +272,9 @@ def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         curated, spark.read.parquet(label_path)
     ).select("doc_id", "split")
     corpus_dir = f"{out_dir}/corpus"
-    curated.join(splits, "doc_id").write.mode("overwrite").parquet(
-        f"{corpus_dir}/documents.parquet"
-    )
+    curated.join(splits, "doc_id").withColumn("pt", _pt_col()).write.partitionBy(
+        "pt"
+    ).mode("overwrite").parquet(f"{corpus_dir}/documents.parquet")
     staged = load_table(spark, corpus_dir, "documents")
     n_curated = staged.count()
     split_counts = {
@@ -354,6 +369,15 @@ def update_release(
     Splits are re-derived for the WHOLE release from the new labels (a
     metadata-scale hash, q145's mechanism), so a cluster merge moves
     every member to one split together.
+
+    I/O is incremental too: the staged corpus is hive-partitioned on
+    pt = doc_id % N_CORPUS_PARTITIONS, and only partitions containing
+    touched rows (text reprocessed, membership changed, or split
+    moved) are rewritten — untouched partitions carry as directory
+    copies (locally shutil.copytree; on an object store the same step
+    is a server-side copy / manifest pointer). Without this the weekly
+    delta's dominant cost at 100 TB would be rewriting unchanged
+    bytes, not computing them.
 
     Equivalence contract (pinned by test_update_release_equals_full):
     the staged corpus, splits and accounting equal build_release run
@@ -552,24 +576,73 @@ def update_release(
     ).collect()[0]
 
     prev_staged = load_table(spark, prev_out + "/corpus", "documents")
+    if "pt" not in prev_staged.columns:  # pre-partitioning release N
+        prev_staged = prev_staged.withColumn("pt", _pt_col())
     carried = (
-        prev_staged.select("doc_id", "text", "lang", "source", "n_chars")
+        prev_staged.select(
+            "doc_id", "text", "lang", "source", "n_chars", "pt"
+        )
         .join(reprocess_ids, "doc_id", "anti")
         .join(newly_dropped, "doc_id", "anti")
         .join(removed_ids, "doc_id", "anti")
     )
     n_carried = carried.count()
     n_reprocessed = reprocessed.count()
-    corpus = carried.unionByName(reprocessed)
+    corpus = carried.unionByName(reprocessed.withColumn("pt", _pt_col()))
 
-    # --- 7. stage + downstream artifacts, identical to build_release
+    # --- 7. stage: splits re-derive for the WHOLE release (metadata-
+    # scale), but only the PARTITIONS containing touched rows are
+    # rewritten — a row is touched when its text changed (reprocess),
+    # its membership changed (newly dropped / removed), or a cluster
+    # merge MOVED its split; everything else carries as a directory
+    # copy, never through a Spark write (the 100 TB point: the weekly
+    # delta must not rewrite the lake's unchanged bytes)
     splits = cluster_split_assignments(corpus, labels).select(
         "doc_id", "split"
     )
-    corpus_dir = f"{out_dir}/corpus"
-    corpus.join(splits, "doc_id").write.mode("overwrite").parquet(
-        f"{corpus_dir}/documents.parquet"
+    split_moved = (
+        prev_staged.select("doc_id", F.col("split").alias("old_split"))
+        .join(splits, "doc_id")
+        .filter(F.col("old_split") != F.col("split"))
+        .select("doc_id")
     )
+    touched_pts = sorted(
+        r.pt
+        for r in reprocess_ids.unionByName(newly_dropped)
+        .unionByName(removed_ids)
+        .unionByName(split_moved)
+        .select(_pt_col().alias("pt"))
+        .distinct()
+        .collect()  # ≤ N_CORPUS_PARTITIONS rows
+    )
+    corpus_dir = f"{out_dir}/corpus"
+    corpus_path = f"{corpus_dir}/documents.parquet"
+    prev_path = f"{prev_out}/corpus/documents.parquet"
+    os.makedirs(corpus_path, exist_ok=True)
+    n_copied = 0
+    local_prev = "://" not in prev_path and any(
+        n.startswith("pt=") for n in os.listdir(prev_path)
+    )  # a pre-partitioning release N has no pt= dirs — full rewrite
+    if local_prev:
+        import shutil
+
+        for name in sorted(os.listdir(prev_path)):
+            if not name.startswith("pt="):
+                continue
+            if int(name.split("=", 1)[1]) in touched_pts:
+                continue
+            shutil.copytree(
+                os.path.join(prev_path, name),
+                os.path.join(corpus_path, name),
+            )
+            n_copied += 1
+        rewrite = corpus.filter(F.col("pt").isin(touched_pts))
+    else:  # non-local store without a server-side copy hook: rewrite
+        rewrite = corpus
+    if touched_pts or not local_prev:
+        rewrite.join(splits, "doc_id").write.partitionBy("pt").mode(
+            "append"
+        ).parquet(corpus_path)
     staged = load_table(spark, corpus_dir, "documents")
     n_curated = staged.count()
     split_counts = {
@@ -600,6 +673,12 @@ def update_release(
         "n_gram_affected_docs": affected.count(),
         "n_reprocessed_docs": n_reprocessed,
         "n_carried_docs": n_carried,
+        "n_partitions": N_CORPUS_PARTITIONS,
+        "n_partitions_rewritten": (
+            len(touched_pts) if local_prev else N_CORPUS_PARTITIONS
+        ),
+        "n_partitions_copied": n_copied,
+        "n_split_moved": split_moved.count(),
         "n_boilerplate_docs_touched": bp_acct.n,
         "n_boilerplate_tokens_removed": int(bp_acct.tok or 0),
         "n_decon_docs_touched": dc_acct.n,

@@ -446,6 +446,10 @@ def test_update_release_equals_full(spark, tmp_path):
     assert sd["n_reprocessed_docs"] == 4
     assert sd["n_carried_docs"] == 3  # docs 2, 5, 6
     assert sd["n_curated_docs"] == 7
+    # partition-selective staging: some partitions rewritten, the rest
+    # carried as directory copies, and together they hold the corpus
+    assert 1 <= sd["n_partitions_rewritten"] < sd["n_partitions"]
+    assert sd["n_partitions_copied"] >= 1
 
     staged = {k: v[0] for k, v in _staged_rows(spark, delta_out).items()}
     # the flipped gram is stripped from BOTH its carriers
@@ -592,6 +596,11 @@ def test_update_release_zero_delta(spark, tmp_path):
     assert sd["n_gram_affected_docs"] == 0
     assert sd["n_newly_dropped"] == 0 == sd["n_newly_kept"]
     assert sd["n_carried_docs"] == s1["n_curated_docs"]
+    # the zero-delta steady state rewrites NOTHING: every populated
+    # partition carries by copy, no Spark write at all
+    assert sd["n_partitions_rewritten"] == 0
+    assert sd["n_partitions_copied"] >= 1
+    assert sd["n_split_moved"] == 0
     assert _staged_rows(spark, out2) == _staged_rows(spark, out1)
 
 
