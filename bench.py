@@ -187,7 +187,10 @@ HEADLINE = [
     # round 13: q203 delta-release classification (memoized shingle/
     # pair state + batch contraction merge + ONE distinct-gram explode
     # reused for both decades' counts/bench sets/affected flags +
-    # broadcast flip joins — update_release's funnel as a gated row)
+    # broadcast flip joins — update_release's funnel as a gated row).
+    # q204 weighted quantiles is EXCLUDED by the inclusion policy: its
+    # plan is q200's log-bucket agg with sum(w) — q200 is its cousin
+    # here; q204 has its own 10x/100x probe rows instead.
     "q203_delta_release_classes",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
