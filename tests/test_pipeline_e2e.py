@@ -637,3 +637,43 @@ def test_release_cli_dispatch(monkeypatch, capsys):
         ("update", "/prev", "/in2", "/out2"),
     ]
     assert '"m": 2' in capsys.readouterr().out
+
+
+def test_update_release_pre_partitioning_fallback(spark, tmp_path):
+    """Backward compat: release N staged BEFORE the pt-partitioned
+    layout (flat corpus dir, no pt= subdirs) must fall back to a FULL
+    rewrite — the dangerous failure mode would be the copy loop
+    finding nothing to copy and the touched-partition write shipping
+    only the delta."""
+    import shutil
+
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    s1 = build_release(spark, base_dir, out1)
+
+    # rewrite v1's staged corpus in the OLD flat layout (no pt= dirs)
+    flat = load_table(spark, out1 + "/corpus", "documents").drop("pt")
+    tmp_corpus = str(tmp_path / "flat_corpus")
+    flat.write.parquet(tmp_corpus)
+    shutil.rmtree(f"{out1}/corpus/documents.parquet")
+    shutil.move(tmp_corpus, f"{out1}/corpus/documents.parquet")
+
+    grown = base + [(23, words("nova", 30), "en", "src1")]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, grown, grown_dir)
+    out2 = str(tmp_path / "rel_v2")
+    sd = update_release(spark, out1, grown_dir, out2)
+    assert sd["n_partitions_copied"] == 0
+    assert sd["n_partitions_rewritten"] == sd["n_partitions"]
+    staged = _staged_rows(spark, out2)
+    # every prior doc carried, the new doc shipped — nothing lost
+    assert set(staged) == {2, 5, 6, 7, 8, 9, 23}
+    assert sd["n_curated_docs"] == s1["n_curated_docs"] + 1
