@@ -677,3 +677,34 @@ def test_update_release_pre_partitioning_fallback(spark, tmp_path):
     # every prior doc carried, the new doc shipped — nothing lost
     assert set(staged) == {2, 5, 6, 7, 8, 9, 23}
     assert sd["n_curated_docs"] == s1["n_curated_docs"] + 1
+
+
+def test_update_release_reproducible(spark, tmp_path):
+    """Running the SAME delta twice yields byte-identical accounting
+    and staged rows — the versioned-release guarantee extended to the
+    incremental path (a nondeterminism regression in the merge, flip
+    detection or partition staging fails here)."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+    grown = base + [
+        (21, f"{words('gamma', 26)} omega delta pulse rune", "en", "src1"),
+        (23, words("nova", 30), "en", "src1"),
+    ]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, grown, grown_dir)
+    sa = update_release(spark, out1, grown_dir, str(tmp_path / "va"))
+    sb = update_release(spark, out1, grown_dir, str(tmp_path / "vb"))
+    ka = {k: v for k, v in sa.items() if k not in ("sf_dir", "prev_out")}
+    kb = {k: v for k, v in sb.items() if k not in ("sf_dir", "prev_out")}
+    assert ka == kb
+    assert _staged_rows(spark, str(tmp_path / "va")) == _staged_rows(
+        spark, str(tmp_path / "vb")
+    )
