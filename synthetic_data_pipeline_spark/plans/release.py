@@ -331,8 +331,23 @@ def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return summary
 
 
+def _local_copy_partition(src: str, dst: str) -> None:
+    """Default partition-carry for a local filesystem: a recursive
+    directory copy. Object-store deployments inject their own
+    server-side copy (S3 CopyObject / GCS rewrite / a manifest
+    pointer) via ``update_release(copy_partition=...)`` — the carry
+    logic itself is store-agnostic (VERDICT r13 #6)."""
+    import shutil
+
+    shutil.copytree(src, dst)
+
+
 def update_release(
-    spark: SparkSession, prev_out: str, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    prev_out: str,
+    sf_dir: str,
+    out_dir: str,
+    copy_partition=None,
 ) -> dict:
     """Incremental (delta) release — VERDICT r12 #7: given release N's
     output directory (``prev_out``, with the evolving-state artifacts
@@ -362,10 +377,12 @@ def update_release(
         only under doc changes/removals) never had curated text and
         must be rewritten.
     Cluster labels merge via incremental_cluster_labels (the
-    q163-pinned contraction) in the append-only case; doc CHANGES or
-    REMOVALS break the monotone CC merge (clusters can split), so that
-    case falls back to a full relabel — the text rewrites stay
-    incremental either way, which is where the wall-clock lives.
+    q163-pinned contraction) in every case; doc CHANGES or REMOVALS —
+    which can SPLIT clusters, inexpressible by the monotone merge
+    alone — dissolve exactly the components containing a dirty doc and
+    re-derive them inside the batch (survivors re-enter with persisted
+    signatures), so the relabel cost scales with the delta and its
+    components, never the corpus (VERDICT r13 #5).
     Splits are re-derived for the WHOLE release from the new labels (a
     metadata-scale hash, q145's mechanism), so a cluster merge moves
     every member to one split together.
@@ -373,11 +390,13 @@ def update_release(
     I/O is incremental too: the staged corpus is hive-partitioned on
     pt = doc_id % N_CORPUS_PARTITIONS, and only partitions containing
     touched rows (text reprocessed, membership changed, or split
-    moved) are rewritten — untouched partitions carry as directory
-    copies (locally shutil.copytree; on an object store the same step
-    is a server-side copy / manifest pointer). Without this the weekly
-    delta's dominant cost at 100 TB would be rewriting unchanged
-    bytes, not computing them.
+    moved) are rewritten — untouched partitions carry via the
+    ``copy_partition(src, dst)`` hook (default: local copytree;
+    object-store deployments inject a server-side copy / manifest
+    pointer — the untouched-partition list comes from the DATA, not a
+    directory listing, so the carry is store-agnostic). Without this
+    the weekly delta's dominant cost at 100 TB would be rewriting
+    unchanged bytes, not computing them.
 
     Equivalence contract (pinned by test_update_release_equals_full):
     the staged corpus, splits and accounting equal build_release run
@@ -387,10 +406,8 @@ def update_release(
     from ..operators.dedup import (
         distinct_shingles,
         minhash_signatures_from_tokens,
-        token_state,
     )
     from ..operators.sketches import (
-        _lp_labels,
         cluster_split_assignments,
         incremental_cluster_labels,
     )
@@ -444,21 +461,55 @@ def update_release(
     removed_ids = classed.filter(F.col("st") == "removed").select("doc_id")
     delta_docs = docs.join(delta_ids, "doc_id", "semi")
 
-    # --- 2. cluster labels + retention (incremental merge when the
-    # growth is append-only; doc edits/removals can SPLIT clusters,
-    # which the monotone contraction cannot express — full relabel)
+    # --- 2. cluster labels + retention: component-local incremental
+    # merge (VERDICT r13 #5 — replaces the whole-corpus relabel the
+    # edit path used to take). Append-only growth is the degenerate
+    # case (no dirty components). Doc EDITS/REMOVALS dissolve exactly
+    # the components containing a dirty doc: their SURVIVORS re-enter
+    # the batch with their persisted signatures (text unchanged ⇒ sig
+    # unchanged), dirty docs' old signatures leave the pair graph, and
+    # every other component's label carries forward verbatim. Splits
+    # are expressible because a dirty component is re-derived from
+    # scratch within the batch (survivor↔survivor collisions are
+    # batch↔all pairs); merges with untouched components ride the same
+    # monotone contraction as the append-only case. The relabel cost
+    # scales with |delta| + |dirty components|, never corpus size —
+    # at 100 TB one edited doc re-pairs its component, not the lake.
+    # The dirty/survivor frames are delta-bounded by the weekly-delta
+    # contract, hence the broadcast hints.
+    sig_old = spark.read.parquet(f"{prev_out}/sigs")
+    old_labels = spark.read.parquet(f"{prev_out}/labels")
+    sig_delta = minhash_signatures_from_tokens(
+        distinct_shingles(delta_docs)
+    ).localCheckpoint(eager=False)  # batch-bounded
     if append_only:
-        sig_new = minhash_signatures_from_tokens(
-            distinct_shingles(delta_docs)
-        ).localCheckpoint(eager=False)  # batch-bounded
-        sig_old = spark.read.parquet(f"{prev_out}/sigs")
-        sig_all = sig_old.unionByName(sig_new)
-        labels = incremental_cluster_labels(
-            sig_all, sig_new, spark.read.parquet(f"{prev_out}/labels")
-        )
+        base_labels = old_labels
+        sig_all = sig_old.unionByName(sig_delta)
+        sig_batch = sig_delta
     else:
-        sig_all = minhash_signatures_from_tokens(token_state(spark, sf_dir))
-        labels = _lp_labels(spark, sf_dir)
+        dirty = classed.filter(F.col("st").isin("changed", "removed")).select(
+            F.col("doc_id").alias("node")
+        )
+        dirty_lbls = (
+            old_labels.join(F.broadcast(dirty), "node", "semi")
+            .select("label")
+            .distinct()
+        )
+        base_labels = old_labels.join(F.broadcast(dirty_lbls), "label", "anti")
+        survivors = (
+            old_labels.join(F.broadcast(dirty_lbls), "label", "semi")
+            .join(F.broadcast(dirty), "node", "anti")
+            .select(F.col("node").alias("doc_id"))
+        )
+        gone = classed.filter(F.col("st").isin("changed", "removed")).select(
+            "doc_id"
+        )
+        sig_cur = sig_old.join(F.broadcast(gone), "doc_id", "anti")
+        sig_all = sig_cur.unionByName(sig_delta)
+        sig_batch = sig_cur.join(
+            F.broadcast(survivors), "doc_id", "semi"
+        ).unionByName(sig_delta)
+    labels = incremental_cluster_labels(sig_all, sig_batch, base_labels)
     labels.write.mode("overwrite").parquet(f"{out_dir}/labels")
     labels = spark.read.parquet(f"{out_dir}/labels")
     sig_all.write.mode("overwrite").parquet(f"{out_dir}/sigs")
@@ -576,7 +627,8 @@ def update_release(
     ).collect()[0]
 
     prev_staged = load_table(spark, prev_out + "/corpus", "documents")
-    if "pt" not in prev_staged.columns:  # pre-partitioning release N
+    prev_partitioned = "pt" in prev_staged.columns
+    if not prev_partitioned:  # pre-partitioning release N
         prev_staged = prev_staged.withColumn("pt", _pt_col())
     carried = (
         prev_staged.select(
@@ -618,28 +670,38 @@ def update_release(
     corpus_dir = f"{out_dir}/corpus"
     corpus_path = f"{corpus_dir}/documents.parquet"
     prev_path = f"{prev_out}/corpus/documents.parquet"
-    os.makedirs(corpus_path, exist_ok=True)
-    n_copied = 0
-    local_prev = "://" not in prev_path and any(
-        n.startswith("pt=") for n in os.listdir(prev_path)
-    )  # a pre-partitioning release N has no pt= dirs — full rewrite
-    if local_prev:
+    # Idempotent staging (ADVICE r13): a retried update_release into an
+    # existing out_dir must CONVERGE — start from an empty corpus dir so
+    # prior copytree targets can't raise FileExistsError and a crashed
+    # mid-append can't leave partials that mode('append') double-counts.
+    # out_dir != prev_out is enforced above, so this only ever removes
+    # this run's own (possibly partial) output.
+    if os.path.exists(corpus_path):
         import shutil
 
-        for name in sorted(os.listdir(prev_path)):
-            if not name.startswith("pt="):
+        shutil.rmtree(corpus_path)
+    os.makedirs(corpus_path, exist_ok=True)
+    n_copied = 0
+    if copy_partition is None and "://" not in prev_path:
+        copy_partition = _local_copy_partition
+    carry = prev_partitioned and copy_partition is not None
+    if carry:
+        # untouched-partition list from the DATA (distinct pt, ≤
+        # N_CORPUS_PARTITIONS rows), never a directory listing — the
+        # same carry logic works against any store whose deployment
+        # injects a server-side copy_partition (VERDICT r13 #6)
+        prev_pts = sorted(
+            r.pt for r in prev_staged.select("pt").distinct().collect()
+        )
+        for pt in prev_pts:
+            if pt in touched_pts:
                 continue
-            if int(name.split("=", 1)[1]) in touched_pts:
-                continue
-            shutil.copytree(
-                os.path.join(prev_path, name),
-                os.path.join(corpus_path, name),
-            )
+            copy_partition(f"{prev_path}/pt={pt}", f"{corpus_path}/pt={pt}")
             n_copied += 1
         rewrite = corpus.filter(F.col("pt").isin(touched_pts))
-    else:  # non-local store without a server-side copy hook: rewrite
-        rewrite = corpus
-    if touched_pts or not local_prev:
+    else:  # flat (pre-partitioning) release N, or a remote store with
+        rewrite = corpus  # no injected copy hook: full rewrite
+    if touched_pts or not carry:
         rewrite.join(splits, "doc_id").write.partitionBy("pt").mode(
             "append"
         ).parquet(corpus_path)
@@ -675,7 +737,7 @@ def update_release(
         "n_carried_docs": n_carried,
         "n_partitions": N_CORPUS_PARTITIONS,
         "n_partitions_rewritten": (
-            len(touched_pts) if local_prev else N_CORPUS_PARTITIONS
+            len(touched_pts) if carry else N_CORPUS_PARTITIONS
         ),
         "n_partitions_copied": n_copied,
         "n_split_moved": split_moved.count(),

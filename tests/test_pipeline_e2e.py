@@ -10,6 +10,7 @@ renditions rather than the original strings.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import functions as F
@@ -511,6 +512,185 @@ def test_update_release_handles_changes_and_removals(spark, tmp_path):
     assert "appended tail words" in staged[7]
 
 
+def test_update_release_edit_splits_only_its_component(spark, tmp_path):
+    """VERDICT r13 #5: the edit path relabels COMPONENT-LOCALLY. Doc
+    10's text is replaced wholesale, dissolving near-dup cluster
+    {9, 10}: both docs ship (doc 10 via newly_kept + changed), the
+    staged corpus equals the from-scratch rebuild, the UNTOUCHED
+    cluster {2, 3}'s label rows carry forward byte-identically from
+    release N's labels table, and the reprocess set is exactly the
+    edited doc — the old whole-corpus relabel is gone."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+    old_lbl = {
+        r.node: r.label
+        for r in spark.read.parquet(f"{out1}/labels").collect()
+    }
+    assert old_lbl[10] == old_lbl[9] and old_lbl[3] == old_lbl[2]
+
+    edited = [
+        (i, words("fresh", 30) if i == 10 else t, la, so)
+        for (i, t, la, so) in base
+    ]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, edited, grown_dir)
+
+    full_out = str(tmp_path / "rel_v2_full")
+    sf = build_release(spark, grown_dir, full_out)
+    delta_out = str(tmp_path / "rel_v2_delta")
+    sd = update_release(spark, out1, grown_dir, delta_out)
+
+    assert sd["append_only"] is False
+    assert sd["n_changed"] == 1 and sd["n_removed"] == 0
+    assert sd["n_newly_kept"] == 1  # doc 10 left the retention list
+    assert sd["n_reprocessed_docs"] == 1  # ONLY the edited doc
+    assert _staged_rows(spark, delta_out) == _staged_rows(spark, full_out)
+    assert {9, 10} <= set(_staged_rows(spark, delta_out))
+    for k in ("n_raw_docs", "n_curated_docs", "split_counts", "n_shards"):
+        assert sd[k] == sf[k], (k, sd[k], sf[k])
+
+    new_lbl = {
+        r.node: r.label
+        for r in spark.read.parquet(f"{delta_out}/labels").collect()
+    }
+    # the dirty component dissolved; the untouched one carried forward
+    assert 9 not in new_lbl and 10 not in new_lbl
+    assert {n: l for n, l in new_lbl.items() if n in (2, 3)} == {
+        n: l for n, l in old_lbl.items() if n in (2, 3)
+    }
+    # and it matches the from-scratch labels exactly
+    full_lbl = {
+        r.node: r.label
+        for r in spark.read.parquet(f"{full_out}/labels").collect()
+    }
+    assert new_lbl == full_lbl
+
+
+def test_update_release_metadata_only_edit(spark, tmp_path):
+    """ADVICE r13 regression: a doc whose SOURCE changes with text
+    unchanged must classify as 'changed' — source drives the benchmark
+    holdout, the per-source boilerplate threshold and the bench gram
+    index, so carrying the old curated row forward diverges from a
+    full rebuild. Planted: doc 8 moves src2 → src0 (the benchmark
+    source), so the rebuilt release must EXCLUDE it; under the old
+    text-only fingerprint it read 'unchanged' and shipped."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+    assert 8 in _staged_rows(spark, out1)
+
+    moved = [
+        (i, t, la, "src0" if i == 8 else so) for (i, t, la, so) in base
+    ]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, moved, grown_dir)
+
+    full_out = str(tmp_path / "rel_v2_full")
+    sf = build_release(spark, grown_dir, full_out)
+    delta_out = str(tmp_path / "rel_v2_delta")
+    sd = update_release(spark, out1, grown_dir, delta_out)
+
+    assert sd["n_added"] == 0 and sd["n_removed"] == 0
+    assert sd["n_changed"] == 1  # the metadata-only edit, caught
+    assert sd["append_only"] is False
+    assert 8 not in _staged_rows(spark, delta_out)  # held out now
+    assert _staged_rows(spark, delta_out) == _staged_rows(spark, full_out)
+    for k in ("n_raw_docs", "n_curated_docs", "split_counts", "n_shards"):
+        assert sd[k] == sf[k], (k, sd[k], sf[k])
+
+
+def test_update_release_copy_partition_hook(spark, tmp_path):
+    """VERDICT r13 #6: the untouched-partition carry goes through an
+    injectable ``copy_partition(src, dst)`` — the seam an object-store
+    deployment fills with a server-side copy. A counting double must
+    see exactly the partitions the accounting reports copied (and none
+    it reports rewritten), and the staged corpus must equal the
+    default-copier run byte-for-row."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+
+    grown = base + [(23, words("nova", 30), "en", "src1")]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, grown, grown_dir)
+
+    default_out = str(tmp_path / "rel_v2_default")
+    s_def = update_release(spark, out1, grown_dir, default_out)
+
+    copied: list[tuple[str, str]] = []
+
+    def counting_copier(src: str, dst: str) -> None:
+        import shutil
+
+        copied.append((src, dst))
+        shutil.copytree(src, dst)
+
+    hook_out = str(tmp_path / "rel_v2_hooked")
+    s_hook = update_release(
+        spark, out1, grown_dir, hook_out, copy_partition=counting_copier
+    )
+
+    assert len(copied) == s_hook["n_partitions_copied"] > 0
+    assert s_hook["n_partitions_copied"] == s_def["n_partitions_copied"]
+    copied_pts = {int(dst.rsplit("pt=", 1)[1]) for _, dst in copied}
+    rewritten = set(range(s_hook["n_partitions"])) - copied_pts
+    assert len(rewritten & copied_pts) == 0
+    assert s_hook["n_partitions_rewritten"] <= len(rewritten)
+    assert _staged_rows(spark, hook_out) == _staged_rows(spark, default_out)
+
+
+def test_update_release_retry_converges(spark, tmp_path):
+    """ADVICE r13 regression: re-running update_release into the SAME
+    out_dir must converge (the staging step starts from an empty
+    corpus dir), not fail on already-copied pt= partitions or
+    double-append touched ones."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+
+    grown = base + [(23, words("nova", 30), "en", "src1")]
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, grown, grown_dir)
+
+    delta_out = str(tmp_path / "rel_v2_delta")
+    s1 = update_release(spark, out1, grown_dir, delta_out)
+    rows1 = _staged_rows(spark, delta_out)
+    s2 = update_release(spark, out1, grown_dir, delta_out)  # retry
+    assert _staged_rows(spark, delta_out) == rows1
+    for k in ("n_curated_docs", "split_counts", "n_shards",
+              "n_reprocessed_docs", "n_carried_docs"):
+        assert s2[k] == s1[k], (k, s2[k], s1[k])
+
+
 def test_q203_delta_classes_on_planted_corpus(spark, tmp_path):
     """q203's four delta classes pinned doc-by-doc on a corpus where
     each class is planted: batch ids are %DELTA_MOD==0, and the corpus
@@ -572,6 +752,148 @@ def test_q203_delta_classes_on_planted_corpus(spark, tmp_path):
         "carried": 3,
         "newly_dropped": 1,
     }
+
+
+def test_update_release_chain_two_generations(spark, tmp_path):
+    """VERDICT r13 stretch #8: the weekly cadence COMPOSED. N → N+1 by
+    an append-only delta, then N+1 → N+2 by an in-place edit (the
+    component-local relabel path) — each hop's staged corpus, splits
+    and totals must equal build_release run from scratch on that
+    generation's corpus, so incremental state never drifts across
+    generations."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    v1_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, v1_dir)
+    rel1 = str(tmp_path / "rel_v1")
+    build_release(spark, v1_dir, rel1)
+
+    # hop 1: append-only growth
+    v2 = base + [(23, words("nova", 30), "en", "src1")]
+    v2_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, v2, v2_dir)
+    rel2 = str(tmp_path / "rel_v2")
+    s2 = update_release(spark, rel1, v2_dir, rel2)
+    assert s2["append_only"] is True
+
+    # hop 2: edit doc 7 in place — the edit path, seeded from the
+    # DELTA release's persisted state (not a from-scratch one)
+    v3 = [
+        (i, t + " appended tail words" if i == 7 else t, la, so)
+        for (i, t, la, so) in v2
+    ]
+    v3_dir = str(tmp_path / "corpus_v3")
+    _write_corpus(spark, v3, v3_dir)
+    rel3 = str(tmp_path / "rel_v3")
+    s3 = update_release(spark, rel2, v3_dir, rel3)
+    assert s3["append_only"] is False and s3["n_changed"] == 1
+
+    for gen_dir, rel, s in ((v2_dir, rel2, s2), (v3_dir, rel3, s3)):
+        full = str(tmp_path / f"full_{os.path.basename(rel)}")
+        sf = build_release(spark, gen_dir, full)
+        assert _staged_rows(spark, rel) == _staged_rows(spark, full)
+        for k in ("n_raw_docs", "n_dedup_dropped", "n_curated_docs",
+                  "split_counts", "n_shards"):
+            assert s[k] == sf[k], (rel, k, s[k], sf[k])
+    staged = {k: v[0] for k, v in _staged_rows(spark, rel3).items()}
+    assert "appended tail words" in staged[7]
+
+
+def test_q205_edit_relabel_scope_planted(spark, tmp_path):
+    """q205's four classes pinned on a corpus where each is planted
+    via the q188 sim hash (ids picked BY their u16 residue, so the
+    deterministic sim hits every class): an untouched near-dup pair
+    (carried), a changed doc whose partner survives and re-pairs
+    (batch + survivor), a tombstoned dup whose two live members
+    re-pair (survivors), a tombstoned dup whose partner finds nothing
+    (dissolved), and an added doc pulling a prev-singleton into the
+    label space (batch + carried). Cross-engine: the Spark side runs
+    the component-local contraction, the oracle replays both decades'
+    LP chains from scratch — the planted rows pin that they agree."""
+    import duckdb
+
+    from synthetic_data_pipeline_spark.functions.xsql import (
+        expand_u16,
+        hash_u16,
+    )
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        _edit_relabel_oracle,
+        q205_edit_relabel_scope,
+    )
+    from synthetic_data_pipeline_spark.operators.textops import SNAPSHOT_MOD
+
+    b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "duckdb")
+    con = duckdb.connect()
+    residues = con.execute(
+        f"SELECT doc_id, {b} % {SNAPSHOT_MOD} AS _b "
+        "FROM (SELECT unnest(range(400)) AS doc_id)"
+    ).fetchall()
+    by_b: dict[int, list[int]] = {}
+    for i, bb in residues:
+        by_b.setdefault(int(bb), []).append(int(i))
+    stable = sorted(
+        i for bb, ids in by_b.items() if bb not in (0, 1, 2) for i in ids
+    )
+    added, changed = by_b[0][0], by_b[1][0]
+    tombed, tombed_solo = by_b[2][0], by_b[2][1]
+    s1, s2, s3, s4, s5, s6 = stable[:6]
+
+    def words(seed: str, n: int) -> str:
+        return " ".join(f"{seed}{j}tok" for j in range(n))
+
+    rows = [
+        (s1, words("alpha", 30) + " endone"),     # untouched pair →
+        (s2, words("alpha", 30) + " endtwo"),     #   carried ×2
+        (changed, words("beta", 30) + " endthree"),  # batch (changed)
+        (s3, words("beta", 30) + " endfour"),        # survivor
+        (tombed, words("gamma", 30) + " endfive"),   # survivor
+        (s4, words("gamma", 30) + " endsix"),        # survivor
+        (tombed_solo, words("kappa", 30)),  # its only prev dup was its
+        #                                     tombstone → dissolved
+        (added, words("delta", 30) + " endseven"),   # batch (added)
+        (s5, words("delta", 30) + " endeight"),      # pulled in →
+        #                                              carried
+        (s6, words("omega", 30)),  # never clustered, in no class
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{src}/documents.parquet")
+
+    got = {
+        r.status: r for r in q205_edit_relabel_scope(spark, src).collect()
+    }
+    assert got["batch"].n_docs == 2
+    assert got["batch"].node_sum == added + changed
+    assert got["batch"].label_sum == min(added, s5) + min(changed, s3)
+    assert got["survivor"].n_docs == 3
+    assert got["survivor"].node_sum == s3 + tombed + s4
+    assert got["survivor"].label_sum == (
+        min(changed, s3) + 2 * min(tombed, s4)
+    )
+    assert got["carried"].n_docs == 3
+    assert got["carried"].node_sum == s1 + s2 + s5
+    assert got["carried"].label_sum == 2 * min(s1, s2) + min(added, s5)
+    assert got["dissolved"].n_docs == 1
+    assert got["dissolved"].node_sum == tombed_solo
+    assert got["dissolved"].label_sum == 0
+
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{src}/documents.parquet/*.parquet'"
+    )
+    odf = con2.execute(_edit_relabel_oracle()).df()
+    ora = {r["status"]: r for _, r in odf.iterrows()}
+    assert set(ora) == set(got)
+    for st in got:
+        for c in ("n_docs", "node_sum", "label_sum"):
+            assert int(ora[st][c]) == getattr(got[st], c), (st, c)
 
 
 def test_update_release_zero_delta(spark, tmp_path):
