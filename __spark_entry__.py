@@ -27,72 +27,63 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # noqa: E402
 
-# Round-13 window (VERDICT r12 Next #2). Composition — after this
+# Round-14 window (VERDICT r13 Next #2). Composition — after this
 # round NO registry query's last external driver row is older than
-# r10 (staleness inventory recomputed from the CORRECTNESS_r*
-# artifacts: 44 rows' newest row was r9; all 44 are in this window):
-#   * the round-13 newborn q203 (the delta-release classification
-#     funnel behind plans/release.py::update_release) — the standing
-#     newborn rule;
-#   * four changed-path anchors: q201 (its exact arm swapped from the
-#     full-sort percentile() aggregate to the q200 sketch-guided
-#     order statistic, VERDICT r12 #5 — values bit-identical, but the
-#     path is new), q200 (the exact column's rounding gained the
-#     1e-9 nudge on BOTH engines, ADVICE r12), and q155/q156 (the
-#     boilerplate gram-set computation was factored through
-#     source_gram_counts + boilerplate_threshold_filter so the
-#     incremental release can merge persisted counts — identical
-#     semantics, new code path);
-#   * ALL 44 r9-stale rows;
-#   * the second round-13 newborn q204 (token-weighted length
-#     quantiles on the q200 sketch — VERDICT r12 #9, landed with its
-#     q112/q174 token-budget consumer) takes the last slot; the r10
-#     tier (49 rows) rotates wholesale in r14, led by q118.
-# 2 + 4 + 44 = 50 exactly.
+# r11 (staleness inventory recomputed from the git-tracked
+# CORRECTNESS_r* artifacts: exactly 47 rows' newest row was r10; all
+# 47 are in this window):
+#   * the round-14 newborn q205 (the component-local edit-path
+#     relabel behind plans/release.py::update_release — VERDICT r13
+#     #5; its oracle replays both decades' LP chains from scratch, so
+#     the driver hash pins incremental == from-scratch) — the
+#     standing newborn rule;
+#   * two changed-path anchors: q204 (its exact arm was re-keyed from
+#     bucket-only to (bucket, local_k) — ADVICE r13's medium finding:
+#     two quantiles sharing a log-bucket previously read the same
+#     crossing; values at sf0.01 unchanged, but the path is new) and
+#     q188 (the snapshot fingerprint widened to md5(text␁source␁lang)
+#     on BOTH engines so metadata-only edits classify as changed —
+#     ADVICE r13; the sim now carries lang through);
+#   * ALL 47 r10-stale rows (q118 leads, per VERDICT r13 #2).
+# 1 + 2 + 47 = 50 exactly.
 #
-# --- Round-12 window rationale kept for the audit trail: newborns
-# q200/q201/q202, changed-path anchors q198/q152/q170, the FULL
-# 38-row r8-stale tier, and 6 r9 head-start rows
-# (q145/q147/q103/q100/q133/q90); recorded green 50/50 in
-# CORRECTNESS_r12.json. Round-11: five r10 newborns (q159-q163), all
-# 36 r11 newborns, 23 r8-stale rows; green 50/50 in CORRECTNESS_r11.
+# --- Round-13 window rationale kept for the audit trail: newborns
+# q203+q204, changed-path anchors q200/q201/q155/q156, the FULL
+# 44-row r9-stale tier; recorded green 50/50 in CORRECTNESS_r13.json.
+# Round-12: newborns q200/q201/q202, anchors q198/q152/q170, the
+# 38-row r8 tier + 6 r9 head-starts; green 50/50 in CORRECTNESS_r12.
 DRIVER_WINDOW = [
-    # round-13 newborn (update_release's gated funnel)
-    "q203_delta_release_classes",
-    # changed-path anchors: q201's exact arm now rides the q200
-    # sketch-guided order statistic (VERDICT r12 #5) and q200's
-    # exact column gained the 1e-9 rounding nudge on BOTH engines
-    # (ADVICE r12); q155/q156's gram-set path was refactored
-    # through source_gram_counts/boilerplate_threshold_filter for
-    # the incremental release (same semantics, new code path)
-    "q200_quantile_sketch", "q201_percentile_accuracy",
-    "q155_boilerplate_clean", "q156_boilerplate_clean_stats",
-    # the FULL 44-row r9-stale tier (last external row = r9,
-    # recomputed from the CORRECTNESS_r* artifacts — VERDICT r12 #2)
-    "q01_pricing_summary", "q19_entity_counts_by_nation",
-    "q20_exists_heavy_orders", "q24_price_percentiles",
-    "q28_trailing_30d_spend", "q46_minhash_near_dups",
-    "q55_ivf_ann", "q56_kmeans",
-    "q60_gen_meta_summary", "q61_gen_corpus_stats",
-    "q62_gen_validation_report", "q63_mapping_pack_roundtrip",
-    "q64_mapping_upsert", "q81_pivot_status",
-    "q108_click_error_interval", "q109_perplexity_proxy",
-    "q110_embedding_outliers", "q111_adaptive_quality",
-    "q112_sequence_packing", "q113_domain_mixture",
-    "q114_stratified_sample", "q115_packed_shards",
-    "q117_cms_heavy_hitters", "q119_token_shards",
-    "q122_pipeline_funnel", "q123_dense_hourly",
-    "q124_session_sequences", "q126_dsir_weights",
-    "q127_leakage_matrix", "q134_longest_dup_span",
-    "q135_incremental_span_gate", "q136_bpe_vocab",
-    "q137_bpe_encode", "q138_hard_negatives",
-    "q139_cc_star_clusters", "q140_token_budget_waterfill",
-    "q141_tokenizer_fertility", "q142_centroid_similarity",
-    "q143_corpus_diversity", "q144_cluster_representatives",
-    "q146_weighted_sample", "q148_image_phash_dups",
-    "q149_bigram_lm_export", "q150_padding_audit",
-    # second r13 newborn: weighted quantiles on the q200 sketch
-    "q204_weighted_length_quantiles",
+    # round-14 newborn (update_release's component-local edit path)
+    "q205_edit_relabel_scope",
+    # changed-path anchors (ADVICE r13): q204's (bucket, local_k)
+    # exact-arm re-key; q188's widened snapshot fingerprint
+    "q204_weighted_length_quantiles", "q188_snapshot_diff",
+    # the FULL 47-row r10-stale tier (last external row = r10,
+    # recomputed from the tracked CORRECTNESS_r* artifacts)
+    "q118_incremental_dedup",
+    "q04_priority_with_returns", "q06_forecast_revenue",
+    "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
+    "q11_cube_lineitem", "q16_distinct_segments",
+    "q17_nations_intersect", "q18_nations_except",
+    "q21_brand_prefix_stats", "q23_conditional_agg",
+    "q25_approx_distinct_customers", "q26_exact_distinct_customers",
+    "q30_tumbling_hourly", "q31_sliding_hourly",
+    "q32_user_sessions", "q33_json_prop_stats",
+    "q34_asof_click_error", "q35_first_event_per_user_type",
+    "q36_hourly_top_event", "q37_conversion_funnel",
+    "q40_token_stats", "q41_lang_id",
+    "q42_quality_by_source", "q43_fingerprints",
+    "q44_trigram_stats", "q45_exact_dedup",
+    "q48_simhash_buckets", "q49_bpe_token_stats",
+    "q50_knn_bruteforce", "q51_label_centroids",
+    "q53_ann_bucket_stats", "q57_bloom_membership",
+    "q58_dup_clusters", "q59_token_entropy",
+    "q65_distinct_tcs_histogram", "q66_winnowing_fingerprints",
+    "q67_tfidf_top_terms", "q80_deterministic_sample",
+    "q120_temperature_mixture", "q121_source_divergence",
+    "q125_fuzzy_prefix_dedup", "q151_bot_signals",
+    "q153_image_thumbnails", "q154_audio_features",
+    "q157_dedup_span_strip", "q158_dedup_span_strip_stats",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

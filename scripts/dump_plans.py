@@ -114,6 +114,7 @@ SHOWCASE = [
     ("q202_release_accounting", "release accounting: memoized LP funnel anti-join + one quality-flag scan, three 1-row aggs crossJoined — RELEASE.json's math as a gated row"),
     ("q203_delta_release_classes", "delta-release classes: memoized pairs filtered to the old slice + batch contraction merge, ONE distinct-gram explode reused for both decades' counts/bench sets/affected flags, broadcast flip joins — update_release's funnel as a gated row"),
     ("q204_weighted_length_quantiles", "weighted quantiles: one log-bucket sum(w) agg (range-bounded, mergeable), weighted-cumsum exact arm over the picked buckets only — token-budget cutoffs for packing/curricula"),
+    ("q205_edit_relabel_scope", "edit-path relabel scope: memoized prev-corpus sig/label state, delta-bounded broadcast dirty/survivor sets, ONE batch-vs-carried contraction — update_release's component-local edit path; oracle replays both decades' LP chains"),
 ]
 
 

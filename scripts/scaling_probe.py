@@ -215,6 +215,10 @@ PROBE = [
     # round 13 newborn: the weighted q200 sketch — same range-bounded
     # state, plus a weighted-cumsum exact arm over the picked buckets
     "q204_weighted_length_quantiles",
+    # round 14 newborn: the component-local edit relabel — risk terms
+    # are the prev-corpus sig build (corpus-linear), the prev pair
+    # join + cc_star (q139's class) and the batch∪survivor contraction
+    "q205_edit_relabel_scope",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -323,6 +327,16 @@ PROBE_100 = [
     # for; q204 rides along with q200 (same sketch family, weighted)
     "q203_delta_release_classes",
     "q204_weighted_length_quantiles",
+    # round 14 newborn: same composition class as q203 (sig build +
+    # band join + contraction) on the simulated-prev decade
+    "q205_edit_relabel_scope",
+    # VERDICT r13 #4: the four worst 10x ratios without a 100x row —
+    # q188 snapshot diff (0.292), q189 incremental IVF (0.290), q194
+    # usage concentration (0.234), q199 decayed activity (0.232)
+    "q188_snapshot_diff",
+    "q189_incremental_ivf",
+    "q194_usage_concentration",
+    "q199_decayed_activity",
 ]
 # Media corpus sizes for the scaled tiers (media_n_for sentinel): the
 # 1x base dir is read-only testdata with no sentinel, so 1x stays 60.

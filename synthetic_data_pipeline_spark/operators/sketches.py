@@ -2003,12 +2003,19 @@ def q204_weighted_length_quantiles(
         ).collect()
     )  # bounded: ≤ ln(max/min)/α buckets
     total, picks = _dds_read(hist)
-    # exact arm: weighted-cumsum crossing inside the picked buckets
-    want = {b: k - cum_prev for _, k, b, cum_prev, _e in picks}
+    # exact arm: weighted-cumsum crossing inside the picked buckets,
+    # keyed (bucket, local_k) like q200/dds_order_statistics — two
+    # quantiles that land in the SAME log-bucket carry different local
+    # weighted ranks, and a bucket-keyed dict would keep only the last
+    # crossing (ADVICE r13). The crossing is a range test (cw-w, cw]
+    # ∋ lk rather than an equality, so one heavy row can cross several
+    # local ranks at once: probe every (bucket, lk) pair via a ≤3-wide
+    # exploded literal array instead of a per-bucket map.
+    want = {(b, k - cum_prev) for _, k, b, cum_prev, _e in picks}
     cand = (
         per_doc.filter(F.col("x") > 0)
         .select("x", dds_bucket("x").alias("bucket"))
-        .filter(F.col("bucket").isin(list(want)))
+        .filter(F.col("bucket").isin(sorted({b for b, _ in want})))
     )
     cum = cand.withColumn(
         "cw",
@@ -2018,20 +2025,30 @@ def q204_weighted_length_quantiles(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    krows = F.create_map(
-        *[x for b, lk in want.items() for x in (F.lit(b), F.lit(lk))]
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("long").alias("b"),
+                    F.lit(int(lk)).cast("long").alias("lk"),
+                )
+                for b, lk in sorted(want)
+            ]
+        )
     )
     crossing = (
-        cum.withColumn("lk", krows[F.col("bucket")])
+        cum.select("bucket", "x", "cw", pairs.alias("p"))
         .filter(
-            (F.col("cw") >= F.col("lk")) & (F.col("cw") - F.col("x") < F.col("lk"))
+            (F.col("p.b") == F.col("bucket"))
+            & (F.col("cw") >= F.col("p.lk"))
+            & (F.col("cw") - F.col("x") < F.col("p.lk"))
         )
-        .select("bucket", "x")
+        .select("bucket", F.col("p.lk").alias("lk"), "x")
     )
-    exact = {r.bucket: r.x for r in crossing.collect()}  # ≤3 rows
+    exact = {(r.bucket, r.lk): r.x for r in crossing.collect()}  # ≤3 rows
     rows = []
-    for label, k, b, _cum_prev, est in picks:
-        ex = exact[b]
+    for label, k, b, cum_prev, est in picks:
+        ex = exact[(b, k - cum_prev)]
         rows.append(
             (
                 label,
@@ -2167,6 +2184,236 @@ def _q200_oracle() -> str:
     """
 
 
+# --- q205: edit-path relabel scope (round 14, VERDICT r13 #5) — the
+# component-local relabel behind plans/release.py::update_release's
+# edit/removal path, as a driver-gated registry row. The previous
+# corpus is simulated with q188's deterministic snapshot convention
+# (u16(doc_id, "snap") % 20: ==0 absent-from-prev/added, ==1 text
+# changed, ==2 contributes a prev-only tombstone row that reads as
+# removed — and whose text is an identical COPY of the live doc, so
+# every tombstone forms a guaranteed prev 2-cluster whose live member
+# is a SURVIVOR: the class is non-vacuous by construction). Every
+# clustered doc of the CURRENT corpus is classified by what the
+# component-local merge did to reach its label:
+#   batch     — added/changed doc: fresh signature, re-paired
+#   survivor  — unchanged member of a DISSOLVED component (one that
+#               contained a changed/removed doc): re-paired with its
+#               persisted signature
+#   carried   — member of an untouched component: label carried
+#               forward (possibly re-pointed by a batch-side merge)
+# plus one 'dissolved' row: survivors whose re-pairing found nothing
+# (their old cluster existed only through the dirty doc).
+# node_sum/label_sum pin the actual label ASSIGNMENT, not just counts.
+# Scale shape: prev base labels ride a session memo (cc_star over the
+# prev pair graph — the lake holds these between releases); the
+# current labels come from ONE contraction over batch∪survivor
+# signatures against the carried signature frame — never a full
+# re-cluster; survivors/dirty sets are delta-bounded broadcasts.
+# The oracle replays BOTH decades from scratch — two prefixed LP
+# chains (q203's _lp_with_body mechanism) over the sim corpus and the
+# live corpus — so the driver hash pins the central update_release
+# equivalence claim itself: component-local == from-scratch.
+_EDIT_BASE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _edit_prev_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized (sig_prev, labels_prev) of the simulated previous
+    corpus — the persisted state release N would hold."""
+    from pyspark import StorageLevel
+
+    from .dedup import (
+        distinct_shingles,
+        lsh_candidates,
+        minhash_signatures_from_tokens,
+    )
+    from .textops import _prev_snapshot_sim
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDIT_BASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    # conditional fan-out (token_state's gotcha): a small corpus is ONE
+    # parquet split and the sim+shingle explode would run single-core
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    prev = _prev_snapshot_sim(docs)
+    sig_prev = minhash_signatures_from_tokens(distinct_shingles(prev)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels_prev = cc_star_labels(lsh_candidates(sig_prev)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels_prev.count()  # materialize before the lineage forks
+    while len(_EDIT_BASE_CACHE) >= _LP_CACHE_MAX:
+        old_sig, old_lbl = _EDIT_BASE_CACHE.pop(next(iter(_EDIT_BASE_CACHE)))
+        _safe_unpersist(old_sig)
+        _safe_unpersist(old_lbl)
+    _EDIT_BASE_CACHE[key] = (sig_prev, labels_prev)
+    return sig_prev, labels_prev
+
+
+def q205_edit_relabel_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_signatures_from_tokens, token_state
+    from .textops import SNAPSHOT_MOD
+    from ..functions.xsql import expand_u16, hash_u16
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "spark")
+    tagged = docs.selectExpr(
+        "doc_id", "text", f"{b} % {SNAPSHOT_MOD} AS _b"
+    )
+    added = tagged.filter(F.col("_b") == 0).select("doc_id")
+    changed = tagged.filter(F.col("_b") == 1).select("doc_id")
+    removed = tagged.filter(F.col("_b") == 2).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id")
+    )  # the prev-only tombstone identities
+
+    sig_prev, labels_prev = _edit_prev_state(spark, sf_dir)
+    dirty = changed.unionByName(removed).select(F.col("doc_id").alias("node"))
+    dirty_lbls = (
+        labels_prev.join(F.broadcast(dirty), "node", "semi")
+        .select("label")
+        .distinct()
+    )
+    base = labels_prev.join(F.broadcast(dirty_lbls), "label", "anti")
+    survivors = (
+        labels_prev.join(F.broadcast(dirty_lbls), "label", "semi")
+        .join(F.broadcast(dirty), "node", "anti")
+        .select(F.col("node").alias("doc_id"))
+    )
+    gone = changed.unionByName(removed)
+    sig_carry = sig_prev.join(F.broadcast(gone), "doc_id", "anti")
+    # delta signatures ride the session's memoized shingle table (the
+    # current corpus's token_state — shared with q46/q58/the funnel)
+    sig_delta = minhash_signatures_from_tokens(
+        token_state(spark, sf_dir).join(
+            F.broadcast(added.unionByName(changed)), "doc_id", "semi"
+        )
+    ).localCheckpoint(eager=False)  # delta-bounded
+    sig_all = sig_carry.unionByName(sig_delta)
+    sig_batch = sig_carry.join(
+        F.broadcast(survivors), "doc_id", "semi"
+    ).unionByName(sig_delta)
+    labels_new = incremental_cluster_labels(sig_all, sig_batch, base)
+
+    batch_ids = added.unionByName(changed)
+    classed = (
+        labels_new.join(
+            batch_ids.select(
+                F.col("doc_id").alias("node"), F.lit(True).alias("is_b")
+            ),
+            "node",
+            "left",
+        )
+        .join(
+            survivors.select(
+                F.col("doc_id").alias("node"), F.lit(True).alias("is_s")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            F.when(F.col("is_b"), "batch")
+            .when(F.col("is_s"), "survivor")
+            .otherwise("carried")
+            .alias("status"),
+            "node",
+            "label",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("node").alias("node_sum"),
+            F.sum("label").alias("label_sum"),
+        )
+    )
+    dissolved = (
+        survivors.join(
+            labels_new.select(F.col("node").alias("doc_id")), "doc_id", "anti"
+        )
+        .agg(
+            F.lit("dissolved").alias("status"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("node_sum"),
+            F.lit(0).cast("long").alias("label_sum"),
+        )
+        .select("status", "n_docs", "node_sum", "label_sum")
+    )
+    return classed.unionByName(dissolved).orderBy("status")
+
+
+def _edit_relabel_oracle() -> str:
+    from ..functions.xsql import expand_u16, hash_u16
+    from .textops import SNAPSHOT_MOD
+
+    b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "duckdb")
+    body_prev, final_prev = _lp_with_body(src="prev_docs", prefix="p_")
+    body_cur, final_cur = _lp_with_body(prefix="c_")
+    return f"""
+      WITH kept_sim AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN {b} % {SNAPSHOT_MOD} = 1
+                    THEN regexp_replace(text, '^\\S+\\s', '')
+                    ELSE text END AS text,
+               {b} % {SNAPSHOT_MOD} AS _b
+        FROM documents
+        WHERE {b} % {SNAPSHOT_MOD} <> 0
+      ),
+      prev_docs AS MATERIALIZED (
+        SELECT doc_id, text FROM kept_sim
+        UNION ALL
+        SELECT -(doc_id + 1) AS doc_id, text FROM kept_sim WHERE _b = 2
+      ),
+      {body_prev},
+      {body_cur},
+      cls AS MATERIALIZED (
+        SELECT doc_id, {b} % {SNAPSHOT_MOD} AS _b FROM documents
+      ),
+      batch AS (
+        SELECT doc_id FROM cls WHERE _b IN (0, 1)
+      ),
+      dirty AS (
+        SELECT doc_id AS node FROM cls WHERE _b = 1
+        UNION ALL
+        SELECT -(doc_id + 1) AS node FROM cls WHERE _b = 2
+      ),
+      dirty_lbls AS MATERIALIZED (
+        SELECT DISTINCT label FROM {final_prev}
+        WHERE node IN (SELECT node FROM dirty)
+      ),
+      survivors AS MATERIALIZED (
+        SELECT node FROM {final_prev}
+        WHERE label IN (SELECT label FROM dirty_lbls)
+          AND node NOT IN (SELECT node FROM dirty)
+      ),
+      classed AS (
+        SELECT CASE WHEN node IN (SELECT doc_id FROM batch) THEN 'batch'
+                    WHEN node IN (SELECT node FROM survivors)
+                      THEN 'survivor'
+                    ELSE 'carried' END AS status,
+               node, label
+        FROM {final_cur}
+      )
+      SELECT status,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(node) AS BIGINT) AS node_sum,
+             CAST(sum(label) AS BIGINT) AS label_sum
+      FROM classed GROUP BY status
+      UNION ALL
+      SELECT 'dissolved' AS status,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(node), 0) AS BIGINT) AS node_sum,
+             CAST(0 AS BIGINT) AS label_sum
+      FROM survivors
+      WHERE node NOT IN (SELECT node FROM {final_cur})
+      ORDER BY status
+    """
+
+
 QUERIES = {
     "q57_bloom_membership": q57_bloom_membership,
     "q117_cms_heavy_hitters": q117_cms_heavy_hitters,
@@ -2174,6 +2421,7 @@ QUERIES = {
     "q202_release_accounting": q202_release_accounting,
     "q203_delta_release_classes": q203_delta_release_classes,
     "q204_weighted_length_quantiles": q204_weighted_length_quantiles,
+    "q205_edit_relabel_scope": q205_edit_relabel_scope,
     "q58_dup_clusters": q58_dup_clusters,
     "q59_token_entropy": q59_token_entropy,
     "q95_dedup_retention": q95_dedup_retention,
@@ -2199,6 +2447,7 @@ def _oracles() -> dict[str, str]:
         "q202_release_accounting": _release_accounting_oracle(),
         "q203_delta_release_classes": _delta_release_oracle(),
         "q204_weighted_length_quantiles": _q204_oracle(),
+        "q205_edit_relabel_scope": _edit_relabel_oracle(),
         "q58_dup_clusters": _dup_clusters_oracle(),
         # star contraction converges to the exact components; on any
         # corpus where the LP unroll also converged (q103 n_changed=0

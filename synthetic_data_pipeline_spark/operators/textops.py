@@ -3461,7 +3461,7 @@ _Q190_ORACLE = f"""
 # versioning audit a recurring-crawl pipeline runs between releases:
 # which docs were added / removed / changed / unchanged since the last
 # snapshot, rolled up per source with a churn share. The diff runs on
-# FINGERPRINT MANIFESTS (doc_id, source, md5(text)) — never on text —
+# FINGERPRINT MANIFESTS (doc_id, source, md5(text␁source␁lang)) — never
 # so at 100 TB the join moves ~48 bytes/doc: ONE doc_id-keyed
 # full-outer SMJ between two narrow manifests, then a |sources|-key
 # agg. The registry query simulates the previous snapshot
@@ -3477,8 +3477,22 @@ SNAPSHOT_MOD = 20
 
 def snapshot_manifest(docs: DataFrame) -> DataFrame:
     """(doc_id, source, fp) fingerprint manifest — the ~48-byte/doc
-    artifact snapshots are diffed on (q43's md5 class)."""
-    return docs.select("doc_id", "source", F.md5(F.col("text")).alias("fp"))
+    artifact snapshots are diffed on (q43's md5 class).
+
+    The fp covers ALL curation-relevant inputs — md5 over
+    text ␁ source ␁ lang (\\x01-joined, ADVICE r13) — not text alone:
+    update_release classifies its delta by fp equality, and a
+    metadata-only edit (source drives the benchmark holdout, the
+    per-source boilerplate threshold and the bench gram index; lang is
+    shipped) must read 'changed', or the stale curated row carries
+    forward and the delta release diverges from a full rebuild. A
+    manifest written under the old text-only definition diffs as
+    all-'changed' against this one — a one-time full reprocess on
+    upgrade, never a wrong carry."""
+    fp = F.md5(
+        F.concat_ws("\x01", F.col("text"), F.col("source"), F.col("lang"))
+    )
+    return docs.select("doc_id", "source", fp.alias("fp"))
 
 
 def snapshot_diff(cur_m: DataFrame, prev_m: DataFrame) -> DataFrame:
@@ -3538,12 +3552,13 @@ def _prev_snapshot_sim(docs: DataFrame) -> DataFrame:
     kept = docs.selectExpr(
         "doc_id",
         "source",
+        "lang",
         f"CASE WHEN {b} % {SNAPSHOT_MOD} = 1 "
         "THEN regexp_replace(text, '^\\\\S+\\\\s', '') ELSE text END AS text",
         f"{b} % {SNAPSHOT_MOD} AS _b",
     ).filter(F.col("_b") != 0)
     tombs = kept.filter(F.col("_b") == 2).select(
-        (-(F.col("doc_id") + 1)).alias("doc_id"), "source", "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "source", "lang", "text"
     )
     return kept.drop("_b").unionByName(tombs)
 
@@ -3561,10 +3576,12 @@ def _q188_oracle() -> str:
     b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "duckdb")
     return f"""
     WITH cur AS (
-      SELECT doc_id, source, md5(text) AS fp FROM documents
+      SELECT doc_id, source,
+             md5(concat_ws(chr(1), text, source, lang)) AS fp
+      FROM documents
     ),
     kept AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, lang,
              CASE WHEN {b} % {SNAPSHOT_MOD} = 1
                   THEN regexp_replace(text, '^\\S+\\s', '')
                   ELSE text END AS text,
@@ -3573,9 +3590,12 @@ def _q188_oracle() -> str:
       WHERE {b} % {SNAPSHOT_MOD} <> 0
     ),
     prev AS (
-      SELECT doc_id, source, md5(text) AS fp FROM kept
+      SELECT doc_id, source,
+             md5(concat_ws(chr(1), text, source, lang)) AS fp
+      FROM kept
       UNION ALL
-      SELECT -(doc_id + 1) AS doc_id, source, md5(text) AS fp
+      SELECT -(doc_id + 1) AS doc_id, source,
+             md5(concat_ws(chr(1), text, source, lang)) AS fp
       FROM kept WHERE _b = 2
     ),
     j AS (

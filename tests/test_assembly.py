@@ -799,3 +799,53 @@ def test_weighted_quantiles_on_planted_corpus(spark):
         if cum >= k:
             assert x == out["p50"].exact
             break
+
+
+def test_weighted_quantiles_same_bucket_distinct_ranks(spark, tmp_path):
+    """ADVICE r13 regression: 100 docs of 100 tokens + 2 of 101 put
+    p50/p90/p99 all in log-bucket 231 with DIFFERENT local weighted
+    ranks (W=10202 → k=5101/9182/10100; the x=100 cumsum tops out at
+    10000, so p50/p90 cross at x=100 and only p99 at x=101). A
+    bucket-keyed exact arm kept just the last crossing and reported
+    101 for all three; the (bucket, local_k)-keyed arm must not. Also
+    pinned 1:1 against the DuckDB oracle, which always joined
+    crossings per quantile."""
+    import duckdb
+
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(100)), "en", "s")
+        for i in range(100)
+    ] + [
+        (200 + i, " ".join(f"v{i}t{j}" for j in range(101)), "en", "s")
+        for i in range(2)
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{src}/documents.parquet")
+
+    out = {
+        r.quantile: r
+        for r in sketches.q204_weighted_length_quantiles(spark, src).collect()
+    }
+    assert out["p50"].total_tokens == 100 * 100 + 2 * 101
+    assert len({out[q].bucket for q in ("p50", "p90", "p99")}) == 1
+    assert out["p50"].exact == 100
+    assert out["p90"].exact == 100
+    assert out["p99"].exact == 101
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{src}/documents.parquet/*.parquet'"
+    )
+    from synthetic_data_pipeline_spark.operators.sketches import _q204_oracle
+
+    odf = con.execute(_q204_oracle()).df()
+    ora = {r["quantile"]: r for _, r in odf.iterrows()}
+    for q in ("p50", "p90", "p99"):
+        assert int(ora[q]["exact"]) == out[q].exact
+        assert abs(float(ora[q]["est"]) - out[q].est) < 1e-9

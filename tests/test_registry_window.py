@@ -14,26 +14,26 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 
 DRIVER_CAP = 50
 
-# Queries that MUST occupy the round-13 window (VERDICT r12 Next #2):
-# the r13 newborn q203 (update_release's gated funnel), four
-# changed-path anchors (q201's exact arm now rides the q200 sketch-
-# guided order statistic; q200's exact rounding gained the 1e-9 nudge
-# on both engines; q155/q156's gram-set path factored through
-# source_gram_counts/boilerplate_threshold_filter for the incremental
-# release), the FULL 44-row r9-stale tier (computed from the
-# CORRECTNESS_r* artifacts), and the second r13 newborn q204
-# (token-weighted length quantiles on the q200 sketch, VERDICT r12
-# #9). The r10 tier (49 rows) rotates wholesale in r14, led by q118.
+# Queries that MUST occupy the round-14 window (VERDICT r13 Next #2):
+# the r14 newborn q205 (update_release's component-local edit-path
+# relabel, VERDICT r13 #5 — its oracle replays both decades' LP
+# chains from scratch), two changed-path anchors (q204's exact arm
+# re-keyed (bucket, local_k) per ADVICE r13's medium finding; q188's
+# snapshot fingerprint widened to md5(text␁source␁lang) on both
+# engines), and the FULL 47-row r10-stale tier (recomputed from the
+# git-tracked CORRECTNESS_r* artifacts — q118 leads).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [203, 204,                        # born round 13
-                          200, 201, 155, 156,              # changed paths
-                          # the full r9-stale tier (44 rows)
-                          1, 19, 20, 24, 28, 46, 55, 56,
-                          60, 61, 62, 63, 64, 81,
-                          108, 109, 110, 111, 112, 113, 114, 115,
-                          117, 119, 122, 123, 124, 126, 127,
-                          134, 135, 136, 137, 138, 139,
-                          140, 141, 142, 143, 144, 146, 148, 149, 150]
+    f"q{i:02d}" for i in [205,                             # born round 14
+                          204, 188,                        # changed paths
+                          # the full r10-stale tier (47 rows)
+                          118,
+                          4, 6, 7, 9, 11, 16, 17, 18,
+                          21, 23, 25, 26,
+                          30, 31, 32, 33, 34, 35, 36, 37,
+                          40, 41, 42, 43, 44, 45, 48, 49,
+                          50, 51, 53, 57, 58, 59,
+                          65, 66, 67, 80,
+                          120, 121, 125, 151, 153, 154, 157, 158]
 ]
 
 
