@@ -192,6 +192,12 @@ HEADLINE = [
     # plan is q200's log-bucket agg with sum(w) — q200 is its cousin
     # here; q204 has its own 10x/100x probe rows instead.
     "q203_delta_release_classes",
+    # round 14: q205 edit-path relabel scope (memoized prev-corpus
+    # sig/label state + ONE contraction over batch∪survivor sigs vs
+    # the carried sig frame, delta-bounded broadcast dirty/survivor
+    # sets — update_release's component-local edit path as a gated
+    # row; the oracle replays both decades' LP chains from scratch)
+    "q205_edit_relabel_scope",
     # wave 3 sweeps: q173/q174 are one-agg + bounded-sweep scans;
     # q175 rides the memoized funnel's verified pairs
     "q173_temperature_sweep",
@@ -631,32 +637,28 @@ def _release_timings(spark, sf_dir: str) -> dict:
     reprocessed. The r12 lazy-vs-checkpoint A/B lives in the
     plans/release.py docstring (lazy won 48 s vs 90-124 s).
 
-    Caveat: this runs at BENCH-END, after 130 queries' caches and
-    checkpoints have accumulated — release_build_sec measured 23-72 s
-    across r13 runs at equal calibration while a fresh-session run is
-    ~40 s; compare rounds by the stable update_noop number (~14.5 s)
-    and treat build_sec as an order-of-magnitude row."""
-    import shutil
-    import tempfile
+    Measured in a FRESH Spark session (VERDICT r13 #7): bench-end
+    in-session runs swung 17-72 s at equal calibration from the cache/
+    checkpoint state 130 prior queries accumulate, so the build number
+    was an order-of-magnitude row at best. scripts/release_bench.py
+    runs both timings in its own pristine JVM and prints one JSON
+    line; ``spark`` is unused and kept for call-site symmetry."""
+    import subprocess
+    import sys as _sys
 
-    from synthetic_data_pipeline_spark.plans.release import (
-        build_release,
-        update_release,
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "release_bench.py"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        check=True,
     )
-
-    out = tempfile.mkdtemp(prefix="sdp_bench_release_")
-    try:
-        t0 = time.perf_counter()
-        build_release(spark, sf_dir, f"{out}/v1")
-        t1 = time.perf_counter()
-        update_release(spark, f"{out}/v1", sf_dir, f"{out}/v2")
-        t2 = time.perf_counter()
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    return {
-        "release_build_sec": round(t1 - t0, 3),
-        "release_update_noop_sec": round(t2 - t1, 3),
-    }
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
