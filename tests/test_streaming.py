@@ -928,6 +928,33 @@ def test_dds_sketch_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) == 3
 
 
+def test_token_budget_sketch_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The q204 streaming twin (the packing monitor): token-weighted
+    quantile estimates read from the streamed additive weighted
+    log-bucket sink must equal the batch query's estimate columns
+    exactly — dds_hist_weighted of a union is the bucket-wise sum of
+    the partials, same as q200's unweighted state."""
+    from synthetic_data_pipeline_spark.operators.sketches import (
+        dds_weighted_quantiles_from_sink,
+        q204_weighted_length_quantiles,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        token_budget_sketch_stream,
+    )
+
+    out = str(tmp_path / "tbudget")
+    n = token_budget_sketch_stream(spark, sf_dir, out)
+    assert n >= 1
+    got = sorted(
+        map(tuple, dds_weighted_quantiles_from_sink(spark, out).collect())
+    )
+    want = sorted(
+        (r.quantile, r.total_tokens, r.bucket, r.est)
+        for r in q204_weighted_length_quantiles(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) == 3
+
+
 def test_hist_index_stream_equals_batch(spark, sf_dir, tmp_path):
     """The q79 streaming twin: quantiles read from the streamed
     additive hist-partial sink must equal the batch query exactly —
