@@ -348,6 +348,7 @@ def update_release(
     sf_dir: str,
     out_dir: str,
     copy_partition=None,
+    prev_sf_dir: str | None = None,
 ) -> dict:
     """Incremental (delta) release — VERDICT r12 #7: given release N's
     output directory (``prev_out``, with the evolving-state artifacts
@@ -397,6 +398,14 @@ def update_release(
     directory listing, so the carry is store-agnostic). Without this
     the weekly delta's dominant cost at 100 TB would be rewriting
     unchanged bytes, not computing them.
+
+    ``prev_sf_dir`` (optional): the RAW corpus release N was built
+    from — the immutable snapshot a lake typically keeps. When given,
+    the edit/removal path retracts the dirty docs' gram contributions
+    exactly (counted from the prev snapshot) instead of recounting the
+    whole corpus, making the gram stage delta-scale under edits too;
+    without it the edit path pays one full-corpus gram recount
+    (honest fallback, identical results — pinned by test).
 
     Equivalence contract (pinned by test_update_release_equals_full):
     the staged corpus, splits and accounting equal build_release run
@@ -525,23 +534,57 @@ def update_release(
     newly_kept = prev_retention.join(retention, "doc_id", "anti")
     n_dedup_dropped = retention.count()
 
-    # --- 3. boilerplate gram counts: additive merge (or full recount
-    # under edits/removals, where old contributions must be retracted
-    # and the old text needed to do that is gone)
-    if append_only:
-        merged = (
-            spark.read.parquet(f"{prev_out}/bp_gram_counts")
-            .unionByName(source_gram_counts(delta_docs))
-            .groupBy("source", "g")
-            .agg(F.sum("df").alias("df"))
-        )
-        nd_new = (
-            spark.read.parquet(f"{prev_out}/source_counts")
-            .unionByName(
-                delta_docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # --- 3. boilerplate gram counts. Append-only: additive merge.
+    # Edits/removals: old contributions must be RETRACTED, which needs
+    # the old text — when the lake keeps the previous raw snapshot
+    # (``prev_sf_dir``, the immutable-lake norm), the retraction is
+    # exact and delta-scale: subtract the dirty docs' per-(source, g)
+    # contributions counted from the PREV snapshot (under their OLD
+    # source — a metadata-only move retracts from the old source and
+    # adds under the new one), add the delta's. Only without a prev
+    # snapshot does the edit path pay a full corpus recount.
+    gone_raw = classed.filter(F.col("st").isin("changed", "removed")).select(
+        "doc_id"
+    )
+    if append_only or prev_sf_dir is not None:
+        parts = [
+            spark.read.parquet(f"{prev_out}/bp_gram_counts"),
+            source_gram_counts(delta_docs),
+        ]
+        nd_parts = [
+            spark.read.parquet(f"{prev_out}/source_counts"),
+            delta_docs.groupBy("source").agg(F.count("*").alias("n_docs")),
+        ]
+        if not append_only:
+            dirty_prev = load_table(spark, prev_sf_dir, "documents").join(
+                F.broadcast(gone_raw), "doc_id", "semi"
             )
-            .groupBy("source")
+            parts.append(
+                source_gram_counts(dirty_prev).select(
+                    "source", "g", (-F.col("df")).alias("df")
+                )
+            )
+            nd_parts.append(
+                dirty_prev.groupBy("source").agg(
+                    (-F.count("*")).alias("n_docs")
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged = (
+            merged.groupBy("source", "g")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)  # fully-retracted grams drop out,
+            #                           matching a from-scratch count
+        )
+        nd_new = nd_parts[0]
+        for p in nd_parts[1:]:
+            nd_new = nd_new.unionByName(p)
+        nd_new = (
+            nd_new.groupBy("source")
             .agg(F.sum("n_docs").alias("n_docs"))
+            .filter(F.col("n_docs") > 0)
         )
     else:
         merged = source_gram_counts(docs)
@@ -782,6 +825,12 @@ def main(argv: list[str] | None = None) -> None:
         "persisted state (update_release) instead of from scratch",
     )
     p.add_argument(
+        "--prev-raw", dest="prev_sf_dir", default=None, metavar="PREV_SF",
+        help="raw corpus the previous release was built from (immutable "
+        "snapshot): lets the edit path retract gram contributions "
+        "exactly instead of recounting the corpus (only with --from)",
+    )
+    p.add_argument(
         "--master", default=None,
         help="Spark master (default: session factory's choice)",
     )
@@ -791,7 +840,10 @@ def main(argv: list[str] | None = None) -> None:
         kwargs["master"] = args.master
     spark = get_spark(**kwargs)
     if args.prev_out:
-        summary = update_release(spark, args.prev_out, args.sf_dir, args.out_dir)
+        summary = update_release(
+            spark, args.prev_out, args.sf_dir, args.out_dir,
+            prev_sf_dir=args.prev_sf_dir,
+        )
     else:
         summary = build_release(spark, args.sf_dir, args.out_dir)
     print(json.dumps(summary, indent=1, sort_keys=True))

@@ -615,6 +615,73 @@ def test_update_release_metadata_only_edit(spark, tmp_path):
         assert sd[k] == sf[k], (k, sd[k], sf[k])
 
 
+def test_update_release_gram_retraction_with_prev_snapshot(spark, tmp_path):
+    """With the previous RAW snapshot available (prev_sf_dir — the
+    immutable-lake norm), the edit path retracts dirty docs' gram
+    contributions exactly instead of recounting the corpus. Pinned
+    three ways on a delta that removes a doc, edits one in place AND
+    moves one across sources (retract under the OLD source, add under
+    the new): retraction == no-snapshot recount == from-scratch
+    rebuild, down to the persisted gram-count artifacts."""
+    from synthetic_data_pipeline_spark.plans.release import (
+        build_release,
+        update_release,
+    )
+
+    words, gram, base = _delta_base_rows()
+    base_dir = str(tmp_path / "corpus_v1")
+    _write_corpus(spark, base, base_dir)
+    out1 = str(tmp_path / "rel_v1")
+    build_release(spark, base_dir, out1)
+
+    changed = []
+    for (i, t, la, so) in base:
+        if i == 3:
+            continue  # removed
+        if i == 7:
+            t = t + " appended tail words"  # edited in place
+        if i == 8:
+            so = "src3"  # metadata move: retract from src2, add to src3
+        changed.append((i, t, la, so))
+    grown_dir = str(tmp_path / "corpus_v2")
+    _write_corpus(spark, changed, grown_dir)
+
+    full_out = str(tmp_path / "rel_full")
+    sf = build_release(spark, grown_dir, full_out)
+    recount_out = str(tmp_path / "rel_recount")
+    s_rec = update_release(spark, out1, grown_dir, recount_out)
+    retract_out = str(tmp_path / "rel_retract")
+    s_ret = update_release(
+        spark, out1, grown_dir, retract_out, prev_sf_dir=base_dir
+    )
+
+    assert _staged_rows(spark, retract_out) == _staged_rows(spark, full_out)
+    assert _staged_rows(spark, retract_out) == _staged_rows(
+        spark, recount_out
+    )
+    for k in ("n_raw_docs", "n_curated_docs", "split_counts", "n_shards"):
+        assert s_ret[k] == s_rec[k] == sf[k], (k, s_ret[k], s_rec[k], sf[k])
+    for k in ("n_flipped_boilerplate_grams", "n_gram_affected_docs",
+              "n_reprocessed_docs", "n_carried_docs"):
+        assert s_ret[k] == s_rec[k], (k, s_ret[k], s_rec[k])
+
+    # the persisted gram-count state itself matches the from-scratch
+    # build (fully-retracted grams dropped, source counts adjusted) —
+    # the NEXT incremental release merges off these
+    def counts(out):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{out}/bp_gram_counts").collect())
+        )
+
+    def nd(out):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{out}/source_counts").collect())
+        )
+
+    assert counts(retract_out) == counts(full_out)
+    assert nd(retract_out) == nd(full_out)
+
+
 def test_update_release_copy_partition_hook(spark, tmp_path):
     """VERDICT r13 #6: the untouched-partition carry goes through an
     injectable ``copy_partition(src, dst)`` — the seam an object-store
@@ -949,15 +1016,17 @@ def test_release_cli_dispatch(monkeypatch, capsys):
     )
     monkeypatch.setattr(
         R, "update_release",
-        lambda spark, prev, sf, out: calls.append(
-            ("update", prev, sf, out)
+        lambda spark, prev, sf, out, prev_sf_dir=None: calls.append(
+            ("update", prev, sf, out, prev_sf_dir)
         ) or {"m": 2},
     )
     R.main(["/in", "/out"])
     R.main(["/in2", "/out2", "--from", "/prev"])
+    R.main(["/in3", "/out3", "--from", "/prev", "--prev-raw", "/raw"])
     assert calls == [
         ("build", "/in", "/out"),
-        ("update", "/prev", "/in2", "/out2"),
+        ("update", "/prev", "/in2", "/out2", None),
+        ("update", "/prev", "/in3", "/out3", "/raw"),
     ]
     assert '"m": 2' in capsys.readouterr().out
 
