@@ -36,6 +36,8 @@ def main() -> None:
     )
     from synthetic_data_pipeline_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app_name="sdp-release-bench")
     out = tempfile.mkdtemp(prefix="sdp_release_bench_")
     try:
@@ -44,6 +46,38 @@ def main() -> None:
         t1 = time.perf_counter()
         update_release(spark, f"{out}/v1", sf_dir, f"{out}/v2")
         t2 = time.perf_counter()
+        # the EDIT-path cost (r14: component-local relabel + exact gram
+        # retraction off the prev snapshot): one doc's text edited in
+        # place — the weekly metadata/correction delta's floor. The
+        # edited corpus carries only documents.parquet (update_release
+        # reads nothing else); corpus prep is untimed.
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # a NON-benchmark doc (the representative weekly correction):
+        # editing a benchmark-source doc legitimately changes the decon
+        # gram index and pays a corpus re-scan — a different, honest
+        # number, but not the steady-state floor this row tracks
+        from synthetic_data_pipeline_spark.operators.textops import (
+            DECON_BENCH_SOURCE,
+        )
+
+        first_id = (
+            docs.filter(F.col("source") != DECON_BENCH_SOURCE)
+            .select(F.min("doc_id"))
+            .first()[0]
+        )
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == first_id,
+                F.concat(F.col("text"), F.lit(" benchedit tail token")),
+            ).otherwise(F.col("text")),
+        ).write.parquet(f"{out}/edited/documents.parquet")
+        t3 = time.perf_counter()
+        update_release(
+            spark, f"{out}/v1", f"{out}/edited", f"{out}/v3",
+            prev_sf_dir=sf_dir,
+        )
+        t4 = time.perf_counter()
     finally:
         shutil.rmtree(out, ignore_errors=True)
     print(
@@ -51,6 +85,7 @@ def main() -> None:
             {
                 "release_build_sec": round(t1 - t0, 3),
                 "release_update_noop_sec": round(t2 - t1, 3),
+                "release_update_one_edit_sec": round(t4 - t3, 3),
             }
         )
     )
