@@ -801,6 +801,50 @@ def test_weighted_quantiles_on_planted_corpus(spark):
             break
 
 
+def test_weighted_quantiles_random_corpus_vs_bruteforce(spark, tmp_path):
+    """q204's exact arm against a pure-Python weighted order statistic
+    on a seeded random corpus (120 docs, skewed lengths with heavy
+    ties) — guards the whole crossing-logic class, not just the
+    ADVICE-r13 same-bucket instance: for every quantile the exact
+    value must be the first x whose cumulative token mass reaches
+    ceil(q·W) in ascending-length order."""
+    import random
+
+    from synthetic_data_pipeline_spark.operators import sketches
+
+    rng = random.Random(20260816)
+    lengths = [
+        rng.choice([7, 7, 7, 12, 12, 40, 41, 120, 350, 351])
+        for _ in range(120)
+    ]
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)), "en", "s")
+        for i, n in enumerate(lengths)
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, la, so, len(t)) for i, t, la, so in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{src}/documents.parquet")
+
+    out = {
+        r.quantile: r
+        for r in sketches.q204_weighted_length_quantiles(spark, src).collect()
+    }
+    total = sum(lengths)
+    assert out["p50"].total_tokens == total
+    masses = sorted(lengths)
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        k = (total * num + den - 1) // den
+        cum = 0
+        for x in masses:
+            cum += x
+            if cum >= k:
+                assert out[label].exact == x, (label, k, x, out[label])
+                break
+        assert out[label].within_bound
+
+
 def test_weighted_quantiles_same_bucket_distinct_ranks(spark, tmp_path):
     """ADVICE r13 regression: 100 docs of 100 tokens + 2 of 101 put
     p50/p90/p99 all in log-bucket 231 with DIFFERENT local weighted
