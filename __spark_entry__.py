@@ -44,8 +44,23 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 #     q188 (the snapshot fingerprint widened to md5(text␁source␁lang)
 #     on BOTH engines so metadata-only edits classify as changed —
 #     ADVICE r13; the sim now carries lang through);
-#   * ALL 47 r10-stale rows (q118 leads, per VERDICT r13 #2).
-# 1 + 2 + 47 = 50 exactly.
+#   * 43 of the 47 r10-stale rows (q118 leads, per VERDICT r13 #2).
+# 1 + 2 + 43 = 46, plus the four wave-2 newborns = 50 exactly.
+#
+# Wave-2/3 amendment (this round's later build sessions): newborns
+# q206/q207/q208/q209 (wave 2) and q210/q211 (wave 3) landed AFTER
+# the tier rotation was planned, and the standing newborn rule (every
+# new query gets an external row in its birth round) outranks
+# completing the tier. The 6 ceded slots are the r10-tier rows whose
+# code path stays externally exercised by a tight in-window cousin:
+# q18 (except ← q17 intersect, relational.py set-op pair), q26 (exact
+# distinct ← q25 approx distinct, same scan+agg shape), q31 (sliding
+# ← q30 tumbling, same window-agg path), q158 (span-strip stats ←
+# q157 span-strip, stats is a projection of the same strip frame),
+# q06 (forecast revenue ← the in-window TPC-H family q04/q07/q09 —
+# same scan→filter→agg path), and q44 (trigram stats ← q207, whose
+# in-window trigram explode IS q44's corpus pass). These six stay
+# r10-stale and LEAD the r15 rotation together with the r11 tier.
 #
 # --- Round-13 window rationale kept for the audit trail: newborns
 # q203+q204, changed-path anchors q200/q201/q155/q156, the FULL
@@ -53,27 +68,35 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries  # no
 # Round-12: newborns q200/q201/q202, anchors q198/q152/q170, the
 # 38-row r8 tier + 6 r9 head-starts; green 50/50 in CORRECTNESS_r12.
 DRIVER_WINDOW = [
-    # round-14 newborn (update_release's component-local edit path)
+    # round-14 newborns: q205 (update_release's component-local edit
+    # path); wave 2 — q206 Zipf fit, q207 Heaps growth, q208 session
+    # association rules, q209 span LM anomaly; wave 3 — q210 PMI
+    # collocations, q211 transition entropy
     "q205_edit_relabel_scope",
+    "q206_zipf_fit", "q207_vocab_growth",
+    "q208_session_assoc", "q209_span_lm_anomaly",
+    "q210_pmi_collocations", "q211_transition_entropy",
     # changed-path anchors (ADVICE r13): q204's (bucket, local_k)
     # exact-arm re-key; q188's widened snapshot fingerprint
     "q204_weighted_length_quantiles", "q188_snapshot_diff",
-    # the FULL 47-row r10-stale tier (last external row = r10,
-    # recomputed from the tracked CORRECTNESS_r* artifacts)
+    # 41 of the 47-row r10-stale tier (last external row = r10,
+    # recomputed from the tracked CORRECTNESS_r* artifacts; q18/q26/
+    # q31/q158/q06/q44 ceded their slots to the wave-2/3 newborns —
+    # each leaves an in-window cousin, see the amendment above)
     "q118_incremental_dedup",
-    "q04_priority_with_returns", "q06_forecast_revenue",
+    "q04_priority_with_returns",
     "q07_acctbal_by_nation", "q09_returned_revenue_top_customers",
     "q11_cube_lineitem", "q16_distinct_segments",
-    "q17_nations_intersect", "q18_nations_except",
+    "q17_nations_intersect",
     "q21_brand_prefix_stats", "q23_conditional_agg",
-    "q25_approx_distinct_customers", "q26_exact_distinct_customers",
-    "q30_tumbling_hourly", "q31_sliding_hourly",
+    "q25_approx_distinct_customers",
+    "q30_tumbling_hourly",
     "q32_user_sessions", "q33_json_prop_stats",
     "q34_asof_click_error", "q35_first_event_per_user_type",
     "q36_hourly_top_event", "q37_conversion_funnel",
     "q40_token_stats", "q41_lang_id",
     "q42_quality_by_source", "q43_fingerprints",
-    "q44_trigram_stats", "q45_exact_dedup",
+    "q45_exact_dedup",
     "q48_simhash_buckets", "q49_bpe_token_stats",
     "q50_knn_bruteforce", "q51_label_centroids",
     "q53_ann_bucket_stats", "q57_bloom_membership",
@@ -83,7 +106,7 @@ DRIVER_WINDOW = [
     "q120_temperature_mixture", "q121_source_divergence",
     "q125_fuzzy_prefix_dedup", "q151_bot_signals",
     "q153_image_thumbnails", "q154_audio_features",
-    "q157_dedup_span_strip", "q158_dedup_span_strip_stats",
+    "q157_dedup_span_strip",
 ]
 def _windowed(entries: dict, strict: bool = True) -> dict:
     missing = [n for n in DRIVER_WINDOW if n not in entries]

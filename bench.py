@@ -134,6 +134,25 @@ HEADLINE = [
     # q187 hourly anomalies: raw events collapse to hours×types in one
     # map-side-combined shuffle; both median passes run on that frame
     "q187_hourly_anomalies",
+    # round 14 newborns: q206 Zipf fit (one (source, token) hash agg;
+    # rank windows only the tie-class-prefiltered ≤K head — the
+    # vocabulary never passes through a window); q207 Heaps growth
+    # (two-phase ntile + trigram first-doc agg; cumsum/regression see
+    # exactly HEAPS_TILES rows); q208 session association rules (q32's
+    # session window + a co-partitioned alphabet-bounded self-join);
+    # q209 span LM anomaly (q109's broadcast bigram model + per-doc
+    # sliding window — doc-sized partitions)
+    "q206_zipf_fit",
+    "q207_vocab_growth",
+    "q208_session_assoc",
+    "q209_span_lm_anomaly",
+    # wave 3: q210 PMI collocations (two explode→hash aggs, floored
+    # vocab-bounded candidate join, ranked_topk on the ROUNDED pmi —
+    # no single-partition window); q211 transition entropy (q185's
+    # lag-window transitions → alphabet²-bounded counts → entropy
+    # algebra on that tiny frame)
+    "q210_pmi_collocations",
+    "q211_transition_entropy",
     # q188 snapshot diff: two md5 manifest projections + one narrow
     # doc_id-keyed full-outer join + |sources|-key agg
     "q188_snapshot_diff",

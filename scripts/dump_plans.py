@@ -115,6 +115,12 @@ SHOWCASE = [
     ("q203_delta_release_classes", "delta-release classes: memoized pairs filtered to the old slice + batch contraction merge, ONE distinct-gram explode reused for both decades' counts/bench sets/affected flags, broadcast flip joins — update_release's funnel as a gated row"),
     ("q204_weighted_length_quantiles", "weighted quantiles: one log-bucket sum(w) agg (range-bounded, mergeable), weighted-cumsum exact arm over the picked buckets only — token-budget cutoffs for packing/curricula"),
     ("q205_edit_relabel_scope", "edit-path relabel scope: memoized prev-corpus sig/label state, delta-bounded broadcast dirty/survivor sets, ONE batch-vs-carried contraction — update_release's component-local edit path; oracle replays both decades' LP chains"),
+    ("q206_zipf_fit", "Zipf fit: one (source, token) hash agg; tie-class cumulative prefilter windows only DISTINCT count values, row_number only the ≤K head — the vocabulary never passes through a window"),
+    ("q207_vocab_growth", "Heaps growth: two-phase ntile (no single-partition window), trigram explode→min(first_doc) agg, cumsum+regression over exactly HEAPS_TILES rows"),
+    ("q208_session_assoc", "session association rules: q32's per-user session window, distinct (session,type) self-join CO-PARTITIONED on (user,session), alphabet-bounded output, broadcast marginals"),
+    ("q209_span_lm_anomaly", "span LM anomaly: one positional bigram explode, vocab-bounded model broadcasts, per-doc sliding window (doc-sized partitions), two small aggs"),
+    ("q210_pmi_collocations", "PMI collocations: two explode→hash aggs touch the corpus, floored candidate join on vocab-sized tables (AQE strategy — c1 never broadcast), scalar totals as 1-row broadcasts, ranked_topk on the ROUNDED pmi"),
+    ("q211_transition_entropy", "transition entropy: q185's user-partitioned lag window → alphabet²-bounded count frame → H = ln N − Σ n·ln n / N on that sliver; output alphabet-bounded"),
 ]
 
 

@@ -219,6 +219,22 @@ PROBE = [
     # are the prev-corpus sig build (corpus-linear), the prev pair
     # join + cc_star (q139's class) and the batch∪survivor contraction
     "q205_edit_relabel_scope",
+    # round 14 wave 2: q206's corpus term is the (source, token) count
+    # agg (the rank window sees only the ≤K head); q207's are the
+    # trigram explode→min agg and the two-phase ntile passes; q208's
+    # is the session window + co-partitioned self-join (per-session
+    # fan-out alphabet-bounded); q209's is the posexplode + broadcast
+    # model join feeding doc-partitioned sliding windows
+    "q206_zipf_fit",
+    "q207_vocab_growth",
+    "q208_session_assoc",
+    "q209_span_lm_anomaly",
+    # wave 3: q210's corpus terms are the token/bigram hash aggs
+    # (q206's class — the candidate join is vocab-bounded and floored);
+    # q211's is q185's lag-window transition pass (alphabet²-bounded
+    # downstream)
+    "q210_pmi_collocations",
+    "q211_transition_entropy",
 ]
 # Second decade (VERDICT r5 #2): the headline subset at 100 copies —
 # single timed run each, since the tier exists to catch super-linear
@@ -330,6 +346,12 @@ PROBE_100 = [
     # round 14 newborn: same composition class as q203 (sig build +
     # band join + contraction) on the simulated-prev decade
     "q205_edit_relabel_scope",
+    # round 14 wave 2 at the second decade: q207's trigram-distinct
+    # state GROWS with the corpus (that growth is the very statistic
+    # it measures — Heaps), and q209 is the round's heaviest new
+    # corpus-linear pass (positional explode + windowed rescan)
+    "q207_vocab_growth",
+    "q209_span_lm_anomaly",
     # VERDICT r13 #4: the four worst 10x ratios without a 100x row —
     # q188 snapshot diff (0.292), q189 incremental IVF (0.290), q194
     # usage concentration (0.234), q199 decayed activity (0.232)

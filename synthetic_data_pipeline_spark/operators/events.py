@@ -1197,8 +1197,221 @@ def _q199_oracle() -> str:
 """
 
 
+# --- q208: session-level association rules (round 14) — the classic
+# market-basket statistics (support / confidence / lift) over
+# event-type CO-OCCURRENCE within a session, the correlation audit an
+# event pipeline runs to find which behaviors travel together (q185
+# measures ordered adjacent transitions; q208 measures unordered
+# same-session membership). Sessionization is exactly q32's 30-minute
+# gap rule, so one definition serves both reports. Scale shape: the
+# session window partitions by user (user-history-sized partitions),
+# the distinct (session, type) frame self-joins CO-PARTITIONED on
+# (user_id, session_id) — per-session fan-out is bounded by the
+# event-type alphabet squared, never by session length — and the
+# per-type totals broadcast. Output is alphabet²-bounded.
+def q208_session_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.col("ts").cast("long") - F.lag("ts").over(w_ord).cast("long")
+    ) / 60.0
+    sess = events.withColumn(
+        "new_session",
+        F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    st = sess.select("user_id", "session_id", "event_type").distinct()
+    n = (
+        st.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    ca = st.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = st.select(
+        "user_id", "session_id", F.col("event_type").alias("type_a")
+    )
+    b = st.select(
+        "user_id", "session_id", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca_a = ca.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("c_a")
+    )
+    ca_b = ca.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca_a), "type_a")
+        .join(F.broadcast(ca_b), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            eround(
+                F.col("n_both") / F.col("n_sessions").cast("double"), 4
+            ).alias("support"),
+            eround(F.col("n_both") / F.col("c_a").cast("double"), 4).alias(
+                "conf_a_to_b"
+            ),
+            eround(F.col("n_both") / F.col("c_b").cast("double"), 4).alias(
+                "conf_b_to_a"
+            ),
+            eround(
+                F.col("n_both")
+                * F.col("n_sessions").cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_Q208_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR (floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))) / 60.0
+                     > 30
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), st AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ),
+    n AS (
+      SELECT count(*) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_id FROM st)
+    ),
+    ca AS (SELECT event_type, count(*) AS c FROM st GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM st a
+      JOIN st b ON a.user_id = b.user_id
+              AND a.session_id = b.session_id
+              AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+           round(p.n_both / CAST(n.n_sessions AS DOUBLE), 4) AS support,
+           round(p.n_both / CAST(x.c AS DOUBLE), 4) AS conf_a_to_b,
+           round(p.n_both / CAST(y.c AS DOUBLE), 4) AS conf_b_to_a,
+           round(p.n_both * CAST(n.n_sessions AS DOUBLE) / (x.c * y.c), 4)
+             AS lift
+    FROM pairs p
+    JOIN ca x ON x.event_type = p.type_a
+    JOIN ca y ON y.event_type = p.type_b
+    CROSS JOIN n
+    ORDER BY p.type_a, p.type_b
+"""
+
+
+# --- q211: transition predictability (round 14, wave 3) — the
+# conditional entropy H(next | current) of q185's session-transition
+# chain, per current event type: the single number that says whether a
+# behavior's follow-up is scripted (H near 0 — bot flows, templated
+# UIs) or open (H near ln of the fan-out). Normalized by ln(fan-out)
+# so types with different next-alphabets compare on [0, 1];
+# complements q185 (the full matrix — this is its uncertainty
+# summary), q151 (per-user type entropy) and q208 (unordered
+# co-occurrence). Scale shape: identical to q185 — the lag window
+# partitions by user (user-history-sized partitions), transitions
+# collapse to an alphabet²-bounded count frame in one map-side
+# combined shuffle, and the entropy algebra (H = ln N − Σ n·ln n / N)
+# runs on that tiny frame; output is alphabet-bounded.
+def q211_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        gap_s.alias("gap_s"),
+    ).filter(
+        F.col("from_type").isNotNull()
+        & (F.col("gap_s") <= TRANSITION_GAP_MIN * 60)
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    per_from = counts.groupBy("from_type").agg(
+        F.sum("n").alias("n_out"),
+        F.count("*").alias("n_next_types"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("_snln"),
+    )
+    h = (
+        F.log(F.col("n_out").cast("double"))
+        - F.col("_snln") / F.col("n_out").cast("double")
+    )
+    return per_from.select(
+        "from_type",
+        "n_out",
+        "n_next_types",
+        eround(F.lit(1e-9) + h, 4).alias("h_next"),
+        eround(
+            F.lit(1e-9)
+            + F.when(F.col("n_next_types") > 1, h / F.log(F.col("n_next_types").cast("double")))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("h_norm"),
+    ).orderBy("from_type")
+
+
+_Q211_ORACLE = f"""
+    WITH pairs AS (
+      SELECT lag(event_type) OVER w AS from_type,
+             event_type AS to_type,
+             floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs
+      WHERE from_type IS NOT NULL
+        AND gap_s <= {TRANSITION_GAP_MIN} * 60
+      GROUP BY from_type, to_type
+    ),
+    per_from AS (
+      SELECT from_type, sum(n) AS n_out, count(*) AS n_next_types,
+             sum(n * ln(CAST(n AS DOUBLE))) AS snln
+      FROM counts GROUP BY from_type
+    )
+    SELECT from_type, CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_next_types AS BIGINT) AS n_next_types,
+           round(1e-9 + ln(CAST(n_out AS DOUBLE))
+                 - snln / CAST(n_out AS DOUBLE), 4) AS h_next,
+           round(1e-9 + CASE
+             WHEN n_next_types > 1 THEN
+               (ln(CAST(n_out AS DOUBLE)) - snln / CAST(n_out AS DOUBLE))
+               / ln(CAST(n_next_types AS DOUBLE))
+             ELSE 0.0 END, 4) AS h_norm
+    FROM per_from ORDER BY from_type
+"""
+
+
 QUERIES = {
     "q185_transition_matrix": q185_transition_matrix,
+    "q208_session_assoc": q208_session_assoc,
+    "q211_transition_entropy": q211_transition_entropy,
     "q187_hourly_anomalies": q187_hourly_anomalies,
     "q193_cohort_retention": q193_cohort_retention,
     "q194_usage_concentration": q194_usage_concentration,
@@ -1221,6 +1434,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q208_session_assoc": _Q208_ORACLE,
+    "q211_transition_entropy": _Q211_ORACLE,
     "q151_bot_signals": _Q151_ORACLE,
     "q166_event_drift": _Q166_ORACLE,
     "q177_user_erasure": _Q177_ORACLE,

@@ -3738,6 +3738,486 @@ _Q186_ORACLE = f"""
 """
 
 
+# --- q206: Zipf rank-frequency fit per source (round 14) — the
+# power-law audit corpus reports run before trusting token statistics:
+# regress ln(count) on ln(rank) over the frequency-ranked HEAD of each
+# source's vocabulary (the head is where Zipf holds; the tail always
+# sags) and report slope + r². A healthy natural-language source sits
+# near slope −1; templated/generated text goes shallow, boilerplate
+# floods go steep. Scale shape: the only corpus-sized pass is the
+# token explode→count agg (map-side combined). Ranking never windows
+# the full vocabulary: the cumulative tie-class prefilter windows the
+# DISTINCT count values per source (≤ |count values| rows), keeps only
+# count classes whose cumulative size reaches ZIPF_HEAD_K, and the
+# row_number window runs over that ≤K+ties-per-source sliver — at
+# 100 TB the 10M-token vocabulary never passes through a window.
+ZIPF_HEAD_K = 1024
+
+
+def q206_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", _tokens(F.col("text")).alias("arr"))
+    counts = (
+        base.select("source", F.explode("arr").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    src_stats = counts.groupBy("source").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
+    # head prefilter: one window over the distinct count VALUES per
+    # source (tiny), then an exact row_number over the surviving
+    # ≤K+boundary-ties rows
+    mc = counts.groupBy("source", "c").agg(F.count("*").alias("m"))
+    w_c = (
+        Window.partitionBy("source")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep_c = (
+        mc.withColumn(
+            "cum_before", F.coalesce(F.sum("m").over(w_c), F.lit(0))
+        )
+        .filter(F.col("cum_before") < ZIPF_HEAD_K)
+        .select("source", "c")
+    )
+    w_r = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("t"))
+    head = (
+        counts.join(F.broadcast(keep_c), ["source", "c"])
+        .withColumn("rnk", F.row_number().over(w_r))
+        .filter(F.col("rnk") <= ZIPF_HEAD_K)
+    )
+    pts = head.select(
+        "source",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    fit = pts.groupBy("source").agg(
+        F.count("*").alias("head_k"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+        (F.corr("x", "y") * F.corr("x", "y")).alias("r2"),
+    )
+    return (
+        src_stats.join(fit, "source")
+        .select(
+            "source",
+            "vocab_size",
+            "total_tokens",
+            "head_k",
+            eround("slope", 4).alias("zipf_slope"),
+            eround("r2", 4).alias("zipf_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q206_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, t, count(*) AS c
+      FROM (SELECT source, unnest(arr) AS t FROM base) GROUP BY 1, 2
+    ),
+    src_stats AS (
+      SELECT source, count(*) AS vocab_size, sum(c) AS total_tokens
+      FROM counts GROUP BY 1
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (
+               PARTITION BY source ORDER BY c DESC, t
+             ) AS rnk
+      FROM counts
+    ),
+    head AS (SELECT * FROM ranked WHERE rnk <= {ZIPF_HEAD_K}),
+    fit AS (
+      SELECT source, count(*) AS head_k,
+             regr_slope(ln(c), ln(rnk)) AS slope,
+             regr_r2(ln(c), ln(rnk)) AS r2
+      FROM head GROUP BY 1
+    )
+    SELECT s.source, CAST(s.vocab_size AS BIGINT) AS vocab_size,
+           CAST(s.total_tokens AS BIGINT) AS total_tokens,
+           CAST(f.head_k AS BIGINT) AS head_k,
+           round(f.slope, 4) AS zipf_slope,
+           round(f.r2, 4) AS zipf_r2
+    FROM src_stats s JOIN fit f USING (source) ORDER BY s.source
+"""
+
+
+# --- q207: Heaps'-law vocabulary growth (round 14) — how fast the
+# corpus keeps yielding NEW n-grams as it grows, the saturation curve
+# release planning reads before deciding whether more raw data still
+# buys diversity (V(N) ≈ K·N^β; β near 1 = still fresh, β → 0 =
+# saturated). The growth unit is the word TRIGRAM (the unigram
+# vocabulary of a bounded domain saturates immediately; trigram space
+# keeps growing for decades of data). Docs are cut into HEAPS_TILES
+# checkpoints in doc_id order via the range-bucketed two-phase ntile
+# (functions/ranking.py — no single-partition window at any corpus
+# size); each trigram contributes to the checkpoint of its FIRST
+# document, so cum_vocab is an exact distinct-so-far count. The final
+# cumsum + log-log regression run over exactly HEAPS_TILES rows.
+HEAPS_TILES = 20
+
+
+def q207_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import global_analytics
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("arr"))
+    tiled = global_analytics(
+        base.select("doc_id", F.size("arr").alias("n_toks")),
+        "doc_id",
+        "doc_id",
+        ntile_k=HEAPS_TILES,
+        ntile_name="tile",
+    ).select("doc_id", "n_toks", F.col("tile").cast("long").alias("tile"))
+    tg = base.filter(F.size("arr") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("arr", i),
+                    F.element_at("arr", i + 1),
+                    F.element_at("arr", i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    first = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    newv = (
+        first.join(
+            tiled.select(F.col("doc_id").alias("first_doc"), "tile"),
+            "first_doc",
+        )
+        .groupBy("tile")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("toks")
+    )
+    # the running totals + regression see exactly HEAPS_TILES rows —
+    # the unpartitioned window is bounded by construction
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_tile.join(newv, "tile", "left").select(
+        "tile",
+        "n_docs",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("cum_vocab"),
+    )
+    pts = cum.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("beta"),
+        (F.corr("x", "y") * F.corr("x", "y")).alias("r2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(fit))
+        .select(
+            "tile",
+            "n_docs",
+            "cum_tokens",
+            "cum_vocab",
+            eround("beta", 4).alias("heaps_beta"),
+            eround("r2", 4).alias("heaps_r2"),
+        )
+        .orderBy("tile")
+    )
+
+
+_Q207_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, len(arr) AS n_toks,
+             CAST(ntile({HEAPS_TILES}) OVER (ORDER BY doc_id) AS BIGINT)
+               AS tile
+      FROM base
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr) - 1),
+               i -> concat_ws(' ', arr[i], arr[i+1], arr[i+2]))) AS g
+      FROM base WHERE len(arr) >= 3
+    ),
+    tok_first AS (SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY g),
+    newv AS (
+      SELECT d.tile, count(*) AS new_vocab
+      FROM tok_first f JOIN docs d ON d.doc_id = f.first_doc GROUP BY 1
+    ),
+    per_tile AS (
+      SELECT tile, count(*) AS n_docs, sum(n_toks) AS toks
+      FROM docs GROUP BY 1
+    ),
+    cum AS (
+      SELECT p.tile, p.n_docs,
+             sum(p.toks) OVER (ORDER BY p.tile) AS cum_tokens,
+             sum(coalesce(v.new_vocab, 0)) OVER (ORDER BY p.tile)
+               AS cum_vocab
+      FROM per_tile p LEFT JOIN newv v USING (tile)
+    ),
+    fit AS (
+      SELECT regr_slope(ln(cum_vocab), ln(cum_tokens)) AS beta,
+             regr_r2(ln(cum_vocab), ln(cum_tokens)) AS r2
+      FROM cum
+    )
+    SELECT c.tile, CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(c.cum_vocab AS BIGINT) AS cum_vocab,
+           round(f.beta, 4) AS heaps_beta,
+           round(f.r2, 4) AS heaps_r2
+    FROM cum c CROSS JOIN fit f ORDER BY c.tile
+"""
+
+
+# --- q209: span-level LM anomaly scan (round 14) — q109 scores whole
+# documents; cleaning pipelines also need WHERE a document goes bad
+# (a corrupt segment spliced into otherwise-fine text drags the doc
+# mean only slightly). Every positional bigram is scored under the
+# same corpus-fit add-k bigram model as q109, a sliding window of
+# SPAN_W bigram log-probs is averaged per position, and each doc
+# reports its WORST window; docs whose worst span falls below
+# SPAN_LP_MIN are flagged. Scale shape: one posexplode pass, model
+# joins are vocab-bounded broadcasts, the sliding window partitions by
+# doc_id (document-sized partitions — never corpus-wide), then two
+# small aggs. Threshold calibrated on the sf corpus: worst-window lp
+# spans [−3.83, −3.30] with p01 ≈ −3.72, so −3.65 flags the genuine
+# low-probability tail (a few %) on any SF of this generator.
+SPAN_W = 8
+SPAN_LP_MIN = -3.65
+
+
+def q209_span_lm_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("arr")
+    )
+    bgp = base.filter(F.size("arr") >= 2).select(
+        "doc_id", "source", F.posexplode(_bigram_array()).alias("pos", "bg")
+    )
+    c12 = bgp.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        bgp.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = base.select(F.explode("arr").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    lp = F.log(
+        (F.col("c12") + F.lit(PPL_SMOOTH_K))
+        / (F.col("c1") + F.lit(PPL_SMOOTH_K) * F.col("v"))
+    )
+    scored = (
+        bgp.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "source", "pos", lp.alias("lp"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, SPAN_W - 1)
+    )
+    win = scored.select(
+        "doc_id",
+        "source",
+        F.avg("lp").over(w).alias("wavg"),
+        F.count("*").over(w).alias("wn"),
+    )
+    worst = (
+        win.filter(F.col("wn") == SPAN_W)
+        .groupBy("doc_id", "source")
+        .agg(F.min("wavg").alias("worst_lp"))
+    )
+    return (
+        worst.groupBy("source")
+        .agg(
+            F.count("*").alias("n_scored"),
+            eround(1e-9 + F.avg("worst_lp"), 4).alias("avg_worst_lp"),
+            eround(F.min("worst_lp"), 4).alias("min_worst_lp"),
+            F.sum(
+                F.when(F.col("worst_lp") < SPAN_LP_MIN, 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q209_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    bgl AS (
+      SELECT doc_id, source,
+             list_transform(range(1, len(arr)),
+                            i -> concat_ws(' ', arr[i], arr[i+1])) AS bgs
+      FROM base WHERE len(arr) >= 2
+    ),
+    bgp0 AS (
+      SELECT doc_id, source, bgs,
+             unnest(generate_series(1, len(bgs))) AS pos
+      FROM bgl
+    ),
+    bgp AS (SELECT doc_id, source, pos, bgs[pos] AS bg FROM bgp0),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bgp GROUP BY bg),
+    c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+      FROM bgp GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(arr) AS t FROM base)
+    ),
+    scored AS (
+      SELECT b.doc_id, b.source, b.pos,
+             ln((m.c12 + {PPL_SMOOTH_K})
+                / (c.c1 + {PPL_SMOOTH_K} * vocab.v)) AS lp
+      FROM bgp b
+      JOIN c12 m ON m.bg = b.bg
+      JOIN c1 c ON c.w1 = string_split(b.bg, ' ')[1]
+      CROSS JOIN vocab
+    ),
+    win AS (
+      SELECT doc_id, source,
+             avg(lp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {SPAN_W - 1} FOLLOWING) AS wavg,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {SPAN_W - 1} FOLLOWING) AS wn
+      FROM scored
+    ),
+    worst AS (
+      SELECT doc_id, source, min(wavg) AS worst_lp
+      FROM win WHERE wn = {SPAN_W} GROUP BY 1, 2
+    )
+    SELECT source, count(*) AS n_scored,
+           round(1e-9 + avg(worst_lp), 4) AS avg_worst_lp,
+           round(min(worst_lp), 4) AS min_worst_lp,
+           CAST(sum(CASE WHEN worst_lp < {SPAN_LP_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM worst GROUP BY source ORDER BY source
+"""
+
+
+# --- q210: PMI collocations (round 14, wave 3) — the classic
+# pointwise-mutual-information collocation mining a corpus team runs
+# before fixing a tokenizer vocabulary: word pairs whose co-occurrence
+# beats independence (PMI = ln p(ab)/(p(a)p(b))) are the multi-word
+# expressions worth merging into single tokens, and a PMI table that
+# suddenly fills with templated pairs is a boilerplate alarm. The
+# min-count floor keeps the rare-pair PMI explosion out (a hapax pair
+# maxes PMI by construction); complements q186 (per-source keyness,
+# which ranks terms against OTHER sources) and q44 (raw trigram
+# counts) with an independence-normalized statistic. Scale shape: the
+# corpus is touched by exactly two explode→hash-agg passes (tokens,
+# bigrams — both map-side combined); the floored candidate table is
+# vocab-bounded and shrinks with the floor, the two unigram joins are
+# plain equi-joins on vocab-sized tables (AQE picks the strategy —
+# broadcasting c1 would die at a 100M-token vocabulary), the two
+# scalar totals broadcast as 1-row frames, and the top-K runs through
+# ranked_topk (TakeOrdered — no single-partition window). The rank
+# key is the ROUNDED pmi + bigram tiebreak, so a cross-engine ln ulp
+# cannot flip the K-th place (q151's ranking discipline).
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def q210_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import ranked_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(_tokens(F.col("text")).alias("arr"))
+    tok = base.select(F.explode("arr").alias("t"))
+    c1 = tok.groupBy("t").agg(F.count("*").alias("c"))
+    n_tok = tok.agg(F.count("*").alias("n"))
+    bg = base.select(F.explode(_bigram_array()).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    m_bg = bg.agg(F.count("*").alias("m"))
+    cand = (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+    )
+    pmi = (
+        F.log(F.col("c12").cast("double"))
+        - F.log(F.col("m").cast("double"))
+        - F.log(F.col("c_a").cast("double"))
+        - F.log(F.col("c_b").cast("double"))
+        + F.lit(2.0) * F.log(F.col("n").cast("double"))
+    )
+    scored = (
+        cand.join(
+            c1.select(F.col("t").alias("w1"), F.col("c").alias("c_a")), "w1"
+        )
+        .join(
+            c1.select(F.col("t").alias("w2"), F.col("c").alias("c_b")), "w2"
+        )
+        .crossJoin(F.broadcast(m_bg))
+        .crossJoin(F.broadcast(n_tok))
+        .select("bg", "c12", "c_a", "c_b", eround(pmi, 4).alias("pmi"))
+    )
+    top = ranked_topk(scored, [F.desc("pmi"), F.asc("bg")], PMI_TOP_K)
+    return top.select(
+        F.col("rk").cast("long").alias("rk"),
+        F.col("bg").alias("bigram"),
+        "c12",
+        "c_a",
+        "c_b",
+        "pmi",
+    ).orderBy("rk")
+
+
+_Q210_ORACLE = f"""
+    WITH base AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    tok AS (SELECT unnest(arr) AS t FROM base),
+    c1 AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+    ntok AS (SELECT count(*) AS n FROM tok),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(arr)),
+               i -> concat_ws(' ', arr[i], arr[i+1]))) AS bg
+      FROM base WHERE len(arr) >= 2
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+    mbg AS (SELECT count(*) AS m FROM bg),
+    scored AS (
+      SELECT x.bg, x.c12, a.c AS c_a, b.c AS c_b,
+             round(ln(CAST(x.c12 AS DOUBLE)) - ln(CAST(mbg.m AS DOUBLE))
+                   - ln(CAST(a.c AS DOUBLE)) - ln(CAST(b.c AS DOUBLE))
+                   + 2.0 * ln(CAST(ntok.n AS DOUBLE)), 4) AS pmi
+      FROM c12 x
+      JOIN c1 a ON a.t = string_split(x.bg, ' ')[1]
+      JOIN c1 b ON b.t = string_split(x.bg, ' ')[2]
+      CROSS JOIN mbg CROSS JOIN ntok
+      WHERE x.c12 >= {PMI_MIN_COUNT}
+    ),
+    top AS (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, bg) AS rk
+      FROM scored ORDER BY pmi DESC, bg LIMIT {PMI_TOP_K}
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, bg AS bigram,
+           CAST(c12 AS BIGINT) AS c12, CAST(c_a AS BIGINT) AS c_a,
+           CAST(c_b AS BIGINT) AS c_b, pmi
+    FROM top ORDER BY rk
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q169_dataset_card": q169_dataset_card,
@@ -3776,6 +4256,10 @@ QUERIES = {
     "q179_quality_training_set": q179_quality_training_set,
     "q181_doremi_mixture": q181_doremi_mixture,
     "q186_source_keyness": q186_source_keyness,
+    "q206_zipf_fit": q206_zipf_fit,
+    "q207_vocab_growth": q207_vocab_growth,
+    "q209_span_lm_anomaly": q209_span_lm_anomaly,
+    "q210_pmi_collocations": q210_pmi_collocations,
     "q188_snapshot_diff": q188_snapshot_diff,
     "q190_calibrated_quality": q190_calibrated_quality,
 }
@@ -3838,6 +4322,10 @@ ORACLES = {
     "q179_quality_training_set": _q179_oracle(),
     "q181_doremi_mixture": _q181_oracle(),
     "q186_source_keyness": _Q186_ORACLE,
+    "q206_zipf_fit": _Q206_ORACLE,
+    "q207_vocab_growth": _Q207_ORACLE,
+    "q209_span_lm_anomaly": _Q209_ORACLE,
+    "q210_pmi_collocations": _Q210_ORACLE,
     "q188_snapshot_diff": _q188_oracle(),
     "q190_calibrated_quality": _Q190_ORACLE,
     "q169_dataset_card": _Q169_ORACLE,

@@ -15,25 +15,33 @@ from synthetic_data_pipeline_spark.queries import all_oracles, all_queries
 DRIVER_CAP = 50
 
 # Queries that MUST occupy the round-14 window (VERDICT r13 Next #2):
-# the r14 newborn q205 (update_release's component-local edit-path
+# the r14 newborns — q205 (update_release's component-local edit-path
 # relabel, VERDICT r13 #5 — its oracle replays both decades' LP
-# chains from scratch), two changed-path anchors (q204's exact arm
-# re-keyed (bucket, local_k) per ADVICE r13's medium finding; q188's
-# snapshot fingerprint widened to md5(text␁source␁lang) on both
-# engines), and the FULL 47-row r10-stale tier (recomputed from the
-# git-tracked CORRECTNESS_r* artifacts — q118 leads).
+# chains from scratch) plus the wave-2 four (q206 Zipf fit, q207
+# Heaps growth, q208 session association rules, q209 span LM
+# anomaly; wave 3: q210 PMI collocations, q211 transition entropy;
+# the standing newborn rule outranks completing the stale tier) —
+# two changed-path anchors (q204's exact arm re-keyed
+# (bucket, local_k) per ADVICE r13's medium finding; q188's snapshot
+# fingerprint widened to md5(text␁source␁lang) on both engines), and
+# 41 of the 47-row r10-stale tier (recomputed from the git-tracked
+# CORRECTNESS_r* artifacts — q118 leads; q18/q26/q31/q158/q06/q44
+# ceded their slots to the wave-2/3 newborns, each covered by an
+# in-window cousin: q17/q25/q30/q157/q04+q07+q09/q207. Those six
+# lead the r15 rotation).
 R2_UNCHECKED = [
-    f"q{i:02d}" for i in [205,                             # born round 14
+    f"q{i:02d}" for i in [205, 206, 207, 208, 209,         # born round 14
+                          210, 211,                        # wave 3
                           204, 188,                        # changed paths
-                          # the full r10-stale tier (47 rows)
+                          # the r10-stale tier (41 of 47 rows)
                           118,
-                          4, 6, 7, 9, 11, 16, 17, 18,
-                          21, 23, 25, 26,
-                          30, 31, 32, 33, 34, 35, 36, 37,
-                          40, 41, 42, 43, 44, 45, 48, 49,
+                          4, 7, 9, 11, 16, 17,
+                          21, 23, 25,
+                          30, 32, 33, 34, 35, 36, 37,
+                          40, 41, 42, 43, 45, 48, 49,
                           50, 51, 53, 57, 58, 59,
                           65, 66, 67, 80,
-                          120, 121, 125, 151, 153, 154, 157, 158]
+                          120, 121, 125, 151, 153, 154, 157]
 ]
 
 

@@ -2074,3 +2074,387 @@ def test_decayed_activity_recency_beats_volume(spark, monkeypatch):
     assert abs(got[1].score - round(1e-9 + want1, 4)) < 1e-3
     assert abs(got[2].score - round(1e-9 + want2, 4)) < 1e-3
     assert got[2].score < 0.05  # ten half-lives: the whale is dust
+
+
+# --- round 14 wave 2: q206 Zipf fit, q207 Heaps growth, q208 session
+# association rules, q209 span LM anomaly — each pinned against a
+# pure-Python replication on a planted corpus.
+
+
+def _eround_py(x: float, k: int = 4) -> float:
+    return round(x + 1e-6 + abs(x) * 1e-12, k)
+
+
+def test_zipf_fit_planted_powerlaw(spark, monkeypatch):
+    """Token counts 120/r for r=1..6 are an EXACT power law: the fit
+    must report slope -1.0 and r² 1.0, with vocab/total/head exact."""
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    counts = {f"t{r}": 120 // r for r in range(1, 7)}  # 120 60 40 30 24 20
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    df = spark.createDataFrame(
+        [(0, text, "en", "srcZ", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_zipf_docs")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_zipf_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    [row] = tx.q206_zipf_fit(spark, "unused").collect()
+    assert row.source == "srcZ"
+    assert row.vocab_size == 6
+    assert row.total_tokens == sum(counts.values())
+    assert row.head_k == 6
+    assert row.zipf_slope == _eround_py(-1.0)
+    assert row.zipf_r2 == _eround_py(1.0)
+
+
+def test_zipf_head_cap_and_tiebreak(spark, monkeypatch):
+    """With ZIPF_HEAD_K=3 and counts [8, 4, 4, 2], the head keeps the
+    8 and both tied 4s (rank by count desc, token asc) and drops the
+    2 — the tie-class prefilter must not lose the boundary tie."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    counts = {"aa": 8, "bb": 4, "cc": 4, "dd": 2}
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    df = spark.createDataFrame(
+        [(0, text, "en", "srcZ", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_zipf_docs2")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_zipf_docs2") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    monkeypatch.setattr(tx, "ZIPF_HEAD_K", 3)
+    [row] = tx.q206_zipf_fit(spark, "unused").collect()
+    assert row.vocab_size == 4 and row.head_k == 3
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(c) for c in (8, 4, 4)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 3
+    var = sum((x - mx) ** 2 for x in xs) / 3
+    assert row.zipf_slope == _eround_py(cov / var)
+
+
+def test_vocab_growth_planted(spark, monkeypatch):
+    """40 docs, two per tile: the first 20 docs each mint 2 brand-new
+    trigrams, the last 20 are the SAME doc repeated (no new trigrams
+    after its first occurrence) — cum_vocab must saturate exactly, and
+    the fitted beta must match a pure-Python regression."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    rows = []
+    for d in range(40):
+        if d < 20:
+            text = f"w{d}a w{d}b w{d}c w{d}d"  # 4 tokens, 2 new trigrams
+        else:
+            text = "x y z w"  # 2 trigrams, new only at doc 20
+        rows.append((d, text, "en", "src0", len(text)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_heaps_docs")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_heaps_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    got = tx.q207_vocab_growth(spark, "unused").collect()
+    assert [r.tile for r in got] == list(range(1, 21))
+    assert all(r.n_docs == 2 for r in got)
+    cum_tokens, cum_vocab, new_per_tile = [], [], []
+    tok, voc = 0, 0
+    for t in range(20):
+        tok += 8  # two 4-token docs per tile
+        if t < 10:
+            voc += 4  # two docs × 2 new trigrams
+        elif t == 10:
+            voc += 2  # "x y z" / "y z w" minted once at doc 20
+        cum_tokens.append(tok)
+        cum_vocab.append(voc)
+    assert [r.cum_tokens for r in got] == cum_tokens
+    assert [r.cum_vocab for r in got] == cum_vocab
+    xs = [math.log(v) for v in cum_tokens]
+    ys = [math.log(v) for v in cum_vocab]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    var = sum((x - mx) ** 2 for x in xs) / n
+    beta = cov / var
+    assert all(r.heaps_beta == _eround_py(beta) for r in got)
+
+
+def test_session_assoc_planted(spark, monkeypatch):
+    """One user, three >30-min-separated sessions {a,b} / {a} /
+    {a,b,c}: every support/confidence/lift cell is hand-checkable."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    T = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for s_idx, types in enumerate([["a", "b"], ["a"], ["a", "b", "c"]]):
+        for i, ty in enumerate(types):
+            rows.append(
+                (eid, T + dt.timedelta(hours=2 * s_idx, minutes=i), 7,
+                 ty, 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_assoc_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_assoc_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {(r.type_a, r.type_b): r
+           for r in ev_mod.q208_session_assoc(spark, "unused").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert ab.n_both == 2
+    assert ab.support == _eround_py(2 / 3)
+    assert ab.conf_a_to_b == _eround_py(2 / 3)  # a in 3 sessions
+    assert ab.conf_b_to_a == _eround_py(1.0)    # b in 2, both with a
+    assert ab.lift == _eround_py(2 * 3 / (3 * 2))
+    ac = got[("a", "c")]
+    assert (ac.n_both, ac.conf_b_to_a) == (1, _eround_py(1.0))
+    assert ac.lift == _eround_py(1 * 3 / (3 * 1))
+    bc = got[("b", "c")]
+    assert bc.support == _eround_py(1 / 3)
+    assert bc.lift == _eround_py(1 * 3 / (2 * 1))
+
+
+def test_span_lm_anomaly_planted(spark, monkeypatch):
+    """Pure-Python replication of the windowed bigram scoring on a
+    3-doc corpus: two repetitive docs and one containing a unique
+    bigram run — only the unique-run doc may be flagged once the
+    threshold is set between the two worst-window scores."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    docs = {
+        0: ("p p p p p p p p p p p p", "srcA"),
+        1: ("p p p p p p p p p p p p", "srcA"),
+        2: ("p p q r s t u v w p p p", "srcB"),  # unique low-prob run
+    }
+    rows = [(d, t, "en", s, len(t)) for d, (t, s) in docs.items()]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_span_docs")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_span_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+
+    # pure-Python model replication
+    k = tx.PPL_SMOOTH_K
+    W = tx.SPAN_W
+    toks = {d: t.split() for d, (t, s) in docs.items()}
+    bgs = {d: [(a, b) for a, b in zip(ts, ts[1:])] for d, ts in toks.items()}
+    c12, c1 = {}, {}
+    for d, bl in bgs.items():
+        for bg in bl:
+            c12[bg] = c12.get(bg, 0) + 1
+            c1[bg[0]] = c1.get(bg[0], 0) + 1
+    v = len({t for ts in toks.values() for t in ts})
+    worst = {}
+    for d, bl in bgs.items():
+        lps = [math.log((c12[bg] + k) / (c1[bg[0]] + k * v)) for bg in bl]
+        wins = [sum(lps[i:i + W]) / W for i in range(len(lps) - W + 1)]
+        worst[d] = min(wins)
+    assert worst[2] < worst[0]  # the planted run IS the anomaly
+    thresh = (worst[2] + worst[0]) / 2.0
+    monkeypatch.setattr(tx, "SPAN_LP_MIN", thresh)
+
+    got = {r.source: r
+           for r in tx.q209_span_lm_anomaly(spark, "unused").collect()}
+    assert got["srcA"].n_scored == 2 and got["srcB"].n_scored == 1
+    assert got["srcA"].n_flagged == 0
+    assert got["srcB"].n_flagged == 1
+    assert got["srcB"].min_worst_lp == _eround_py(worst[2])
+    assert got["srcA"].avg_worst_lp == _eround_py(
+        1e-9 + (worst[0] + worst[1]) / 2.0
+    )
+# --- round 14 wave 3: q210 PMI collocations, q211 transition
+# entropy — pure-Python replications on planted corpora.
+
+
+def test_pmi_collocations_planted(spark, monkeypatch):
+    """One doc where 'aa bb' always co-occur (perfect collocation)
+    against a pool of frequent fillers: every PMI cell is
+    hand-computable, the pair floor drops sub-floor pairs, and the
+    perfect pair outranks the filler pairs."""
+    import math
+
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    # 6 repetitions of "aa bb", separated by runs of filler 'f'
+    # (so 'bb aa' never occurs); f-f pairs are frequent but
+    # independence-expected.
+    text = " ".join(["aa bb " + "f " * 4] * 6).strip()
+    df = spark.createDataFrame(
+        [(0, text, "en", "srcP", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_pmi_docs")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_pmi_docs") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    monkeypatch.setattr(tx, "PMI_MIN_COUNT", 5)
+
+    toks = text.split()
+    bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    c1, c12 = {}, {}
+    for t in toks:
+        c1[t] = c1.get(t, 0) + 1
+    for g in bgs:
+        c12[g] = c12.get(g, 0) + 1
+    n, m = len(toks), len(bgs)
+
+    def pmi(g):
+        a, b = g.split(" ")
+        return (
+            math.log(c12[g]) - math.log(m)
+            - math.log(c1[a]) - math.log(c1[b]) + 2 * math.log(n)
+        )
+
+    got = {r.bigram: r for r in
+           tx.q210_pmi_collocations(spark, "unused").collect()}
+    want = {g for g, c in c12.items() if c >= 5}
+    assert set(got) == want          # the floor dropped "bb f"(6)? no:
+    # "aa bb"=6, "bb f"=6, "f f"=18, "f aa"=5 — all >=5 survive
+    for g, r in got.items():
+        assert r.c12 == c12[g] and r.c_a == c1[g.split(" ")[0]]
+        assert r.pmi == _eround_py(pmi(g))
+    # the engineered collocation carries the highest PMI
+    top = min(got.values(), key=lambda r: r.rk)
+    assert top.bigram == "aa bb"
+    ranked = sorted(got.values(), key=lambda r: r.rk)
+    keys = [(-r.pmi, r.bigram) for r in ranked]
+    assert keys == sorted(keys)      # rank follows (pmi desc, bg asc)
+
+
+def test_pmi_floor_drops_rare_pairs(spark, monkeypatch):
+    """A hapax pair would max PMI by construction — the floor must
+    keep it out of the table."""
+    from synthetic_data_pipeline_spark.operators import textops as tx
+    from synthetic_data_pipeline_spark.sources import tables
+
+    text = "zz qq " + "f f f f f " * 3   # 'zz qq' occurs once
+    df = spark.createDataFrame(
+        [(0, text.strip(), "en", "srcP", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_pmi_docs2")
+    monkeypatch.setattr(
+        tx, "load_table",
+        lambda sp, sf, name: sp.table("_pmi_docs2") if name == "documents"
+        else tables.load_table(sp, sf, name),
+    )
+    monkeypatch.setattr(tx, "PMI_MIN_COUNT", 5)
+    got = [r.bigram for r in
+           tx.q210_pmi_collocations(spark, "unused").collect()]
+    assert "zz qq" not in got
+    assert "f f" in got
+
+
+def test_transition_entropy_planted(spark, monkeypatch):
+    """User A: a→b always (H=0). User B: b→a / b→c alternating
+    (H=ln 2, h_norm=1). All gaps < 30 min so every transition
+    counts; pure-Python H cross-check at 4dp."""
+    import datetime as dt
+    import math
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    T = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows, eid = [], 0
+    # user 1: a b a b a b  -> a→b ×3, b→a ×2
+    for i, ty in enumerate(["a", "b", "a", "b", "a", "b"]):
+        rows.append((eid, T + dt.timedelta(minutes=i), 1, ty, 1.0, "{}"))
+        eid += 1
+    # user 2: b a b c b a b c  -> b→a ×2, b→c ×2, a→b ×2, c→b ×1
+    for i, ty in enumerate(["b", "a", "b", "c", "b", "a", "b", "c"]):
+        rows.append((eid, T + dt.timedelta(minutes=i), 2, ty, 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_tent_events")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_tent_events") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.from_type: r for r in
+           ev_mod.q211_transition_entropy(spark, "unused").collect()}
+    # a→b: 3 (user1) + 2 (user2) = 5, only next type b → H = 0
+    assert got["a"].n_out == 5 and got["a"].n_next_types == 1
+    assert got["a"].h_next == _eround_py(1e-9 + 0.0)
+    assert got["a"].h_norm == _eround_py(1e-9 + 0.0)
+    # b→a: 2+2=4, b→c: 2 → H = ln6 − (4·ln4 + 2·ln2)/6
+    h_b = math.log(6) - (4 * math.log(4) + 2 * math.log(2)) / 6
+    assert got["b"].n_out == 6 and got["b"].n_next_types == 2
+    assert got["b"].h_next == _eround_py(1e-9 + h_b)
+    assert got["b"].h_norm == _eround_py(1e-9 + h_b / math.log(2))
+    # c→b once
+    assert got["c"].n_out == 1 and got["c"].h_next == _eround_py(1e-9)
+
+
+def test_transition_entropy_gap_rule(spark, monkeypatch):
+    """A >30-min gap breaks the chain exactly like q185: the
+    transition across the gap is not counted."""
+    import datetime as dt
+
+    from synthetic_data_pipeline_spark.operators import events as ev_mod
+    from synthetic_data_pipeline_spark.sources import tables
+
+    T = dt.datetime(2025, 3, 1, 12, 0, 0)
+    rows = [
+        (0, T, 5, "a", 1.0, "{}"),
+        (1, T + dt.timedelta(minutes=10), 5, "b", 1.0, "{}"),
+        (2, T + dt.timedelta(minutes=50), 5, "c", 1.0, "{}"),  # gap 40
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("_tent_events2")
+    monkeypatch.setattr(
+        ev_mod, "load_table",
+        lambda sp, sf, name: sp.table("_tent_events2") if name == "events"
+        else tables.load_table(sp, sf, name),
+    )
+    got = {r.from_type: r for r in
+           ev_mod.q211_transition_entropy(spark, "unused").collect()}
+    assert set(got) == {"a"}         # only a→b survives the gap rule
+    assert got["a"].n_out == 1
