@@ -359,6 +359,15 @@ PROBE_100 = [
     "q189_incremental_ivf",
     "q194_usage_concentration",
     "q199_decayed_activity",
+    # round-14 wave-3 closure of the same pattern: the worst 10x rows
+    # of the r14 full run without a 100x row (q179 0.401, q182 0.292,
+    # q139 0.238 — plus newborn q208 0.246). All four re-timed via
+    # newborn_probe min-of-2: 100x 0.027/0.024/0.034/0.065, and the
+    # 10x blips halved on the quiet re-time (amortization/VM class)
+    "q179_quality_training_set",
+    "q182_audio_afp_dups",
+    "q139_cc_star_clusters",
+    "q208_session_assoc",
 ]
 # Media corpus sizes for the scaled tiers (media_n_for sentinel): the
 # 1x base dir is read-only testdata with no sentinel, so 1x stays 60.

@@ -1337,8 +1337,12 @@ _Q208_ORACLE = """
 # collapse to an alphabet²-bounded count frame in one map-side
 # combined shuffle, and the entropy algebra (H = ln N − Σ n·ln n / N)
 # runs on that tiny frame; output is alphabet-bounded.
-def q211_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+def transition_counts(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n) of q185's gap-ruled session transitions
+    — the ADDITIVE state both q211 and the streaming twin consume (the
+    transition multiset of a user's event sequence is the disjoint
+    union of its per-boundary-segment transitions, so partial counts
+    from any batch split sum to the whole)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
     pairs = events.select(
@@ -1349,9 +1353,13 @@ def q211_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("from_type").isNotNull()
         & (F.col("gap_s") <= TRANSITION_GAP_MIN * 60)
     )
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count("*").alias("n")
-    )
+    return pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+
+
+def transition_entropy_from_counts(counts: DataFrame) -> DataFrame:
+    """q211's entropy algebra over a (from_type, to_type, n) frame —
+    shared by the batch query and the streaming sink reader so the
+    twin equals the batch by construction."""
     per_from = counts.groupBy("from_type").agg(
         F.sum("n").alias("n_out"),
         F.count("*").alias("n_next_types"),
@@ -1373,6 +1381,19 @@ def q211_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("h_norm"),
     ).orderBy("from_type")
+
+
+def q211_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return transition_entropy_from_counts(transition_counts(events))
+
+
+def transition_counts_from_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Re-sum the streamed per-batch (from_type, to_type, n) partials —
+    counts are additive, so the union of any batch split equals the
+    whole-history frame (transition_counts_stream's contract)."""
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return df.groupBy("from_type", "to_type").agg(F.sum("n").alias("n"))
 
 
 _Q211_ORACLE = f"""

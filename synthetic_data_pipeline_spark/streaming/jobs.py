@@ -783,6 +783,130 @@ def cohort_retention_stream(
     )
 
 
+def stream_events_files(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a DIRECTORY of event parquet slices
+    (one micro-batch per file via maxFilesPerTrigger=1) — the
+    multi-batch harness for twins whose cross-batch state must
+    actually be exercised (a single events.parquet drains in one
+    batch, which never touches the boundary path). Schema/timezone
+    handling matches stream_events."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(
+        src_dir
+    ).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return normalize_ts(raw)
+
+
+def transition_counts_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    state_dir: str,
+    incoming: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Streaming twin of q185/q211's transition chain: each micro-batch
+    lands its own ADDITIVE (from_type, to_type, n) partial — its
+    within-batch transitions PLUS the boundary transition from each
+    user's carried last event into the batch's first — so the re-summed
+    sink equals the batch transition_counts over everything ingested
+    (events.transition_counts_from_sink; entropy/matrix readers derive
+    from that frame). Cross-batch state is ONE row per user (the
+    latest (ts, event_id, event_type)), versioned per batch id under
+    ``state_dir`` so a replayed batch reads its ORIGINAL predecessor
+    state and the per-batch-id overwrite stays idempotent
+    (exactly-once under the q118 evolving-state contract; a long-lived
+    deployment compacts old versions). Assumes each user's events
+    arrive in (ts, event_id) order ACROSS batches — the per-key
+    ordering a partitioned log gives; out-of-order arrival would need
+    watermark-delayed replay, which the windowed twins cover.
+    Scale shape: per-batch work is batch-sized (lag window over
+    state∪batch partitioned by user, one alphabet²-bounded count agg,
+    one per-user max agg); nothing rescans the history."""
+    from ..operators import events as ev
+
+    if incoming is None:
+        incoming = stream_events_files(spark, src_dir)
+    n_batches = {"n": 0}
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        import glob as _glob
+
+        versions = sorted(
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(f"{state_dir}/v=*")
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        )
+        cols = ["user_id", "ts", "event_id", "event_type"]
+        batch = batch_df.select(*cols).withColumn("_is_state", F.lit(0))
+        if versions:
+            prev = (
+                spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+                .select(*cols)
+                .withColumn("_is_state", F.lit(1))
+            )
+            un = prev.unionByName(batch)
+        else:
+            un = batch
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        lagged = un.select(
+            "user_id",
+            "_is_state",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            ).alias("gap_s"),
+        )
+        partial = (
+            lagged.filter(
+                (F.col("_is_state") == 0)
+                & F.col("from_type").isNotNull()
+                & (F.col("gap_s") <= ev.TRANSITION_GAP_MIN * 60)
+            )
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n"))
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        new_state = (
+            un.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("event_type"),
+            )
+        )
+        new_state.write.mode("overwrite").parquet(
+            f"{state_dir}/v={batch_id}"
+        )
+        n_batches["n"] += 1
+
+    q = (
+        incoming.writeStream.foreachBatch(_update)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix="sdps_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def bm25_retrieval_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -975,3 +975,136 @@ def test_hist_index_stream_equals_batch(spark, sf_dir, tmp_path):
         map(tuple, q79_histogram_quantiles(spark, sf_dir).collect())
     )
     assert got == want and len(want) == 3
+
+
+def test_transition_stream_planted_boundaries(spark, tmp_path):
+    """The q185/q211 streaming twin on a 3-slice planted stream: the
+    re-summed sink must equal the batch transition_counts over the
+    union, INCLUDING the transitions that cross micro-batch boundaries
+    (slice0→slice1 within the 30-min gap rule) — and a within-slice-only
+    reckoning must undercount, proving the carried last-event state
+    actually fired. A 65-min gap across slice1→slice2 pins the gap rule
+    at a boundary too."""
+    import datetime as dt
+    import time
+
+    from synthetic_data_pipeline_spark.operators.events import (
+        transition_counts,
+        transition_counts_from_sink,
+        transition_entropy_from_counts,
+    )
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        transition_counts_stream,
+    )
+
+    T = dt.datetime(2025, 3, 1, 12, 0, 0)
+    m = dt.timedelta  # noqa: E741 - terse planted-corpus arithmetic
+
+    # user 1 spans all three slices: ... b | a ... | (65-min break) c
+    # user 2 lives inside slice 0 only; user 3 crosses 0→1 only.
+    slices = [
+        [  # slice 0 (ts < 12:15)
+            (0, T + m(minutes=0), 1, "a"),
+            (1, T + m(minutes=10), 1, "b"),
+            (2, T + m(minutes=1), 2, "a"),
+            (3, T + m(minutes=2), 2, "a"),
+            (4, T + m(minutes=12), 3, "b"),
+        ],
+        [  # slice 1 (12:15 - 12:40)
+            (5, T + m(minutes=20), 1, "a"),   # b→a boundary, gap 10
+            (6, T + m(minutes=25), 3, "c"),   # b→c boundary, gap 13
+        ],
+        [  # slice 2: 65 min after user 1's last event — gap-ruled out
+            (7, T + m(minutes=85), 1, "c"),
+        ],
+    ]
+    src = str(tmp_path / "slices")
+    frames = []
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        frames.append(df)
+        df.coalesce(1).write.parquet(f"{src}/s{i}")
+        time.sleep(0.2)  # distinct mtimes -> deterministic batch order
+
+    out = str(tmp_path / "trans")
+    state = str(tmp_path / "state")
+    n = transition_counts_stream(spark, src, out, state)
+    assert n >= 3  # one micro-batch per slice file
+
+    got = sorted(
+        map(tuple, transition_counts_from_sink(spark, out).collect())
+    )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    want = sorted(map(tuple, transition_counts(union).collect()))
+    assert got == want
+    # hand-check: a→b, a→a, b→a, b→c — and NO a→c (the 65-min gap)
+    assert dict(((f, t), c) for f, t, c in got) == {
+        ("a", "b"): 1, ("a", "a"): 1, ("b", "a"): 1, ("b", "c"): 1,
+    }
+    # non-vacuity: within-slice-only counts MISS the two boundary rows
+    per_slice = {}
+    for f in frames:
+        for r in transition_counts(f).collect():
+            per_slice[(r.from_type, r.to_type)] = (
+                per_slice.get((r.from_type, r.to_type), 0) + r.n
+            )
+    assert sum(per_slice.values()) == sum(c for _, _, c in got) - 2
+    # entropy reader rides the same frame the batch algebra rides
+    ent = {
+        r.from_type: r
+        for r in transition_entropy_from_counts(
+            transition_counts_from_sink(spark, out)
+        ).collect()
+    }
+    assert ent["a"].n_out == 2 and ent["a"].n_next_types == 2
+    assert ent["b"].n_out == 2 and ent["b"].n_next_types == 2
+
+
+def test_transition_stream_sf_equals_batch(spark, sf_dir, tmp_path):
+    """Whole-table drain of the standard events stream: the re-summed
+    sink equals batch transition_counts, and the entropy reader equals
+    q211 row-for-row."""
+    from synthetic_data_pipeline_spark.operators.events import (
+        q211_transition_entropy,
+        transition_counts,
+        transition_counts_from_sink,
+        transition_entropy_from_counts,
+    )
+    from synthetic_data_pipeline_spark.sources.tables import load_table
+    from synthetic_data_pipeline_spark.streaming.jobs import (
+        stream_events,
+        transition_counts_stream,
+    )
+
+    out = str(tmp_path / "trans")
+    state = str(tmp_path / "state")
+    n = transition_counts_stream(
+        spark, sf_dir, out, state, incoming=stream_events(spark, sf_dir)
+    )
+    assert n >= 1
+    got = sorted(
+        map(tuple, transition_counts_from_sink(spark, out).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            transition_counts(load_table(spark, sf_dir, "events")).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+    ent_got = sorted(
+        map(
+            tuple,
+            transition_entropy_from_counts(
+                transition_counts_from_sink(spark, out)
+            ).collect(),
+        )
+    )
+    ent_want = sorted(
+        map(tuple, q211_transition_entropy(spark, sf_dir).collect())
+    )
+    assert ent_got == ent_want
