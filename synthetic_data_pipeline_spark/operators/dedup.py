@@ -1520,9 +1520,49 @@ def q127_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_N = 20
 
 
+def _gram_key(col):
+    """Compact 64-bit shuffle/join key for the span family's grams.
+
+    The key never reaches any output — every consumer (q131/q132/q134/
+    q135/q157/q158/q159/q180 and the streaming twins) only counts or
+    position-matches on it — so it must merely be consistent within a
+    lineage and collision-free in practice (64-bit xxhash64 over ~1e6
+    grams: P[collision] ≈ n²/2⁶⁵ < 1e-7, the same class of assumption
+    the previous md5 key already made). xxhash64 is codegen-native and
+    its key is 8 bytes where md5's was a 32-char string — guide §2.3's
+    "narrower types" applied to the family's largest shuffles. The
+    DuckDB oracles keep md5: outputs are hash-independent, pinned by
+    the unchanged driver hashes (r14 A/B at sf0.1, interleaved
+    min-of-6 on the q131 shape with the scan fan-out in place:
+    md5 1.24 s vs xxhash64 1.13 s; identical results)."""
+    return F.xxhash64(col)
+
+
+def _span_totals(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, source, n_pos) — per-doc gram-position counts computed
+    NARROWLY from token counts (a doc of L >= n tokens has exactly
+    L - n + 1 overlapping n-gram positions; shorter docs have none and
+    are absent, exactly like the exploded count). Replaces a full
+    corpus gram explode wherever a consumer only needed the
+    denominator (q131/q180/q135 and the gate twins)."""
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        "source",
+        (F.size(arr) - F.lit(n - 1)).cast("long").alias("n_pos"),
+    ).filter(F.col("n_pos") > 0)
+
+
 def _span_grams(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     """(doc_id, source, g) — every overlapping n-gram position (NOT
-    deduped within a doc; same narrow transform as distinct_shingles)."""
+    deduped within a doc; same narrow transform as distinct_shingles).
+    The scan fans out first: the explode+hash is the family's CPU wall
+    and an under-partitioned input serializes it (r14: the whole span
+    tier ran its explode in ONE task at sf0.1 — q131 2.41 s -> 1.05 s
+    with the fan-out; no-op when the input already has ≥cores splits)."""
+    from ..sources.tables import fan_out_scan
+
+    docs = fan_out_scan(docs.sparkSession, docs)
     arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = docs.select("doc_id", "source", arr.alias("arr"))
     grams = F.when(
@@ -1559,8 +1599,9 @@ def q131_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 3.11->3.39s (third scan costs ~9% at toy scale), 10x
     # 4.17->3.37s (-19%), 100x 38.3->16.8s (-56%) — the scale tier
     # wins decisively, which is the tier this query exists for.
-    grams = _span_grams(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", F.md5("g").alias("g")
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _span_grams(docs).select(
+        "doc_id", "source", _gram_key("g").alias("g")
     )
     dup_grams = (
         grams.groupBy("g")
@@ -1568,9 +1609,11 @@ def q131_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("dup")
         .select("g")
     )
-    totals = grams.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_pos")
-    )
+    # per-doc position totals need NO explode: a doc of L tokens has
+    # exactly L - (SPAN_N - 1) gram positions (r14 — drops one of the
+    # query's three corpus explodes; same identity the oracle's
+    # count(*) reproduces)
+    totals = _span_totals(docs)
     hits = (
         grams.join(dup_grams, "g", "semi")
         .groupBy("doc_id")
@@ -1661,8 +1704,9 @@ MEM_RISK_KS = (2, 3, 5, 10)
 def q180_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table as _lt
 
-    grams = _span_grams(_lt(spark, sf_dir, "documents")).select(
-        "doc_id", "source", F.md5("g").alias("g")
+    docs = _lt(spark, sf_dir, "documents")
+    grams = _span_grams(docs).select(
+        "doc_id", "source", _gram_key("g").alias("g")
     )
     ndocs = (
         grams.select("doc_id", "g")
@@ -1671,7 +1715,16 @@ def q180_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("ndocs"))
         .filter(F.col("ndocs") >= 2)
     )
-    hits = grams.join(ndocs, "g").select("doc_id", "source", "ndocs")
+    # two consumers (pos_hist + doc_max): checkpoint so the gram
+    # explode + two-level distinct behind it run once per call, not
+    # once per branch (narrow (doc_id, source, ndocs) rows, duplicated
+    # positions only — NOT the corpus-sized gram frame the q131
+    # finding bans from checkpoints)
+    hits = (
+        grams.join(ndocs, "g")
+        .select("doc_id", "source", "ndocs")
+        .localCheckpoint(eager=False)
+    )
     ks = F.array(*[F.lit(k) for k in MEM_RISK_KS])
     pos_hist = hits.groupBy("source", "ndocs").agg(
         F.count("*").alias("npos")
@@ -1693,9 +1746,8 @@ def q180_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "k")
         .agg(F.count("*").alias("docs_touched"))
     )
-    src_totals = grams.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_pos")
-    ).groupBy("source").agg(
+    # denominators without a fourth corpus explode (see _span_totals)
+    src_totals = _span_totals(docs).groupBy("source").agg(
         F.sum("n_pos").alias("tot_pos"), F.count("*").alias("tot_docs")
     )
     scaffold = src_totals.select(
@@ -1808,10 +1860,10 @@ def q132_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new_grams = _span_grams(
         docs.filter(F.col("doc_id") % INGEST_MOD == 0)
-    ).select("doc_id", "source", F.md5("g").alias("g"))
+    ).select("doc_id", "source", _gram_key("g").alias("g"))
     index = (
         _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
-        .select(F.md5("g").alias("g"))
+        .select(_gram_key("g").alias("g"))
         .distinct()
     )
     flagged = new_grams.join(index.withColumn("_hit", F.lit(True)), "g",
@@ -1871,13 +1923,13 @@ _Q132_ORACLE = f"""
 # arriving micro-batch explodes only its own grams and equi-joins the
 # index — the write_funnel_state / funnel_apply_batch pattern.
 def write_span_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Persist the indexed corpus's distinct md5-gram table as parquet
+    """Persist the indexed corpus's distinct gram-key table as parquet
     (the doc_id % INGEST_MOD != 0 slice, same deterministic split as
     q118/q132 so the stream twin replays the identical scenario)."""
     docs = load_table(spark, sf_dir, "documents")
     (
         _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
-        .select(F.md5("g").alias("g"))
+        .select(_gram_key("g").alias("g"))
         .distinct()
         .write.mode("overwrite")
         .parquet(path)
@@ -1894,9 +1946,7 @@ def span_gate_batch_longest(
     longest verbatim overlap + the admit verdict. Per-doc outcomes are
     IDENTICAL to q135's for the same docs (asserted by
     test_incremental_span_gate_stream_equals_batch)."""
-    return _longest_gate(
-        _span_grams_pos(batch_df), spark.read.parquet(index_path)
-    )
+    return _longest_gate(batch_df, spark.read.parquet(index_path))
 
 
 def span_gate_batch(
@@ -1910,7 +1960,7 @@ def span_gate_batch(
     index = spark.read.parquet(index_path)
     flagged = (
         _span_grams(batch_df)
-        .select("doc_id", "source", F.md5("g").alias("g"))
+        .select("doc_id", "source", _gram_key("g").alias("g"))
         .join(index.withColumn("_hit", F.lit(True)), "g", "left")
     )
     per_doc = flagged.groupBy("doc_id", "source").agg(
@@ -1942,7 +1992,11 @@ def span_gate_batch(
 def _span_grams_pos(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     """(doc_id, source, pos, g) — every overlapping n-gram with its
     1-based position (the positional twin of :func:`_span_grams`;
-    grams md5-hashed before any shuffle, same as the q131 tier)."""
+    grams hashed to the 64-bit _gram_key before any shuffle, same as the q131 tier).
+    Fans out the scan first — see _span_grams."""
+    from ..sources.tables import fan_out_scan
+
+    docs = fan_out_scan(docs.sparkSession, docs)
     arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = docs.select("doc_id", "source", arr.alias("arr")).filter(
         F.size("arr") >= n
@@ -1955,7 +2009,7 @@ def _span_grams_pos(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
                 F.sequence(F.lit(1), F.size("arr") - (n - 1)),
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.md5(
+                    _gram_key(
                         F.concat_ws(
                             " ",
                             *[F.element_at(F.col("arr"), (i + j).cast("int"))
@@ -2059,16 +2113,17 @@ _Q134_ORACLE = f"""
 SPAN_GATE_MAX_WORDS = 2 * SPAN_N  # admit iff longest run < 40 words
 
 
-def _longest_gate(new_grams: DataFrame, index: DataFrame) -> DataFrame:
+def _longest_gate(batch_df: DataFrame, index: DataFrame) -> DataFrame:
     """Core of the longest-span gate: positional grams of the NEW docs
     semi-join the distinct-gram ``index``, hit runs collapse via the
     doc_id-partitioned gaps-and-islands window, and every doc comes
-    back with (n_pos, n_dup, longest_span_words, admit)."""
+    back with (n_pos, n_dup, longest_span_words, admit). Takes the
+    batch DOCS (not a gram frame) so the denominators come from the
+    narrow _span_totals identity instead of a second gram explode."""
     from pyspark.sql import Window
 
-    totals = new_grams.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_pos")
-    )
+    new_grams = _span_grams_pos(batch_df)
+    totals = _span_totals(batch_df)
     hits = new_grams.join(index, "g", "semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     per_run = (
@@ -2094,15 +2149,14 @@ def _longest_gate(new_grams: DataFrame, index: DataFrame) -> DataFrame:
 
 def q135_incremental_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    new_grams = _span_grams_pos(
-        docs.filter(F.col("doc_id") % INGEST_MOD == 0)
-    )
     index = (
         _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
-        .select(F.md5("g").alias("g"))
+        .select(_gram_key("g").alias("g"))
         .distinct()
     )
-    return _longest_gate(new_grams, index).orderBy("doc_id")
+    return _longest_gate(
+        docs.filter(F.col("doc_id") % INGEST_MOD == 0), index
+    ).orderBy("doc_id")
 
 
 _Q135_ORACLE = f"""
@@ -2374,7 +2428,7 @@ _Q158_ORACLE = (
 def _strip_against_index(batch_df: DataFrame, index: DataFrame) -> DataFrame:
     """(doc_id, source, tokens_before, tokens_removed, clean_text) for
     every batch doc that loses at least one position to an
-    index-owned 20-gram. ``index``: a distinct md5-gram frame (g)."""
+    index-owned 20-gram. ``index``: a distinct gram-key frame (g)."""
     pg = _span_grams_pos(batch_df)
     flagged = pg.join(index.select("g"), "g", "semi").select(
         "doc_id", "pos"
@@ -2403,7 +2457,7 @@ def q159_incremental_span_strip(
     incoming = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
     index = (
         _span_grams(docs.filter(F.col("doc_id") % INGEST_MOD != 0))
-        .select(F.md5("g").alias("g"))
+        .select(_gram_key("g").alias("g"))
         .distinct()
     )
     return _strip_against_index(incoming, index)

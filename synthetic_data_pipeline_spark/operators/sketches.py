@@ -1608,13 +1608,25 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_delta = bench_new.join(bench_old, "g", "anti").unionByName(
         bench_old.join(bench_new, "g", "anti")
     )
+    # ONE pass over the old-side grams: the union-of-two-joins shape
+    # re-ran the corpus gram explode once per branch; two chained
+    # broadcast LEFT joins + an OR filter visit the same rows once and
+    # compute the identical distinct doc set (r14; grams stays
+    # un-checkpointed per the q131/dsir corpus-frame finding)
     old_grams = grams.filter(F.col("doc_id") % DELTA_MOD != 0)
     affected = (
-        old_grams.join(F.broadcast(flipped), ["source", "g"])
-        .select("doc_id")
-        .unionByName(
-            old_grams.join(F.broadcast(bench_delta), "g").select("doc_id")
+        old_grams.join(
+            F.broadcast(flipped.withColumn("_f", F.lit(True))),
+            ["source", "g"],
+            "left",
         )
+        .join(
+            F.broadcast(bench_delta.withColumn("_bd", F.lit(True))),
+            "g",
+            "left",
+        )
+        .filter(F.col("_f") | F.col("_bd"))
+        .select("doc_id")
         .distinct()
     )
 
@@ -1623,7 +1635,13 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_base = docs.select("doc_id", "source", is_new.alias("is_new")).join(
         keep, "doc_id"
     ).filter(F.col("source") != DECON_BENCH_SOURCE)
-    ship_new = ship_base.join(ret_new, "doc_id", "anti")
+    # ship_new is read twice (classed + the newly_dropped anti-join)
+    # and its lineage carries ret_new = the whole incremental
+    # clustering — checkpoint so the contraction runs once per call,
+    # not once per consumer branch (the q205 finding applied here)
+    ship_new = ship_base.join(ret_new, "doc_id", "anti").localCheckpoint(
+        eager=False
+    )
     ship_old = ship_base.filter(~F.col("is_new")).join(
         ret_old, "doc_id", "anti"
     )
@@ -2310,6 +2328,9 @@ def q205_edit_relabel_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels_prev.join(F.broadcast(dirty_lbls), "label", "semi")
         .join(F.broadcast(dirty), "node", "anti")
         .select(F.col("node").alias("doc_id"))
+        # three consumers (sig_batch, classed, dissolved) — delta-
+        # bounded frame, materialize once instead of three times
+        .localCheckpoint(eager=False)
     )
     gone = changed.unionByName(removed)
     sig_carry = sig_prev.join(F.broadcast(gone), "doc_id", "anti")
@@ -2324,7 +2345,15 @@ def q205_edit_relabel_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_batch = sig_carry.join(
         F.broadcast(survivors), "doc_id", "semi"
     ).unionByName(sig_delta)
-    labels_new = incremental_cluster_labels(sig_all, sig_batch, base)
+    # classed AND dissolved both read labels_new: without the
+    # checkpoint the contraction's un-checkpointed join lineage ran
+    # once per branch inside the single output action (r14 A/B at
+    # sf0.1, identical results: 4.39 s -> 0.41 s min-of-3 — the
+    # round's largest single-query win). Narrow (node, label) rows,
+    # so the materialization is cheap by construction.
+    labels_new = incremental_cluster_labels(
+        sig_all, sig_batch, base
+    ).localCheckpoint(eager=False)
 
     batch_ids = added.unionByName(changed)
     classed = (

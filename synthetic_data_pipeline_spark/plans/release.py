@@ -236,16 +236,21 @@ def build_release(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     kept1 = docs.join(
         spark.read.parquet(retention_path).select("doc_id"), "doc_id", "anti"
     )
-    n_quality_dropped = (
-        quality_drop_expr(kept1).filter(F.col("qdrop")).count()
-    )
-    kept2 = kept1.join(
-        quality_drop_expr(kept1).filter(~F.col("qdrop")).select("doc_id"),
-        "doc_id",
-    )
-    n_benchmark_held_out = kept2.filter(
-        F.col("source") == DECON_BENCH_SOURCE
-    ).count()
+    # one pruned pass computes both counts (the old shape ran the
+    # quality expression twice — a count action plus a self-join —
+    # over the same post-dedup frame; r14)
+    q_acct = quality_drop_expr(kept1).agg(
+        F.sum(F.when(F.col("qdrop"), 1).otherwise(0)).alias("n_q"),
+        F.sum(
+            F.when(
+                ~F.col("qdrop")
+                & (F.col("source") == DECON_BENCH_SOURCE),
+                1,
+            ).otherwise(0)
+        ).alias("n_b"),
+    ).collect()[0]
+    n_quality_dropped = q_acct.n_q or 0
+    n_benchmark_held_out = q_acct.n_b or 0
 
     # persisted curation state: the benchmark gram index (stage 5's
     # flag table — the same artifact q160's streaming twin strips
@@ -455,7 +460,15 @@ def update_release(
         .when(F.col("fp_c") != F.col("fp_p"), "changed")
         .otherwise("unchanged")
     )
-    classed = j.select("doc_id", status.alias("st"))
+    # classed feeds MANY consumers (delta/removed/gone ids, the gram
+    # retraction, the steady-state fallbacks) and its lineage is the
+    # full-outer fingerprint join over an md5 manifest of the whole
+    # corpus — checkpoint the narrow (doc_id, st) result so the
+    # manifest is computed once per update, not once per consumer
+    # action (r14; the st_counts collect below materializes it)
+    classed = j.select("doc_id", status.alias("st")).localCheckpoint(
+        eager=False
+    )
     st_counts = {
         r.st: r.n
         for r in classed.groupBy("st").agg(F.count("*").alias("n")).collect()
@@ -642,7 +655,13 @@ def update_release(
         aff_bench = grams.join(
             F.broadcast(bench_delta.select("g")), "g"
         ).select("doc_id")
-        affected = aff_bp.unionByName(aff_bench).distinct()
+        # consumed by reprocess_ids AND the accounting count — without
+        # the checkpoint each re-ran the old-corpus gram scan (r14)
+        affected = (
+            aff_bp.unionByName(aff_bench).distinct().localCheckpoint(
+                eager=False
+            )
+        )
     else:
         affected = delta_ids.limit(0)
 
@@ -692,14 +711,21 @@ def update_release(
     # merge MOVED its split; everything else carries as a directory
     # copy, never through a Spark write (the 100 TB point: the weekly
     # delta must not rewrite the lake's unchanged bytes)
-    splits = cluster_split_assignments(corpus, labels).select(
-        "doc_id", "split"
+    # splits feeds split_moved AND the rewrite join; split_moved feeds
+    # touched_pts AND the accounting count — checkpoint both narrow
+    # frames so the carried∪reprocessed lineage behind them runs once
+    # per update (r14)
+    splits = (
+        cluster_split_assignments(corpus, labels)
+        .select("doc_id", "split")
+        .localCheckpoint(eager=False)
     )
     split_moved = (
         prev_staged.select("doc_id", F.col("split").alias("old_split"))
         .join(splits, "doc_id")
         .filter(F.col("old_split") != F.col("split"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     touched_pts = sorted(
         r.pt

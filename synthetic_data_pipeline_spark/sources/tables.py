@@ -50,6 +50,30 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def fan_out_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the scan out to the cluster's parallelism when the
+    input arrives in fewer splits than cores — otherwise every
+    downstream explode/regex/decode stage runs on the scan's task
+    count (measured: q131's 20-gram explode single-task at sf0.1,
+    2.41 s -> 1.05 s with the fan-out; token_state measured 11 s
+    single-threaded at sf0.01 before growing its own copy of this).
+
+    Apply it ONLY in front of heavy per-row CPU (n-gram explodes,
+    hashing sweeps): the r14 A/B that placed this blanket-style inside
+    load_table showed the extra exchange is pure cost for cheap
+    consumers (q169 per-source agg 1.08 s -> 1.85 s, q110 dim explode
+    0.76 s -> 1.34 s with an unconditional repartition) while the span
+    family won 40-60%. CONDITIONAL by design: at real scale the input
+    already has more splits than cores and the repartition would be a
+    pure-cost corpus shuffle, so it must stay a no-op there. Keyless
+    repartition is retry-safe (sort-before-repartition, SPARK-23207)
+    and content-identical, so oracle parity is unaffected."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The nanosAsLong conf keeps TIMESTAMP(NANOS) testdata readable
