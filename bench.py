@@ -619,6 +619,34 @@ def _gen_scan_reuse(spark, sf_dir: str) -> dict:
     }
 
 
+def _bm25_reuse(spark, sf_dir: str) -> dict:
+    """Cold vs warm cost of the shared BM25 index tables
+    (textops.bm25_state — r14: q164/q172/q178 each rebuilt the posting
+    lists per call before). Cold = q164 with the cache cleared (pays
+    the bigram explode + tf/dlen/dfreq aggregates); warm = q164 again
+    on the memoized frames. The q164/q172/q178 headline numbers are
+    therefore WARM-state from r14 on; historical comparisons against
+    pre-r14 rounds should use bm25_stats_cold_sec."""
+    from synthetic_data_pipeline_spark.operators import textops
+
+    textops.clear_bm25_cache()
+    t0 = time.perf_counter()
+    textops.q164_bm25_retrieval(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    textops.q164_bm25_retrieval(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warm = time.perf_counter() - t0
+    return {
+        "bm25_stats_cold_sec": round(cold, 3),
+        "bm25_stats_warm_sec": round(warm, 3),
+        "bm25_stats_reuse_x": round(cold / warm, 1),
+    }
+
+
 def time_queries(
     spark, registry: dict, names: list, sf_dir: str, runs: int = 2
 ) -> "tuple[dict, dict]":
@@ -758,6 +786,11 @@ def main() -> None:
         extras.update(_simhash_reuse(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         errors["_simhash_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    try:
+        extras.update(_bm25_reuse(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["_bm25_reuse"] = f"{type(exc).__name__}: {exc}"[:500]
 
     try:
         extras.update(_release_timings(spark, sf_dir))

@@ -147,6 +147,14 @@ _SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 # q170 (VERDICT r11 #5: both paid the build per call); one narrow row
 # per doc, so it memoizes on the same terms as the token table.
 _SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Full-corpus MinHash BAND signatures (doc_id, band, minhash) — the
+# frame write_cluster_state persists as a lake's signature table.
+# q163/q203 each rebuilt it per call from the memoized tokens (8 md5
+# minima per token row — the funnel's CPU hot spot re-run per query);
+# one session computes it once (r14), same deterministic lineage so
+# results are identical, cold probes stay honest via
+# clear_shingle_cache's cascade from clear_lp_cache.
+_BAND_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHINGLE_CACHE_MAX = 3
 
 
@@ -162,6 +170,9 @@ def clear_shingle_cache() -> None:
     for sig in _SIMHASH_CACHE.values():
         _safe_unpersist(sig)
     _SIMHASH_CACHE.clear()
+    for sig in _BAND_SIG_CACHE.values():
+        _safe_unpersist(sig)
+    _BAND_SIG_CACHE.clear()
 
 
 def token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +262,29 @@ def simhash_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _su(_SIMHASH_CACHE.pop(next(iter(_SIMHASH_CACHE))))
     _SIMHASH_CACHE[key] = sig
+    return sig
+
+
+def band_sig_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted full-corpus MinHash band-signature frame
+    (doc_id, band, minhash) — see _BAND_SIG_CACHE's comment. Built
+    from the memoized token table, so a warm session pays neither the
+    shingle explode nor the per-token minima."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BAND_SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sig = minhash_signatures_from_tokens(token_state(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig.count()  # materialize before anyone forks the lineage
+    while len(_BAND_SIG_CACHE) >= _SHINGLE_CACHE_MAX:
+        from .sketches import _safe_unpersist as _su
+
+        _su(_BAND_SIG_CACHE.pop(next(iter(_BAND_SIG_CACHE))))
+    _BAND_SIG_CACHE[key] = sig
     return sig
 
 

@@ -133,8 +133,23 @@ def matryoshka_audit(emb: DataFrame) -> DataFrame:
     wfull = Window.partitionBy("query_id").orderBy(
         F.desc(f"cos{EMB_DIM}"), F.asc("neighbor_id")
     )
-    full_top = cand.withColumn("rk", F.row_number().over(wfull)).filter(
-        F.col("rk") <= TOP_K
+    # bounded (N_QUERIES·TOP_K rows): checkpoint so the full-dim window
+    # over cand runs once, not once per prefix arm (r14); the per-k
+    # drift means come from ONE aggregate over it instead of
+    # len(MRL_DIMS) separate agg actions
+    full_top = (
+        cand.withColumn("rk", F.row_number().over(wfull))
+        .filter(F.col("rk") <= TOP_K)
+        .localCheckpoint(eager=False)
+    )
+    errs_all = full_top.agg(
+        F.count("*").alias("n_full"),
+        *[
+            F.avg(
+                F.abs(F.col(f"cos{k}") - F.col(f"cos{EMB_DIM}"))
+            ).alias(f"err{k}")
+            for k in MRL_DIMS
+        ],
     )
     parts = []
     for k in MRL_DIMS:
@@ -151,21 +166,17 @@ def matryoshka_audit(emb: DataFrame) -> DataFrame:
             ["query_id", "neighbor_id"],
             "semi",
         ).agg(F.count("*").alias("n_hit"))
-        errs = full_top.agg(
-            F.avg(
-                F.abs(F.col(f"cos{k}") - F.col(f"cos{EMB_DIM}"))
-            ).alias("err"),
-            F.count("*").alias("n_full"),
-        )
         parts.append(
-            hits.crossJoin(errs).select(
+            hits.crossJoin(F.broadcast(errs_all)).select(
                 F.lit(k).alias("prefix_dim"),
                 eround(
                     F.lit(1e-9)
                     + F.col("n_hit") / F.col("n_full").cast("double"),
                     4,
                 ).alias("avg_recall"),
-                eround(F.lit(1e-9) + F.col("err"), 4).alias("avg_cos_err"),
+                eround(
+                    F.lit(1e-9) + F.col(f"err{k}"), 4
+                ).alias("avg_cos_err"),
             )
         )
     out = parts[0]

